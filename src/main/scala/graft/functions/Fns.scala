@@ -1,0 +1,100 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Composable column functions reproducing the reference's scalar-function
+  * semantics (SURVEY §2.7). All are built-in compositions — codegen'd by
+  * Catalyst — except `replaceFirst`/`format12g`, which are custom
+  * expressions (F1 / K1 gaps).
+  */
+object Fns {
+
+  /** F1 — strip the first occurrence of the literal `"_" + columnName
+    * .toLowerCase` from every value of the column (reference
+    * `clinical.py:98-133`: `str.replace(suffix, "", n=1, regex=False)`).
+    */
+  def stripColumnSuffix(c: Column, columnName: String): Column = {
+    val suffix = "_" + columnName.toLowerCase
+    ReplaceFirst.replaceFirst(c, lit(suffix), lit(""))
+  }
+
+  /** F1 applied over all string columns of a frame, with the reference's
+    * special case: column `AMADEUS_STUDY` strips `"_amadeus"`
+    * (`clinical.py:109-115`).
+    */
+  def stripSuffixesFromStringColumns(df: DataFrame): DataFrame = {
+    val stringCols = df.schema.fields
+      .filter(_.dataType == org.apache.spark.sql.types.StringType).map(_.name)
+    stringCols.foldLeft(df) { (acc, name) =>
+      val suffix = if (name == "AMADEUS_STUDY") "_amadeus" else "_" + name.toLowerCase
+      acc.withColumn(name, ReplaceFirst.replaceFirst(col(name), lit(suffix), lit("")))
+    }
+  }
+
+  /** F2 — `str.replace("_"," ").str.upper()` (`clinical.py:136-167`). */
+  def capsCase(c: Column): Column = upper(translate(c, "_", " "))
+
+  /** F3 — `str.replace("_"," ").str.title()` (`clinical.py:160-163`).
+    * `initcap` capitalizes after whitespace and lowercases the rest —
+    * equivalent to Python `str.title()` on the `[a-z_]+` domain the
+    * reference feeds it.
+    */
+  def titleCase(c: Column): Column = initcap(translate(c, "_", " "))
+
+  /** F4 — conditional id remap: paper id where present, else original
+    * (`clinical.py:170-196`).
+    */
+  def remapId(paperId: Column, originalId: Column): Column =
+    coalesce(paperId, originalId)
+
+  /** F5 — dict recode with pass-through of unmapped values as strings
+    * (`clinical.py:403-422`; unmapped / null values survive untouched).
+    */
+  def recode(c: Column, mapping: Map[String, String]): Column = {
+    val base: Column = c.cast("string")
+    mapping.foldLeft(base) { case (acc, (from, to)) =>
+      when(c.cast("string") === from, lit(to)).otherwise(acc)
+    }
+  }
+
+  /** F5 specialization — survival status recode (`clinical.py:408-413`). */
+  def recodeSurvivalStatus(c: Column, living: String, deceased: String): Column =
+    recode(c, Map("0" -> living, "1" -> deceased))
+
+  /** F6 — days → months: `round(col / 30.44, 2)` (`clinical.py:515-535`).
+    * pandas rounds HALF_EVEN on doubles → Spark `bround`.
+    */
+  def daysToMonths(c: Column): Column = bround(c / lit(30.44), 2)
+
+  /** P1 — pandas `str.contains(pat, na=False)`: null input counts as
+    * NON-matching (`clinical.py:74-95`). Plain `rlike` yields null for
+    * null input; wrap in coalesce(false).
+    */
+  def rlikeNaFalse(c: Column, pattern: String): Column =
+    coalesce(c.rlike(pattern), lit(false))
+
+  /** P2 — pandas `col != value` keeps NaN rows (`maf.py:181-195`).
+    * Null-safe-equal negated, not `=!=`.
+    */
+  def neqKeepNulls(c: Column, value: Column): Column = !(c <=> value)
+
+  /** F8 — cancer-type sanitize for case-list file names
+    * (`clinical.py:699-705`): spaces→`_`, drop `,`, `/`→`_`,
+    * empty/`NA`→`no_oncotree_code`. Driver-side (runs on collected keys).
+    */
+  def sanitizeCancerType(raw: String): String = {
+    val s = Option(raw).getOrElse("").replace(" ", "_").replace(",", "").replace("/", "_")
+    if (s.isEmpty || s == "NA") "no_oncotree_code" else s
+  }
+
+  /** Register the custom expressions for SQL use. */
+  def registerAll(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    org.apache.spark.sql.catalyst.FunctionIdentifier("replace_first")
+    reg.createOrReplaceTempFunction(
+      "replace_first", exprs => ReplaceFirst(exprs(0), exprs(1), exprs(2)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "format_12g", exprs => Format12g(exprs.head), "built-in")
+  }
+}

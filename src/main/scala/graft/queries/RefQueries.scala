@@ -1,0 +1,529 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.functions.Fns
+import graft.functions.ReplaceFirst.replaceFirst
+import graft.sources.Tsv
+
+/** The reference's operator inventory (SURVEY.md §2) re-expressed as
+  * Spark-first queries over the test corpus, one named query per operator,
+  * each with a DuckDB oracle in [[oracle]]. Citations are to the reference
+  * repo files the semantics derive from.
+  */
+object RefQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** q1 flagship — pricing-summary style aggregation (scan S2 + agg A2/A3:
+    * grouped sums/counts/count-distinct). Map-side partial aggregation +
+    * one shuffle on the (tiny-cardinality) group key.
+    */
+  def q1Agg: Q = (s, dir) => {
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("l_orderkey")).as("n_orders"))
+  }
+
+  /** S2+K1 — TSV sink/scan round-trip: write `part` through the %.12g
+    * single-file sink, re-read with the TSV scanner, aggregate. Oracle
+    * aggregates the original parquet — proves serialization fidelity
+    * (reference `clinical.py:353-358` write, `clinical.py:319` read).
+    */
+  def s2TsvRoundtrip: Q = (s, dir) => {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-s2").toString
+    val f = s"$tmp/part.tsv"
+    Tsv.writeTsvFile(Tables.part(s, dir), f)
+    Tsv.read(s, f)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("p_size").cast(LongType)).as("sum_size"),
+        sum(col("p_retailprice")).as("sum_price"))
+      .select(col("n"), col("sum_size"), bround(col("sum_price"), 2).as("sum_price"))
+  }
+
+  /** S3/S4 — comment-skipping TSV scan: write `region` with a #-prefixed
+    * header block (the cBioPortal 5-line header shape), re-read with
+    * `comment='#'` (reference `maf.py:28`, `clinical.py:798-808`).
+    */
+  def s3CommentScan: Q = (s, dir) => {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-s3").toString
+    val f = s"$tmp/region.tsv"
+    Tsv.writeTsvFile(Tables.region(s, dir), f,
+      headerBlock = Seq("#Display", "#Description", "#STRING", "#1"))
+    Tsv.read(s, f, comment = Some('#'))
+      .select(col("r_regionkey").cast(IntegerType), col("r_name"))
+  }
+
+  /** P1 — regex filter with pandas `na=False` semantics (null text counts
+    * as non-match → row kept) scoped to one partition value (reference
+    * `clinical.py:74-95`).
+    */
+  def p1FilterNaFalse: Q = (s, dir) => {
+    Tables.documents(s, dir)
+      .filter(
+        (!Fns.rlikeNaFalse(col("text"), "slow (?:join|scan)") && col("lang") === "en")
+          || !(col("lang") <=> "en"))
+      .select(col("doc_id"), col("lang"), col("source"))
+  }
+
+  /** P2 — not-equal filter that KEEPS nulls (pandas `!=` on NaN is True;
+    * reference `maf.py:181-195`).
+    */
+  def p2NeqKeepNulls: Q = (s, dir) => {
+    Tables.lineitem(s, dir)
+      .filter(Fns.neqKeepNulls(col("l_returnflag"), lit("A")))
+      .groupBy(col("l_linestatus")).agg(count(lit(1)).as("n"))
+  }
+
+  /** P3+P4 — partition filter + static projection (reference
+    * `clinical.py:572-578`, `clinical.py:323-325`). At scale the filter is
+    * a partition-pruned read of a `partitionBy("Dataset")` layout.
+    */
+  def p3PartitionFilter: Q = (s, dir) => {
+    Tables.customer(s, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+  }
+
+  /** P5 — dynamic projection dropping all-NA columns: one aggregate pass
+    * counts non-nulls, then the projection excludes empty columns
+    * (reference `clinical.py:538-547`). The all-null `junk` column must
+    * vanish from the output schema.
+    */
+  def p5DropAllNaCols: Q = (s, dir) => {
+    val df = Tables.orders(s, dir)
+      .withColumn("junk", lit(null).cast(StringType))
+      .select("o_orderkey", "o_orderstatus", "junk", "o_custkey")
+    val counts = df.select(df.columns.map(c => count(col(c)).as(c)).toIndexedSeq: _*).head()
+    val keep = df.columns.zipWithIndex.filter { case (_, i) => counts.getLong(i) > 0 }.map(_._1)
+    df.select(keep.map(col).toIndexedSeq: _*)
+  }
+
+  /** P6+A6 — attribute-driven split projection + distinct (one row per
+    * patient after projecting patient attributes; reference
+    * `clinical.py:365-400`).
+    */
+  def p6SplitDistinct: Q = (s, dir) => {
+    Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderstatus"))
+      .distinct()
+  }
+
+  /** P7 — bulk dict-driven rename (reference `clinical.py:334-340`). */
+  def p7RenameBulk: Q = (s, dir) => {
+    Tables.customer(s, dir)
+      .withColumnsRenamed(Map(
+        "c_custkey" -> "PATIENT_ID",
+        "c_name" -> "PATIENT_NAME",
+        "c_mktsegment" -> "SEGMENT"))
+      .select(col("PATIENT_ID"), col("PATIENT_NAME"), col("SEGMENT"))
+  }
+
+  /** J1 — left equi-join against a small curation mapping → broadcast hash
+    * join, no shuffle of the big side (reference `clinical.py:320-327`).
+    */
+  def j1LeftBroadcast: Q = (s, dir) => {
+    val li = Tables.lineitem(s, dir)
+    val p = Tables.part(s, dir).select(col("p_partkey"), col("p_brand"))
+    li.join(broadcast(p), li("l_partkey") === p("p_partkey"), "left")
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
+  }
+
+  /** J2 — join keys cast-normalized to string before the merge (pandas
+    * `.astype(str)`; reference `clinical.py:231-262`, F7).
+    */
+  def j2CastKeyJoin: Q = (s, dir) => {
+    val li = Tables.lineitem(s, dir)
+      .withColumn("suppkey_str", col("l_suppkey").cast(StringType))
+    val sup = Tables.supplier(s, dir)
+      .select(col("s_suppkey").cast(StringType).as("suppkey_str"), col("s_name"))
+    li.join(broadcast(sup), Seq("suppkey_str"), "left")
+      .groupBy(col("s_name")).agg(count(lit(1)).as("n"))
+  }
+
+  /** J3 — FULL OUTER join with row-growth visibility (reference
+    * `clinical.py:265-287`: outer merge, then neo-only keys are an error).
+    */
+  def j3FullOuter: Q = (s, dir) => {
+    val c = Tables.customer(s, dir).select(col("c_custkey"), col("c_mktsegment"))
+    val o = Tables.orders(s, dir).select(col("o_custkey"), col("o_orderkey"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "outer")
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count(col("o_orderkey")).as("n_orders"),
+        sum(when(col("c_custkey").isNull, 1L).otherwise(0L)).as("n_orphan_orders"))
+  }
+
+  /** J4 — enrichment lookup join replacing the reference's
+    * oncotree-converter subprocess (reference `clinical.py:477-496`):
+    * code → (type, detailed) via a broadcast dim chain.
+    */
+  def j4LookupEnrich: Q = (s, dir) => {
+    val c = Tables.customer(s, dir)
+    val n = Tables.nation(s, dir)
+    val r = Tables.region(s, dir)
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"), "left")
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"), "left")
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_customers"))
+  }
+
+  /** J5 — annotation join with a failure channel: enrich against a partial
+    * annotation table; unmatched rows are counted as the error report
+    * (reference `maf.py:104-130`, Genome Nexus → annotated MAF + failure
+    * report).
+    */
+  def j5AnnotationJoin: Q = (s, dir) => {
+    val li = Tables.lineitem(s, dir)
+    val ann = Tables.part(s, dir)
+      .filter(col("p_size") > 25)
+      .select(col("p_partkey"), col("p_type").as("annotation"))
+    li.join(broadcast(ann), li("l_partkey") === ann("p_partkey"), "left")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(col("annotation")).as("n_annotated"),
+        sum(when(col("annotation").isNull, 1L).otherwise(0L)).as("n_failed"))
+  }
+
+  /** J6 — semi-join case list: entities retained iff present in the fact
+    * table (reference `load.py:12-35` cases_sequenced).
+    */
+  def j6SemiJoin: Q = (s, dir) => {
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir).select(col("o_custkey"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+  }
+
+  /** J6b — anti-join complement (entities with no facts). */
+  def j6AntiJoin: Q = (s, dir) => {
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir).select(col("o_custkey"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+  }
+
+  /** A1/K3 — case-list grouping: group → ordered id list (reference
+    * `clinical.py:659-680`), rendered as a tab-joined string for exact
+    * oracle comparison.
+    */
+  def a1GroupCollect: Q = (s, dir) => {
+    Tables.customer(s, dir)
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        concat_ws("\t",
+          transform(array_sort(collect_list(col("c_custkey"))), x => x.cast(StringType)))
+          .as("case_ids"),
+        count(lit(1)).as("n"))
+  }
+
+  /** A4/A5 — duplicate detection, full-row and keyed (reference
+    * `maf.py:238-240`, `clinical.py:214-226`): keys with count > 1.
+    */
+  def a4DupDetect: Q = (s, dir) => {
+    Tables.orders(s, dir)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+  }
+
+  /** A7 — keep-last dedup by key: pandas `drop_duplicates(keep="last")`
+    * made deterministic with an explicit priority ordering (reference
+    * `clinical.py:440-474`).
+    */
+  def a7KeepLast: Q = (s, dir) => {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    Tables.orders(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderstatus"))
+  }
+
+  /** A8 — columnwise NA aggregates: per-column null counts + total
+    * (reference `clinical.py:129-133`, `clinical.py:826-837`,
+    * `maf.py:266-269`). Single aggregate pass, no per-column jobs.
+    */
+  def a8NaAggregates: Q = (s, dir) => {
+    val df = Tables.orders(s, dir)
+    val nullCount = (c: String) => sum(when(col(c).isNull, 1L).otherwise(0L))
+    df.agg(
+      nullCount("o_orderkey").as("na_orderkey"),
+      nullCount("o_custkey").as("na_custkey"),
+      nullCount("o_orderstatus").as("na_status"),
+      nullCount("o_totalprice").as("na_totalprice"),
+      count(lit(1)).as("n_rows"))
+  }
+
+  /** A9/U4 — distinct-set equality via symmetric anti-join counts
+    * (reference `maf.py:241-247`, `validate.py:152-157`).
+    */
+  def a9SetEquality: Q = (s, dir) => {
+    val a = Tables.orders(s, dir).select(col("o_orderkey").as("k")).distinct()
+    val b = Tables.lineitem(s, dir).select(col("l_orderkey").as("k")).distinct()
+    val aNotB = a.except(b).count()
+    val bNotA = b.except(a).count()
+    val spark = s
+    import spark.implicits._
+    Seq((aNotB, bNotA)).toDF("a_minus_b", "b_minus_a")
+  }
+
+  /** U1/U2 — union by name with missing-column NaN fill (pandas outer
+    * `concat`; reference `maf.py:35`, `clinical.py:465`).
+    */
+  def u1UnionByName: Q = (s, dir) => {
+    val c = Tables.customer(s, dir)
+      .select(col("c_name").as("name"), col("c_acctbal").as("acctbal"),
+        col("c_mktsegment").as("segment"))
+    val sup = Tables.supplier(s, dir)
+      .select(col("s_name").as("name"), col("s_acctbal").as("acctbal"))
+    c.unionByName(sup.withColumn("segment", lit(null).cast(StringType)),
+        allowMissingColumns = true)
+      .groupBy(col("segment"))
+      .agg(count(lit(1)).as("n"), bround(sum(col("acctbal")), 2).as("sum_bal"))
+  }
+
+  /** U4 — except / set difference (reference `validate.py:170-172`). */
+  def u4Except: Q = (s, dir) => {
+    val c = Tables.customer(s, dir).select(col("c_custkey").as("k"))
+    val o = Tables.orders(s, dir).select(col("o_custkey").as("k"))
+    c.except(o)
+  }
+
+  /** F1 — first-literal-occurrence replace via the custom ReplaceFirst
+    * expression (reference `clinical.py:98-133`; Spark's regexp_replace
+    * hits ALL occurrences, so this needs the custom expression).
+    */
+  def f1ReplaceFirst: Q = (s, dir) => {
+    Tables.part(s, dir)
+      .select(col("p_partkey"),
+        replaceFirst(col("p_name"), lit(" "), lit("_")).as("name_first_us"))
+  }
+
+  /** F2/F3 — case normalization: CAPS and Title Case after `_`→space
+    * (reference `clinical.py:136-167`).
+    */
+  def f2CapsTitle: Q = (s, dir) => {
+    Tables.part(s, dir)
+      .select(col("p_partkey"),
+        Fns.capsCase(col("p_type")).as("type_caps"),
+        Fns.titleCase(col("p_type")).as("type_title"))
+  }
+
+  /** F4 — conditional coalesce id remap (reference `clinical.py:170-196`). */
+  def f4CoalesceRemap: Q = (s, dir) => {
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        Fns.remapId(nullif(col("source"), lit("src0")), col("lang")).as("display_id"))
+  }
+
+  /** F5 — dict recode, unmapped values pass through as strings (reference
+    * `clinical.py:403-422`).
+    */
+  def f5Recode: Q = (s, dir) => {
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"),
+        Fns.recode(col("o_orderstatus"), Map("O" -> "0:OPEN", "F" -> "1:FINISHED"))
+          .as("status_recoded"))
+  }
+
+  /** F6 — days→months: `bround(col / 30.44, 2)` (reference
+    * `clinical.py:515-535`; pandas HALF_EVEN → bround).
+    */
+  def f6DaysToMonths: Q = (s, dir) => {
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), Fns.daysToMonths(col("o_totalprice")).as("months"))
+  }
+
+  /** F9 — consecutive fixed-size chunk assignment over a defined global
+    * order (reference `maf.py:39-72`; in Spark partitions subsume chunks —
+    * this materializes the chunk ids only to prove the semantics).
+    */
+  def f9Chunks: Q = (s, dir) => {
+    val w = Window.orderBy(col("o_orderkey"))
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("chunk", floor((col("rn") - 1) / 400L))
+      .groupBy(col("chunk")).agg(count(lit(1)).as("n"),
+        min(col("o_orderkey")).as("first_key"), max(col("o_orderkey")).as("last_key"))
+  }
+
+  /** V* — the validation suite as one report frame (rule, value); every
+    * rule is an aggregate query (reference §2.10; `utils.py:52-58`
+    * error-accumulator replaced by a data result).
+    */
+  def vReport: Q = (s, dir) => {
+    graft.validation.Rules.standardReport(s, dir)
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q1_agg" -> q1Agg,
+    "s2_tsv_roundtrip" -> s2TsvRoundtrip,
+    "s3_comment_scan" -> s3CommentScan,
+    "p1_filter_na_false" -> p1FilterNaFalse,
+    "p2_neq_keep_nulls" -> p2NeqKeepNulls,
+    "p3_partition_filter" -> p3PartitionFilter,
+    "p5_drop_allna_cols" -> p5DropAllNaCols,
+    "p6_split_distinct" -> p6SplitDistinct,
+    "p7_rename_bulk" -> p7RenameBulk,
+    "j1_left_broadcast" -> j1LeftBroadcast,
+    "j2_cast_key_join" -> j2CastKeyJoin,
+    "j3_full_outer" -> j3FullOuter,
+    "j4_lookup_enrich" -> j4LookupEnrich,
+    "j5_annotation_join" -> j5AnnotationJoin,
+    "j6_semi_join" -> j6SemiJoin,
+    "j6_anti_join" -> j6AntiJoin,
+    "a1_group_collect" -> a1GroupCollect,
+    "a4_dup_detect" -> a4DupDetect,
+    "a7_keep_last" -> a7KeepLast,
+    "a8_na_aggregates" -> a8NaAggregates,
+    "a9_set_equality" -> a9SetEquality,
+    "u1_union_by_name" -> u1UnionByName,
+    "u4_except" -> u4Except,
+    "f1_replace_first" -> f1ReplaceFirst,
+    "f2_caps_title" -> f2CapsTitle,
+    "f4_coalesce_remap" -> f4CoalesceRemap,
+    "f5_recode" -> f5Recode,
+    "f6_days_to_months" -> f6DaysToMonths,
+    "f9_chunks" -> f9Chunks,
+    "v_report" -> vReport)
+
+  val oracle: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+        | count(*) AS n_rows, count(DISTINCT l_orderkey) AS n_orders
+        | FROM lineitem GROUP BY 1, 2""".stripMargin,
+    "s2_tsv_roundtrip" ->
+      """SELECT count(*) AS n, sum(p_size) AS sum_size,
+        | round(sum(p_retailprice), 2) AS sum_price FROM part""".stripMargin,
+    "s3_comment_scan" ->
+      "SELECT r_regionkey, r_name FROM region",
+    "p1_filter_na_false" ->
+      """SELECT doc_id, lang, source FROM documents
+        | WHERE (NOT coalesce(regexp_matches(text, 'slow (?:join|scan)'), false)
+        |        AND lang = 'en')
+        |    OR lang IS DISTINCT FROM 'en'""".stripMargin,
+    "p2_neq_keep_nulls" ->
+      """SELECT l_linestatus, count(*) AS n FROM lineitem
+        | WHERE l_returnflag IS DISTINCT FROM 'A' GROUP BY 1""".stripMargin,
+    "p3_partition_filter" ->
+      """SELECT c_custkey, c_name, c_nationkey FROM customer
+        | WHERE c_mktsegment = 'BUILDING'""".stripMargin,
+    "p5_drop_allna_cols" ->
+      "SELECT o_orderkey, o_orderstatus, o_custkey FROM orders",
+    "p6_split_distinct" ->
+      "SELECT DISTINCT o_custkey, o_orderstatus FROM orders",
+    "p7_rename_bulk" ->
+      """SELECT c_custkey AS PATIENT_ID, c_name AS PATIENT_NAME,
+        | c_mktsegment AS SEGMENT FROM customer""".stripMargin,
+    "j1_left_broadcast" ->
+      """SELECT p.p_brand, count(*) AS n, sum(l.l_quantity) AS sum_qty
+        | FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+        | GROUP BY 1""".stripMargin,
+    "j2_cast_key_join" ->
+      """SELECT s.s_name, count(*) AS n
+        | FROM lineitem l LEFT JOIN supplier s
+        |   ON CAST(l.l_suppkey AS VARCHAR) = CAST(s.s_suppkey AS VARCHAR)
+        | GROUP BY 1""".stripMargin,
+    "j3_full_outer" ->
+      """SELECT c.c_mktsegment, count(*) AS n_rows, count(o.o_orderkey) AS n_orders,
+        | sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS n_orphan_orders
+        | FROM customer c FULL OUTER JOIN orders o ON c.c_custkey = o.o_custkey
+        | GROUP BY 1""".stripMargin,
+    "j4_lookup_enrich" ->
+      """SELECT r.r_name, n.n_name, count(*) AS n_customers
+        | FROM customer c
+        | LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+        | LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+        | GROUP BY 1, 2""".stripMargin,
+    "j5_annotation_join" ->
+      """SELECT l.l_returnflag, count(a.annotation) AS n_annotated,
+        | sum(CASE WHEN a.annotation IS NULL THEN 1 ELSE 0 END) AS n_failed
+        | FROM lineitem l LEFT JOIN
+        |  (SELECT p_partkey, p_type AS annotation FROM part WHERE p_size > 25) a
+        |  ON l.l_partkey = a.p_partkey
+        | GROUP BY 1""".stripMargin,
+    "j6_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer c
+        | WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin,
+    "j6_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer c
+        | WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin,
+    "a1_group_collect" ->
+      """SELECT c_mktsegment,
+        | string_agg(CAST(c_custkey AS VARCHAR), chr(9) ORDER BY c_custkey) AS case_ids,
+        | count(*) AS n
+        | FROM customer GROUP BY 1""".stripMargin,
+    "a4_dup_detect" ->
+      """SELECT o_custkey, count(*) AS n FROM orders
+        | GROUP BY 1 HAVING count(*) > 1""".stripMargin,
+    "a7_keep_last" ->
+      """SELECT o_custkey, o_orderkey, o_orderstatus FROM (
+        |  SELECT o_custkey, o_orderkey, o_orderstatus,
+        |   row_number() OVER (PARTITION BY o_custkey
+        |     ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |  FROM orders) WHERE rn = 1""".stripMargin,
+    "a8_na_aggregates" ->
+      """SELECT
+        | sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS na_orderkey,
+        | sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS na_custkey,
+        | sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS na_status,
+        | sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS na_totalprice,
+        | count(*) AS n_rows
+        | FROM orders""".stripMargin,
+    "a9_set_equality" ->
+      """SELECT
+        | (SELECT count(*) FROM
+        |   (SELECT DISTINCT o_orderkey FROM orders
+        |    EXCEPT SELECT DISTINCT l_orderkey FROM lineitem)) AS a_minus_b,
+        | (SELECT count(*) FROM
+        |   (SELECT DISTINCT l_orderkey FROM lineitem
+        |    EXCEPT SELECT DISTINCT o_orderkey FROM orders)) AS b_minus_a""".stripMargin,
+    "u1_union_by_name" ->
+      """SELECT segment, count(*) AS n, round(sum(acctbal), 2) AS sum_bal FROM (
+        |  SELECT c_name AS name, c_acctbal AS acctbal, c_mktsegment AS segment
+        |   FROM customer
+        |  UNION ALL BY NAME
+        |  SELECT s_name AS name, s_acctbal AS acctbal, NULL AS segment
+        |   FROM supplier)
+        | GROUP BY 1""".stripMargin,
+    "u4_except" ->
+      """SELECT c_custkey AS k FROM customer
+        | EXCEPT SELECT o_custkey AS k FROM orders""".stripMargin,
+    "f1_replace_first" ->
+      """SELECT p_partkey, regexp_replace(p_name, ' ', '_') AS name_first_us
+        | FROM part""".stripMargin,
+    "f2_caps_title" ->
+      """SELECT p_partkey, upper(replace(p_type, '_', ' ')) AS type_caps,
+        | array_to_string(list_transform(string_split(replace(p_type, '_', ' '), ' '),
+        |   x -> upper(x[1]) || lower(x[2:])), ' ') AS type_title FROM part""".stripMargin,
+    "f4_coalesce_remap" ->
+      """SELECT doc_id, coalesce(nullif(source, 'src0'), lang) AS display_id
+        | FROM documents""".stripMargin,
+    "f5_recode" ->
+      """SELECT o_orderkey,
+        | CASE o_orderstatus WHEN 'O' THEN '0:OPEN' WHEN 'F' THEN '1:FINISHED'
+        |  ELSE CAST(o_orderstatus AS VARCHAR) END AS status_recoded
+        | FROM orders""".stripMargin,
+    "f6_days_to_months" ->
+      """SELECT o_orderkey, round(o_totalprice / 30.44, 2) AS months
+        | FROM orders""".stripMargin,
+    "f9_chunks" ->
+      """SELECT chunk, count(*) AS n, min(o_orderkey) AS first_key,
+        | max(o_orderkey) AS last_key FROM (
+        |  SELECT o_orderkey,
+        |   CAST(floor((row_number() OVER (ORDER BY o_orderkey) - 1) / 400) AS BIGINT) AS chunk
+        |  FROM orders)
+        | GROUP BY 1""".stripMargin,
+    "v_report" -> graft.validation.Rules.standardReportOracle)
+}

@@ -1,0 +1,110 @@
+package graft.validation
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's validation surface (SURVEY §2.10, V1–V17) as a
+  * combinator library of aggregate queries returning data instead of the
+  * reference's logger/error-flag side channel
+  * (`src/iatlascbioportalexport/utils.py:52-58`). Each rule is one of the
+  * aggregate shapes in SURVEY §2.4; rules over the same frame fuse into a
+  * single aggregate pass so the report costs O(#tables) scans, not
+  * O(#rules).
+  */
+object Rules {
+
+  /** One named check: an aggregate expression + the predicate on its value
+    * that means "pass".
+    */
+  final case class Rule(name: String, agg: Column, passWhenZero: Boolean = true)
+
+  /** V5/V6-style: null count of a key column (must be 0). */
+  def noNulls(c: String): Rule =
+    Rule(s"no_null_$c", sum(when(col(c).isNull, 1L).otherwise(0L)))
+
+  /** V9/A4: full-row duplicate count (count - distinct count over cols). */
+  def noKeyedDups(c: String): Rule =
+    Rule(s"no_dup_$c", (count(lit(1)) - countDistinct(col(c))))
+
+  /** V2/V8-style raw row count (reported, not pass/fail on its own). */
+  def rowCount(label: String): Rule =
+    Rule(s"rows_$label", count(lit(1)), passWhenZero = false)
+
+  /** V7: all-NA column check — non-null count of a column (pass when > 0,
+    * reported as the count of MISSING values being less than rows).
+    */
+  def notAllNa(c: String): Rule =
+    Rule(s"not_all_na_$c", count(col(c)), passWhenZero = false)
+
+  /** Evaluate a set of rules over one frame in a single aggregate pass,
+    * returning (rule, value, passed) rows.
+    */
+  def evaluate(spark: SparkSession, df: DataFrame, rules: Seq[Rule]): DataFrame = {
+    import spark.implicits._
+    val row = df.agg(rules.head.agg.as(rules.head.name),
+      rules.tail.map(r => r.agg.as(r.name)): _*).head()
+    rules.zipWithIndex.map { case (r, i) =>
+      val v = row.getLong(i)
+      (r.name, v, if (r.passWhenZero) v == 0L else v > 0L)
+    }.toDF("rule", "value", "passed")
+  }
+
+  /** V10/V12/A9: distinct-set equality between two key columns, both
+    * directions (reference `maf.py:241-247`, `validate.py:152-157`).
+    */
+  def setEquality(spark: SparkSession, name: String,
+                  a: DataFrame, aKey: String, b: DataFrame, bKey: String): DataFrame = {
+    import spark.implicits._
+    val da = a.select(col(aKey).as("k")).distinct()
+    val db = b.select(col(bKey).as("k")).distinct()
+    val aNotB = da.except(db).count()
+    val bNotA = db.except(da).count()
+    Seq((s"${name}_a_minus_b", aNotB, aNotB == 0L),
+      (s"${name}_b_minus_a", bNotA, bNotA == 0L))
+      .toDF("rule", "value", "passed")
+  }
+
+  /** V16: no row growth after a left-side-preserving join (reference
+    * `clinical.py:283-287`).
+    */
+  def noRowGrowth(spark: SparkSession, name: String,
+                  before: Long, after: Long): DataFrame = {
+    import spark.implicits._
+    Seq((name, after - before, after <= before)).toDF("rule", "value", "passed")
+  }
+
+  /** The standard report over the test corpus — the `v_report` query.
+    * Mirrors the reference's clinical/MAF check set on the analogous
+    * tables: orders = "samples" table, lineitem = "MAF" fact table.
+    */
+  def standardReport(spark: SparkSession, dir: String): DataFrame = {
+    val orders = graft.Tables.orders(spark, dir)
+    val lineitem = graft.Tables.lineitem(spark, dir)
+    val ordersRules = evaluate(spark, orders, Seq(
+      rowCount("orders"),
+      noNulls("o_orderkey"),
+      noNulls("o_custkey"),
+      noKeyedDups("o_orderkey"),
+      notAllNa("o_orderstatus")))
+    val lineitemRules = evaluate(spark, lineitem, Seq(
+      rowCount("lineitem"),
+      noNulls("l_orderkey"),
+      notAllNa("l_quantity")))
+    val sets = setEquality(spark, "orderkeys",
+      orders, "o_orderkey", lineitem, "l_orderkey")
+    ordersRules.unionByName(lineitemRules).unionByName(sets)
+  }
+
+  /** DuckDB oracle for [[standardReport]] — same numbers via UNION ALL. */
+  val standardReportOracle: String =
+    """SELECT 'rows_orders' AS rule, count(*) AS value, count(*) > 0 AS passed FROM orders
+      |UNION ALL SELECT 'no_null_o_orderkey', sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END), sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) = 0 FROM orders
+      |UNION ALL SELECT 'no_null_o_custkey', sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END), sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) = 0 FROM orders
+      |UNION ALL SELECT 'no_dup_o_orderkey', count(*) - count(DISTINCT o_orderkey), count(*) - count(DISTINCT o_orderkey) = 0 FROM orders
+      |UNION ALL SELECT 'not_all_na_o_orderstatus', count(o_orderstatus), count(o_orderstatus) > 0 FROM orders
+      |UNION ALL SELECT 'rows_lineitem', count(*), count(*) > 0 FROM lineitem
+      |UNION ALL SELECT 'no_null_l_orderkey', sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END), sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) = 0 FROM lineitem
+      |UNION ALL SELECT 'not_all_na_l_quantity', count(l_quantity), count(l_quantity) > 0 FROM lineitem
+      |UNION ALL SELECT 'orderkeys_a_minus_b', (SELECT count(*) FROM (SELECT DISTINCT o_orderkey FROM orders EXCEPT SELECT DISTINCT l_orderkey FROM lineitem)), (SELECT count(*) FROM (SELECT DISTINCT o_orderkey FROM orders EXCEPT SELECT DISTINCT l_orderkey FROM lineitem)) = 0
+      |UNION ALL SELECT 'orderkeys_b_minus_a', (SELECT count(*) FROM (SELECT DISTINCT l_orderkey FROM lineitem EXCEPT SELECT DISTINCT o_orderkey FROM orders)), (SELECT count(*) FROM (SELECT DISTINCT l_orderkey FROM lineitem EXCEPT SELECT DISTINCT o_orderkey FROM orders)) = 0""".stripMargin
+}
