@@ -1,0 +1,65 @@
+package graft.validation
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase.spark
+
+/** The validation combinators (SURVEY §2.10 V1-V17) against tiny frames
+  * with known defects — replaces the reference's caplog assertions
+  * (reference tests/test_maf.py:98-142) with data assertions.
+  */
+class RulesSpec extends AnyFunSuite {
+  import spark.implicits._
+
+  private def report(df: org.apache.spark.sql.DataFrame, rules: Seq[Rules.Rule]) =
+    Rules.evaluate(spark, df, rules).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+
+  test("noNulls flags null keys (V5/V6)") {
+    val df = Seq(Some("a"), None, Some("b")).toDF("SAMPLE_ID")
+    val r = report(df, Seq(Rules.noNulls("SAMPLE_ID")))
+    assert(r("no_null_SAMPLE_ID") == (1L, false))
+  }
+
+  test("noKeyedDups flags duplicate keys (V14/A5)") {
+    val df = Seq("a", "a", "b").toDF("k")
+    val r = report(df, Seq(Rules.noKeyedDups("k")))
+    assert(r("no_dup_k") == (1L, false))
+    val clean = report(Seq("a", "b").toDF("k"), Seq(Rules.noKeyedDups("k")))
+    assert(clean("no_dup_k") == (0L, true))
+  }
+
+  test("notAllNa fails on an all-null column (V7)") {
+    val df = Seq((1, None: Option[String]), (2, None)).toDF("id", "c")
+    val r = report(df, Seq(Rules.notAllNa("c"), Rules.notAllNa("id")))
+    assert(r("not_all_na_c")._2 == false)
+    assert(r("not_all_na_id")._2 == true)
+  }
+
+  test("setEquality both directions (V10/V12/A9)") {
+    val a = Seq("s1", "s2", "s3").toDF("barcode")
+    val b = Seq("s1", "s2").toDF("Sample_ID")
+    val rows = Rules.setEquality(spark, "ids", a, "barcode", b, "Sample_ID")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(rows("ids_a_minus_b") == (1L, false))
+    assert(rows("ids_b_minus_a") == (0L, true))
+  }
+
+  test("noRowGrowth flags outer-join growth (V16)") {
+    val grew = Rules.noRowGrowth(spark, "neo_merge", before = 10L, after = 12L).head()
+    assert(!grew.getBoolean(2) && grew.getLong(1) == 2L)
+    val ok = Rules.noRowGrowth(spark, "neo_merge", before = 10L, after = 10L).head()
+    assert(ok.getBoolean(2))
+  }
+
+  test("standardReport over sf0.001: key-integrity rules pass, orphan orders reported") {
+    val rep = Rules.standardReport(spark, graft.SparkTestBase.sf001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(rep.size == 10)
+    assert(rep("no_null_o_orderkey")._2 && rep("no_dup_o_orderkey")._2)
+    // the corpus genuinely contains orders without lineitems — the rule
+    // must SURFACE that (value > 0, passed = false), not hide it
+    assert(rep("orderkeys_a_minus_b")._1 > 0 && !rep("orderkeys_a_minus_b")._2)
+    assert(rep("orderkeys_b_minus_a") == (0L, true))
+  }
+}
