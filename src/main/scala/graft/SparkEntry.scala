@@ -13,13 +13,18 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q1_agg")(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2, plus the
+    * extension modules (text analysis, dedup, similarity, streaming,
+    * multimodal).
+    */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    graft.queries.RefQueries.queries
+    graft.queries.RefQueries.queries ++
+      graft.queries.TextQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → rows-only check.
     */
   def oracleSql: Map[String, String] =
-    graft.queries.RefQueries.oracle
+    graft.queries.RefQueries.oracle ++
+      graft.queries.TextQueries.oracle
 }

@@ -1,0 +1,144 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Hashing
+
+/** Text-analysis operators over the `documents` table — the
+  * language-ID / quality-scoring / token-counting / fingerprinting layer a
+  * large-scale training-data pipeline needs (beyond the reference's own
+  * surface; extension per SURVEY §7). All are single-pass, shuffle-free
+  * per-row transforms: at 100 TB they run map-side only, bounded by scan
+  * throughput, and every expression is codegen'd built-in composition.
+  */
+object TextQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Whitespace token count, zero for blank text. */
+  private def wsTokens(text: Column): Column =
+    when(length(trim(text)) === 0, 0)
+      .otherwise(size(split(trim(text), "\\s+")))
+
+  /** Per-language stopword alternations for the n-gram/stopword
+    * language-ID heuristic. Word-boundary regex counts are portable
+    * (Java regex and RE2 agree on \b and these literals).
+    */
+  val langStopwords: Seq[(String, String)] = Seq(
+    "en" -> "the|and|of|to|in",
+    "es" -> "el|la|de|que|y",
+    "de" -> "der|die|und|ist|nicht",
+    "fr" -> "le|et|les|des|une")
+
+  /** ta_tokens — token counting: whitespace tokens + BPE-ish regex tokens
+    * (letter runs / digit runs / single punctuation) + char length.
+    */
+  def taTokens: Q = (s, dir) => {
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      wsTokens(col("text")).as("n_ws_tokens"),
+      regexp_count(lower(col("text")), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]")).as("n_bpe_tokens"),
+      length(col("text")).as("n_chars_txt"))
+  }
+
+  /** ta_langid — stopword-count language ID with a deterministic argmax
+    * (ties resolve in declaration order en > es > de > fr).
+    */
+  def taLangid: Q = (s, dir) => {
+    val scores = langStopwords.map { case (l, words) =>
+      l -> regexp_count(lower(col("text")), lit(s"\\b(?:$words)\\b"))
+    }
+    val scoreCols = scores.map { case (l, c) => c.as(s"s_$l") }
+    val Seq(en, es, de, fr) = scores.map(_._2)
+    val pred = when(en >= es && en >= de && en >= fr, "en")
+      .when(es >= de && es >= fr, "es")
+      .when(de >= fr, "de")
+      .otherwise("fr")
+    Tables.documents(s, dir).select(
+      col("doc_id") +: col("lang") +: scoreCols :+ pred.as("pred_lang"): _*)
+      .withColumn("lang_match", col("pred_lang") === col("lang"))
+  }
+
+  /** ta_quality — quality scoring on integer features (portable across
+    * engines: no float division in the compared output): char/token
+    * counts, punctuation count, stopword count, alpha chars, and the
+    * quality flag from integer-arithmetic thresholds.
+    */
+  def taQuality: Q = (s, dir) => {
+    val nTok = wsTokens(col("text"))
+    val nPunct = regexp_count(col("text"), lit("[^a-zA-Z0-9\\s]"))
+    val nStop = regexp_count(lower(col("text")), lit("\\b(?:the|and|of|to|in|a|is)\\b"))
+    val nAlpha = regexp_count(col("text"), lit("[a-zA-Z]"))
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      length(col("text")).as("n_chars_txt"),
+      nTok.as("n_tokens"),
+      nPunct.as("n_punct"),
+      nStop.as("n_stopwords"),
+      nAlpha.as("n_alpha"),
+      // quality: 5..10000 tokens, punctuation < 20% of chars,
+      // letters > 50% of chars — all as integer cross-multiplications
+      (nTok >= 5 && nTok <= 10000 &&
+        nPunct * 5 < length(col("text")) &&
+        nAlpha * 2 > length(col("text"))).as("is_quality"))
+  }
+
+  /** ta_fingerprint — document fingerprint over whitespace-normalized
+    * lowercase text: full md5 hex + the portable 60-bit long form used as
+    * the exact-dedup / clustering key at scale.
+    */
+  def taFingerprint: Q = (s, dir) => {
+    val norm = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      md5(norm).as("fp"),
+      Hashing.md5Long(norm).as("fp_long"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "ta_tokens" -> taTokens,
+    "ta_langid" -> taLangid,
+    "ta_quality" -> taQuality,
+    "ta_fingerprint" -> taFingerprint)
+
+  private val duckLangScores = langStopwords.map { case (l, words) =>
+    s"len(regexp_extract_all(lower(text), '\\b(?:$words)\\b')) AS s_$l"
+  }.mkString(", ")
+
+  val oracle: Map[String, String] = Map(
+    "ta_tokens" ->
+      """SELECT doc_id,
+        | CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE len(string_split_regex(trim(text), '\s+')) END AS n_ws_tokens,
+        | len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_bpe_tokens,
+        | length(text) AS n_chars_txt
+        | FROM documents""".stripMargin,
+    "ta_langid" ->
+      s"""SELECT doc_id, lang, s_en, s_es, s_de, s_fr,
+        | CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+        |      WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+        |      WHEN s_de >= s_fr THEN 'de' ELSE 'fr' END AS pred_lang,
+        | (CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+        |      WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+        |      WHEN s_de >= s_fr THEN 'de' ELSE 'fr' END) = lang AS lang_match
+        | FROM (SELECT doc_id, lang, text, $duckLangScores FROM documents)""".stripMargin,
+    "ta_quality" ->
+      """SELECT doc_id, length(text) AS n_chars_txt,
+        | CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+        | len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS n_punct,
+        | len(regexp_extract_all(lower(text), '\b(?:the|and|of|to|in|a|is)\b')) AS n_stopwords,
+        | len(regexp_extract_all(text, '[a-zA-Z]')) AS n_alpha,
+        | (CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE len(string_split_regex(trim(text), '\s+')) END BETWEEN 5 AND 10000
+        |  AND len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) * 5 < length(text)
+        |  AND len(regexp_extract_all(text, '[a-zA-Z]')) * 2 > length(text)) AS is_quality
+        | FROM documents""".stripMargin,
+    "ta_fingerprint" ->
+      """SELECT doc_id,
+        | md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+        | ('0x' || substr(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), 1, 15))::BIGINT AS fp_long
+        | FROM documents""".stripMargin)
+}
