@@ -19,12 +19,14 @@ object SparkEntry {
     */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.RefQueries.queries ++
-      graft.queries.TextQueries.queries
+      graft.queries.TextQueries.queries ++
+      graft.queries.DedupQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → rows-only check.
     */
   def oracleSql: Map[String, String] =
     graft.queries.RefQueries.oracle ++
-      graft.queries.TextQueries.oracle
+      graft.queries.TextQueries.oracle ++
+      graft.queries.DedupQueries.oracle
 }

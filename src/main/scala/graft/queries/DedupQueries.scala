@@ -1,0 +1,305 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Hashing
+
+/** Deduplication operators over `documents` / `embeddings` — the dedup
+  * layer of a training-data pipeline (extension per SURVEY §7): exact
+  * (hash groupBy), MinHash+LSH (shingle → signature → band bucket join),
+  * SimHash (bit-majority sketch + banded hamming pairs), character-n-gram
+  * Jaccard, and embedding-cosine near-dup with a blocking key.
+  *
+  * Scale design: candidate generation is always *bucketed* (LSH band join
+  * or byte-band join or blocking key) so the shuffle carries
+  * (bucket, doc) pairs, never the O(n²) cross product; only the verify
+  * step touches candidate pairs, whose count LSH keeps near-linear. All
+  * hashes are the engine-portable md5-derived longs from
+  * [[graft.functions.Hashing]] so DuckDB oracles reproduce them exactly.
+  */
+object DedupQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** MinHash parameters: K signatures in B bands of R rows. */
+  val K = 12
+  val B = 4
+  val R = 3
+  /** SimHash: 60-bit sketch, 4 bands x 15 bits, pair threshold. */
+  val SimBits = 60
+  val HammingMax = 3
+
+  /** documents + `toks` (normalized tokens) + `shingles` (3-token). */
+  private[queries] def shingled(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("toks", split(lower(trim(col("text"))), "\\s+"))
+      .withColumn("shingles",
+        when(size(col("toks")) >= 3,
+          expr("transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"))
+          .otherwise(array(concat_ws(" ", col("toks")))))
+
+  /** doc_id, shingles, sig_0..sig_{K-1}. */
+  private[queries] def minhashSigs(s: SparkSession, dir: String): DataFrame = {
+    val sigCols = (0 until K).map { k =>
+      expr(s"array_min(transform(shingles, x -> ${Hashing.md5LongSeededSql(k, "x")}))")
+        .as(s"sig_$k")
+    }
+    shingled(s, dir).select(col("doc_id") +: col("shingles") +: sigCols: _*)
+  }
+
+  /** dd_exact — exact dedup by content hash: one row per distinct
+    * normalized text with the canonical keep id, member ids, group size.
+    * At scale: a single hash-partitioned groupBy on a 60-bit key.
+    */
+  def ddExact: Q = (s, dir) => {
+    val norm = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+    Tables.documents(s, dir)
+      .select(Hashing.md5Long(norm).as("fp_long"), col("doc_id"))
+      .groupBy(col("fp_long"))
+      .agg(
+        min(col("doc_id")).as("keep_id"),
+        count(lit(1)).as("n_docs"),
+        concat_ws("\t", transform(sort_array(collect_list(col("doc_id"))),
+          x => x.cast("string"))).as("member_ids"))
+  }
+
+  /** dd_minhash_sig — per-document MinHash signature (K portable seeded
+    * hashes, min over 3-token shingles). Pins the shingling + hash family
+    * bit-for-bit against the oracle.
+    */
+  def ddMinhashSig: Q = (s, dir) =>
+    minhashSigs(s, dir).drop("shingles")
+
+  /** dd_minhash_pairs — LSH candidates + exact verification: signatures
+    * band-hashed (B bands × R rows); docs sharing any band bucket become
+    * candidate pairs; each candidate verified with exact shingle-set
+    * Jaccard reported as integer |∩| / |∪| components.
+    */
+  def ddMinhashPairs: Q = (s, dir) => {
+    val sig = minhashSigs(s, dir)
+    val bandStructs = (0 until B).map { b =>
+      val rows = (0 until R).map(r => col(s"sig_${b * R + r}"))
+      struct(lit(b).as("band"), md5(concat_ws(",", rows: _*)).as("bh"))
+    }
+    val buckets = sig
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bd"))
+      .select(col("doc_id"), col("bd.band").as("band"), col("bd.bh").as("bh"))
+    val pairs = buckets.as("a").join(buckets.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val sh = shingled(s, dir)
+      .select(col("doc_id"), array_distinct(col("shingles")).as("sh"))
+    pairs
+      .join(sh.withColumnsRenamed(Map("doc_id" -> "doc_a", "sh" -> "sh_a")), Seq("doc_a"))
+      .join(sh.withColumnsRenamed(Map("doc_id" -> "doc_b", "sh" -> "sh_b")), Seq("doc_b"))
+      .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("n_union", size(col("sh_a")) + size(col("sh_b")) - col("n_inter"))
+      .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_union"),
+        (col("n_inter") * 2 >= col("n_union")).as("jacc_ge_half"))
+  }
+
+  /** dd_simhash — 60-bit SimHash per document: bit j set iff the majority
+    * of distinct-token hashes have bit j set. (60 bits = the full portable
+    * md5-derived hash width; 32 bits saturates on a small vocabulary.)
+    */
+  def ddSimhash: Q = (s, dir) =>
+    shingled(s, dir)
+      .withColumn("hs",
+        expr(s"transform(array_distinct(toks), t -> ${Hashing.md5LongSeededSql(99, "t")})"))
+      .withColumn("simhash", expr(
+        """aggregate(sequence(0, 59), CAST(0 AS BIGINT), (acc, j) ->
+          |  acc + IF(2 * size(filter(hs, h -> ((shiftright(h, j)) & 1) = 1)) > size(hs),
+          |           shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT)))""".stripMargin))
+      .select(col("doc_id"), col("simhash"))
+
+  /** dd_simhash_pairs — near-dup pairs by SimHash: 15-bit-banded join
+    * (pigeonhole: hamming ≤ 3 over 4 bands guarantees ≥ 1 equal band),
+    * then exact hamming filter. The banded join is the scale path — the
+    * shuffle key is (band index, band value), never all-pairs.
+    */
+  def ddSimhashPairs: Q = (s, dir) => {
+    val sh = ddSimhash(s, dir)
+    val bands = (0 until 4).map { i =>
+      struct(lit(i).as("band"),
+        shiftright(col("simhash"), i * 15).bitwiseAND(lit(32767L)).as("bv"))
+    }
+    val buckets = sh
+      .select(col("doc_id"), col("simhash"), explode(array(bands: _*)).as("bd"))
+      .select(col("doc_id"), col("simhash"), col("bd.band").as("band"), col("bd.bv").as("bv"))
+    buckets.as("a").join(buckets.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= HammingMax)
+  }
+
+  /** dd_jaccard_ngram — character-trigram Jaccard near-dup on a bounded
+    * doc subset (id < 50): the exact-verification primitive, brute-force
+    * here to pin semantics; at scale candidates come from the LSH path.
+    */
+  def ddJaccardNgram: Q = (s, dir) => {
+    val grams = Tables.documents(s, dir)
+      .filter(col("doc_id") < 50)
+      .withColumn("norm", regexp_replace(lower(trim(col("text"))), "\\s+", " "))
+      .withColumn("grams", expr(
+        "array_distinct(transform(sequence(1, greatest(length(norm) - 2, 1)), i -> substring(norm, i, 3)))"))
+      .select(col("doc_id"), col("grams"))
+    grams.withColumnsRenamed(Map("doc_id" -> "doc_a", "grams" -> "g_a")).as("a")
+      .join(grams.withColumnsRenamed(Map("doc_id" -> "doc_b", "grams" -> "g_b")).as("b"),
+        col("doc_a") < col("doc_b"))
+      .withColumn("n_inter", size(array_intersect(col("g_a"), col("g_b"))))
+      .withColumn("n_union", size(col("g_a")) + size(col("g_b")) - col("n_inter"))
+      .filter(col("n_inter") * 10 >= col("n_union") * 7) // jaccard >= 0.7
+      .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_union"))
+  }
+
+  /** dd_embed_neardup — embedding-cosine near-dup with `label` as the
+    * blocking key (stand-in for an LSH/IVF bucket at scale): pairs with
+    * cos ≥ 0.35, compared as dot² ≥ t²·‖a‖²·‖b‖² to avoid sqrt — ids
+    * only in the output, so float-rounding differences can't flip rows
+    * away from the oracle except exactly at the threshold.
+    */
+  def ddEmbedNeardup: Q = (s, dir) => {
+    val t2 = 0.35 * 0.35
+    val e = Tables.embeddings(s, dir)
+      .withColumn("nrm",
+        expr("aggregate(embedding, CAST(0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"))
+    val a = e.select(col("vec_id").as("vec_a"), col("label"),
+      col("embedding").as("ea"), col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("vec_b"), col("label"),
+      col("embedding").as("eb"), col("nrm").as("nb"))
+    a.join(b, Seq("label"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("dot", expr(
+        """aggregate(zip_with(ea, eb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+          |          CAST(0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin))
+      .filter(col("dot") > 0 && col("dot") * col("dot") >= lit(t2) * col("na") * col("nb"))
+      .select(col("vec_a"), col("vec_b"), col("label"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "dd_exact" -> ddExact,
+    "dd_minhash_sig" -> ddMinhashSig,
+    "dd_minhash_pairs" -> ddMinhashPairs,
+    "dd_simhash" -> ddSimhash,
+    "dd_simhash_pairs" -> ddSimhashPairs,
+    "dd_jaccard_ngram" -> ddJaccardNgram,
+    "dd_embed_neardup" -> ddEmbedNeardup)
+
+  // ---- DuckDB oracles ------------------------------------------------
+
+  private def duckHash(seed: Int, v: String) =
+    s"('0x' || substr(md5('$seed' || ':' || $v), 1, 15))::BIGINT"
+
+  /** Shared CTEs: tokens and shingles per doc. */
+  private val duckShingles =
+    """WITH docs AS (
+      |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, toks,
+      |    CASE WHEN len(toks) >= 3 THEN
+      |      list_transform(generate_series(1, len(toks) - 2),
+      |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+      |    ELSE [array_to_string(toks, ' ')] END AS shingles
+      |  FROM docs)""".stripMargin
+
+  private val duckSigSelect = (0 until K).map { k =>
+    s"list_min(list_transform(shingles, x -> ${duckHash(k, "x")})) AS sig_$k"
+  }.mkString(",\n    ")
+
+  private val duckBandSelect = (0 until B).map { b =>
+    val rows = (0 until R).map(r => s"sig_${b * R + r}").mkString(" || ',' || ")
+    s"md5($rows) AS bh_$b"
+  }.mkString(",\n    ")
+
+  private val duckBandOr = (0 until B).map(b => s"a.bh_$b = b.bh_$b").mkString(" OR ")
+
+  val oracle: Map[String, String] = Map(
+    "dd_exact" ->
+      """SELECT ('0x' || substr(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), 1, 15))::BIGINT AS fp_long,
+        | min(doc_id) AS keep_id, count(*) AS n_docs,
+        | string_agg(doc_id::VARCHAR, chr(9) ORDER BY doc_id) AS member_ids
+        | FROM documents GROUP BY 1""".stripMargin,
+    "dd_minhash_sig" ->
+      s"""$duckShingles
+        |SELECT doc_id, $duckSigSelect
+        |FROM sh""".stripMargin,
+    "dd_minhash_pairs" ->
+      s"""$duckShingles,
+        |sig AS (
+        |  SELECT doc_id, shingles, $duckSigSelect
+        |  FROM sh),
+        |bands AS (
+        |  SELECT doc_id, list_distinct(shingles) AS shd, $duckBandSelect
+        |  FROM sig)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  len(list_intersect(a.shd, b.shd)) AS n_inter,
+        |  len(a.shd) + len(b.shd) - len(list_intersect(a.shd, b.shd)) AS n_union,
+        |  2 * len(list_intersect(a.shd, b.shd)) >=
+        |    len(a.shd) + len(b.shd) - len(list_intersect(a.shd, b.shd)) AS jacc_ge_half
+        |FROM bands a JOIN bands b ON a.doc_id < b.doc_id AND ($duckBandOr)""".stripMargin,
+    "dd_simhash" ->
+      s"""$duckShingles,
+        |hs AS (
+        |  SELECT doc_id,
+        |    list_transform(list_distinct(toks), t -> ${duckHash(99, "t")}) AS hv
+        |  FROM sh)
+        |SELECT doc_id,
+        |  list_sum(list_transform(generate_series(0, 59), j ->
+        |    CASE WHEN 2 * len(list_filter(hv, h -> ((h >> j) & 1) = 1)) > len(hv)
+        |         THEN (1::BIGINT << j) ELSE 0::BIGINT END))::BIGINT AS simhash
+        |FROM hs""".stripMargin,
+    "dd_simhash_pairs" ->
+      s"""$duckShingles,
+        |hs AS (
+        |  SELECT doc_id,
+        |    list_transform(list_distinct(toks), t -> ${duckHash(99, "t")}) AS hv
+        |  FROM sh),
+        |sim AS (
+        |  SELECT doc_id,
+        |    list_sum(list_transform(generate_series(0, 59), j ->
+        |      CASE WHEN 2 * len(list_filter(hv, h -> ((h >> j) & 1) = 1)) > len(hv)
+        |           THEN (1::BIGINT << j) ELSE 0::BIGINT END))::BIGINT AS simhash
+        |  FROM hs)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+        |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= ${HammingMax}
+        |  AND (((a.simhash >> 0) & 32767) = ((b.simhash >> 0) & 32767)
+        |    OR ((a.simhash >> 15) & 32767) = ((b.simhash >> 15) & 32767)
+        |    OR ((a.simhash >> 30) & 32767) = ((b.simhash >> 30) & 32767)
+        |    OR ((a.simhash >> 45) & 32767) = ((b.simhash >> 45) & 32767))""".stripMargin,
+    "dd_jaccard_ngram" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      generate_series(1, greatest(length(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) - 2, 1)),
+        |      i -> substr(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), i, 3))) AS grams
+        |  FROM documents WHERE doc_id < 50)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  len(list_intersect(a.grams, b.grams)) AS n_inter,
+        |  len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)) AS n_union
+        |FROM g a JOIN g b ON a.doc_id < b.doc_id
+        |WHERE 10 * len(list_intersect(a.grams, b.grams)) >=
+        |  7 * (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))""".stripMargin,
+    "dd_embed_neardup" ->
+      """WITH n AS (
+        |  SELECT vec_id, label, embedding,
+        |    list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)) AS nrm
+        |  FROM embeddings),
+        |p AS (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+        |    list_sum(list_transform(generate_series(1, 64),
+        |      i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) AS dot,
+        |    a.nrm AS na, b.nrm AS nb
+        |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id)
+        |SELECT vec_a, vec_b, label FROM p
+        |WHERE dot > 0 AND dot * dot >= 0.1225 * na * nb""".stripMargin)
+}
