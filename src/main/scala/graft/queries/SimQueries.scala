@@ -1,0 +1,212 @@
+package graft.queries
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate/exact nearest-neighbor search over the `embeddings` table
+  * (`Array[Float]` column) — extension per SURVEY §7.
+  *
+  * Scale design:
+  *  - the query set is always the broadcast side; candidates stream.
+  *  - top-k uses `row_number` over (query, score): Spark ≥3.5 plans a
+  *    WindowGroupLimit, so each map task keeps only k rows per query
+  *    before the shuffle — the shuffle carries O(queries · k · tasks),
+  *    not O(n).
+  *  - the ANN paths (LSH hyperplane buckets, IVF nearest-centroid) bound
+  *    candidate generation by bucket, the same shape that scales to a
+  *    1000-executor cluster: bucket id is the shuffle key.
+  *  - all float work is plain sequential double arithmetic (zip_with +
+  *    aggregate) so the DuckDB oracle reproduces results bit-for-bit;
+  *    ordering ties break by id, scores are never emitted.
+  */
+object SimQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val TopK = 5
+  val LshPlanes = 6
+  val LshTopK = 3
+
+  /** Deterministic ±1 hyperplane weights from md5 parity — computed once
+    * driver-side and embedded as literals in both engines' plans.
+    */
+  lazy val planes: Seq[Array[Int]] = {
+    val md = MessageDigest.getInstance("MD5")
+    (0 until LshPlanes).map { j =>
+      (0 until 64).map { i =>
+        val h = md.digest(s"plane:$j:$i".getBytes("UTF-8"))
+        if ((h(0) & 1) == 1) 1 else -1
+      }.toArray
+    }
+  }
+
+  /** Sequential-double dot product of two array columns (SQL fragment). */
+  private def dotSql(a: String, b: String): String =
+    s"""aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+       |          CAST(0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin
+
+  /** Squared-norm column. */
+  private def nrm(c: String): Column = expr(dotSql(c, c))
+
+  /** Signed square s(x) = x·|x| — monotone, so cos(a) ≥ cos(b) ⟺
+    * s(dot_a)·n_b ≥ s(dot_b)·n_a without any sqrt.
+    */
+  private def signedSq(c: Column): Column = c * abs(c)
+
+  private def vectors(s: SparkSession, dir: String): DataFrame =
+    graft.Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"), col("embedding"), nrm("embedding").as("nrm"))
+
+  /** sim_topk_brute — exact cosine top-k: query set (vec_id < 10)
+    * broadcast against all candidates; rank by cosine via the signed-
+    * square score (identical ordering), ties by neighbor id.
+    */
+  def simTopkBrute: Q = (s, dir) => {
+    val v = vectors(s, dir)
+    val q = v.select(col("vec_id").as("query_id"), col("embedding").as("eq"),
+      col("nrm").as("nq")).filter(col("query_id") < 10)
+    val cand = v.select(col("vec_id").as("neighbor_id"), col("embedding").as("ec"),
+      col("nrm").as("nc"))
+    val scored = cand.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .withColumn("dot", expr(dotSql("eq", "ec")))
+      // cos = dot/sqrt(nq·nc); rank on s(dot)/nc — nq is constant per query
+      .withColumn("score", signedSq(col("dot")) / col("nc"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+
+  private def planeLit(j: Int): String = planes(j).mkString("array(", ", ", ")")
+
+  /** LSH signature column: bit j = (v · w_j) > 0. */
+  private def lshSig: Column = {
+    val bits = (0 until LshPlanes).map { j =>
+      when(expr(
+        s"""aggregate(zip_with(embedding, ${planeLit(j)}, (x, w) -> CAST(x AS DOUBLE) * w),
+           |          CAST(0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin) > 0d,
+        1L << j).otherwise(0L)
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** sim_lsh_sig — per-vector random-hyperplane signature (the bucket id
+    * of the ANN index); pins the plane constants + projection math.
+    */
+  def simLshSig: Q = (s, dir) =>
+    vectors(s, dir).select(col("vec_id"), lshSig.as("sig"))
+
+  /** sim_lsh_topk — ANN: neighbors ranked within the query's LSH bucket
+    * only (bucket-equality join instead of the cross product).
+    */
+  def simLshTopk: Q = (s, dir) => {
+    val v = vectors(s, dir).withColumn("sig", lshSig)
+    val q = v.select(col("vec_id").as("query_id"), col("embedding").as("eq"),
+      col("nrm").as("nq"), col("sig")).filter(col("query_id") < 10)
+    val cand = v.select(col("vec_id").as("neighbor_id"), col("embedding").as("ec"),
+      col("nrm").as("nc"), col("sig"))
+    val scored = cand.join(broadcast(q), Seq("sig"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("dot", expr(dotSql("eq", "ec")))
+      .withColumn("score", signedSq(col("dot")) / col("nc"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= LshTopK)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+
+  /** sim_ivf_assign — IVF coarse quantizer: seed centroid per label = the
+    * label's lowest-id vector (deterministic init); every vector assigned
+    * to its nearest centroid by cosine (signed-square comparison, ties to
+    * the smaller label).
+    */
+  def simIvfAssign: Q = (s, dir) => {
+    val v = vectors(s, dir)
+    val centW = Window.partitionBy(col("label")).orderBy(col("vec_id"))
+    val cent = v.withColumn("rn", row_number().over(centW)).filter(col("rn") === 1)
+      .select(col("label").as("c_label"), col("embedding").as("ce"), col("nrm").as("cn"))
+    val scored = v.select(col("vec_id"), col("label"), col("embedding"), col("nrm"))
+      .crossJoin(broadcast(cent))
+      .withColumn("dot", expr(dotSql("embedding", "ce")))
+      .withColumn("score", signedSq(col("dot")) / col("cn"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("score").desc, col("c_label").asc)
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("label"), col("c_label").as("assigned_label"),
+        (col("label") === col("c_label")).as("assigned_own_label"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "sim_topk_brute" -> simTopkBrute,
+    "sim_lsh_sig" -> simLshSig,
+    "sim_lsh_topk" -> simLshTopk,
+    "sim_ivf_assign" -> simIvfAssign)
+
+  // ---- DuckDB oracles ------------------------------------------------
+
+  private def duckDot(a: String, b: String): String =
+    s"list_sum(list_transform(generate_series(1, 64), i -> ($a)[i]::DOUBLE * ($b)[i]::DOUBLE))"
+
+  private def duckPlaneLit(j: Int): String = planes(j).mkString("[", ", ", "]")
+
+  private val duckSig: String = (0 until LshPlanes).map { j =>
+    s"(CASE WHEN list_sum(list_transform(generate_series(1, 64), i -> embedding[i]::DOUBLE * (${duckPlaneLit(j)})[i])) > 0 THEN ${1L << j} ELSE 0 END)"
+  }.mkString(" + ")
+
+  val oracle: Map[String, String] = Map(
+    "sim_topk_brute" ->
+      s"""WITH v AS (
+        |  SELECT vec_id, embedding, ${duckDot("embedding", "embedding")} AS nrm
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, embedding AS eq, nrm AS nq FROM v WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT q.query_id, c.vec_id AS neighbor_id,
+        |    (${duckDot("q.eq", "c.embedding")}) * abs(${duckDot("q.eq", "c.embedding")}) / c.nrm AS score
+        |  FROM v c CROSS JOIN q
+        |  WHERE c.vec_id <> q.query_id)
+        |SELECT query_id, neighbor_id, rank FROM (
+        |  SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+        |  FROM scored)
+        |WHERE rank <= $TopK""".stripMargin,
+    "sim_lsh_sig" ->
+      s"""SELECT vec_id, ($duckSig)::BIGINT AS sig FROM embeddings""",
+    "sim_lsh_topk" ->
+      s"""WITH v AS (
+        |  SELECT vec_id, embedding, ${duckDot("embedding", "embedding")} AS nrm,
+        |    ($duckSig)::BIGINT AS sig
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, embedding AS eq, nrm AS nq, sig FROM v WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT q.query_id, c.vec_id AS neighbor_id,
+        |    (${duckDot("q.eq", "c.embedding")}) * abs(${duckDot("q.eq", "c.embedding")}) / c.nrm AS score
+        |  FROM v c JOIN q ON c.sig = q.sig AND c.vec_id <> q.query_id)
+        |SELECT query_id, neighbor_id, rank FROM (
+        |  SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+        |  FROM scored)
+        |WHERE rank <= $LshTopK""".stripMargin,
+    "sim_ivf_assign" ->
+      s"""WITH v AS (
+        |  SELECT vec_id, label, embedding, ${duckDot("embedding", "embedding")} AS nrm
+        |  FROM embeddings),
+        |cent AS (
+        |  SELECT label AS c_label, embedding AS ce, nrm AS cn FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY label ORDER BY vec_id) AS rn FROM v)
+        |  WHERE rn = 1),
+        |scored AS (
+        |  SELECT v.vec_id, v.label, cent.c_label,
+        |    (${duckDot("v.embedding", "cent.ce")}) * abs(${duckDot("v.embedding", "cent.ce")}) / cent.cn AS score
+        |  FROM v CROSS JOIN cent)
+        |SELECT vec_id, label, c_label AS assigned_label,
+        |  label = c_label AS assigned_own_label
+        |FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, c_label) AS rn
+        |  FROM scored)
+        |WHERE rn = 1""".stripMargin)
+}
