@@ -21,7 +21,8 @@ object SparkEntry {
     graft.queries.RefQueries.queries ++
       graft.queries.TextQueries.queries ++
       graft.queries.DedupQueries.queries ++
-      graft.queries.SimQueries.queries
+      graft.queries.SimQueries.queries ++
+      graft.queries.StreamQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → rows-only check.
@@ -30,5 +31,6 @@ object SparkEntry {
     graft.queries.RefQueries.oracle ++
       graft.queries.TextQueries.oracle ++
       graft.queries.DedupQueries.oracle ++
-      graft.queries.SimQueries.oracle
+      graft.queries.SimQueries.oracle ++
+      graft.queries.StreamQueries.oracle
 }

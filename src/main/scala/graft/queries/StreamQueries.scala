@@ -1,0 +1,92 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.streaming.EventStreams
+
+/** Batch-mode entries for the streaming transforms (SURVEY §2.8 extension):
+  * the same window logic EventStreams runs on a stream, executed on the
+  * batch `events` table where the DuckDB oracle can check it. `value` sums
+  * go through DECIMAL(18,2) — float addition is order-dependent across
+  * engines, decimal addition is exact and partial-aggregation-safe.
+  */
+object StreamQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** ev_tumbling — 1-hour tumbling window counts + exact decimal sums. */
+  def evTumbling: Q = (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).as("sum_value"))
+      .select(col("window.start").as("w_start"), col("event_type"),
+        col("n"), col("sum_value").cast("decimal(28,2)").as("sum_value"))
+
+  /** ev_sliding — 1-hour windows sliding every 30 minutes. */
+  def evSliding: Q = (s, dir) =>
+    EventStreams.slidingCounts(Tables.events(s, dir))
+
+  /** ev_session — built-in session windows, 10-minute gap, per user. */
+  def evSession: Q = (s, dir) =>
+    EventStreams.sessionCounts(Tables.events(s, dir))
+
+  /** ev_json — JSON property extraction from the props column. */
+  def evJson: Q = (s, dir) =>
+    Tables.events(s, dir)
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k_val"))
+
+  /** ev_json_agg — aggregate over the extracted property. */
+  def evJsonAgg: Q = (s, dir) =>
+    Tables.events(s, dir)
+      .withColumn("k_val", get_json_object(col("props"), "$.k").cast("int"))
+      .groupBy(pmod(col("k_val"), lit(7)).as("k_bucket"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
+
+  val queries: Map[String, Q] = Map(
+    "ev_tumbling" -> evTumbling,
+    "ev_sliding" -> evSliding,
+    "ev_session" -> evSession,
+    "ev_json" -> evJson,
+    "ev_json_agg" -> evJsonAgg)
+
+  val oracle: Map[String, String] = Map(
+    "ev_tumbling" ->
+      """SELECT time_bucket(INTERVAL 1 HOUR, ts) AS w_start, event_type,
+        | count(*) AS n, sum(value::DECIMAL(18,2))::DECIMAL(28,2) AS sum_value
+        | FROM events GROUP BY 1, 2""".stripMargin,
+    "ev_sliding" ->
+      """SELECT w_start, event_type, count(*) AS n FROM (
+        |  SELECT unnest([time_bucket(INTERVAL 30 MINUTE, ts),
+        |                 time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE]) AS w_start,
+        |         event_type
+        |  FROM events)
+        |GROUP BY 1, 2""".stripMargin,
+    "ev_session" ->
+      """WITH o AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w >= INTERVAL 10 MINUTE
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, ts, event_id,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                     ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM o)
+        |SELECT min(ts) AS session_start,
+        |  max(ts) + INTERVAL 10 MINUTE AS session_end,
+        |  user_id, count(*) AS n_events
+        |FROM s GROUP BY user_id, sid""".stripMargin,
+    "ev_json" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k_val
+        | FROM events""".stripMargin,
+    "ev_json_agg" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS INT) % 7 AS k_bucket,
+        | count(*) AS n, count(DISTINCT user_id) AS n_users
+        | FROM events GROUP BY 1""".stripMargin)
+}

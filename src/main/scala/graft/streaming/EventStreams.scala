@@ -1,0 +1,109 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming surface over the `events` table (extension per
+  * SURVEY §2.8/§7 — the reference is batch-only). Every transform here is
+  * defined once and runs on either a batch or a streaming DataFrame: the
+  * batch run is what the DuckDB oracle checks; the streaming run (tested
+  * with MemoryStream) adds watermarks and state.
+  *
+  * Scale design: windowed aggregations shuffle on (window, key) with
+  * map-side partial aggregation; watermarks bound state size; the custom
+  * sessionizer keeps one small state object per user key and emits on
+  * event-time timeout, so state is O(active users), not O(events).
+  */
+object EventStreams {
+
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+                   event_type: String, value: Double)
+
+  case class SessionOut(user_id: Long, session_start: Timestamp,
+                        session_end: Timestamp, n_events: Long, sum_value: Double)
+
+  /** Internal per-user session accumulator (public: the state encoder's
+    * generated code must be able to call its accessors).
+    */
+  case class SessionState(start: Long, last: Long, n: Long, total: Double)
+
+  /** Tumbling 1-hour windows: count + sum by (window, event_type).
+    * On a stream, call `.withWatermark("ts", ...)` upstream.
+    */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("w_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Sliding 1-hour windows every 30 minutes. */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w_start"), col("event_type"), col("n"))
+
+  /** Built-in session windows (10-minute gap) per user. */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), "10 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"))
+
+  /** Watermarked streaming variant of [[tumblingCounts]]. */
+  def tumblingCountsStream(events: DataFrame, watermark: String): DataFrame =
+    tumblingCounts(events.withWatermark("ts", watermark))
+
+  /** Custom stateful sessionization with flatMapGroupsWithState: one
+    * state object per user; sessions close on a 10-minute event-time gap
+    * enforced via the watermark timeout. This is the
+    * mapGroupsWithState-shaped state machine the built-in session_window
+    * can't express once per-session custom logic is needed.
+    */
+  def sessionize(events: Dataset[Event], gapMs: Long = 10 * 60 * 1000L)
+                (implicit spark: SparkSession): Dataset[SessionOut] = {
+    import spark.implicits._
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(userId, new Timestamp(s.start),
+              new Timestamp(s.last + gapMs), s.n, s.total))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var closed = List.empty[SessionOut]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.last < gapMs =>
+                  cur = Some(s.copy(last = math.max(s.last, t), n = s.n + 1,
+                    total = s.total + e.value))
+                case Some(s) =>
+                  closed ::= SessionOut(userId, new Timestamp(s.start),
+                    new Timestamp(s.last + gapMs), s.n, s.total)
+                  cur = Some(SessionState(t, t, 1L, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1L, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last + gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+}

@@ -1,0 +1,96 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase.spark
+import graft.streaming.EventStreams.{Event, SessionOut}
+
+/** Streaming semantics under MemoryStream: window aggregation with
+  * watermark-driven late-data dropping, and the custom
+  * flatMapGroupsWithState sessionizer (state closes on event-time gap).
+  */
+class EventStreamsSpec extends AnyFunSuite {
+  import spark.implicits._
+
+  // offset from epoch: rows with ts <= initial watermark (0) are dropped
+  // by stateful operators, so minute 0 must not be epoch itself
+  private def ts(min: Int): Timestamp = new Timestamp((min + 60) * 60000L)
+
+  private def ev(id: Long, min: Int, user: Long, typ: String = "click",
+                 value: Double = 1.0): Event =
+    Event(id, ts(min), user, typ, value)
+
+  test("tumbling window stream drops events later than the watermark") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val out = EventStreams.tumblingCountsStream(mem.toDF(), "30 minutes")
+    val q = out.writeStream.format("memory").queryName("tumbling_wm")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: events in hour-0 and hour-1; watermark advances to 90-30=60
+      mem.addData(ev(1, 10, 1), ev(2, 20, 1), ev(3, 90, 2))
+      q.processAllAvailable()
+      // batch 2: a late hour-0 event (min 25 < watermark 60) must be DROPPED;
+      // an hour-1 event is still accepted
+      mem.addData(ev(4, 25, 1), ev(5, 95, 2))
+      q.processAllAvailable()
+      // batch 3: advance watermark past hour 1 (165-30=135) closing all windows
+      mem.addData(ev(6, 200, 3))
+      q.processAllAvailable()
+      val rows = spark.table("tumbling_wm")
+        .select($"w_start".cast("long"), $"n").as[(Long, Long)].collect().toMap
+      // ts(min) offsets by +60min, so the first hour window starts at 3600s
+      assert(rows(3600L) == 2L, "first-hour window: late event dropped, 2 not 3")
+      assert(rows(7200L) == 2L, "second-hour window: in-time event counted")
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState sessionizer: gap splits sessions, timeout emits") {
+    implicit val s = spark
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val out = EventStreams.sessionize(mem.toDS())
+    val q = out.writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // user 1: events at min 0,5 (one session), then 30 (new session: gap 25 > 10)
+      mem.addData(ev(1, 0, 1, value = 2.0), ev(2, 5, 1, value = 3.0), ev(3, 30, 1))
+      q.processAllAvailable()
+      // advance watermark far ahead so the open session times out and emits
+      mem.addData(ev(9, 300, 2))
+      q.processAllAvailable()
+      mem.addData(ev(10, 600, 2))
+      q.processAllAvailable()
+      val rows = spark.table("sessions").as[SessionOut].collect()
+        .filter(_.user_id == 1L).sortBy(_.session_start.getTime)
+      assert(rows.length == 2, s"expected 2 closed sessions, got ${rows.toSeq}")
+      assert(rows(0).n_events == 2L && rows(0).sum_value == 5.0)
+      assert(rows(0).session_start == ts(0) && rows(0).session_end == ts(15))
+      assert(rows(1).n_events == 1L && rows(1).session_start == ts(30))
+    } finally q.stop()
+  }
+
+  test("batch and streaming tumbling counts agree on the same data") {
+    implicit val sq = spark.sqlContext
+    val events = Seq(ev(1, 10, 1), ev(2, 20, 1), ev(3, 70, 2), ev(4, 80, 2))
+    val batch = EventStreams.tumblingCounts(events.toDF())
+      .select($"w_start".cast("long"), $"event_type", $"n")
+      .as[(Long, String, Long)].collect().toSet
+    val mem = MemoryStream[Event]
+    val q = EventStreams.tumblingCountsStream(mem.toDF(), "1 minute")
+      .writeStream.format("memory").queryName("tumbling_eq")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      mem.addData(events: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("tumbling_eq")
+        .select($"w_start".cast("long"), $"event_type", $"n")
+        .as[(Long, String, Long)].collect().toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+}
