@@ -22,7 +22,8 @@ object SparkEntry {
       graft.queries.TextQueries.queries ++
       graft.queries.DedupQueries.queries ++
       graft.queries.SimQueries.queries ++
-      graft.queries.StreamQueries.queries
+      graft.queries.StreamQueries.queries ++
+      graft.queries.MultimodalQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → rows-only check.
@@ -32,5 +33,6 @@ object SparkEntry {
       graft.queries.TextQueries.oracle ++
       graft.queries.DedupQueries.oracle ++
       graft.queries.SimQueries.oracle ++
-      graft.queries.StreamQueries.oracle
+      graft.queries.StreamQueries.oracle ++
+      graft.queries.MultimodalQueries.oracle
 }

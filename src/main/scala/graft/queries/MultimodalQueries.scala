@@ -1,0 +1,75 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.multimodal.Multimodal
+
+/** Query entries for the multimodal layer (SURVEY §7 extension). The
+  * deterministic-fake metadata is pure integer arithmetic over the UTF-8
+  * byte length, so DuckDB mirrors it exactly (`octet_length(encode(text))`
+  * == Spark `length(cast(text as binary))`). The mapPartitions embedding
+  * stage is not SQL-expressible → rows-only check by the driver.
+  */
+object MultimodalQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** mm_meta — typed metadata sniffed (deterministically faked) from the
+    * binary payload: the "describe my media corpus" scan.
+    */
+  def mmMeta: Q = (s, dir) => Multimodal.metaQuery(Tables.documents(s, dir))
+
+  /** mm_frames — evenly-spaced frame sampling via sequence+explode. */
+  def mmFrames: Q = (s, dir) => Multimodal.frameSample(Tables.documents(s, dir))
+
+  /** mm_resize — aspect-preserving resize plan to short side 224. */
+  def mmResize: Q = (s, dir) => Multimodal.resizePlan(Tables.documents(s, dir))
+
+  /** mm_embed_agg — batched per-partition "inference" (stubbed decoder),
+    * then an aggregate so the output is small and stable: count + per-dim
+    * checksum of the deterministic embeddings.
+    */
+  def mmEmbedAgg: Q = (s, dir) =>
+    Multimodal.embedFeatures(Tables.documents(s, dir))
+      .select(col("doc_id"), col("model_ver"),
+        round(aggregate(col("embedding"), lit(0.0d),
+          (acc, x) => acc + x.cast("double")), 3).as("embed_sum"))
+
+  val queries: Map[String, Q] = Map(
+    "mm_meta" -> mmMeta,
+    "mm_frames" -> mmFrames,
+    "mm_resize" -> mmResize,
+    "mm_embed_agg" -> mmEmbedAgg)
+
+  // Shared DuckDB fragment: UTF-8 byte length of the text payload.
+  private val blen = "octet_length(encode(text))"
+
+  val oracle: Map[String, String] = Map(
+    "mm_meta" ->
+      s"""SELECT doc_id, $blen AS byte_len,
+         | CASE $blen % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+         |   ELSE 'webp' END AS format,
+         | 64 + ($blen % 64) * 8 AS width,
+         | 64 + ($blen % 48) * 8 AS height,
+         | 1 + ($blen % 120) AS n_frames
+         | FROM documents""".stripMargin,
+    "mm_frames" ->
+      s"""WITH m AS (SELECT doc_id, 1 + ($blen % 120) AS n_frames
+         |           FROM documents)
+         |SELECT doc_id, n_frames,
+         |  unnest(range(0, n_frames, greatest(1, n_frames // 8))) AS frame_idx
+         |FROM m""".stripMargin,
+    "mm_resize" ->
+      s"""WITH m AS (SELECT doc_id,
+         |  64 + ($blen % 64) * 8 AS width,
+         |  64 + ($blen % 48) * 8 AS height FROM documents)
+         |SELECT doc_id, width, height,
+         |  CASE WHEN width <= height THEN 224
+         |       ELSE width * 224 // height END AS new_width,
+         |  CASE WHEN width <= height THEN height * 224 // width
+         |       ELSE 224 END AS new_height
+         |FROM m""".stripMargin)
+  // mm_embed_agg: mapPartitions stub model — rows-only check (no oracle).
+}
