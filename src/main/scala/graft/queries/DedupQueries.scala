@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.Hashing
+import graft.functions.{Hashing, SketchExprs}
 
 /** Deduplication operators over `documents` / `embeddings` — the dedup
   * layer of a training-data pipeline (extension per SURVEY §7): exact
@@ -40,13 +40,16 @@ object DedupQueries {
           expr("transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"))
           .otherwise(array(concat_ws(" ", col("toks")))))
 
-  /** doc_id, shingles, sig_0..sig_{K-1}. */
+  /** doc_id, shingles, sig_0..sig_{K-1}. The K seeded min-hashes come from
+    * the compiled single-pass [[SketchExprs.minhashSigs]] kernel (identical
+    * values to `array_min(transform(shingles, md5...))` per seed, K× fewer
+    * array walks and no interpreted lambdas).
+    */
   private[queries] def minhashSigs(s: SparkSession, dir: String): DataFrame = {
-    val sigCols = (0 until K).map { k =>
-      expr(s"array_min(transform(shingles, x -> ${Hashing.md5LongSeededSql(k, "x")}))")
-        .as(s"sig_$k")
-    }
-    shingled(s, dir).select(col("doc_id") +: col("shingles") +: sigCols: _*)
+    val withSig = shingled(s, dir)
+      .withColumn("sigs", SketchExprs.minhashSigs(col("shingles"), K))
+    val sigCols = (0 until K).map(k => col("sigs").getItem(k).as(s"sig_$k"))
+    withSig.select(col("doc_id") +: col("shingles") +: sigCols: _*)
   }
 
   /** dd_exact — exact dedup by content hash: one row per distinct
@@ -108,13 +111,8 @@ object DedupQueries {
     */
   def ddSimhash: Q = (s, dir) =>
     shingled(s, dir)
-      .withColumn("hs",
-        expr(s"transform(array_distinct(toks), t -> ${Hashing.md5LongSeededSql(99, "t")})"))
-      .withColumn("simhash", expr(
-        """aggregate(sequence(0, 59), CAST(0 AS BIGINT), (acc, j) ->
-          |  acc + IF(2 * size(filter(hs, h -> ((shiftright(h, j)) & 1) = 1)) > size(hs),
-          |           shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT)))""".stripMargin))
-      .select(col("doc_id"), col("simhash"))
+      .select(col("doc_id"),
+        SketchExprs.simhash60(array_distinct(col("toks")), 99).as("simhash"))
 
   /** dd_simhash_pairs — near-dup pairs by SimHash: 15-bit-banded join
     * (pigeonhole: hamming ≤ 3 over 4 bands guarantees ≥ 1 equal band),
