@@ -166,17 +166,14 @@ object DedupQueries {
   def ddEmbedNeardup: Q = (s, dir) => {
     val t2 = 0.35 * 0.35
     val e = Tables.embeddings(s, dir)
-      .withColumn("nrm",
-        expr("aggregate(embedding, CAST(0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"))
+      .withColumn("nrm", graft.functions.VecExprs.dot(col("embedding"), col("embedding")))
     val a = e.select(col("vec_id").as("vec_a"), col("label"),
       col("embedding").as("ea"), col("nrm").as("na"))
     val b = e.select(col("vec_id").as("vec_b"), col("label"),
       col("embedding").as("eb"), col("nrm").as("nb"))
     a.join(b, Seq("label"))
       .filter(col("vec_a") < col("vec_b"))
-      .withColumn("dot", expr(
-        """aggregate(zip_with(ea, eb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
-          |          CAST(0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin))
+      .withColumn("dot", graft.functions.VecExprs.dot(col("ea"), col("eb")))
       .filter(col("dot") > 0 && col("dot") * col("dot") >= lit(t2) * col("na") * col("nb"))
       .select(col("vec_a"), col("vec_b"), col("label"))
   }

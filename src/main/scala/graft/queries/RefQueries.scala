@@ -268,13 +268,16 @@ object RefQueries {
     * (reference `maf.py:241-247`, `validate.py:152-157`).
     */
   def a9SetEquality: Q = (s, dir) => {
-    val a = Tables.orders(s, dir).select(col("o_orderkey").as("k")).distinct()
-    val b = Tables.lineitem(s, dir).select(col("l_orderkey").as("k")).distinct()
-    val aNotB = a.except(b).count()
-    val bNotA = b.except(a).count()
-    val spark = s
-    import spark.implicits._
-    Seq((aNotB, bNotA)).toDF("a_minus_b", "b_minus_a")
+    // Both directions in one shuffle: tag sides, group on the key, count
+    // one-sided keys — equivalent to two distinct+except jobs at a quarter
+    // of the passes over the fact table (the shape that matters at 100 TB).
+    Tables.orders(s, dir).select(col("o_orderkey").as("k"), lit(1).as("side"))
+      .unionByName(Tables.lineitem(s, dir).select(col("l_orderkey").as("k"), lit(2).as("side")))
+      .groupBy(col("k"))
+      .agg(max(when(col("side") === 1, 1).otherwise(0)).as("in_a"),
+        max(when(col("side") === 2, 1).otherwise(0)).as("in_b"))
+      .agg(sum(when(col("in_a") === 1 && col("in_b") === 0, 1L).otherwise(0L)).as("a_minus_b"),
+        sum(when(col("in_b") === 1 && col("in_a") === 0, 1L).otherwise(0L)).as("b_minus_a"))
   }
 
   /** U1/U2 — union by name with missing-column NaN fill (pandas outer

@@ -6,6 +6,8 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.VecExprs
+
 /** Approximate/exact nearest-neighbor search over the `embeddings` table
   * (`Array[Float]` column) — extension per SURVEY §7.
   *
@@ -18,9 +20,10 @@ import org.apache.spark.sql.functions._
   *  - the ANN paths (LSH hyperplane buckets, IVF nearest-centroid) bound
   *    candidate generation by bucket, the same shape that scales to a
   *    1000-executor cluster: bucket id is the shuffle key.
-  *  - all float work is plain sequential double arithmetic (zip_with +
-  *    aggregate) so the DuckDB oracle reproduces results bit-for-bit;
-  *    ordering ties break by id, scores are never emitted.
+  *  - all float work is plain sequential double arithmetic (the compiled
+  *    [[graft.functions.VecExprs.dot]] kernel preserves the HOF form's
+  *    evaluation order) so the DuckDB oracle reproduces results
+  *    bit-for-bit; ordering ties break by id, scores are never emitted.
   */
 object SimQueries {
 
@@ -43,13 +46,14 @@ object SimQueries {
     }
   }
 
-  /** Sequential-double dot product of two array columns (SQL fragment). */
-  private def dotSql(a: String, b: String): String =
-    s"""aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
-       |          CAST(0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin
+  /** Sequential-double dot product — the compiled [[VecExprs.dot]]
+    * kernel (same left-to-right double sum the HOF form computed, one
+    * codegen'd loop instead of two interpreted lambda passes).
+    */
+  private def dotc(a: Column, b: Column): Column = VecExprs.dot(a, b)
 
   /** Squared-norm column. */
-  private def nrm(c: String): Column = expr(dotSql(c, c))
+  private def nrm(c: String): Column = dotc(col(c), col(c))
 
   /** Signed square s(x) = x·|x| — monotone, so cos(a) ≥ cos(b) ⟺
     * s(dot_a)·n_b ≥ s(dot_b)·n_a without any sqrt.
@@ -71,7 +75,7 @@ object SimQueries {
     val cand = v.select(col("vec_id").as("neighbor_id"), col("embedding").as("ec"),
       col("nrm").as("nc"))
     val scored = cand.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
-      .withColumn("dot", expr(dotSql("eq", "ec")))
+      .withColumn("dot", dotc(col("eq"), col("ec")))
       // cos = dot/sqrt(nq·nc); rank on s(dot)/nc — nq is constant per query
       .withColumn("score", signedSq(col("dot")) / col("nc"))
     val w = Window.partitionBy(col("query_id"))
@@ -86,10 +90,7 @@ object SimQueries {
   /** LSH signature column: bit j = (v · w_j) > 0. */
   private def lshSig: Column = {
     val bits = (0 until LshPlanes).map { j =>
-      when(expr(
-        s"""aggregate(zip_with(embedding, ${planeLit(j)}, (x, w) -> CAST(x AS DOUBLE) * w),
-           |          CAST(0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin) > 0d,
-        1L << j).otherwise(0L)
+      when(dotc(col("embedding"), expr(planeLit(j))) > 0d, 1L << j).otherwise(0L)
     }
     bits.reduce(_ + _)
   }
@@ -111,7 +112,7 @@ object SimQueries {
       col("nrm").as("nc"), col("sig"))
     val scored = cand.join(broadcast(q), Seq("sig"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("dot", expr(dotSql("eq", "ec")))
+      .withColumn("dot", dotc(col("eq"), col("ec")))
       .withColumn("score", signedSq(col("dot")) / col("nc"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("neighbor_id").asc)
@@ -132,7 +133,7 @@ object SimQueries {
       .select(col("label").as("c_label"), col("embedding").as("ce"), col("nrm").as("cn"))
     val scored = v.select(col("vec_id"), col("label"), col("embedding"), col("nrm"))
       .crossJoin(broadcast(cent))
-      .withColumn("dot", expr(dotSql("embedding", "ce")))
+      .withColumn("dot", dotc(col("embedding"), col("ce")))
       .withColumn("score", signedSq(col("dot")) / col("cn"))
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("score").desc, col("c_label").asc)
