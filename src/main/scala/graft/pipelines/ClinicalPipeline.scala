@@ -1,0 +1,224 @@
+package graft.pipelines
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
+
+import graft.functions.Fns
+import graft.sources.Tsv
+
+/** The reference's clinical export pipeline (`clinical.py main()`,
+  * SURVEY §3.1) as a composable library: one lazy DataFrame chain for
+  * preprocessing — Catalyst fuses the projections/filters, the two
+  * mapping joins broadcast — materialized once before the per-dataset
+  * fan-out. Every step cites the operator it reproduces (SURVEY §2).
+  *
+  * Scale design: the clinical table is the only big input; mappings are
+  * control tables (broadcast). The per-dataset loop filters a cached
+  * frame (P3) — at cluster scale the same code writes
+  * `partitionBy("Dataset")` and prunes. The all-NA column drop (P5) is
+  * the one planned action before the final projection, same two-phase
+  * shape as the reference.
+  */
+object ClinicalPipeline {
+
+  /** `ONCOTREE_MERGE_COLS` (reference `clinical.py:45`). */
+  val OncotreeMergeCols: Seq[String] = Seq("TCGA_Study", "AMADEUS_Study", "Dataset")
+
+  val SurvivalStatusCols: Seq[String] = Seq("OS_STATUS", "PFS_STATUS")
+  val SurvivalMonthsCols: Seq[String] = Seq("OS_MONTHS", "PFS_MONTHS")
+
+  /** J1 — broadcast left join adding ONCOTREE_CODE
+    * (reference `clinical.py:320-327`).
+    */
+  def joinOncotree(clinical: DataFrame, oncotree: DataFrame): DataFrame =
+    clinical.join(
+      broadcast(oncotree.select((OncotreeMergeCols :+ "ONCOTREE_CODE").map(col): _*)),
+      OncotreeMergeCols, "left")
+
+  /** F4 — remap to paper ids with per-row fallback, then canonical names
+    * (reference `clinical.py:170-196`).
+    */
+  def remapToPaperIds(df: DataFrame): DataFrame =
+    df.withColumn("SAMPLE_ID", Fns.remapId(col("study_sample_name"), col("sample_name")))
+      .withColumn("PATIENT_ID", Fns.remapId(col("study_patient_name"), col("patient_name")))
+      .drop("sample_name", "patient_name", "study_sample_name", "study_patient_name")
+
+  /** J3 + V16 — full outer neoantigen merge; growth beyond the clinical
+    * row count means neo-only samples (reference `clinical.py:265-287`).
+    * Returns the joined frame plus the count of neo-only keys (the
+    * validation value; 0 = pass) computed with one anti-join instead of
+    * two counts.
+    */
+  def mergeNeoantigen(clinical: DataFrame, neo: DataFrame): (DataFrame, Long) = {
+    val joined = clinical.join(neo, Seq("SAMPLE_ID"), "outer")
+    val neoOnly = neo.select("SAMPLE_ID")
+      .join(clinical.select("SAMPLE_ID"), Seq("SAMPLE_ID"), "left_anti").count()
+    (joined, neoOnly)
+  }
+
+  /** P7 — bulk rename driven by the attribute mapping control table
+    * (reference `clinical.py:334-340`): iATLAS_attribute → NORMALIZED_HEADER.
+    */
+  def renameToNormalizedHeaders(df: DataFrame, attrMapping: DataFrame): DataFrame = {
+    val pairs = attrMapping
+      .select("iATLAS_attribute", "NORMALIZED_HEADER").collect()
+      .map(r => r.getString(0) -> r.getString(1))
+      .filter { case (from, to) => from != to && df.columns.contains(from) }
+      .toMap
+    df.withColumnsRenamed(pairs)
+  }
+
+  /** P1 — drop non-analysis samples: `-(nd|ad|nr)-` ids, only within
+    * Anders_JITC_2022; null SAMPLE_ID counts as non-match → kept
+    * (reference `clinical.py:74-95`).
+    */
+  def filterNonAnalysisSamples(df: DataFrame): DataFrame =
+    df.filter(
+      (!Fns.rlikeNaFalse(col("SAMPLE_ID"), "-(?:nd|ad|nr)-") &&
+        col("Dataset") === "Anders_JITC_2022") ||
+        Fns.neqKeepNulls(col("Dataset"), lit("Anders_JITC_2022")))
+
+  /** F5 + F6 — survival recodes and day→month conversions; each is a
+    * no-op if the column is absent (reference `clinical.py:403-422`,
+    * `clinical.py:515-535`).
+    */
+  def transformSurvival(df: DataFrame): DataFrame = {
+    val afterStatus = SurvivalStatusCols.foldLeft(df) { (acc, c) =>
+      if (acc.columns.contains(c))
+        acc.withColumn(c, Fns.recodeSurvivalStatus(col(c), "0:LIVING", "1:DECEASED"))
+      else acc
+    }
+    SurvivalMonthsCols.foldLeft(afterStatus) { (acc, c) =>
+      if (acc.columns.contains(c)) acc.withColumn(c, Fns.daysToMonths(col(c))) else acc
+    }
+  }
+
+  /** F2/F3 — mapping-driven case normalization: `Case == "CAPS"` → upper,
+    * `"Title Case"` → initcap (reference `clinical.py:136-167`).
+    */
+  def normalizeCase(df: DataFrame, attrMapping: DataFrame): DataFrame = {
+    val cases = attrMapping.select("NORMALIZED_HEADER", "Case").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    df.columns.foldLeft(df) { (acc, name) =>
+      cases.get(name) match {
+        case Some("CAPS") => acc.withColumn(name, Fns.capsCase(col(name)))
+        case Some("Title Case") => acc.withColumn(name, Fns.titleCase(col(name)))
+        case _ => acc
+      }
+    }
+  }
+
+  /** The full preprocessing chain (reference `clinical.py:290-362`):
+    * J1 → F4 → J3/V16 → P7 → P1 → F5/F6 → F1 → F2/F3, one lazy plan.
+    */
+  def preprocess(clinical: DataFrame, oncotree: DataFrame, neo: DataFrame,
+                 attrMapping: DataFrame): (DataFrame, Long) = {
+    val (merged, neoOnly) =
+      mergeNeoantigen(remapToPaperIds(joinOncotree(clinical, oncotree)), neo)
+    val out = normalizeCase(
+      Fns.stripSuffixesFromStringColumns(
+        transformSurvival(
+          filterNonAnalysisSamples(
+            renameToNormalizedHeaders(merged, attrMapping)))),
+      attrMapping)
+    (out, neoOnly)
+  }
+
+  /** J2 + V14/V15 — optional lens join: mapping key cast-normalized to
+    * string; returns frame + null-display-name count (0 = pass)
+    * (reference `clinical.py:199-262`).
+    */
+  def addLensDisplayName(df: DataFrame, lens: DataFrame): (DataFrame, Long) = {
+    val mapping = broadcast(lens
+      .select(col("study_sample_name").cast(StringType).as("SAMPLE_ID"),
+        col("lens_id").as("SAMPLE_DISPLAY_NAME")))
+    val joined = df.join(mapping, Seq("SAMPLE_ID"), "left")
+    val nulls = joined.filter(col("SAMPLE_DISPLAY_NAME").isNull).count()
+    (joined, nulls)
+  }
+
+  /** P6 + A6 — attribute-type-driven split into patient/sample frames
+    * (reference `clinical.py:365-400`).
+    */
+  def splitPatientSample(df: DataFrame, attrMapping: DataFrame): (DataFrame, DataFrame) = {
+    val byType = attrMapping.select("NORMALIZED_HEADER", "ATTRIBUTE_TYPE").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val present = df.columns.toSet
+    // Dataset rides along in both frames — the per-dataset fan-out (P3)
+    // filters on it and drops it before writing.
+    val dsCol = Seq("Dataset").filter(present)
+    val patientCols = ("PATIENT_ID" +:
+      df.columns.filter(c => byType.get(c).contains("PATIENT")).toSeq) ++ dsCol
+    val sampleFixed = Seq("SAMPLE_ID", "PATIENT_ID", "CANCER_TYPE", "CANCER_TYPE_DETAILED")
+      .filter(present)
+    val sampleCols = (sampleFixed ++
+      df.columns.filter(c => byType.get(c).contains("SAMPLE")) ++ dsCol).distinct
+    (df.select(patientCols.distinct.map(col): _*).distinct(),
+      df.select(sampleCols.map(col): _*))
+  }
+
+  /** P5 — drop columns with zero non-null values: one aggregate pass then
+    * the pruned projection (reference `clinical.py:538-547`).
+    */
+  def dropAllNaColumns(df: DataFrame): DataFrame = {
+    val counts = df.select(df.columns.map(c => count(col(c)).as(c)).toIndexedSeq: _*).head()
+    val keep = df.columns.zipWithIndex.collect {
+      case (c, i) if counts.getLong(i) > 0 => c
+    }
+    df.select(keep.map(col).toIndexedSeq: _*)
+  }
+
+  /** The 4 `#`-prefixed cBioPortal metadata lines for a frame's columns,
+    * from the attribute-metadata table (replaces the reference's
+    * insert_clinical_metadata.py subprocess; `clinical.py:550-620`).
+    * Missing attributes fall back to the column name / STRING / 1.
+    */
+  def cbioHeaderBlock(columns: Seq[String], attrMeta: DataFrame): Seq[String] = {
+    val meta = attrMeta
+      .select("NORMALIZED_COLUMN_HEADER", "DISPLAY_NAME", "DESCRIPTION", "DATA_TYPE", "PRIORITY")
+      .collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getString(2), r.getString(3), r.getString(4)))
+      .toMap
+    def line(f: ((String, String, String, String)) => String, dflt: String => String) =
+      "#" + columns.map(c => meta.get(c).map(f).getOrElse(dflt(c))).mkString("\t")
+    Seq(
+      line(_._1, identity),
+      line(_._2, identity),
+      line(_._3, _ => "STRING"),
+      line(_._4, _ => "1"))
+  }
+
+  /** Per-dataset export (reference `clinical.py:922-950`): P3 filter →
+    * P5 drop-all-NA → headered patient/sample TSVs + case lists. Returns
+    * the V1–V7-style report rows for the dataset.
+    */
+  def exportDataset(patient: DataFrame, sample: DataFrame, dataset: String,
+                    attrMeta: DataFrame, studyId: String, outDir: String): Seq[(String, Long, Boolean)] = {
+    val sampleDs = dropAllNaColumns(
+      sample.filter(col("Dataset") === dataset).drop("Dataset"))
+    val patientDs = dropAllNaColumns(
+      patient.filter(col("Dataset") === dataset).drop("Dataset")).distinct()
+
+    Tsv.writeTsvFile(patientDs, s"$outDir/data_clinical_patient.txt",
+      cbioHeaderBlock(patientDs.columns.toSeq, attrMeta))
+    Tsv.writeTsvFile(sampleDs, s"$outDir/data_clinical_sample.txt",
+      cbioHeaderBlock(sampleDs.columns.toSeq, attrMeta))
+    if (sampleDs.columns.contains("CANCER_TYPE"))
+      Tsv.writeCaseLists(sampleDs, "CANCER_TYPE", "SAMPLE_ID", studyId, s"$outDir/case_lists")
+    Tsv.writeMetaFile(s"$outDir/meta_study.txt", Seq(
+      "type_of_cancer" -> "mixed",
+      "cancer_study_identifier" -> studyId,
+      "name" -> s"$studyId ($dataset)",
+      "reference_genome" -> "hg38"))
+
+    // V2–V7 over the written sample frame
+    val nSamples = sampleDs.count()
+    val nullIds = sampleDs.filter(col("SAMPLE_ID").isNull).count()
+    val nullPatients = sampleDs.filter(col("PATIENT_ID").isNull).count()
+    Seq(
+      (s"rows_$dataset", nSamples, nSamples > 0),
+      (s"no_null_sample_id_$dataset", nullIds, nullIds == 0),
+      (s"no_null_patient_id_$dataset", nullPatients, nullPatients == 0))
+  }
+}

@@ -1,0 +1,121 @@
+package graft.pipelines
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
+
+import graft.functions.Fns
+import graft.sources.Tsv
+
+/** The reference's MAF (mutation) pipeline (`maf.py main()`, SURVEY §3.2)
+  * as a library. The reference's chunk → process-pool → docker annotator
+  * dance exists only because its external tool caps input at ~55 MB
+  * (`maf.py:49`); on Spark, partitions subsume chunks and annotation is a
+  * join (J5) with an error side-channel — the executor/shuffle boundary
+  * replaces `Pool.starmap`.
+  */
+object MafPipeline {
+
+  /** The variant key the annotation source is keyed on (reference
+    * `maf.py:104-130` — Genome Nexus annotates by genomic change).
+    */
+  val VariantKey: Seq[String] =
+    Seq("Chromosome", "Start_Position", "End_Position", "Reference_Allele", "Tumor_Seq_Allele2")
+
+  /** S3/S5/U1 — read every `*.maf` TSV under a folder (comment lines
+    * skipped) and union by name, missing columns null-filled (pandas outer
+    * `concat`; reference `maf.py:14-36`). The glob is pushed to the file
+    * index — no driver-side listing.
+    */
+  def readAndMergeMafs(spark: SparkSession, dir: String): DataFrame =
+    Tsv.read(spark, s"$dir/*.maf", comment = Some('#'))
+
+  /** J5 — annotation join with a failure channel: left join against the
+    * annotation table on the variant key; matched rows get the annotation
+    * columns and `Annotation_Status = SUCCESS`, unmatched become the error
+    * report (reference `maf.py:95-130`'s per-chunk error MAFs). One pass,
+    * two outputs.
+    */
+  def annotate(maf: DataFrame, annotations: DataFrame): (DataFrame, DataFrame) = {
+    val annotated = maf.join(annotations, VariantKey, "left")
+      .withColumn("Annotation_Status",
+        when(col(annotations.columns.diff(VariantKey).head).isNotNull, "SUCCESS")
+          .otherwise("FAILED"))
+    val errors = annotated.filter(col("Annotation_Status") === "FAILED")
+      .select((VariantKey :+ "Tumor_Sample_Barcode").map(col): _*)
+    (annotated, errors)
+  }
+
+  /** P2 — postprocessing: drop chrM rows, null Chromosome SURVIVES
+    * (pandas `!=` on NaN is True; reference `maf.py:181-195`).
+    */
+  def postprocess(maf: DataFrame): DataFrame =
+    maf.filter(Fns.neqKeepNulls(col("Chromosome"), lit("chrM")))
+
+  /** V8–V11 — the MAF validation report (reference `maf.py:219-269`):
+    * row-count equality, no full-row dups, barcode distinct-set equality
+    * (one-shuffle, both directions), allele-count NA checks (skipped when
+    * the columns are absent, like the reference).
+    */
+  def validationReport(spark: SparkSession, input: DataFrame, output: DataFrame): DataFrame = {
+    import spark.implicits._
+    val inRows = input.count()
+    val outRows = output.count()
+    val dupRows = outRows - output.distinct().count()
+    val barcodeDiff = input.select(col("Tumor_Sample_Barcode").as("k"), lit(1).as("side"))
+      .unionByName(output.select(col("Tumor_Sample_Barcode").as("k"), lit(2).as("side")))
+      .groupBy(col("k"))
+      .agg(max(when(col("side") === 1, 1).otherwise(0)).as("in_a"),
+        max(when(col("side") === 2, 1).otherwise(0)).as("in_b"))
+      .agg(sum(when(col("in_a") =!= col("in_b"), 1L).otherwise(0L))).head().getLong(0)
+    val alleleChecks =
+      if (Seq("t_ref_count", "t_alt_count").forall(output.columns.contains)) {
+        val nas = output.agg(
+          sum(when(col("t_ref_count").isNull, 1L).otherwise(0L)),
+          sum(when(col("t_alt_count").isNull, 1L).otherwise(0L))).head()
+        Seq(("no_na_t_ref_count", nas.getLong(0), nas.getLong(0) == 0L),
+          ("no_na_t_alt_count", nas.getLong(1), nas.getLong(1) == 0L))
+      } else Seq.empty
+    (Seq(
+      ("row_count_delta", outRows - inRows, outRows == inRows),
+      ("full_row_dups", dupRows, dupRows == 0L),
+      ("barcode_set_diff", barcodeDiff, barcodeDiff == 0L)) ++ alleleChecks)
+      .toDF("rule", "value", "passed")
+  }
+
+  /** V13 — exact column-set contract: report required columns missing
+    * from the frame (driver-side set diff; reference `validate.py:159-172`).
+    */
+  def missingRequiredColumns(df: DataFrame, required: Seq[String]): Seq[String] =
+    required.diff(df.columns.toSeq)
+
+  /** V12 — MAF barcodes vs neoantigen sample ids, both cast to string
+    * first (reference `validate.py:135-157`).
+    */
+  def barcodesMatchNeoantigen(spark: SparkSession, maf: DataFrame, neo: DataFrame): DataFrame = {
+    import spark.implicits._
+    val diff = maf.select(col("Tumor_Sample_Barcode").cast(StringType).as("k"), lit(1).as("side"))
+      .unionByName(neo.select(col("Sample_ID").cast(StringType).as("k"), lit(2).as("side")))
+      .groupBy(col("k"))
+      .agg(max(when(col("side") === 1, 1).otherwise(0)).as("in_a"),
+        max(when(col("side") === 2, 1).otherwise(0)).as("in_b"))
+      .agg(sum(when(col("in_a") === 1 && col("in_b") === 0, 1L).otherwise(0L)),
+        sum(when(col("in_b") === 1 && col("in_a") === 0, 1L).otherwise(0L))).head()
+    Seq(("maf_not_in_neo", diff.getLong(0), diff.getLong(0) == 0L),
+      ("neo_not_in_maf", diff.getLong(1), diff.getLong(1) == 0L))
+      .toDF("rule", "value", "passed")
+  }
+
+  /** K1 + K4 — write `data_mutations.txt` (%.12g floats) and its meta
+    * file (reference `maf.py:168-216`).
+    */
+  def writeOutputs(maf: DataFrame, studyId: String, outDir: String): Unit = {
+    Tsv.writeTsvFile(maf, s"$outDir/data_mutations.txt")
+    Tsv.writeMetaFile(s"$outDir/meta_mutations.txt", Seq(
+      "cancer_study_identifier" -> studyId,
+      "genetic_alteration_type" -> "MUTATION_EXTENDED",
+      "datatype" -> "MAF",
+      "stable_id" -> "mutations",
+      "data_filename" -> "data_mutations.txt"))
+  }
+}

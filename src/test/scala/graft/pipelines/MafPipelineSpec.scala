@@ -1,0 +1,84 @@
+package graft.pipelines
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase.spark
+
+/** MAF pipeline semantics: merge, annotation join with error channel,
+  * chrM filter null handling (reference `tests/test_maf.py` golden
+  * behaviors), validation report, load-step case lists.
+  */
+class MafPipelineSpec extends AnyFunSuite {
+  import spark.implicits._
+
+  private def maf = Seq(
+    ("chr1", 100L, 100L, "A", "T", "SAMP-1", Some(10L), Some(5L)),
+    ("chr2", 200L, 200L, "C", "G", "SAMP-2", Some(8L), Some(2L)),
+    (null, 300L, 300L, "G", "A", "SAMP-1", Some(7L), Some(3L)),
+    ("chrM", 400L, 400L, "T", "C", "SAMP-2", Some(6L), Some(1L))
+  ).toDF("Chromosome", "Start_Position", "End_Position", "Reference_Allele",
+    "Tumor_Seq_Allele2", "Tumor_Sample_Barcode", "t_ref_count", "t_alt_count")
+
+  private def annotations = Seq(
+    ("chr1", 100L, 100L, "A", "T", "missense_variant", "TP53"),
+    ("chr2", 200L, 200L, "C", "G", "stop_gained", "KRAS")
+  ).toDF("Chromosome", "Start_Position", "End_Position", "Reference_Allele",
+    "Tumor_Seq_Allele2", "Consequence", "Hugo_Symbol")
+
+  test("annotate: matched rows SUCCESS, unmatched form the error channel") {
+    val (annotated, errors) = MafPipeline.annotate(maf, annotations)
+    assert(annotated.filter(col("Annotation_Status") === "SUCCESS").count() == 2)
+    assert(errors.count() == 2)
+    assert(annotated.filter(col("Hugo_Symbol") === "TP53").count() == 1)
+  }
+
+  test("postprocess: chrM dropped, null Chromosome SURVIVES (P2 golden)") {
+    val out = MafPipeline.postprocess(maf)
+    assert(out.count() == 3)
+    assert(out.filter(col("Chromosome").isNull).count() == 1)
+  }
+
+  test("validation report: V8-V11 shapes") {
+    val out = MafPipeline.postprocess(maf)
+    val report = MafPipeline.validationReport(spark, maf, out).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    // row count drops by 1 (chrM) -> fails equality, delta -1
+    assert(report("row_count_delta") == (-1L, false))
+    assert(report("full_row_dups") == (0L, true))
+    // barcodes survive on both sides -> sets equal
+    assert(report("barcode_set_diff") == (0L, true))
+    assert(report("no_na_t_ref_count") == (0L, true))
+  }
+
+  test("missing required columns (V13)") {
+    assert(MafPipeline.missingRequiredColumns(maf,
+      Seq("Chromosome", "Hugo_Symbol", "NCBI_Build")) == Seq("Hugo_Symbol", "NCBI_Build"))
+  }
+
+  test("V12: barcode/neoantigen equality is string-normalized both sides") {
+    val neo = Seq(("SAMP-1"), ("SAMP-9")).toDF("Sample_ID")
+    val rep = MafPipeline.barcodesMatchNeoantigen(spark, maf, neo).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rep("maf_not_in_neo") == 1L) // SAMP-2
+    assert(rep("neo_not_in_maf") == 1L) // SAMP-9
+  }
+
+  test("writeOutputs + load case lists end-to-end on disk") {
+    val tmp = Files.createTempDirectory("maf-e2e").toString
+    val out = MafPipeline.postprocess(maf)
+    MafPipeline.writeOutputs(out, "iatlas_test", tmp)
+    val lines = Files.readAllLines(Paths.get(s"$tmp/data_mutations.txt"))
+    assert(lines.get(0).split("\t").head == "Chromosome")
+    assert(lines.size() == 4) // header + 3 surviving rows
+
+    val sample = Seq("SAMP-1", "SAMP-2", "SAMP-3").toDF("SAMPLE_ID")
+    val paths = LoadPipeline.generateCaseLists(sample, out, "iatlas_test", tmp)
+    val sequenced = Files.readString(paths(1))
+    assert(sequenced.contains("case_list_ids: SAMP-1\tSAMP-2"))
+    val all = Files.readString(paths(0))
+    assert(all.contains("SAMP-3"))
+  }
+}
