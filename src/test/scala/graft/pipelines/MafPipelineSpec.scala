@@ -81,4 +81,25 @@ class MafPipelineSpec extends AnyFunSuite {
     val all = Files.readString(paths(0))
     assert(all.contains("SAMP-3"))
   }
+
+  test("StudyValidator: S6 load map, V1 missing files, V13 column contract") {
+    val tmp = Files.createTempDirectory("validate-e2e").toString
+    MafPipeline.writeOutputs(MafPipeline.postprocess(maf), "iatlas_test", tmp)
+
+    val missing = StudyValidator.missingFiles(tmp)
+    assert(!missing.contains("data_mutations.txt") && missing.contains("data_clinical_sample.txt"))
+
+    val outputs = StudyValidator.loadAllOutputs(spark, tmp)
+    val mutations = outputs("data_mutations.txt").get
+    assert(mutations.count() == 3)
+    assert(outputs("data_rna_seq_mrna.txt").isEmpty)
+
+    val report = StudyValidator.report(spark, tmp,
+      neo = Some(Seq("SAMP-1", "SAMP-2").toDF("Sample_ID")))
+    val byRule = report.map(r => r._1 -> r).toMap
+    assert(!byRule("required_files")._3)
+    // our 8-column fixture misses most of the 118-column contract
+    assert(!byRule("maf_column_contract")._3)
+    assert(byRule("maf_not_in_neo")._3 && byRule("neo_not_in_maf")._3)
+  }
 }

@@ -1,0 +1,72 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase.{sf001, spark}
+
+/** Physical-plan assertions — the scale properties the queries claim
+  * (broadcast joins for control tables, parquet filter/column pushdown,
+  * window-group-limit top-k, codegen'd custom expressions) locked in as
+  * tests so a regression in plan shape fails CI, not just the benchmark.
+  */
+class PlanChecksSpec extends AnyFunSuite {
+
+  private def executedPlan(df: DataFrame): SparkPlan =
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+
+  private def planString(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString()
+
+  test("J1 control-table join broadcasts (no shuffle of the big side)") {
+    val plan = planString(RefQueries.j1LeftBroadcast(spark, sf001))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected broadcast hash join, got:\n$plan")
+  }
+
+  test("P3 partition filter is pushed into the parquet scan") {
+    val df = RefQueries.p3PartitionFilter(spark, sf001)
+    val scan = planString(df)
+    assert(scan.contains("PushedFilters: [") && scan.contains("EqualTo"),
+      s"expected pushed filters in scan, got:\n$scan")
+  }
+
+  test("q1 aggregation reads only the columns it needs (column pruning)") {
+    val df = RefQueries.q1Agg(spark, sf001)
+    val scanLine = planString(df).linesIterator
+      .find(_.contains("ReadSchema")).getOrElse("")
+    // lineitem is 16 columns; the pricing summary needs 4
+    assert(!scanLine.contains("l_comment") && !scanLine.contains("l_shipmode"),
+      s"scan reads more than projected columns: $scanLine")
+  }
+
+  test("sim_topk_brute plans a WindowGroupLimit (map-side top-k)") {
+    val plan = planString(SimQueries.simTopkBrute(spark, sf001))
+    assert(plan.contains("WindowGroupLimit"),
+      s"expected WindowGroupLimit for row_number<=k, got:\n$plan")
+  }
+
+  test("custom sketch/vec expressions stay inside WholeStageCodegen") {
+    val dd = DedupQueries.ddSimhash(spark, sf001)
+    val plan = planString(dd)
+    // `*(n)` prefixes mark WholeStageCodegen spans in toString output; the
+    // custom expression must sit inside one, not in a fallback project
+    assert("""\*\(\d+\) Project .*simhash60""".r.findFirstIn(plan).isDefined,
+      s"simhash60 not inside a codegen'd Project:\n$plan")
+  }
+
+  test("ev_tumbling keeps partial aggregation before its single shuffle") {
+    val plan = planString(StreamQueries.evTumbling(spark, sf001))
+    // map-side combine: a partial_* aggregate below the exchange
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+      s"no partial aggregation in plan:\n$plan")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected exactly one shuffle, got $exchanges:\n$plan")
+  }
+}
