@@ -81,7 +81,14 @@ object DedupQueries {
     * Jaccard reported as integer |∩| / |∪| components.
     */
   def ddMinhashPairs: Q = (s, dir) => {
+    // Shingling + K md5 min-hashes is the expensive map work; materialize
+    // it ONCE (persist) — the bucket self-join and the verify joins all
+    // reuse it instead of re-deriving the signatures per plan branch. At
+    // cluster scale this is the checkpointed signature table of an LSH
+    // index build.
     val sig = minhashSigs(s, dir)
+      .withColumn("shd", array_distinct(col("shingles"))).drop("shingles")
+      .persist()
     val bandStructs = (0 until B).map { b =>
       val rows = (0 until R).map(r => col(s"sig_${b * R + r}"))
       struct(lit(b).as("band"), md5(concat_ws(",", rows: _*)).as("bh"))
@@ -94,8 +101,7 @@ object DedupQueries {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    val sh = shingled(s, dir)
-      .select(col("doc_id"), array_distinct(col("shingles")).as("sh"))
+    val sh = sig.select(col("doc_id"), col("shd").as("sh"))
     pairs
       .join(sh.withColumnsRenamed(Map("doc_id" -> "doc_a", "sh" -> "sh_a")), Seq("doc_a"))
       .join(sh.withColumnsRenamed(Map("doc_id" -> "doc_b", "sh" -> "sh_b")), Seq("doc_b"))
@@ -120,7 +126,8 @@ object DedupQueries {
     * shuffle key is (band index, band value), never all-pairs.
     */
   def ddSimhashPairs: Q = (s, dir) => {
-    val sh = ddSimhash(s, dir)
+    // One simhash pass, reused by both sides of the banded self-join.
+    val sh = ddSimhash(s, dir).persist()
     val bands = (0 until 4).map { i =>
       struct(lit(i).as("band"),
         shiftright(col("simhash"), i * 15).bitwiseAND(lit(32767L)).as("bv"))

@@ -87,21 +87,29 @@ object Rules {
     * tables: orders = "samples" table, lineitem = "MAF" fact table.
     */
   def standardReport(spark: SparkSession, dir: String): DataFrame = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
     val orders = graft.Tables.orders(spark, dir)
     val lineitem = graft.Tables.lineitem(spark, dir)
-    val ordersRules = evaluate(spark, orders, Seq(
+    // The three rule groups are independent Spark jobs over different
+    // frames — submit them concurrently (the scheduler interleaves their
+    // stages across executor slots) instead of serializing driver actions.
+    val ordersRules = Future(evaluate(spark, orders, Seq(
       rowCount("orders"),
       noNulls("o_orderkey"),
       noNulls("o_custkey"),
       noKeyedDups("o_orderkey"),
-      notAllNa("o_orderstatus")))
-    val lineitemRules = evaluate(spark, lineitem, Seq(
+      notAllNa("o_orderstatus"))))
+    val lineitemRules = Future(evaluate(spark, lineitem, Seq(
       rowCount("lineitem"),
       noNulls("l_orderkey"),
-      notAllNa("l_quantity")))
-    val sets = setEquality(spark, "orderkeys",
-      orders, "o_orderkey", lineitem, "l_orderkey")
-    ordersRules.unionByName(lineitemRules).unionByName(sets)
+      notAllNa("l_quantity"))))
+    val sets = Future(setEquality(spark, "orderkeys",
+      orders, "o_orderkey", lineitem, "l_orderkey"))
+    Await.result(ordersRules, Duration.Inf)
+      .unionByName(Await.result(lineitemRules, Duration.Inf))
+      .unionByName(Await.result(sets, Duration.Inf))
   }
 
   /** DuckDB oracle for [[standardReport]] — same numbers via UNION ALL. */
