@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.{Format12g, MinHashSigs, ReplaceFirst, SimHash60, VecDot}
+
+/** SQL-surface registration of the engine's custom expressions, for
+  * cluster deployment via `spark.sql.extensions=graft.GraftExtensions`
+  * (every session built on the cluster gets the functions; no per-session
+  * registration code). The same registrations are available per-session
+  * through [[graft.functions.Fns.registerAll]].
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def intLit(e: Expression, what: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("replace_first"),
+      new ExpressionInfo(classOf[ReplaceFirst].getName, "replace_first"),
+      (exprs: Seq[Expression]) => ReplaceFirst(exprs(0), exprs(1), exprs(2))))
+    ext.injectFunction((
+      new FunctionIdentifier("format_12g"),
+      new ExpressionInfo(classOf[Format12g].getName, "format_12g"),
+      (exprs: Seq[Expression]) => Format12g(exprs.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("simhash60"),
+      new ExpressionInfo(classOf[SimHash60].getName, "simhash60"),
+      (exprs: Seq[Expression]) => SimHash60(exprs(0), intLit(exprs(1), "simhash60 seed"))))
+    ext.injectFunction((
+      new FunctionIdentifier("minhash_sigs"),
+      new ExpressionInfo(classOf[MinHashSigs].getName, "minhash_sigs"),
+      (exprs: Seq[Expression]) => MinHashSigs(exprs(0), intLit(exprs(1), "minhash_sigs k"))))
+    ext.injectFunction((
+      new FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
+      (exprs: Seq[Expression]) => VecDot(exprs(0), exprs(1))))
+  }
+}

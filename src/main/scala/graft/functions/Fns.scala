@@ -88,13 +88,25 @@ object Fns {
     if (s.isEmpty || s == "NA") "no_oncotree_code" else s
   }
 
-  /** Register the custom expressions for SQL use. */
+  /** Register every custom expression for SQL use in THIS session (the
+    * cluster-wide path is `spark.sql.extensions=graft.GraftExtensions`).
+    */
   def registerAll(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+    def intLit(e: Expression): Int = e match {
+      case Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(s"expected int literal, got $other")
+    }
     val reg = spark.sessionState.functionRegistry
-    org.apache.spark.sql.catalyst.FunctionIdentifier("replace_first")
     reg.createOrReplaceTempFunction(
       "replace_first", exprs => ReplaceFirst(exprs(0), exprs(1), exprs(2)), "built-in")
     reg.createOrReplaceTempFunction(
       "format_12g", exprs => Format12g(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "simhash60", exprs => SimHash60(exprs(0), intLit(exprs(1))), "built-in")
+    reg.createOrReplaceTempFunction(
+      "minhash_sigs", exprs => MinHashSigs(exprs(0), intLit(exprs(1))), "built-in")
+    reg.createOrReplaceTempFunction(
+      "vec_dot", exprs => VecDot(exprs(0), exprs(1)), "built-in")
   }
 }
