@@ -142,11 +142,44 @@ object SimQueries {
         (col("label") === col("c_label")).as("assigned_own_label"))
   }
 
+  /** sim_ivf_topk — the IVF search path: queries probe ONLY their own
+    * centroid bucket (nprobe=1), candidates stream within the bucket —
+    * the coarse-quantizer pruning that makes ANN sublinear at scale. The
+    * assignment frame is materialized once and reused for both sides.
+    */
+  def simIvfTopk: Q = (s, dir) => {
+    val v = vectors(s, dir)
+    val centW = Window.partitionBy(col("label")).orderBy(col("vec_id"))
+    val cent = v.withColumn("rn", row_number().over(centW)).filter(col("rn") === 1)
+      .select(col("label").as("c_label"), col("embedding").as("ce"), col("nrm").as("cn"))
+    val aw = Window.partitionBy(col("vec_id"))
+      .orderBy((signedSq(dotc(col("embedding"), col("ce"))) / col("cn")).desc,
+        col("c_label").asc)
+    val assigned = v.crossJoin(broadcast(cent))
+      .withColumn("rn", row_number().over(aw)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        col("c_label").as("bucket"))
+      .persist()
+    val q = assigned.select(col("vec_id").as("query_id"), col("embedding").as("eq"),
+      col("bucket")).filter(col("query_id") < 10)
+    val cand = assigned.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("ec"), col("nrm").as("nc"), col("bucket"))
+    val scored = cand.join(broadcast(q), Seq("bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("score", signedSq(dotc(col("eq"), col("ec"))) / col("nc"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= LshTopK)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+
   val queries: Map[String, Q] = Map(
     "sim_topk_brute" -> simTopkBrute,
     "sim_lsh_sig" -> simLshSig,
     "sim_lsh_topk" -> simLshTopk,
-    "sim_ivf_assign" -> simIvfAssign)
+    "sim_ivf_assign" -> simIvfAssign,
+    "sim_ivf_topk" -> simIvfTopk)
 
   // ---- DuckDB oracles ------------------------------------------------
 
@@ -187,6 +220,32 @@ object SimQueries {
         |  SELECT q.query_id, c.vec_id AS neighbor_id,
         |    (${duckDot("q.eq", "c.embedding")}) * abs(${duckDot("q.eq", "c.embedding")}) / c.nrm AS score
         |  FROM v c JOIN q ON c.sig = q.sig AND c.vec_id <> q.query_id)
+        |SELECT query_id, neighbor_id, rank FROM (
+        |  SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+        |  FROM scored)
+        |WHERE rank <= $LshTopK""".stripMargin,
+    "sim_ivf_topk" ->
+      s"""WITH v AS (
+        |  SELECT vec_id, label, embedding, ${duckDot("embedding", "embedding")} AS nrm
+        |  FROM embeddings),
+        |cent AS (
+        |  SELECT label AS c_label, embedding AS ce, nrm AS cn FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY label ORDER BY vec_id) AS rn FROM v)
+        |  WHERE rn = 1),
+        |assigned AS (
+        |  SELECT vec_id, embedding, nrm, c_label AS bucket FROM (
+        |    SELECT v.vec_id, v.embedding, v.nrm, cent.c_label,
+        |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |        (${duckDot("v.embedding", "cent.ce")}) * abs(${duckDot("v.embedding", "cent.ce")}) / cent.cn DESC,
+        |        cent.c_label) AS rn
+        |    FROM v CROSS JOIN cent)
+        |  WHERE rn = 1),
+        |q AS (SELECT vec_id AS query_id, embedding AS eq, bucket FROM assigned WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT q.query_id, c.vec_id AS neighbor_id,
+        |    (${duckDot("q.eq", "c.embedding")}) * abs(${duckDot("q.eq", "c.embedding")}) / c.nrm AS score
+        |  FROM assigned c JOIN q ON c.bucket = q.bucket AND c.vec_id <> q.query_id)
         |SELECT query_id, neighbor_id, rank FROM (
         |  SELECT query_id, neighbor_id,
         |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank

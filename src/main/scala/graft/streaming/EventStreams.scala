@@ -60,6 +60,17 @@ object EventStreams {
   def tumblingCountsStream(events: DataFrame, watermark: String): DataFrame =
     tumblingCounts(events.withWatermark("ts", watermark))
 
+  /** Streaming exact dedup by key with BOUNDED state: duplicates arriving
+    * within the watermark horizon are dropped, and state for keys older
+    * than the watermark is evicted — the streaming face of the dedup
+    * module (batch face: `dd_exact`). Plain `dropDuplicates` on a stream
+    * would keep every key forever.
+    */
+  def dedupedStream(events: DataFrame, watermark: String,
+                    keys: Seq[String] = Seq("event_id")): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
   /** Custom stateful sessionization with flatMapGroupsWithState: one
     * state object per user; sessions close on a 10-minute event-time gap
     * enforced via the watermark timeout. This is the

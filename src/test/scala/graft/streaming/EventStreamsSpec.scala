@@ -74,6 +74,23 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("dedupedStream drops in-horizon duplicates with bounded state") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val out = EventStreams.dedupedStream(mem.toDF(), "30 minutes")
+    val q = out.writeStream.format("memory").queryName("dedup_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(ev(1, 0, 1), ev(1, 0, 1), ev(2, 5, 2)) // dup in same batch
+      q.processAllAvailable()
+      mem.addData(ev(1, 1, 1), ev(3, 10, 3)) // dup across batches
+      q.processAllAvailable()
+      val ids = spark.table("dedup_stream").select($"event_id")
+        .as[Long].collect().sorted.toSeq
+      assert(ids == Seq(1L, 2L, 3L), s"expected deduped ids, got $ids")
+    } finally q.stop()
+  }
+
   test("batch and streaming tumbling counts agree on the same data") {
     implicit val sq = spark.sqlContext
     val events = Seq(ev(1, 10, 1), ev(2, 20, 1), ev(3, 70, 2), ev(4, 80, 2))
