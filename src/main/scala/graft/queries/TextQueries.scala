@@ -97,11 +97,39 @@ object TextQueries {
       Hashing.md5Long(norm).as("fp_long"))
   }
 
+  /** td_clean_corpus — the composed training-data cleaning pass: quality
+    * gate → language-ID agreement → exact dedup keeping the lowest doc_id
+    * per fingerprint. One scan, one shuffle (the dedup groupBy); the
+    * filters run map-side before it — the shape of a 100 TB corpus clean.
+    */
+  def tdCleanCorpus: Q = (s, dir) => {
+    val nTok = wsTokens(col("text"))
+    val nPunct = regexp_count(col("text"), lit("[^a-zA-Z0-9\\s]"))
+    val nAlpha = regexp_count(col("text"), lit("[a-zA-Z]"))
+    val quality = nTok >= 5 && nTok <= 10000 &&
+      nPunct * 5 < length(col("text")) && nAlpha * 2 > length(col("text"))
+    val Seq(en, es, de, fr) = langStopwords.map { case (_, words) =>
+      regexp_count(lower(col("text")), lit(s"\\b(?:$words)\\b"))
+    }
+    val pred = when(en >= es && en >= de && en >= fr, "en")
+      .when(es >= de && es >= fr, "es")
+      .when(de >= fr, "de")
+      .otherwise("fr")
+    val fp = Hashing.md5Long(regexp_replace(lower(trim(col("text"))), "\\s+", " "))
+    Tables.documents(s, dir)
+      .filter(quality && pred === col("lang"))
+      .select(col("doc_id"), col("lang"), fp.as("fp_long"))
+      .groupBy(col("fp_long"))
+      .agg(min(col("doc_id")).as("doc_id"), min(col("lang")).as("lang"),
+        count(lit(1)).as("n_dups"))
+  }
+
   val queries: Map[String, Q] = Map(
     "ta_tokens" -> taTokens,
     "ta_langid" -> taLangid,
     "ta_quality" -> taQuality,
-    "ta_fingerprint" -> taFingerprint)
+    "ta_fingerprint" -> taFingerprint,
+    "td_clean_corpus" -> tdCleanCorpus)
 
   private val duckLangScores = langStopwords.map { case (l, words) =>
     s"len(regexp_extract_all(lower(text), '\\b(?:$words)\\b')) AS s_$l"
@@ -140,5 +168,27 @@ object TextQueries {
       """SELECT doc_id,
         | md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
         | ('0x' || substr(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), 1, 15))::BIGINT AS fp_long
-        | FROM documents""".stripMargin)
+        | FROM documents""".stripMargin,
+    "td_clean_corpus" ->
+      s"""WITH scored AS (
+        |  SELECT doc_id, lang, text,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tok,
+        |    len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS n_punct,
+        |    len(regexp_extract_all(text, '[a-zA-Z]')) AS n_alpha,
+        |    $duckLangScores
+        |  FROM documents),
+        |kept AS (
+        |  SELECT doc_id, lang,
+        |    ('0x' || substr(md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')), 1, 15))::BIGINT AS fp_long
+        |  FROM scored
+        |  WHERE n_tok BETWEEN 5 AND 10000
+        |    AND n_punct * 5 < length(text)
+        |    AND n_alpha * 2 > length(text)
+        |    AND (CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+        |              WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+        |              WHEN s_de >= s_fr THEN 'de' ELSE 'fr' END) = lang)
+        |SELECT fp_long, min(doc_id) AS doc_id, min(lang) AS lang,
+        |  count(*) AS n_dups
+        |FROM kept GROUP BY 1""".stripMargin)
 }
