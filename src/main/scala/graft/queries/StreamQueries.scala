@@ -46,12 +46,31 @@ object StreamQueries {
       .groupBy(pmod(col("k_val"), lit(7)).as("k_bucket"))
       .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
 
+  /** ev_asof — as-of join: each click picks up the most recent purchase
+    * value at-or-before it, per user ([[graft.operators.AsofJoin]]: one
+    * shuffle + one sort, no range cross product). The right side is
+    * pre-aggregated per (user, ts) so ties are deterministic in both
+    * engines; DuckDB's native ASOF JOIN is the oracle.
+    */
+  def evAsof: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("value")).as("purchase_value"))
+    graft.operators.AsofJoin.asof(clicks, purchases,
+        keyCols = Seq("user_id"), tsCol = "ts", valueCols = Seq("purchase_value"))
+      .select(col("event_id"), col("user_id"), col("purchase_value"))
+  }
+
   val queries: Map[String, Q] = Map(
     "ev_tumbling" -> evTumbling,
     "ev_sliding" -> evSliding,
     "ev_session" -> evSession,
     "ev_json" -> evJson,
-    "ev_json_agg" -> evJsonAgg)
+    "ev_json_agg" -> evJsonAgg,
+    "ev_asof" -> evAsof)
 
   val oracle: Map[String, String] = Map(
     "ev_tumbling" ->
@@ -82,6 +101,15 @@ object StreamQueries {
         |  max(ts) + INTERVAL 10 MINUTE AS session_end,
         |  user_id, count(*) AS n_events
         |FROM s GROUP BY user_id, sid""".stripMargin,
+    "ev_asof" ->
+      """WITH clicks AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        |p AS (
+        |  SELECT user_id, ts, max(value) AS purchase_value
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT c.event_id, c.user_id, p.purchase_value
+        |FROM clicks c ASOF LEFT JOIN p
+        |  ON c.user_id = p.user_id AND c.ts >= p.ts""".stripMargin,
     "ev_json" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k_val
         | FROM events""".stripMargin,

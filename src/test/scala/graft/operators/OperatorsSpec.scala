@@ -1,0 +1,46 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase.spark
+
+class OperatorsSpec extends AnyFunSuite {
+  import spark.implicits._
+
+  private def ts(min: Int) = new Timestamp(min * 60000L)
+
+  test("asof: most recent right value at-or-before, per key; no match -> null") {
+    val left = Seq(
+      (1L, 100L, ts(10)), // after right@5 -> 5.0
+      (2L, 100L, ts(20)), // after right@15 -> 15.0
+      (3L, 100L, ts(15)), // EQUAL ts -> right@15 visible ("at or before")
+      (4L, 200L, ts(10)), // other key, no prior right -> null
+      (5L, 200L, ts(40))  // after right@30 -> 30.0
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (100L, ts(5), 5.0), (100L, ts(15), 15.0), (200L, ts(30), 30.0)
+    ).toDF("user_id", "ts", "v")
+
+    val out = AsofJoin.asof(left, right, Seq("user_id"), "ts", Seq("v"))
+      .select($"event_id", $"v").as[(Long, Option[Double])].collect().toMap
+    assert(out(1L).contains(5.0))
+    assert(out(2L).contains(15.0))
+    assert(out(3L).contains(15.0))
+    assert(out(4L).isEmpty)
+    assert(out(5L).contains(30.0))
+  }
+
+  test("saltedJoin equals the plain join, spread over (key, salt) buckets") {
+    val big = (1 to 1000).map(i => (if (i % 10 == 0) 1L else i.toLong, i))
+      .toDF("k", "payload") // key 1 is hot (100 rows)
+    val small = Seq((1L, "hot"), (7L, "cold")).toDF("k", "name")
+    val plain = big.join(small, Seq("k")).agg(count(lit(1)), sum("payload"))
+      .as[(Long, Long)].head()
+    val salted = SkewJoin.saltedJoin(big, small, Seq("k"), factor = 8)
+      .agg(count(lit(1)), sum("payload")).as[(Long, Long)].head()
+    assert(salted == plain)
+  }
+}
