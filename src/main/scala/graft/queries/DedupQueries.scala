@@ -144,6 +144,19 @@ object DedupQueries {
       .filter(col("hamming") <= HammingMax)
   }
 
+  /** dd_simhash_agg — the same SimHash computed as a DISTRIBUTED
+    * aggregate over exploded (doc_id, token) rows: bit counts combine
+    * map-side ([[graft.functions.SimHashAgg]]), the shuffle carries one
+    * 244-byte sketch per group — the formulation for corpora whose
+    * documents don't fit in a row. Result == dd_simhash (same oracle).
+    */
+  def ddSimhashAgg: Q = (s, dir) =>
+    shingled(s, dir)
+      .select(col("doc_id"), explode(array_distinct(col("toks"))).as("tok"))
+      .groupBy(col("doc_id"))
+      .agg(graft.functions.SimHashAgg.simhashAgg(
+        Hashing.md5LongSeeded(99, col("tok"))).as("simhash"))
+
   /** dd_jaccard_ngram — character-trigram Jaccard near-dup on a bounded
     * doc subset (id < 50): the exact-verification primitive, brute-force
     * here to pin semantics; at scale candidates come from the LSH path.
@@ -190,6 +203,7 @@ object DedupQueries {
     "dd_minhash_sig" -> ddMinhashSig,
     "dd_minhash_pairs" -> ddMinhashPairs,
     "dd_simhash" -> ddSimhash,
+    "dd_simhash_agg" -> ddSimhashAgg,
     "dd_simhash_pairs" -> ddSimhashPairs,
     "dd_jaccard_ngram" -> ddJaccardNgram,
     "dd_embed_neardup" -> ddEmbedNeardup)
@@ -223,6 +237,18 @@ object DedupQueries {
 
   private val duckBandOr = (0 until B).map(b => s"a.bh_$b = b.bh_$b").mkString(" OR ")
 
+  private val duckSimhashSql: String =
+    s"""$duckShingles,
+      |hs AS (
+      |  SELECT doc_id,
+      |    list_transform(list_distinct(toks), t -> ${duckHash(99, "t")}) AS hv
+      |  FROM sh)
+      |SELECT doc_id,
+      |  list_sum(list_transform(generate_series(0, 59), j ->
+      |    CASE WHEN 2 * len(list_filter(hv, h -> ((h >> j) & 1) = 1)) > len(hv)
+      |         THEN (1::BIGINT << j) ELSE 0::BIGINT END))::BIGINT AS simhash
+      |FROM hs""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "dd_exact" ->
       """SELECT ('0x' || substr(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), 1, 15))::BIGINT AS fp_long,
@@ -247,17 +273,9 @@ object DedupQueries {
         |  2 * len(list_intersect(a.shd, b.shd)) >=
         |    len(a.shd) + len(b.shd) - len(list_intersect(a.shd, b.shd)) AS jacc_ge_half
         |FROM bands a JOIN bands b ON a.doc_id < b.doc_id AND ($duckBandOr)""".stripMargin,
-    "dd_simhash" ->
-      s"""$duckShingles,
-        |hs AS (
-        |  SELECT doc_id,
-        |    list_transform(list_distinct(toks), t -> ${duckHash(99, "t")}) AS hv
-        |  FROM sh)
-        |SELECT doc_id,
-        |  list_sum(list_transform(generate_series(0, 59), j ->
-        |    CASE WHEN 2 * len(list_filter(hv, h -> ((h >> j) & 1) = 1)) > len(hv)
-        |         THEN (1::BIGINT << j) ELSE 0::BIGINT END))::BIGINT AS simhash
-        |FROM hs""".stripMargin,
+    "dd_simhash" -> duckSimhashSql,
+    // the distributed-aggregate form computes the identical sketch
+    "dd_simhash_agg" -> duckSimhashSql,
     "dd_simhash_pairs" ->
       s"""$duckShingles,
         |hs AS (
