@@ -169,6 +169,25 @@ object ClinicalPipeline {
     df.select(keep.map(col).toIndexedSeq: _*)
   }
 
+  /** A7 + U2 — merge new mapping rows into the attribute-metadata table,
+    * keep-LAST per NORMALIZED_COLUMN_HEADER (new rows override existing;
+    * reference `clinical.py:440-474`). pandas keep-last = highest
+    * (source priority, row position) → explicit ordering columns, since
+    * Spark has no physical row order to lean on.
+    */
+  def updateAttributeMetadata(existing: DataFrame, updates: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tag = monotonically_increasing_id()
+    val all = existing.withColumn("__src", lit(0)).withColumn("__pos", tag)
+      .unionByName(updates.withColumn("__src", lit(1)).withColumn("__pos", tag),
+        allowMissingColumns = true)
+    val w = Window.partitionBy(col("NORMALIZED_COLUMN_HEADER"))
+      .orderBy(col("__src").desc, col("__pos").desc)
+    all.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__src", "__pos", "__rn")
+  }
+
   /** The 4 `#`-prefixed cBioPortal metadata lines for a frame's columns,
     * from the attribute-metadata table (replaces the reference's
     * insert_clinical_metadata.py subprocess; `clinical.py:550-620`).

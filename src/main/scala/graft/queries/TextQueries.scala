@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.Hashing
+import graft.functions.{Hashing, TextExprs}
 
 /** Text-analysis operators over the `documents` table — the
   * language-ID / quality-scoring / token-counting / fingerprinting layer a
@@ -17,10 +17,11 @@ object TextQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
-  /** Whitespace token count, zero for blank text. */
-  private def wsTokens(text: Column): Column =
-    when(length(trim(text)) === 0, 0)
-      .otherwise(size(split(trim(text), "\\s+")))
+  /** Whitespace token count, zero for blank text — the compiled
+    * [[TextExprs.wsTokenCount]] byte-scan (== size(split(trim(s),"\\s+"))
+    * with the blank special case folded in).
+    */
+  private def wsTokens(text: Column): Column = TextExprs.wsTokenCount(text)
 
   /** Per-language stopword alternations for the n-gram/stopword
     * language-ID heuristic. Word-boundary regex counts are portable
@@ -48,7 +49,7 @@ object TextQueries {
     */
   def taLangid: Q = (s, dir) => {
     val scores = langStopwords.map { case (l, words) =>
-      l -> regexp_count(lower(col("text")), lit(s"\\b(?:$words)\\b"))
+      l -> TextExprs.wordSetCount(col("text"), words.split('|').toSeq)
     }
     val scoreCols = scores.map { case (l, c) => c.as(s"s_$l") }
     val Seq(en, es, de, fr) = scores.map(_._2)
@@ -68,9 +69,10 @@ object TextQueries {
     */
   def taQuality: Q = (s, dir) => {
     val nTok = wsTokens(col("text"))
-    val nPunct = regexp_count(col("text"), lit("[^a-zA-Z0-9\\s]"))
-    val nStop = regexp_count(lower(col("text")), lit("\\b(?:the|and|of|to|in|a|is)\\b"))
-    val nAlpha = regexp_count(col("text"), lit("[a-zA-Z]"))
+    val nPunct = TextExprs.punctCount(col("text"))
+    val nStop = TextExprs.wordSetCount(col("text"),
+      Seq("the", "and", "of", "to", "in", "a", "is"))
+    val nAlpha = TextExprs.alphaCount(col("text"))
     Tables.documents(s, dir).select(
       col("doc_id"),
       length(col("text")).as("n_chars_txt"),
@@ -104,12 +106,12 @@ object TextQueries {
     */
   def tdCleanCorpus: Q = (s, dir) => {
     val nTok = wsTokens(col("text"))
-    val nPunct = regexp_count(col("text"), lit("[^a-zA-Z0-9\\s]"))
-    val nAlpha = regexp_count(col("text"), lit("[a-zA-Z]"))
+    val nPunct = TextExprs.punctCount(col("text"))
+    val nAlpha = TextExprs.alphaCount(col("text"))
     val quality = nTok >= 5 && nTok <= 10000 &&
       nPunct * 5 < length(col("text")) && nAlpha * 2 > length(col("text"))
     val Seq(en, es, de, fr) = langStopwords.map { case (_, words) =>
-      regexp_count(lower(col("text")), lit(s"\\b(?:$words)\\b"))
+      TextExprs.wordSetCount(col("text"), words.split('|').toSeq)
     }
     val pred = when(en >= es && en >= de && en >= fr, "en")
       .when(es >= de && es >= fr, "es")
@@ -138,8 +140,7 @@ object TextQueries {
   val oracle: Map[String, String] = Map(
     "ta_tokens" ->
       """SELECT doc_id,
-        | CASE WHEN length(trim(text)) = 0 THEN 0
-        |      ELSE len(string_split_regex(trim(text), '\s+')) END AS n_ws_tokens,
+        | len(regexp_extract_all(text, '\S+')) AS n_ws_tokens,
         | len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_bpe_tokens,
         | length(text) AS n_chars_txt
         | FROM documents""".stripMargin,
@@ -154,13 +155,11 @@ object TextQueries {
         | FROM (SELECT doc_id, lang, text, $duckLangScores FROM documents)""".stripMargin,
     "ta_quality" ->
       """SELECT doc_id, length(text) AS n_chars_txt,
-        | CASE WHEN length(trim(text)) = 0 THEN 0
-        |      ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+        | len(regexp_extract_all(text, '\S+')) AS n_tokens,
         | len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS n_punct,
         | len(regexp_extract_all(lower(text), '\b(?:the|and|of|to|in|a|is)\b')) AS n_stopwords,
         | len(regexp_extract_all(text, '[a-zA-Z]')) AS n_alpha,
-        | (CASE WHEN length(trim(text)) = 0 THEN 0
-        |       ELSE len(string_split_regex(trim(text), '\s+')) END BETWEEN 5 AND 10000
+        | (len(regexp_extract_all(text, '\S+')) BETWEEN 5 AND 10000
         |  AND len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) * 5 < length(text)
         |  AND len(regexp_extract_all(text, '[a-zA-Z]')) * 2 > length(text)) AS is_quality
         | FROM documents""".stripMargin,
@@ -172,8 +171,7 @@ object TextQueries {
     "td_clean_corpus" ->
       s"""WITH scored AS (
         |  SELECT doc_id, lang, text,
-        |    CASE WHEN length(trim(text)) = 0 THEN 0
-        |         ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tok,
+        |    len(regexp_extract_all(text, '\\S+')) AS n_tok,
         |    len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS n_punct,
         |    len(regexp_extract_all(text, '[a-zA-Z]')) AS n_alpha,
         |    $duckLangScores

@@ -107,6 +107,21 @@ class ClinicalPipelineSpec extends AnyFunSuite {
     assert(joined.filter(col("SAMPLE_DISPLAY_NAME") === "lens-1").count() == 1L)
   }
 
+  test("updateAttributeMetadata: new rows override, keep-last per header (A7/U2)") {
+    val existing = Seq(
+      ("OS_STATUS", "Old Display", "STRING"),
+      ("AGE", "Age", "NUMBER"))
+      .toDF("NORMALIZED_COLUMN_HEADER", "DISPLAY_NAME", "DATA_TYPE")
+    val updates = Seq(
+      ("OS_STATUS", "Overall Survival Status", "STRING"))
+      .toDF("NORMALIZED_COLUMN_HEADER", "DISPLAY_NAME", "DATA_TYPE")
+    val out = ClinicalPipeline.updateAttributeMetadata(existing, updates)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out.size == 2)
+    assert(out("OS_STATUS") == "Overall Survival Status") // update wins
+    assert(out("AGE") == "Age") // untouched rows survive
+  }
+
   test("dropAllNaColumns keeps partially-null, drops all-null (P5)") {
     val df = Seq((1, Some("a"), Option.empty[String]), (2, None, None))
       .toDF("id", "partial", "empty")
