@@ -62,6 +62,22 @@ object RefQueries {
       .select(col("r_regionkey").cast(IntegerType), col("r_name"))
   }
 
+  /** S5 — folder scan with extension filter (reference `maf.py:23-28`:
+    * list folder children, keep `*.maf`): the glob is pushed into Spark's
+    * file index, so non-matching files are never opened — the same shape
+    * scales to a many-thousand-file MAF folder with a single distributed
+    * listing.
+    */
+  def s5GlobScan: Q = (s, dir) => {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-s5").toString
+    val n = Tables.nation(s, dir).select(col("n_nationkey"), col("n_name"))
+    Tsv.writeTsvFile(n.filter(col("n_nationkey") % 2 === 0), s"$tmp/even.maf")
+    Tsv.writeTsvFile(n.filter(col("n_nationkey") % 2 === 1), s"$tmp/odd.maf")
+    Tsv.writeTsvFile(n.limit(3), s"$tmp/ignore.txt") // must NOT be read
+    Tsv.read(s, s"$tmp/*.maf")
+      .select(col("n_nationkey").cast(IntegerType), col("n_name"))
+  }
+
   /** P1 — regex filter with pandas `na=False` semantics (null text counts
     * as non-match → row kept) scoped to one partition value (reference
     * `clinical.py:74-95`).
@@ -236,6 +252,34 @@ object RefQueries {
       .filter(col("n") > 1)
   }
 
+  /** A2/A3 — exact distinct counts + row counts, the before/after
+    * preservation checks (reference `clinical.py:809-817`). Exact (not
+    * approximate) because the validations require equality; one aggregate
+    * pass over the fact table computes all four.
+    */
+  def a2CountDistinct: Q = (s, dir) => {
+    Tables.orders(s, dir)
+      .agg(
+        countDistinct(col("o_custkey")).as("n_customers"),
+        countDistinct(col("o_orderkey")).as("n_orders"),
+        count(lit(1)).as("n_rows"),
+        count(col("o_orderpriority")).as("n_priority_nonnull"))
+  }
+
+  /** A4b — full-row duplicate detection (reference `maf.py:238-240`:
+    * `df.duplicated()` any → error), reported as the duplicated rows with
+    * multiplicity. groupBy-all-columns form: one shuffle on the row hash,
+    * no driver-side distinct-count comparison needed.
+    */
+  def a4FullRowDup: Q = (s, dir) => {
+    val dup = Tables.region(s, dir) // small table unioned onto itself → known dups
+    val df = dup.unionByName(dup.filter(col("r_regionkey") < 2))
+    df.groupBy(df.columns.map(col).toIndexedSeq: _*)
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+      .select(col("r_regionkey"), col("n"))
+  }
+
   /** A7 — keep-last dedup by key: pandas `drop_duplicates(keep="last")`
     * made deterministic with an explicit priority ordering (reference
     * `clinical.py:440-474`).
@@ -373,6 +417,7 @@ object RefQueries {
     "q1_agg" -> q1Agg,
     "s2_tsv_roundtrip" -> s2TsvRoundtrip,
     "s3_comment_scan" -> s3CommentScan,
+    "s5_glob_scan" -> s5GlobScan,
     "p1_filter_na_false" -> p1FilterNaFalse,
     "p2_neq_keep_nulls" -> p2NeqKeepNulls,
     "p3_partition_filter" -> p3PartitionFilter,
@@ -387,7 +432,9 @@ object RefQueries {
     "j6_semi_join" -> j6SemiJoin,
     "j6_anti_join" -> j6AntiJoin,
     "a1_group_collect" -> a1GroupCollect,
+    "a2_count_distinct" -> a2CountDistinct,
     "a4_dup_detect" -> a4DupDetect,
+    "a4_full_row_dup" -> a4FullRowDup,
     "a7_keep_last" -> a7KeepLast,
     "a8_na_aggregates" -> a8NaAggregates,
     "a9_set_equality" -> a9SetEquality,
@@ -411,6 +458,8 @@ object RefQueries {
         | round(sum(p_retailprice), 2) AS sum_price FROM part""".stripMargin,
     "s3_comment_scan" ->
       "SELECT r_regionkey, r_name FROM region",
+    "s5_glob_scan" ->
+      "SELECT n_nationkey, n_name FROM nation",
     "p1_filter_na_false" ->
       """SELECT doc_id, lang, source FROM documents
         | WHERE (NOT coalesce(regexp_matches(text, 'slow (?:join|scan)'), false)
@@ -467,9 +516,19 @@ object RefQueries {
         | string_agg(CAST(c_custkey AS VARCHAR), chr(9) ORDER BY c_custkey) AS case_ids,
         | count(*) AS n
         | FROM customer GROUP BY 1""".stripMargin,
+    "a2_count_distinct" ->
+      """SELECT count(DISTINCT o_custkey) AS n_customers,
+        | count(DISTINCT o_orderkey) AS n_orders,
+        | count(*) AS n_rows, count(o_orderpriority) AS n_priority_nonnull
+        | FROM orders""".stripMargin,
     "a4_dup_detect" ->
       """SELECT o_custkey, count(*) AS n FROM orders
         | GROUP BY 1 HAVING count(*) > 1""".stripMargin,
+    "a4_full_row_dup" ->
+      """SELECT r_regionkey, count(*) AS n FROM (
+        |  SELECT * FROM region
+        |  UNION ALL SELECT * FROM region WHERE r_regionkey < 2)
+        | GROUP BY r_regionkey, r_name HAVING count(*) > 1""".stripMargin,
     "a7_keep_last" ->
       """SELECT o_custkey, o_orderkey, o_orderstatus FROM (
         |  SELECT o_custkey, o_orderkey, o_orderstatus,
