@@ -13,10 +13,24 @@ object Bench {
     // Untimed warmup: JIT/codegen/shuffle machinery spin-up otherwise
     // lands entirely on whichever query happens to run first.
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    // Optional comma-separated query filter for local iteration
+    // (e.g. SPARK_GRAFT_ONLY=dd_minhash_pairs,sim_ivf_topk).
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.view.filterKeys(names).toMap
+      case None        => SparkEntry.queries
+    }
+    // SPARK_GRAFT_REPS=N → report the min over N runs (local iteration
+    // only; the driver leaves it unset → single timed run per query).
+    val reps = sys.env.get("SPARK_GRAFT_REPS").map(_.toInt).getOrElse(1)
+    val results = selected.map { case (name, fn) =>
+      val times = (0 until reps).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

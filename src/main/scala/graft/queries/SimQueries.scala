@@ -121,48 +121,61 @@ object SimQueries {
       .select(col("query_id"), col("neighbor_id"), col("rank"))
   }
 
-  /** sim_ivf_assign — IVF coarse quantizer: seed centroid per label = the
-    * label's lowest-id vector (deterministic init); every vector assigned
-    * to its nearest centroid by cosine (signed-square comparison, ties to
-    * the smaller label).
+  /** The IVF coarse quantizer's centroid table, collected to the driver:
+    * seed centroid per label = the label's lowest-id vector (deterministic
+    * init), one `min_by` partial aggregation — centroid count is tiny by
+    * construction (it's the coarse index fan-out), so this is the classic
+    * "centroids live on the driver, assignment is a map" IVF shape.
+    */
+  private def collectCentroids(s: SparkSession, dir: String): Seq[(Int, Seq[Float], Double)] =
+    vectors(s, dir)
+      .groupBy(col("label"))
+      .agg(min_by(struct(col("embedding"), col("nrm")), col("vec_id")).as("c"))
+      .select(col("label"), col("c.embedding"), col("c.nrm"))
+      .collect().toSeq
+      .map(r => (r.getInt(0), r.getSeq[Float](1), r.getDouble(2)))
+      .sortBy(_._1)
+
+  /** Nearest-centroid assignment as a pure codegen'd expression —
+    * `array_max` over (score, -label) structs (struct ordering: highest
+    * score, ties to the highest -label = smallest label == orderBy(score
+    * desc, label asc)). Each centroid's dot product appears exactly once
+    * in the plan (a `when`-chain fold would double the tree per centroid),
+    * and the whole assignment is ZERO shuffle: the n×centroids cross join
+    * + window the naive plan needs never materializes.
+    */
+  private def nearestCentroid(cents: Seq[(Int, Seq[Float], Double)]): Column = {
+    val scored = cents.map { case (lbl, ce, cn) =>
+      struct((signedSq(dotc(col("embedding"), typedLit(ce))) / lit(cn)).as("s"),
+        lit(-lbl).as("nl"))
+    }
+    -array_max(array(scored: _*)).getField("nl")
+  }
+
+  /** sim_ivf_assign — IVF coarse quantizer: every vector assigned to its
+    * nearest centroid by cosine (signed-square comparison, ties to the
+    * smaller label). Map-only plan: one scan, no shuffle.
     */
   def simIvfAssign: Q = (s, dir) => {
-    val v = vectors(s, dir)
-    val centW = Window.partitionBy(col("label")).orderBy(col("vec_id"))
-    val cent = v.withColumn("rn", row_number().over(centW)).filter(col("rn") === 1)
-      .select(col("label").as("c_label"), col("embedding").as("ce"), col("nrm").as("cn"))
-    val scored = v.select(col("vec_id"), col("label"), col("embedding"), col("nrm"))
-      .crossJoin(broadcast(cent))
-      .withColumn("dot", dotc(col("embedding"), col("ce")))
-      .withColumn("score", signedSq(col("dot")) / col("cn"))
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("score").desc, col("c_label").asc)
-    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col("vec_id"), col("label"), col("c_label").as("assigned_label"),
-        (col("label") === col("c_label")).as("assigned_own_label"))
+    val cents = collectCentroids(s, dir)
+    vectors(s, dir)
+      .select(col("vec_id"), col("label"), nearestCentroid(cents).as("assigned_label"))
+      .withColumn("assigned_own_label", col("label") === col("assigned_label"))
   }
 
   /** sim_ivf_topk — the IVF search path: queries probe ONLY their own
     * centroid bucket (nprobe=1), candidates stream within the bucket —
-    * the coarse-quantizer pruning that makes ANN sublinear at scale. The
-    * assignment frame is materialized once and reused for both sides.
+    * the coarse-quantizer pruning that makes ANN sublinear at scale.
+    * Assignment is the map-side [[nearestCentroid]] fold, so the only
+    * shuffle left is the per-query top-k window (WindowGroupLimit caps it
+    * at k rows per query per map task).
     */
   def simIvfTopk: Q = (s, dir) => {
-    val v = vectors(s, dir)
-    val centW = Window.partitionBy(col("label")).orderBy(col("vec_id"))
-    val cent = v.withColumn("rn", row_number().over(centW)).filter(col("rn") === 1)
-      .select(col("label").as("c_label"), col("embedding").as("ce"), col("nrm").as("cn"))
-    val aw = Window.partitionBy(col("vec_id"))
-      .orderBy((signedSq(dotc(col("embedding"), col("ce"))) / col("cn")).desc,
-        col("c_label").asc)
-    val assigned = v.crossJoin(broadcast(cent))
-      .withColumn("rn", row_number().over(aw)).filter(col("rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("nrm"),
-        col("c_label").as("bucket"))
-      .persist()
-    val q = assigned.select(col("vec_id").as("query_id"), col("embedding").as("eq"),
+    val cents = collectCentroids(s, dir)
+    val v = vectors(s, dir).withColumn("bucket", nearestCentroid(cents))
+    val q = v.select(col("vec_id").as("query_id"), col("embedding").as("eq"),
       col("bucket")).filter(col("query_id") < 10)
-    val cand = assigned.select(col("vec_id").as("neighbor_id"),
+    val cand = v.select(col("vec_id").as("neighbor_id"),
       col("embedding").as("ec"), col("nrm").as("nc"), col("bucket"))
     val scored = cand.join(broadcast(q), Seq("bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
