@@ -46,6 +46,20 @@ object MafPipeline {
     (annotated, errors)
   }
 
+  /** F9 — consecutive fixed-size chunk assignment over a defined global
+    * order (reference `split_into_chunks`, `maf.py:39-72`: ⌈n/max_rows⌉
+    * chunks of up to `maxRows` consecutive rows). Kept only for external
+    * tools that cap input size — inside Spark, partitions subsume chunks.
+    * The global row numbering is inherently sequential (single-partition
+    * window), matching the reference's semantics; don't put it on a 100 TB
+    * path.
+    */
+  def assignChunks(df: DataFrame, orderCol: String, maxRows: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col(orderCol))
+    df.withColumn("chunk",
+      floor((row_number().over(w) - 1) / maxRows).cast("long"))
+  }
+
   /** P2 — postprocessing: drop chrM rows, null Chromosome SURVIVES
     * (pandas `!=` on NaN is True; reference `maf.py:181-195`).
     */

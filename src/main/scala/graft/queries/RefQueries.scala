@@ -8,7 +8,7 @@ import org.apache.spark.sql.types._
 import graft.Tables
 import graft.functions.Fns
 import graft.functions.ReplaceFirst.replaceFirst
-import graft.sources.Tsv
+import graft.sources.{Layout, Tsv}
 
 /** The reference's operator inventory (SURVEY.md §2) re-expressed as
   * Spark-first queries over the test corpus, one named query per operator,
@@ -229,6 +229,30 @@ object RefQueries {
       .select(col("c_custkey"), col("c_name"))
   }
 
+  /** J7 — co-located join over bucketed tables (scale extension of the
+    * reference's repeated clinical⋈mutation joins, SURVEY §2.3): both
+    * facts bucketed on the join key at write time, so the join plans a
+    * SortMergeJoin with NO exchange on either side — at 1000 executors
+    * the shuffle is paid once at ingest, then every downstream join is
+    * local. PlanChecksSpec asserts the no-exchange property.
+    */
+  def j7BucketedColocated: Q = (s, dir) => {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bucket").toString
+    val db = "graft_b" + java.lang.Long.toHexString(
+      java.util.UUID.randomUUID().getMostSignificantBits & Long.MaxValue)
+    Layout.ensureDb(s, db, tmp)
+    Layout.writeBucketed(Tables.customer(s, dir).select("c_custkey", "c_mktsegment"),
+      db, "customer_b", 8, Seq("c_custkey"), Seq("c_custkey"))
+    Layout.writeBucketed(
+      Tables.orders(s, dir).select("o_custkey", "o_orderkey", "o_orderstatus"),
+      db, "orders_b", 8, Seq("o_custkey"), Seq("o_custkey"))
+    val c = s.table(s"$db.customer_b")
+    val o = s.table(s"$db.orders_b")
+    c.join(o, c("c_custkey") === o("o_custkey"))
+      .groupBy(col("c_mktsegment"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("o_orderkey")).as("n_orders"))
+  }
+
   /** A1/K3 — case-list grouping: group → ordered id list (reference
     * `clinical.py:659-680`), rendered as a tab-joined string for exact
     * oracle comparison.
@@ -431,6 +455,7 @@ object RefQueries {
     "j5_annotation_join" -> j5AnnotationJoin,
     "j6_semi_join" -> j6SemiJoin,
     "j6_anti_join" -> j6AntiJoin,
+    "j7_bucketed_colocated" -> j7BucketedColocated,
     "a1_group_collect" -> a1GroupCollect,
     "a2_count_distinct" -> a2CountDistinct,
     "a4_dup_detect" -> a4DupDetect,
@@ -511,6 +536,11 @@ object RefQueries {
     "j6_anti_join" ->
       """SELECT c_custkey, c_name FROM customer c
         | WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin,
+    "j7_bucketed_colocated" ->
+      """SELECT c.c_mktsegment, o.o_orderstatus, count(*) AS n,
+        | count(DISTINCT o.o_orderkey) AS n_orders
+        | FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+        | GROUP BY 1, 2""".stripMargin,
     "a1_group_collect" ->
       """SELECT c_mktsegment,
         | string_agg(CAST(c_custkey AS VARCHAR), chr(9) ORDER BY c_custkey) AS case_ids,

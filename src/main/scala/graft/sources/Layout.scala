@@ -1,0 +1,47 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, DataFrameWriter, Row, SparkSession}
+
+/** Physical-layout utilities — the two table layouts that decide shuffle
+  * cost at 100 TB, both absent from the reference (single-process pandas
+  * has no layout: `clinical.py:572-578` re-filters the whole frame per
+  * dataset).
+  *
+  *  - Hive-style partitioned directories: the per-`Dataset` fan-out
+  *    becomes partition pruning — a query touching one dataset lists and
+  *    reads ONLY that directory, instead of scanning the pan-study table
+  *    per iteration (SURVEY §2.2 P3).
+  *  - Bucketed tables: facts bucketed on the join key join WITHOUT any
+  *    exchange — at 1000 executors the repeated clinical⋈mutation joins
+  *    (SURVEY §2.3) pay the shuffle once at write time, then never again.
+  */
+object Layout {
+
+  /** Write Hive-partitioned parquet; reads filtered on `partCols` prune
+    * to matching directories (assert: `PartitionFilters` in the scan).
+    */
+  def writePartitioned(df: DataFrame, path: String, partCols: String*): Unit =
+    df.write.mode("overwrite").partitionBy(partCols: _*).parquet(path)
+
+  /** Save as a bucketed (and optionally sort-within-bucket) parquet table
+    * in `db`. Both sides of a join bucketed on the join key with the same
+    * bucket count plan a SortMergeJoin with NO ShuffleExchange.
+    */
+  def writeBucketed(df: DataFrame, db: String, table: String, buckets: Int,
+                    keys: Seq[String], sortCols: Seq[String] = Nil): Unit = {
+    // Pre-shuffle rows into their bucket so each bucket is ONE file.
+    // Without this every input task writes a file per bucket it touches —
+    // tasks × buckets small files, the classic bucketed-write explosion.
+    val bucketed = df.repartition(buckets, keys.map(df.col): _*)
+    var w: DataFrameWriter[Row] = bucketed.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+    if (sortCols.nonEmpty) w = w.sortBy(sortCols.head, sortCols.tail: _*)
+    w.saveAsTable(s"$db.$table")
+  }
+
+  /** Create (once) a database rooted at an explicit location — keeps test
+    * and bench warehouses out of the working directory.
+    */
+  def ensureDb(spark: SparkSession, db: String, location: String): Unit =
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$location'")
+}

@@ -28,6 +28,32 @@ class MafPipelineSpec extends AnyFunSuite {
   ).toDF("Chromosome", "Start_Position", "End_Position", "Reference_Allele",
     "Tumor_Seq_Allele2", "Consequence", "Hugo_Symbol")
 
+  test("assignChunks: boundary cases at max_rows±1 (reference tests/test_maf.py:51-84)") {
+    // (n rows, max_rows) -> expected chunk sizes, in chunk order
+    val cases = Seq(
+      (4, 5)  -> Seq(4),        // n = max_rows - 1 → one short chunk
+      (5, 5)  -> Seq(5),        // n = max_rows     → one full chunk
+      (6, 5)  -> Seq(5, 1),     // n = max_rows + 1 → full + remainder 1
+      (10, 5) -> Seq(5, 5),     // exact multiple
+      (1, 5)  -> Seq(1))        // single row
+    cases.foreach { case ((n, maxRows), expected) =>
+      val df = (1 to n).toDF("id")
+      val sizes = MafPipeline.assignChunks(df, "id", maxRows)
+        .groupBy("chunk").count().orderBy("chunk")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(sizes.map(_._1).toSeq == expected.indices.map(_.toLong),
+        s"n=$n max=$maxRows: chunk ids not consecutive: ${sizes.toSeq}")
+      assert(sizes.map(_._2).toSeq == expected.map(_.toLong),
+        s"n=$n max=$maxRows: sizes ${sizes.map(_._2).toSeq} != $expected")
+      // chunks hold CONSECUTIVE rows in the global order
+      val firstOfChunk1 = MafPipeline.assignChunks(df, "id", maxRows)
+        .filter(col("chunk") === 1).agg(min("id")).collect().headOption
+        .flatMap(r => Option(r.get(0)))
+      if (expected.length > 1)
+        assert(firstOfChunk1.contains(maxRows + 1))
+    }
+  }
+
   test("annotate: matched rows SUCCESS, unmatched form the error channel") {
     val (annotated, errors) = MafPipeline.annotate(maf, annotations)
     assert(annotated.filter(col("Annotation_Status") === "SUCCESS").count() == 2)

@@ -52,6 +52,18 @@ class PlanChecksSpec extends AnyFunSuite {
       s"expected WindowGroupLimit for row_number<=k, got:\n$plan")
   }
 
+  test("sim_ivf_assign is map-only: no exchange in the assignment plan") {
+    val plan = planString(SimQueries.simIvfAssign(spark, sf001))
+    assert(!plan.contains("Exchange"),
+      s"centroid assignment must not shuffle (argmax over broadcast-side literals):\n$plan")
+  }
+
+  test("A7 keep-last plans a WindowGroupLimit (rank pushed below the shuffle)") {
+    val plan = planString(RefQueries.a7KeepLast(spark, sf001))
+    assert(plan.contains("WindowGroupLimit"),
+      s"expected WindowGroupLimit for row_number==1, got:\n$plan")
+  }
+
   test("custom sketch/vec expressions stay inside WholeStageCodegen") {
     val dd = DedupQueries.ddSimhash(spark, sf001)
     val plan = planString(dd)

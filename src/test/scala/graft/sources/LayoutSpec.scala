@@ -1,0 +1,55 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase.{sf001, spark}
+import graft.Tables
+
+/** The two physical layouts that decide shuffle cost at scale: partition
+  * pruning for the per-dataset fan-out, bucketed co-located joins for the
+  * repeated key joins. Both asserted at the PLAN level — a layout that
+  * silently stops pruning or starts shuffling is a perf regression the
+  * row-level tests can't see.
+  */
+class LayoutSpec extends AnyFunSuite {
+
+  test("partitioned write + filtered read prunes to one partition directory") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-layout-p").toString
+    Layout.writePartitioned(
+      Tables.orders(spark, sf001), s"$tmp/orders_p", "o_orderstatus")
+    val re = spark.read.parquet(s"$tmp/orders_p").filter(col("o_orderstatus") === "O")
+    val plan = re.queryExecution.executedPlan.toString()
+    assert(plan.contains("PartitionFilters") && plan.contains("o_orderstatus"),
+      s"expected partition filters in scan:\n$plan")
+    // pruned read must agree with the unpartitioned filter
+    val expected = Tables.orders(spark, sf001)
+      .filter(col("o_orderstatus") === "O").count()
+    assert(re.count() == expected)
+  }
+
+  test("bucketed tables join with zero exchanges (co-located SMJ)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-layout-b").toString
+    val db = "graft_layout_spec"
+    Layout.ensureDb(spark, db, tmp)
+    Layout.writeBucketed(Tables.orders(spark, sf001).select("o_orderkey", "o_orderstatus"),
+      db, "o_b", 4, Seq("o_orderkey"), Seq("o_orderkey"))
+    Layout.writeBucketed(Tables.lineitem(spark, sf001).select("l_orderkey", "l_quantity"),
+      db, "l_b", 4, Seq("l_orderkey"), Seq("l_orderkey"))
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force the non-broadcast path so the bucketed-join property is visible
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val o = spark.table(s"$db.o_b")
+      val li = spark.table(s"$db.l_b")
+      val joined = o.join(li, o("o_orderkey") === li("l_orderkey"))
+      joined.count() // materialize so AQE finalizes the plan
+      val plan = joined.queryExecution.executedPlan.toString()
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must not shuffle either side:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    }
+  }
+}
