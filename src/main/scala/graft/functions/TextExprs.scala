@@ -66,6 +66,90 @@ object TextOps {
     n
   }
 
+  /** Winnowing parameters (MOSS-style document fingerprinting, Schleimer
+    * et al. SIGMOD'03): K-codepoint grams, rolling polynomial hash base B
+    * mod prime M, sliding-window-min over W gram hashes. M < 2^27 keeps
+    * every intermediate product exact in a signed 64-bit long, so any
+    * engine reproduces the values with plain integer arithmetic.
+    */
+  final val WinnowK = 5
+  final val WinnowW = 4
+  final val WinnowB = 131L
+  final val WinnowM = 134217689L // 2^27 - 39, prime
+
+  /** Unicode codepoints of a UTF-8 string (decoded, not bytes). */
+  def codepoints(bytes: Array[Byte]): Array[Int] = {
+    val out = new Array[Int](bytes.length)
+    var n = 0; var i = 0
+    while (i < bytes.length) {
+      val b0 = bytes(i) & 0xff
+      var cp = b0; var len = 1
+      if (b0 >= 0x80) {
+        if ((b0 & 0xe0) == 0xc0) { cp = b0 & 0x1f; len = 2 }
+        else if ((b0 & 0xf0) == 0xe0) { cp = b0 & 0x0f; len = 3 }
+        else { cp = b0 & 0x07; len = 4 }
+        var j = 1
+        while (j < len && i + j < bytes.length) {
+          cp = (cp << 6) | (bytes(i + j) & 0x3f); j += 1
+        }
+      }
+      out(n) = cp; n += 1; i += len
+    }
+    java.util.Arrays.copyOf(out, n)
+  }
+
+  /** Distinct winnowing fingerprints of a (pre-normalized) string, in one
+    * pass: rolling K-gram hashes (O(1) per position after the first gram),
+    * then the min of each W-window, deduplicated. Shorter-than-K texts
+    * hash as a single whole-text gram; fewer-than-W grams winnow to the
+    * single global min; empty text fingerprints as [0].
+    */
+  def winnowFingerprints(s: UTF8String): Array[Long] = {
+    val cps = codepoints(s.getBytes)
+    val n = cps.length
+    // gram hashes, rolling: h_{i+1} = (h_i*B + c_{i+K} - c_i*B^K) mod M
+    val gh: Array[Long] =
+      if (n < WinnowK) {
+        var h = 0L; var i = 0
+        while (i < n) { h = (h * WinnowB + cps(i)) % WinnowM; i += 1 }
+        Array(h)
+      } else {
+        val out = new Array[Long](n - WinnowK + 1)
+        var bk = 1L // B^K mod M
+        var j = 0
+        while (j < WinnowK) { bk = bk * WinnowB % WinnowM; j += 1 }
+        var h = 0L; var i = 0
+        while (i < WinnowK) { h = (h * WinnowB + cps(i)) % WinnowM; i += 1 }
+        out(0) = h
+        while (i < n) {
+          h = (h * WinnowB + cps(i)) % WinnowM
+          h = (h - cps(i - WinnowK) * bk % WinnowM + WinnowM) % WinnowM
+          out(i - WinnowK + 1) = h
+          i += 1
+        }
+        out
+      }
+    // winnow: min per W-window, distinct (insertion order, then sorted)
+    val seen = new java.util.TreeSet[java.lang.Long]()
+    if (gh.length <= WinnowW) {
+      var m = gh(0); var i = 1
+      while (i < gh.length) { if (gh(i) < m) m = gh(i); i += 1 }
+      seen.add(m)
+    } else {
+      var i = 0
+      while (i + WinnowW <= gh.length) {
+        var m = gh(i); var j = i + 1
+        while (j < i + WinnowW) { if (gh(j) < m) m = gh(j); j += 1 }
+        seen.add(m)
+        i += 1
+      }
+    }
+    val res = new Array[Long](seen.size)
+    val it = seen.iterator(); var i = 0
+    while (it.hasNext) { res(i) = it.next(); i += 1 }
+    res
+  }
+
   /** Count of maximal `\w`-runs whose ASCII-lowercased form is in
     * `words` == `regexp_count(lower(s), "\b(?:w1|w2|...)\b")` for
     * ASCII word lists.
@@ -164,9 +248,40 @@ case class WordSetCount(child: Expression, words: Seq[String]) extends UnaryExpr
     copy(child = newChild)
 }
 
+/** `winnow_fingerprints(string)` → array<long>: distinct MOSS-style
+  * winnowing fingerprints (rolling K-gram hash + sliding-window min) of
+  * the input, ascending.
+  */
+case class WinnowFingerprints(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType,
+      containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "winnow_fingerprints"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"winnow_fingerprints expects string, got $t")
+  }
+
+  override protected def nullSafeEval(s: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      TextOps.winnowFingerprints(s.asInstanceOf[UTF8String]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.TextOps.winnowFingerprints($c))")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextExprs {
   def wsTokenCount(c: Column): Column =
     Bridge.column(WsTokenCount(Bridge.expression(c)))
+  def winnowFingerprints(c: Column): Column =
+    Bridge.column(WinnowFingerprints(Bridge.expression(c)))
   def alphaCount(c: Column): Column =
     Bridge.column(AsciiClassCount(Bridge.expression(c), 0))
   def punctCount(c: Column): Column =

@@ -99,6 +99,21 @@ object TextQueries {
       Hashing.md5Long(norm).as("fp_long"))
   }
 
+  /** ta_winnow — MOSS-style winnowing fingerprints (Schleimer et al.
+    * SIGMOD'03): rolling 5-gram polynomial hash over the normalized text,
+    * sliding-window-4 minima, one (doc_id, fp) row per distinct
+    * fingerprint. The fingerprint-sharing join is the plagiarism/overlap
+    * detector of a training-data pipeline: docs sharing any fingerprint
+    * are near-dup candidates, and the shuffle key is the fingerprint —
+    * never an all-pairs product. One compiled pass per document
+    * ([[TextExprs.winnowFingerprints]]).
+    */
+  def taWinnow: Q = (s, dir) => {
+    val norm = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(TextExprs.winnowFingerprints(norm)).as("fp"))
+  }
+
   /** td_clean_corpus — the composed training-data cleaning pass: quality
     * gate → language-ID agreement → exact dedup keeping the lowest doc_id
     * per fingerprint. One scan, one shuffle (the dedup groupBy); the
@@ -131,6 +146,7 @@ object TextQueries {
     "ta_langid" -> taLangid,
     "ta_quality" -> taQuality,
     "ta_fingerprint" -> taFingerprint,
+    "ta_winnow" -> taWinnow,
     "td_clean_corpus" -> tdCleanCorpus)
 
   private val duckLangScores = langStopwords.map { case (l, words) =>
@@ -168,6 +184,29 @@ object TextQueries {
         | md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
         | ('0x' || substr(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), 1, 15))::BIGINT AS fp_long
         | FROM documents""".stripMargin,
+    "ta_winnow" ->
+      """WITH cp AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) = 0 THEN []
+        |         ELSE list_transform(
+        |           string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ''),
+        |           c -> unicode(c)::BIGINT) END AS cps
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(cps) = 0 THEN [0]
+        |         WHEN len(cps) < 5 THEN [list_reduce(cps, (a, c) -> a * 131 + c) % 134217689]
+        |         ELSE list_transform(generate_series(1, len(cps) - 4),
+        |                i -> list_reduce(cps[i:i+4], (a, c) -> a * 131 + c) % 134217689)
+        |    END AS gh
+        |  FROM cp),
+        |f AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(gh) <= 4 THEN [list_min(gh)]
+        |         ELSE list_transform(generate_series(1, len(gh) - 3), i -> list_min(gh[i:i+3]))
+        |    END AS fps
+        |  FROM g)
+        |SELECT DISTINCT doc_id, fp FROM (SELECT doc_id, unnest(fps) AS fp FROM f)""".stripMargin,
     "td_clean_corpus" ->
       s"""WITH scored AS (
         |  SELECT doc_id, lang, text,

@@ -33,6 +33,30 @@ class TextExprsSpec extends AnyFunSuite {
     assert(bad.isEmpty, s"mismatch on: ${bad.map(_.getString(0)).toSeq}")
   }
 
+  test("winnowFingerprints matches a naive reference implementation") {
+    // naive: full recompute per gram (no rolling), direct window mins
+    def naive(text: String): Set[Long] = {
+      val cps = text.codePoints().toArray
+      val K = 5; val W = 4; val B = 131L; val M = 134217689L
+      val gh: Seq[Long] =
+        if (cps.length < K) Seq(cps.foldLeft(0L)((a, c) => (a * B + c) % M))
+        else (0 to cps.length - K).map(i =>
+          (i until i + K).foldLeft(0L)((a, j) => (a * B + cps(j)) % M))
+      if (gh.length <= W) Set(gh.min)
+      else (0 to gh.length - W).map(i => gh.slice(i, i + W).min).toSet
+    }
+    val texts = Seq("", "a", "abcd", "abcde", "abcdef",
+      "the quick brown fox jumps over the lazy dog",
+      "héllo wörld naïve café — ünïcödé ≤ ∑",
+      "aaaaaaaaaaaaaaa", "ab ab ab ab ab ab")
+    texts.foreach { t =>
+      val got = Seq(t).toDF("t")
+        .select(explode(TextExprs.winnowFingerprints($"t")).as("fp"))
+        .collect().map(_.getLong(0)).toSet
+      assert(got == naive(t), s"mismatch on '$t'")
+    }
+  }
+
   test("wordSetCount == regexp_count(lower, \\b(?:...)\\b)") {
     val words = Seq("the", "and", "of", "to", "in")
     val df = cases.toDF("t")
