@@ -4,7 +4,8 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{Format12g, MinHashSigs, ReplaceFirst, SimHash60, VecDot}
+import graft.functions.{AsciiClassCount, Format12g, MinHashSigs, ReplaceFirst,
+  SimHash60, VecDot, WinnowFingerprints, WordSetCount, WsTokenCount}
 
 /** SQL-surface registration of the engine's custom expressions, for
   * cluster deployment via `spark.sql.extensions=graft.GraftExtensions`
@@ -41,5 +42,29 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
       (exprs: Seq[Expression]) => VecDot(exprs(0), exprs(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("ws_token_count"),
+      new ExpressionInfo(classOf[WsTokenCount].getName, "ws_token_count"),
+      (exprs: Seq[Expression]) => WsTokenCount(exprs.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("ascii_class_count"),
+      new ExpressionInfo(classOf[AsciiClassCount].getName, "ascii_class_count"),
+      (exprs: Seq[Expression]) =>
+        AsciiClassCount(exprs(0), intLit(exprs(1), "ascii_class_count mode"))))
+    ext.injectFunction((
+      new FunctionIdentifier("word_set_count"),
+      new ExpressionInfo(classOf[WordSetCount].getName, "word_set_count"),
+      (exprs: Seq[Expression]) => WordSetCount(exprs(0), strLits(exprs.drop(1)))))
+    ext.injectFunction((
+      new FunctionIdentifier("winnow_fingerprints"),
+      new ExpressionInfo(classOf[WinnowFingerprints].getName, "winnow_fingerprints"),
+      (exprs: Seq[Expression]) => WinnowFingerprints(exprs.head)))
+  }
+
+  private def strLits(es: Seq[Expression]): Seq[String] = es.map {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: org.apache.spark.unsafe.types.UTF8String, _) =>
+      v.toString
+    case other => throw new IllegalArgumentException(
+      s"word_set_count words must be string literals, got $other")
   }
 }

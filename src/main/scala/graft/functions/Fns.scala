@@ -108,5 +108,11 @@ object Fns {
       "minhash_sigs", exprs => MinHashSigs(exprs(0), intLit(exprs(1))), "built-in")
     reg.createOrReplaceTempFunction(
       "vec_dot", exprs => VecDot(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "ws_token_count", exprs => WsTokenCount(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "ascii_class_count", exprs => AsciiClassCount(exprs(0), intLit(exprs(1))), "built-in")
+    reg.createOrReplaceTempFunction(
+      "winnow_fingerprints", exprs => WinnowFingerprints(exprs.head), "built-in")
   }
 }
