@@ -246,8 +246,11 @@ object RefQueries {
     Layout.writeBucketed(
       Tables.orders(s, dir).select("o_custkey", "o_orderkey", "o_orderstatus"),
       db, "orders_b", 8, Seq("o_custkey"), Seq("o_custkey"))
-    val c = s.table(s"$db.customer_b")
-    val o = s.table(s"$db.orders_b")
+    // merge hint: at test scale the dimension side fits the broadcast
+    // threshold, which would hide the property under test — at 100 TB
+    // neither side broadcasts and the bucketed SMJ is the real plan.
+    val c = s.table(s"$db.customer_b").hint("merge")
+    val o = s.table(s"$db.orders_b").hint("merge")
     c.join(o, c("c_custkey") === o("o_custkey"))
       .groupBy(col("c_mktsegment"), col("o_orderstatus"))
       .agg(count(lit(1)).as("n"), countDistinct(col("o_orderkey")).as("n_orders"))

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase.spark
+import graft.functions.{Fns, Hashing, SketchExprs, TextOps}
+import graft.operators.SkewJoin
+
+/** Property-based checks over generated inputs (seeded ScalaCheck sweeps,
+  * same style as Format12gSpec) for the invariants the reference asserts
+  * operationally (SURVEY §5): NA-count conservation across the suffix
+  * strip (V17), sketch determinism/shape, and the salted-join ≡ plain-join
+  * equivalence.
+  */
+class PropertiesSpec extends AnyFunSuite {
+  import spark.implicits._
+
+  private val word: Gen[String] =
+    Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString.take(8))
+  private val maybeText: Gen[Option[String]] = Gen.frequency(
+    4 -> Gen.listOf(word).map(ws => Some(ws.mkString(" "))),
+    1 -> Gen.const(None))
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).map(i => g.pureApply(Gen.Parameters.default, Seed(i.toLong)))
+
+  test("V17 property: suffix strip conserves the per-frame NA count") {
+    samples(Gen.listOfN(12, Gen.zip(maybeText, maybeText)), 8).foreach { rows =>
+      val df = rows.toDF("CANCER_TYPE", "AMADEUS_STUDY")
+      def naCount(d: org.apache.spark.sql.DataFrame): Long =
+        d.select(d.columns.map(c =>
+          sum(when(col(c).isNull, 1L).otherwise(0L))).reduce(_ + _).as("n"))
+          .head().getLong(0)
+      assert(naCount(Fns.stripSuffixesFromStringColumns(df)) == naCount(df))
+    }
+  }
+
+  test("winnow property: non-empty, ascending-distinct, in [0, M)") {
+    samples(Gen.listOf(word).map(_.mkString(" ")), 30).foreach { text =>
+      val fps = TextOps.winnowFingerprints(
+        org.apache.spark.unsafe.types.UTF8String.fromString(text)).toSeq
+      assert(fps.nonEmpty, s"empty fingerprints for '$text'")
+      assert(fps == fps.sorted.distinct, s"not ascending-distinct for '$text'")
+      assert(fps.forall(fp => fp >= 0 && fp < TextOps.WinnowM))
+    }
+  }
+
+  test("minhash property: signature k is the min of the seed-k shingle hashes") {
+    samples(Gen.nonEmptyListOf(word), 8).foreach { shingles =>
+      val df = Seq(shingles).toDF("sh")
+      val sigs = df.select(SketchExprs.minhashSigs(col("sh"), 4).as("s"))
+        .head().getSeq[Long](0)
+      val expected = (0 until 4).map { k =>
+        df.select(array_min(transform(col("sh"),
+          x => Hashing.md5LongSeeded(k, x))).as("m")).head().getLong(0)
+      }
+      assert(sigs == expected)
+    }
+  }
+
+  test("salted-join property: equals the plain join on generated skewed data") {
+    val keysGen =
+      Gen.listOfN(60, Gen.frequency(8 -> Gen.const(1), 2 -> Gen.choose(2, 5)))
+    samples(keysGen, 4).foreach { keys =>
+      val left = keys.zipWithIndex.toDF("k", "v")
+      val right = (1 to 5).map(k => (k, s"dim$k")).toDF("k", "name")
+      val plain = left.join(right, Seq("k")).select("k", "v", "name")
+        .collect().map(_.toSeq).toSet
+      val salted = SkewJoin.saltedJoin(left, right, Seq("k"), factor = 4)
+        .select("k", "v", "name").collect().map(_.toSeq).toSet
+      assert(salted == plain)
+    }
+  }
+}
