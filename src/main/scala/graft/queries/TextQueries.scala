@@ -114,6 +114,28 @@ object TextQueries {
       .select(col("doc_id"), explode(TextExprs.winnowFingerprints(norm)).as("fp"))
   }
 
+  /** ta_profile — the "describe my corpus" scan: doc/lang counts, exact
+    * length extremes/sums, and length percentiles, in ONE aggregate pass
+    * (map-side partial aggregation, one exchange). Percentiles round to 6
+    * decimals so linear-interpolation float noise can't flip the oracle
+    * hash. At 100 TB this is the profiling job that sizes every
+    * downstream cleaning threshold.
+    */
+  def taProfile: Q = (s, dir) => {
+    Tables.documents(s, dir)
+      .select(col("lang"), length(col("text")).as("len"),
+        TextExprs.wsTokenCount(col("text")).as("ntok"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("lang")).as("n_langs"),
+        min(col("len")).as("min_len"),
+        max(col("len")).as("max_len"),
+        sum(col("len")).as("sum_len"),
+        sum(col("ntok")).as("sum_tokens"),
+        bround(expr("percentile(len, 0.5)"), 6).as("median_len"),
+        bround(expr("percentile(len, 0.9)"), 6).as("p90_len"))
+  }
+
   /** td_clean_corpus — the composed training-data cleaning pass: quality
     * gate → language-ID agreement → exact dedup keeping the lowest doc_id
     * per fingerprint. One scan, one shuffle (the dedup groupBy); the
@@ -147,6 +169,7 @@ object TextQueries {
     "ta_quality" -> taQuality,
     "ta_fingerprint" -> taFingerprint,
     "ta_winnow" -> taWinnow,
+    "ta_profile" -> taProfile,
     "td_clean_corpus" -> tdCleanCorpus)
 
   private val duckLangScores = langStopwords.map { case (l, words) =>
@@ -183,6 +206,14 @@ object TextQueries {
       """SELECT doc_id,
         | md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
         | ('0x' || substr(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), 1, 15))::BIGINT AS fp_long
+        | FROM documents""".stripMargin,
+    "ta_profile" ->
+      """SELECT count(*) AS n_docs, count(DISTINCT lang) AS n_langs,
+        | min(length(text)) AS min_len, max(length(text)) AS max_len,
+        | sum(length(text)) AS sum_len,
+        | sum(len(regexp_extract_all(text, '\S+'))) AS sum_tokens,
+        | round(quantile_cont(length(text), 0.5), 6) AS median_len,
+        | round(quantile_cont(length(text), 0.9), 6) AS p90_len
         | FROM documents""".stripMargin,
     "ta_winnow" ->
       """WITH cp AS (
