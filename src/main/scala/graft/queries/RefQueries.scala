@@ -78,6 +78,33 @@ object RefQueries {
       .select(col("n_nationkey").cast(IntegerType), col("n_name"))
   }
 
+  /** S7 — JSONL sink/scan round-trip (beyond the reference's TSV-only
+    * surface; line-delimited JSON is the lingua franca of training-data
+    * interchange). Write → re-read → aggregate; the oracle aggregates the
+    * original parquet, proving type-faithful serialization.
+    */
+  def s7JsonlRoundtrip: Q = (s, dir) => {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-s7").toString
+    Tables.documents(s, dir).select(col("doc_id"), col("lang"), col("source"))
+      .write.mode("overwrite").json(s"$tmp/docs")
+    s.read.json(s"$tmp/docs")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("sum_ids"),
+        countDistinct(col("source")).as("n_sources"))
+  }
+
+  /** S8 — ORC sink/scan round-trip: the second columnar format, same
+    * predicate/column pushdown surface as parquet.
+    */
+  def s8OrcRoundtrip: Q = (s, dir) => {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-s8").toString
+    Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderstatus"))
+      .write.mode("overwrite").orc(s"$tmp/orders")
+    s.read.orc(s"$tmp/orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("sum_keys"))
+  }
+
   /** P1 — regex filter with pandas `na=False` semantics (null text counts
     * as non-match → row kept) scoped to one partition value (reference
     * `clinical.py:74-95`).
@@ -445,6 +472,8 @@ object RefQueries {
     "s2_tsv_roundtrip" -> s2TsvRoundtrip,
     "s3_comment_scan" -> s3CommentScan,
     "s5_glob_scan" -> s5GlobScan,
+    "s7_jsonl_roundtrip" -> s7JsonlRoundtrip,
+    "s8_orc_roundtrip" -> s8OrcRoundtrip,
     "p1_filter_na_false" -> p1FilterNaFalse,
     "p2_neq_keep_nulls" -> p2NeqKeepNulls,
     "p3_partition_filter" -> p3PartitionFilter,
@@ -488,6 +517,12 @@ object RefQueries {
       "SELECT r_regionkey, r_name FROM region",
     "s5_glob_scan" ->
       "SELECT n_nationkey, n_name FROM nation",
+    "s7_jsonl_roundtrip" ->
+      """SELECT lang, count(*) AS n, sum(doc_id) AS sum_ids,
+        | count(DISTINCT source) AS n_sources FROM documents GROUP BY 1""".stripMargin,
+    "s8_orc_roundtrip" ->
+      """SELECT o_orderstatus, count(*) AS n, sum(o_orderkey) AS sum_keys
+        | FROM orders GROUP BY 1""".stripMargin,
     "p1_filter_na_false" ->
       """SELECT doc_id, lang, source FROM documents
         | WHERE (NOT coalesce(regexp_matches(text, 'slow (?:join|scan)'), false)
