@@ -91,6 +91,37 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("file-source stream with checkpoint matches the batch result") {
+    // readStream over a file directory — the production triad
+    // (source dir → transform → sink + checkpoint) rather than
+    // MemoryStream; maxFilesPerTrigger=1 forces multi-batch incremental
+    // processing over the same data.
+    val dir = java.nio.file.Files.createTempDirectory("graft-fstream").toString
+    val events = Seq(ev(1, 10, 1), ev(2, 20, 1), ev(3, 70, 2), ev(4, 80, 2))
+    events.take(2).toDF().write.parquet(s"$dir/in/f1.parquet")
+    events.drop(2).toDF().write.parquet(s"$dir/in/f2.parquet")
+    val batch = EventStreams.tumblingCounts(events.toDF())
+      .select($"w_start".cast("long"), $"event_type", $"n")
+      .as[(Long, String, Long)].collect().toSet
+    val src = spark.readStream
+      .schema(events.toDF().schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/in/*")
+    val q = EventStreams.tumblingCountsStream(src, "1 minute")
+      .writeStream.format("memory").queryName("tumbling_file")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("tumbling_file")
+        .select($"w_start".cast("long"), $"event_type", $"n")
+        .as[(Long, String, Long)].collect().toSet
+      assert(streamed == batch)
+      // the checkpoint recorded both discovered files
+      assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/ckpt/sources")))
+    } finally q.stop()
+  }
+
   test("batch and streaming tumbling counts agree on the same data") {
     implicit val sq = spark.sqlContext
     val events = Seq(ev(1, 10, 1), ev(2, 20, 1), ev(3, 70, 2), ev(4, 80, 2))
