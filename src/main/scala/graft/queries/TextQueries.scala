@@ -136,6 +136,44 @@ object TextQueries {
         bround(expr("percentile(len, 0.9)"), 6).as("p90_len"))
   }
 
+  /** td_redact — PII scrubbing: email/phone/long-digit-run patterns
+    * replaced with typed placeholder tokens, plus per-doc redaction
+    * counts. Pure map (scan-throughput at 100 TB); patterns are kept in
+    * the RE2-compatible subset so any engine applies the identical
+    * rewrite.
+    */
+  def tdRedact: Q = (s, dir) => {
+    val email = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+    val phone = "\\+?[0-9]{1,3}[- .][0-9]{3}[- .][0-9]{3,4}[- .]?[0-9]{0,4}"
+    val digits = "[0-9]{9,}"
+    val redacted =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col("text"), email, "<EMAIL>"),
+          phone, "<PHONE>"),
+        digits, "<NUM>")
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      regexp_count(col("text"), lit(email)).as("n_emails"),
+      redacted.as("clean_text"))
+  }
+
+  /** td_split — deterministic train/validation/test assignment by
+    * content-stable hash (doc_id-keyed md5): reproducible across engines,
+    * runs, and partitionings — never `rand()`, which breaks lineage on
+    * retry. 90/5/5; the query returns the assignment plus the split
+    * counts as a sanity aggregate.
+    */
+  def tdSplit: Q = (s, dir) => {
+    val bucket = pmod(Hashing.md5Long(col("doc_id").cast("string")), lit(100L))
+    val split = when(bucket < 90, "train").when(bucket < 95, "valid").otherwise("test")
+    Tables.documents(s, dir)
+      .select(col("doc_id"), split.as("split"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"),
+        sum(col("doc_id")).as("sum_ids"))
+  }
+
   /** td_clean_corpus — the composed training-data cleaning pass: quality
     * gate → language-ID agreement → exact dedup keeping the lowest doc_id
     * per fingerprint. One scan, one shuffle (the dedup groupBy); the
@@ -170,6 +208,8 @@ object TextQueries {
     "ta_fingerprint" -> taFingerprint,
     "ta_winnow" -> taWinnow,
     "ta_profile" -> taProfile,
+    "td_redact" -> tdRedact,
+    "td_split" -> tdSplit,
     "td_clean_corpus" -> tdCleanCorpus)
 
   private val duckLangScores = langStopwords.map { case (l, words) =>
@@ -215,6 +255,22 @@ object TextQueries {
         | round(quantile_cont(length(text), 0.5), 6) AS median_len,
         | round(quantile_cont(length(text), 0.9), 6) AS p90_len
         | FROM documents""".stripMargin,
+    "td_redact" ->
+      """SELECT doc_id,
+        | len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS n_emails,
+        | regexp_replace(
+        |   regexp_replace(
+        |     regexp_replace(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+        |     '\+?[0-9]{1,3}[- .][0-9]{3}[- .][0-9]{3,4}[- .]?[0-9]{0,4}', '<PHONE>', 'g'),
+        |   '[0-9]{9,}', '<NUM>', 'g') AS clean_text
+        | FROM documents""".stripMargin,
+    "td_split" ->
+      """SELECT CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'valid' ELSE 'test' END AS split,
+        | count(*) AS n, min(doc_id) AS min_id, sum(doc_id) AS sum_ids
+        | FROM (SELECT doc_id,
+        |   ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100 AS b
+        |   FROM documents)
+        | GROUP BY 1""".stripMargin,
     "ta_winnow" ->
       """WITH cp AS (
         |  SELECT doc_id,
