@@ -105,6 +105,26 @@ object RefQueries {
       .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("sum_keys"))
   }
 
+  /** S9 — the `cbio` DataSource V2: write the cBioPortal headered TSV via
+    * our sink, read it back through the custom source (typed NUMBER
+    * columns, metadata from the header block, reader-side column
+    * pruning), aggregate. The only full custom-source surface in the
+    * engine — see `sources/CbioTsvSource`.
+    */
+  def s9CbioSource: Q = (s, dir) => {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-s9").toString
+    val f = s"$tmp/region.txt"
+    Tsv.writeTsvFile(Tables.region(s, dir), f, headerBlock = Seq(
+      "#Region Key\tRegion Name",
+      "#The region key\tThe region name",
+      "#NUMBER\tSTRING",
+      "#1\t1"))
+    s.read.format("cbio").load(f)
+      .agg(count(lit(1)).as("n"),
+        sum(col("r_regionkey")).cast(LongType).as("sum_keys"),
+        countDistinct(col("r_name")).as("n_names"))
+  }
+
   /** P1 — regex filter with pandas `na=False` semantics (null text counts
     * as non-match → row kept) scoped to one partition value (reference
     * `clinical.py:74-95`).
@@ -474,6 +494,7 @@ object RefQueries {
     "s5_glob_scan" -> s5GlobScan,
     "s7_jsonl_roundtrip" -> s7JsonlRoundtrip,
     "s8_orc_roundtrip" -> s8OrcRoundtrip,
+    "s9_cbio_source" -> s9CbioSource,
     "p1_filter_na_false" -> p1FilterNaFalse,
     "p2_neq_keep_nulls" -> p2NeqKeepNulls,
     "p3_partition_filter" -> p3PartitionFilter,
@@ -523,6 +544,9 @@ object RefQueries {
     "s8_orc_roundtrip" ->
       """SELECT o_orderstatus, count(*) AS n, sum(o_orderkey) AS sum_keys
         | FROM orders GROUP BY 1""".stripMargin,
+    "s9_cbio_source" ->
+      """SELECT count(*) AS n, sum(r_regionkey) AS sum_keys,
+        | count(DISTINCT r_name) AS n_names FROM region""".stripMargin,
     "p1_filter_na_false" ->
       """SELECT doc_id, lang, source FROM documents
         | WHERE (NOT coalesce(regexp_matches(text, 'slow (?:join|scan)'), false)
