@@ -46,6 +46,23 @@ object StreamQueries {
       .groupBy(pmod(col("k_val"), lit(7)).as("k_bucket"))
       .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
 
+  /** ev_interval_join — the batch face of the stream-stream interval join
+    * ([[EventStreams.clickPurchaseJoin]]): clicks joined to same-user
+    * purchases within the preceding hour, aggregated per user. On a
+    * stream both sides are watermarked and the time bound caps join
+    * state; on batch the same condition is a range-bounded equi-join.
+    */
+  def evIntervalJoin: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+    val purchases = ev.filter(col("event_type") === "purchase")
+    EventStreams.clickPurchaseJoin(clicks, purchases)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("purchase_value").cast("decimal(18,2)"))
+          .cast("decimal(28,2)").as("sum_value"))
+  }
+
   /** ev_asof — as-of join: each click picks up the most recent purchase
     * value at-or-before it, per user ([[graft.operators.AsofJoin]]: one
     * shuffle + one sort, no range cross product). The right side is
@@ -70,6 +87,7 @@ object StreamQueries {
     "ev_session" -> evSession,
     "ev_json" -> evJson,
     "ev_json_agg" -> evJsonAgg,
+    "ev_interval_join" -> evIntervalJoin,
     "ev_asof" -> evAsof)
 
   val oracle: Map[String, String] = Map(
@@ -113,6 +131,14 @@ object StreamQueries {
     "ev_json" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k_val
         | FROM events""".stripMargin,
+    "ev_interval_join" ->
+      """SELECT c.user_id, count(*) AS n_pairs,
+        | sum(p.value::DECIMAL(18,2))::DECIMAL(28,2) AS sum_value
+        | FROM (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+        | JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+        |   ON c.user_id = p.user_id
+        |  AND p.ts >= c.ts - INTERVAL 1 HOUR AND p.ts <= c.ts
+        | GROUP BY 1""".stripMargin,
     "ev_json_agg" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS INT) % 7 AS k_bucket,
         | count(*) AS n, count(DISTINCT user_id) AS n_users

@@ -71,6 +71,27 @@ object EventStreams {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 
+  /** Stream-stream interval join: each click joined to purchases of the
+    * same user within the preceding hour. Both sides carry watermarks and
+    * the join condition bounds event-time distance, so each side's state
+    * store holds only rows inside (watermark + interval) — without the
+    * time bound a stream-stream join would buffer both streams forever.
+    * Works identically on batch frames (the oracle path).
+    */
+  def clickPurchaseJoin(clicks: DataFrame, purchases: DataFrame,
+                        watermark: Option[String] = None): DataFrame = {
+    def wm(df: DataFrame) = watermark.map(df.withWatermark("ts", _)).getOrElse(df)
+    val c = wm(clicks).select(col("event_id").as("click_id"),
+      col("user_id"), col("ts").as("click_ts"))
+    val p = wm(purchases).select(col("user_id").as("p_user_id"),
+      col("ts").as("purchase_ts"), col("value").as("purchase_value"))
+    c.join(p,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("click_ts") - expr("INTERVAL 1 HOUR") &&
+        col("purchase_ts") <= col("click_ts"))
+      .select(col("click_id"), col("user_id"), col("purchase_ts"), col("purchase_value"))
+  }
+
   /** Custom stateful sessionization with flatMapGroupsWithState: one
     * state object per user; sessions close on a 10-minute event-time gap
     * enforced via the watermark timeout. This is the

@@ -91,6 +91,35 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches batch; out-of-interval rows excluded") {
+    implicit val sq = spark.sqlContext
+    // clicks at minute 10, 70, 200; purchases at minute 5, 65, 190
+    def mkEv(id: Long, min: Long, user: Long, tpe: String, v: Double) =
+      Event(id, new java.sql.Timestamp(min * 60000L), user, tpe, v)
+    val clicks = Seq(mkEv(1, 10, 1, "click", 0), mkEv(2, 70, 1, "click", 0),
+      mkEv(3, 200, 1, "click", 0))
+    val purchases = Seq(mkEv(10, 5, 1, "purchase", 9.5),
+      mkEv(11, 65, 1, "purchase", 3.25), mkEv(12, 190, 2, "purchase", 7.0))
+    val batch = EventStreams.clickPurchaseJoin(clicks.toDF(), purchases.toDF())
+      .select($"click_id", $"purchase_value").as[(Long, Double)].collect().toSet
+    // click@10 sees purchase@5; click@70 sees only purchase@65 (the one
+    // at minute 5 is 65 min earlier — outside the 1-hour interval);
+    // click@200 sees nothing (purchase@190 belongs to user 2)
+    assert(batch == Set((1L, 9.5), (2L, 3.25)))
+
+    val cMem = MemoryStream[Event]; val pMem = MemoryStream[Event]
+    val q = EventStreams.clickPurchaseJoin(cMem.toDF(), pMem.toDF(), Some("2 hours"))
+      .writeStream.format("memory").queryName("ss_join")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      cMem.addData(clicks: _*); pMem.addData(purchases: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("ss_join")
+        .select($"click_id", $"purchase_value").as[(Long, Double)].collect().toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("file-source stream with checkpoint matches the batch result") {
     // readStream over a file directory — the production triad
     // (source dir → transform → sink + checkpoint) rather than
