@@ -45,6 +45,29 @@ object Layout {
   def ensureDb(spark: SparkSession, db: String, location: String): Unit =
     spark.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$location'")
 
+  /** Small-file compaction: rewrite a parquet directory into
+    * `ceil(totalBytes / targetBytes)` files. Long-running ingest (and
+    * every streaming sink) accretes small files until listing and task
+    * scheduling dominate query time — compaction is the standing
+    * maintenance op of a 100 TB lake. Returns (filesBefore, filesAfter).
+    */
+  def compact(spark: SparkSession, dir: String,
+              targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    def dataFiles() = fs.listStatus(p).filter(s =>
+      s.isFile && !s.getPath.getName.startsWith("_"))
+    val before = dataFiles()
+    val total = before.map(_.getLen).sum
+    val n = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
+    val tmp = new org.apache.hadoop.fs.Path(dir + "__compact_tmp")
+    spark.read.parquet(dir).repartition(n)
+      .write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(p, true)
+    fs.rename(tmp, p)
+    (before.length, dataFiles().length)
+  }
+
   /** Compute table (and optionally column) statistics — what feeds the
     * cost-based optimizer's row-count/selectivity estimates
     * (`spark.sql.cbo.enabled`) for join reorder and broadcast decisions.

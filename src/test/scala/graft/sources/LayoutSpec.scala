@@ -28,6 +28,21 @@ class LayoutSpec extends AnyFunSuite {
     assert(re.count() == expected)
   }
 
+  test("compact merges a many-small-file directory, preserving the data") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-layout-c").toString
+    val dir = s"$tmp/orders_small"
+    val orders = Tables.orders(spark, sf001)
+    orders.repartition(24).write.parquet(dir) // deliberately fragmented
+    val checksum = (d: org.apache.spark.sql.DataFrame) =>
+      d.agg(org.apache.spark.sql.functions.sum("o_orderkey"),
+        org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)))
+        .collect().head.toSeq
+    val beforeSum = checksum(spark.read.parquet(dir))
+    val (nBefore, nAfter) = Layout.compact(spark, dir)
+    assert(nBefore == 24 && nAfter == 1, s"$nBefore -> $nAfter")
+    assert(checksum(spark.read.parquet(dir)) == beforeSum)
+  }
+
   test("analyzed table exposes exact row and column stats to the optimizer") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-layout-s").toString
     val db = "graft_stats_spec"
