@@ -48,6 +48,20 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("codepoint decoder property: equals java.lang.String.codePoints on arbitrary unicode") {
+    val anyString: Gen[String] = Gen.listOf(Gen.frequency(
+      6 -> Gen.asciiPrintableChar.map(_.toString),
+      2 -> Gen.oneOf("é", "ü", "√", "∑", "…", "—").map(identity[String]),
+      1 -> Gen.oneOf("😀", "🚀", "𝔘").map(identity[String]), // surrogate pairs
+      1 -> Gen.const("\n"))).map(_.mkString)
+    samples(anyString, 40).foreach { s =>
+      val got = TextOps.codepoints(
+        s.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toSeq
+      val expected = s.codePoints().toArray.toSeq
+      assert(got == expected, s"decoder mismatch on '$s'")
+    }
+  }
+
   test("minhash property: signature k is the min of the seed-k shingle hashes") {
     samples(Gen.nonEmptyListOf(word), 8).foreach { shingles =>
       val df = Seq(shingles).toDF("sh")
