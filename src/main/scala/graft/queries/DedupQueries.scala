@@ -157,6 +157,86 @@ object DedupQueries {
       .agg(graft.functions.SimHashAgg.simhashAgg(
         Hashing.md5LongSeeded(99, col("tok"))).as("simhash"))
 
+  /** dd_cluster — near-dup CLUSTER resolution: connected components over
+    * the verified MinHash candidate pairs (jaccard ≥ 0.5), every doc
+    * labeled with its component's minimum doc_id. Pairwise near-dups
+    * aren't actionable until they're grouped — this is the step that
+    * turns an LSH pair list into "keep one per cluster".
+    */
+  def ddCluster: Q = (s, dir) => {
+    val pairs = ddMinhashPairs(s, dir).filter(col("jacc_ge_half"))
+      .select(col("doc_a"), col("doc_b"))
+    val labels = connectedComponents(pairs, "doc_a", "doc_b")
+    Tables.documents(s, dir).select(col("doc_id"))
+      .join(labels, col("doc_id") === labels("id"), "left")
+      .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("cluster"))
+  }
+
+  /** Connected components over an undirected edge list → (id, component)
+    * with component = min member id; vertices with no edges are absent
+    * (callers default them to their own id).
+    *
+    * Hybrid by edge count — the production shape for dedup graphs:
+    *  - Verified near-dup edges are SPARSE by construction (LSH + verify
+    *    exists to make them rare), so the edge list after verification
+    *    usually fits the driver even when the corpus is 100 TB: one
+    *    collect, a union-find, one small result frame. This path is one
+    *    Spark job end-to-end.
+    *  - Above `maxDriverEdges`, fall back to distributed min-label
+    *    propagation (the Pregel shape): per round one shuffle join + one
+    *    aggregate over ONLY the docs that appear in edges; rounds =
+    *    component diameter. Correct at any scale, paid only when the
+    *    graph is genuinely huge.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+                          maxDriverEdges: Long = 1L << 22): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val edgeCount = pairs.count()
+    if (edgeCount <= maxDriverEdges) {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      pairs.select(col(aCol).cast("long"), col(bCol).cast("long"))
+        .collect().foreach { row =>
+          val (ra, rb) = (find(row.getLong(0)), find(row.getLong(1)))
+          if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+          else { parent.getOrElseUpdate(ra, ra); () }
+        }
+      val members = parent.keySet.toSeq
+      members.map(m => (m, find(m))).toDF("id", "component")
+    } else {
+      val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+        .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+        .persist()
+      var labels = edges.select(col("src").as("id")).distinct()
+        .withColumn("component", col("id")).persist()
+      var changed = 1L
+      var rounds = 0
+      while (changed > 0 && rounds < 30) {
+        val nmin = edges.join(labels, edges("dst") === labels("id"))
+          .groupBy(col("src")).agg(min(col("component")).as("ncomp"))
+        val updated = labels.as("l")
+          .join(nmin, col("l.id") === nmin("src"))
+          .select(col("l.id").as("id"),
+            least(col("l.component"), col("ncomp")).as("component"),
+            col("l.component").as("__old"))
+          .persist()
+        changed = updated.filter(col("component") < col("__old")).count()
+        labels.unpersist()
+        labels = updated.drop("__old")
+        rounds += 1
+      }
+      edges.unpersist()
+      labels // persisted: the caller's lazy plan reads the cache
+    }
+  }
+
   /** dd_jaccard_ngram — character-trigram Jaccard near-dup on a bounded
     * doc subset (id < 50): the exact-verification primitive, brute-force
     * here to pin semantics; at scale candidates come from the LSH path.
@@ -202,6 +282,7 @@ object DedupQueries {
     "dd_exact" -> ddExact,
     "dd_minhash_sig" -> ddMinhashSig,
     "dd_minhash_pairs" -> ddMinhashPairs,
+    "dd_cluster" -> ddCluster,
     "dd_simhash" -> ddSimhash,
     "dd_simhash_agg" -> ddSimhashAgg,
     "dd_simhash_pairs" -> ddSimhashPairs,
@@ -273,6 +354,29 @@ object DedupQueries {
         |  2 * len(list_intersect(a.shd, b.shd)) >=
         |    len(a.shd) + len(b.shd) - len(list_intersect(a.shd, b.shd)) AS jacc_ge_half
         |FROM bands a JOIN bands b ON a.doc_id < b.doc_id AND ($duckBandOr)""".stripMargin,
+    "dd_cluster" ->
+      s"""$duckShingles,
+        |sig AS (
+        |  SELECT doc_id, shingles, $duckSigSelect
+        |  FROM sh),
+        |bands AS (
+        |  SELECT doc_id, list_distinct(shingles) AS shd, $duckBandSelect
+        |  FROM sig),
+        |p AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b ON a.doc_id < b.doc_id AND ($duckBandOr)
+        |  WHERE 2 * len(list_intersect(a.shd, b.shd)) >=
+        |    len(a.shd) + len(b.shd) - len(list_intersect(a.shd, b.shd))),
+        |edges AS (
+        |  SELECT doc_a AS a, doc_b AS b FROM p
+        |  UNION SELECT doc_b, doc_a FROM p),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a WHERE e.b <> r.a)
+        |SELECT d.doc_id, least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS cluster
+        |FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+        |GROUP BY d.doc_id""".stripMargin.replaceFirst("^WITH ", "WITH RECURSIVE "),
     "dd_simhash" -> duckSimhashSql,
     // the distributed-aggregate form computes the identical sketch
     "dd_simhash_agg" -> duckSimhashSql,

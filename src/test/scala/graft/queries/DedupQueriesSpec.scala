@@ -1,0 +1,42 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase.spark
+
+/** Cluster-resolution semantics: the driver union-find fast path and the
+  * distributed min-label-propagation path must agree — same components,
+  * min-id labels — on graphs with chains, triangles, merged components,
+  * and isolated vertices.
+  */
+class DedupQueriesSpec extends AnyFunSuite {
+  import spark.implicits._
+
+  // chain 1-2-3-4, triangle 10-11-12, late merge 3-10, pair 20-21
+  private val edges = Seq(
+    (2L, 1L), (2L, 3L), (3L, 4L),
+    (10L, 11L), (11L, 12L), (12L, 10L),
+    (3L, 10L),
+    (20L, 21L)).toDF("doc_a", "doc_b")
+
+  private val expected = Map(
+    1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+    10L -> 1L, 11L -> 1L, 12L -> 1L, // merged into the chain's component
+    20L -> 20L, 21L -> 20L)
+
+  test("union-find fast path labels components by min id") {
+    val got = DedupQueries.connectedComponents(edges, "doc_a", "doc_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // roots may be absent (callers coalesce to self); fill them in
+    val full = expected.keys.map(k => k -> got.getOrElse(k, k)).toMap
+    assert(full == expected)
+  }
+
+  test("distributed propagation path (forced) agrees with the fast path") {
+    val got = DedupQueries.connectedComponents(edges, "doc_a", "doc_b",
+        maxDriverEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = expected.keys.map(k => k -> got.getOrElse(k, k)).toMap
+    assert(full == expected)
+  }
+}
