@@ -340,6 +340,22 @@ object RefQueries {
         count(col("o_orderpriority")).as("n_priority_nonnull"))
   }
 
+  /** A2b — APPROXIMATE distinct count (HyperLogLog++): the scale
+    * companion to A2. The reference's validations need exact equality, so
+    * exact countDistinct stays the parity operator — but at 100 TB the
+    * profiling/monitoring side of a pipeline runs on sketches: fixed-size
+    * state, one pass, mergeable across partitions. No DuckDB oracle
+    * (sketch estimates are engine-specific) → driver rows-only check;
+    * the error bound is asserted in RefQueriesSpec instead.
+    */
+  def a2ApproxDistinct: Q = (s, dir) => {
+    Tables.lineitem(s, dir)
+      .agg(
+        approx_count_distinct(col("l_orderkey"), rsd = 0.01).as("approx_orders"),
+        approx_count_distinct(col("l_partkey"), rsd = 0.01).as("approx_parts"),
+        count(lit(1)).as("n_rows"))
+  }
+
   /** A4b — full-row duplicate detection (reference `maf.py:238-240`:
     * `df.duplicated()` any → error), reported as the duplicated rows with
     * multiplicity. groupBy-all-columns form: one shuffle on the row hash,
@@ -511,6 +527,7 @@ object RefQueries {
     "j7_bucketed_colocated" -> j7BucketedColocated,
     "a1_group_collect" -> a1GroupCollect,
     "a2_count_distinct" -> a2CountDistinct,
+    "a2_approx_distinct" -> a2ApproxDistinct,
     "a4_dup_detect" -> a4DupDetect,
     "a4_full_row_dup" -> a4FullRowDup,
     "a7_keep_last" -> a7KeepLast,

@@ -29,6 +29,19 @@ class RefQueriesSpec extends AnyFunSuite {
     assert(total == graft.Tables.lineitem(spark, sf001).count())
   }
 
+  test("a2_approx_distinct: HLL estimate within 2% of exact") {
+    val row = RefQueries.a2ApproxDistinct(spark, sf001).head()
+    import org.apache.spark.sql.functions._
+    val exact = graft.Tables.lineitem(spark, sf001)
+      .agg(countDistinct(col("l_orderkey")), countDistinct(col("l_partkey"))).head()
+    def close(approx: Long, truth: Long): Boolean =
+      math.abs(approx - truth).toDouble / truth < 0.02
+    assert(close(row.getLong(0), exact.getLong(0)),
+      s"orders: ${row.getLong(0)} vs ${exact.getLong(0)}")
+    assert(close(row.getLong(1), exact.getLong(1)),
+      s"parts: ${row.getLong(1)} vs ${exact.getLong(1)}")
+  }
+
   test("p5 drops the all-null column from the schema") {
     val df = RefQueries.p5DropAllNaCols(spark, sf001)
     assert(!df.columns.contains("junk"))
