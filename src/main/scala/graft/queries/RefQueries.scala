@@ -495,6 +495,19 @@ object RefQueries {
         min(col("o_orderkey")).as("first_key"), max(col("o_orderkey")).as("last_key"))
   }
 
+  /** O1 — global ordered top-N (§2.5 extension; the reference never
+    * sorts, but an engine needs the limit-pushdown shape): orderBy+limit
+    * must plan TakeOrderedAndProject — each task keeps a bounded heap of
+    * N rows and only those reach the driver, never a full global sort
+    * (PlanChecksSpec asserts the physical operator).
+    */
+  def o1TopN: Q = (s, dir) => {
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(10)
+  }
+
   /** V* — the validation suite as one report frame (rule, value); every
     * rule is an aggregate query (reference §2.10; `utils.py:52-58`
     * error-accumulator replaced by a data result).
@@ -541,6 +554,7 @@ object RefQueries {
     "f5_recode" -> f5Recode,
     "f6_days_to_months" -> f6DaysToMonths,
     "f9_chunks" -> f9Chunks,
+    "o1_top_n" -> o1TopN,
     "v_report" -> vReport)
 
   val oracle: Map[String, String] = Map(
@@ -696,5 +710,8 @@ object RefQueries {
         |   CAST(floor((row_number() OVER (ORDER BY o_orderkey) - 1) / 400) AS BIGINT) AS chunk
         |  FROM orders)
         | GROUP BY 1""".stripMargin,
+    "o1_top_n" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        | ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
     "v_report" -> graft.validation.Rules.standardReportOracle)
 }

@@ -64,6 +64,12 @@ class PlanChecksSpec extends AnyFunSuite {
       s"expected WindowGroupLimit for row_number==1, got:\n$plan")
   }
 
+  test("O1 global top-N plans TakeOrderedAndProject, not a full sort") {
+    val plan = planString(RefQueries.o1TopN(spark, sf001))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected bounded-heap top-N operator, got:\n$plan")
+  }
+
   test("custom sketch/vec expressions stay inside WholeStageCodegen") {
     val dd = DedupQueries.ddSimhash(spark, sf001)
     val plan = planString(dd)

@@ -60,6 +60,16 @@ class CbioTsvSourceSpec extends AnyFunSuite {
     assert(df.as[String].collect().sorted.toSeq == Seq("s1", "s2", "s3"))
   }
 
+  test("file without a header block degrades to all-string untyped columns") {
+    val tmp = Files.createTempDirectory("cbio-nohdr").toString
+    val f = s"$tmp/plain.txt"
+    Files.writeString(java.nio.file.Paths.get(f), "A\tB\n1\tx\n2\ty\n")
+    val df = spark.read.format("cbio").load(f)
+    assert(df.schema.fields.forall(_.dataType == StringType))
+    assert(df.count() == 2)
+    assert(df.select("A").as[String].collect().sorted.toSeq == Seq("1", "2"))
+  }
+
   test("round-trips the pipeline's own export (written by Tsv, read by cbio)") {
     val df = spark.read.format("cbio").load(writeFixture())
     // sum over the typed NUMBER column: 12.5 + 3.0, null skipped
