@@ -10,6 +10,13 @@ import org.apache.spark.sql.functions._
   */
 object Fns {
 
+  /** Column reference by LITERAL name. `col(name)` parses dots as struct
+    * access, so any dynamic-schema code (`df.columns` loops) breaks on
+    * names like the reference's `MHCflurry_2.1.1_affinity_nm`
+    * (`validate.py:14-133`) — backtick-quote to keep the name literal.
+    */
+  def qcol(name: String): Column = col(s"`$name`")
+
   /** F1 — strip the first occurrence of the literal `"_" + columnName
     * .toLowerCase` from every value of the column (reference
     * `clinical.py:98-133`: `str.replace(suffix, "", n=1, regex=False)`).
@@ -28,7 +35,7 @@ object Fns {
       .filter(_.dataType == org.apache.spark.sql.types.StringType).map(_.name)
     stringCols.foldLeft(df) { (acc, name) =>
       val suffix = if (name == "AMADEUS_STUDY") "_amadeus" else "_" + name.toLowerCase
-      acc.withColumn(name, ReplaceFirst.replaceFirst(col(name), lit(suffix), lit("")))
+      acc.withColumn(name, ReplaceFirst.replaceFirst(qcol(name), lit(suffix), lit("")))
     }
   }
 

@@ -102,8 +102,8 @@ object ClinicalPipeline {
       .map(r => r.getString(0) -> r.getString(1)).toMap
     df.columns.foldLeft(df) { (acc, name) =>
       cases.get(name) match {
-        case Some("CAPS") => acc.withColumn(name, Fns.capsCase(col(name)))
-        case Some("Title Case") => acc.withColumn(name, Fns.titleCase(col(name)))
+        case Some("CAPS") => acc.withColumn(name, Fns.capsCase(Fns.qcol(name)))
+        case Some("Title Case") => acc.withColumn(name, Fns.titleCase(Fns.qcol(name)))
         case _ => acc
       }
     }
@@ -154,19 +154,20 @@ object ClinicalPipeline {
       .filter(present)
     val sampleCols = (sampleFixed ++
       df.columns.filter(c => byType.get(c).contains("SAMPLE")) ++ dsCol).distinct
-    (df.select(patientCols.distinct.map(col): _*).distinct(),
-      df.select(sampleCols.map(col): _*))
+    (df.select(patientCols.distinct.map(Fns.qcol): _*).distinct(),
+      df.select(sampleCols.map(Fns.qcol): _*))
   }
 
   /** P5 — drop columns with zero non-null values: one aggregate pass then
     * the pruned projection (reference `clinical.py:538-547`).
     */
   def dropAllNaColumns(df: DataFrame): DataFrame = {
-    val counts = df.select(df.columns.map(c => count(col(c)).as(c)).toIndexedSeq: _*).head()
+    val counts = df.select(
+      df.columns.map(c => count(Fns.qcol(c)).as(c)).toIndexedSeq: _*).head()
     val keep = df.columns.zipWithIndex.collect {
       case (c, i) if counts.getLong(i) > 0 => c
     }
-    df.select(keep.map(col).toIndexedSeq: _*)
+    df.select(keep.map(Fns.qcol).toIndexedSeq: _*)
   }
 
   /** A7 + U2 — merge new mapping rows into the attribute-metadata table,

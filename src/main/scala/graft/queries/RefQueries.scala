@@ -165,9 +165,10 @@ object RefQueries {
     val df = Tables.orders(s, dir)
       .withColumn("junk", lit(null).cast(StringType))
       .select("o_orderkey", "o_orderstatus", "junk", "o_custkey")
-    val counts = df.select(df.columns.map(c => count(col(c)).as(c)).toIndexedSeq: _*).head()
+    val counts = df.select(
+      df.columns.map(c => count(Fns.qcol(c)).as(c)).toIndexedSeq: _*).head()
     val keep = df.columns.zipWithIndex.filter { case (_, i) => counts.getLong(i) > 0 }.map(_._1)
-    df.select(keep.map(col).toIndexedSeq: _*)
+    df.select(keep.map(Fns.qcol).toIndexedSeq: _*)
   }
 
   /** P6+A6 — attribute-driven split projection + distinct (one row per
@@ -364,7 +365,7 @@ object RefQueries {
   def a4FullRowDup: Q = (s, dir) => {
     val dup = Tables.region(s, dir) // small table unioned onto itself → known dups
     val df = dup.unionByName(dup.filter(col("r_regionkey") < 2))
-    df.groupBy(df.columns.map(col).toIndexedSeq: _*)
+    df.groupBy(df.columns.map(Fns.qcol).toIndexedSeq: _*)
       .agg(count(lit(1)).as("n"))
       .filter(col("n") > 1)
       .select(col("r_regionkey"), col("n"))

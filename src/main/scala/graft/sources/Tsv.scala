@@ -44,7 +44,7 @@ object Tsv {
     * empty string (pandas `to_csv` NaN rendering).
     */
   def cellToString(df: DataFrame, field: StructField): Column = {
-    val c = col(field.name)
+    val c = graft.functions.Fns.qcol(field.name)
     val s = field.dataType match {
       case DoubleType            => format12g(c)
       case FloatType             => format12g(c.cast(DoubleType))

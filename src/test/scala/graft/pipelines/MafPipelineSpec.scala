@@ -92,6 +92,29 @@ class MafPipelineSpec extends AnyFunSuite {
     assert(rep("neo_not_in_maf") == 1L) // SAMP-9
   }
 
+  test("full 118-col MAF contract: write, re-read, V13 passes; one missing col reported") {
+    import org.apache.spark.sql.functions.{col, lit}
+    // widen the narrow fixture to the full contract: every missing
+    // required column null-filled (pandas outer-concat shape, U1)
+    val full = graft.Schemas.RequiredMafCols.foldLeft(maf) { (acc, c) =>
+      if (acc.columns.contains(c)) acc
+      else acc.withColumn(c, lit(null).cast("string"))
+    }
+    assert(MafPipeline.missingRequiredColumns(full, graft.Schemas.RequiredMafCols).isEmpty)
+    assert(full.columns.toSet.intersect(graft.Schemas.RequiredMafCols.toSet).size == 118)
+    // TSV round-trip at full width preserves the contract
+    val tmp = Files.createTempDirectory("maf-full").toString
+    graft.sources.Tsv.writeTsvFile(full, s"$tmp/data_mutations.txt")
+    val back = graft.sources.Tsv.read(spark, s"$tmp/data_mutations.txt")
+    assert(MafPipeline.missingRequiredColumns(back, graft.Schemas.RequiredMafCols).isEmpty)
+    assert(back.count() == full.count())
+    // dropping one contract column is reported by name (V13)
+    val narrowed = full.drop("Annotation_Status")
+    assert(MafPipeline.missingRequiredColumns(narrowed, graft.Schemas.RequiredMafCols)
+      == Seq("Annotation_Status"))
+    assert(back.filter(col("Chromosome") === "chr1").count() == 1)
+  }
+
   test("writeOutputs + load case lists end-to-end on disk") {
     val tmp = Files.createTempDirectory("maf-e2e").toString
     val out = MafPipeline.postprocess(maf)
