@@ -24,14 +24,23 @@ import graft.functions.Format12g.format12g
   */
 object Tsv {
 
+  /** `multiLine` enables quoted records with embedded newlines (pandas
+    * reads them by default; Spark must opt in). Costs splittability — a
+    * multiLine file is read by ONE task — so leave it off unless the data
+    * actually embeds newlines.
+    */
   def read(spark: SparkSession, path: String,
            comment: Option[Char] = None,
            inferSchema: Boolean = true,
-           schema: Option[StructType] = None): DataFrame = {
+           schema: Option[StructType] = None,
+           multiLine: Boolean = false): DataFrame = {
     var r = spark.read
       .option("sep", "\t")
       .option("header", "true")
       .option("nullValue", "")
+      .option("multiLine", multiLine.toString)
+      // doubled-quote escaping (RFC 4180 / pandas), not backslash
+      .option("escape", "\"")
     comment.foreach(c => r = r.option("comment", c.toString))
     schema match {
       case Some(s) => r.schema(s).csv(path)
@@ -41,7 +50,10 @@ object Tsv {
 
   /** Format one column to its TSV string per the reference's serialization:
     * doubles/floats via `%.12g`, everything else via cast-to-string; null →
-    * empty string (pandas `to_csv` NaN rendering).
+    * empty string (pandas `to_csv` NaN rendering). Values containing the
+    * separator, a newline/CR, or a quote are minimally quoted with doubled
+    * inner quotes (pandas QUOTE_MINIMAL) — Spark's CSV reader unquotes
+    * them back, so embedded tabs round-trip instead of corrupting rows.
     */
   def cellToString(df: DataFrame, field: StructField): Column = {
     val c = graft.functions.Fns.qcol(field.name)
@@ -52,7 +64,9 @@ object Tsv {
       case DateType              => date_format(c, "yyyy-MM-dd")
       case _                     => c.cast(StringType)
     }
-    coalesce(s, lit("")) // concat_ws would silently drop nulls
+    val quoted = when(s.rlike("[\t\n\r\"]"),
+      concat(lit("\""), regexp_replace(s, "\"", "\"\""), lit("\""))).otherwise(s)
+    coalesce(quoted, lit("")) // concat_ws would silently drop nulls
   }
 
   /** The whole frame as one `line` string column (header not included). */

@@ -40,6 +40,24 @@ class TsvSpec extends AnyFunSuite {
     assert(back.count() == 2)
   }
 
+  test("cells with tabs/quotes/newlines round-trip via minimal quoting") {
+    val tmp = java.nio.file.Files.createTempDirectory("tsv-quote").toString
+    val f = s"$tmp/q.tsv"
+    val df = Seq(
+      (1L, "plain"),
+      (2L, "has\ttab"),
+      (3L, "has \"quotes\""),
+      (4L, "multi\nline")).toDF("id", "v")
+    Tsv.writeTsvFile(df, f)
+    val back = Tsv.read(spark, f, inferSchema = false, multiLine = true)
+      .selectExpr("CAST(id AS LONG) AS id", "v")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(back(1L) == "plain")
+    assert(back(2L) == "has\ttab")
+    assert(back(3L) == "has \"quotes\"")
+    assert(back(4L) == "multi\nline")
+  }
+
   test("roundtrip preserves values through write+read") {
     val tmp = Files.createTempDirectory("tsv-spec").toString
     val f = s"$tmp/rt.tsv"
