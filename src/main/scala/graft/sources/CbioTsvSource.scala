@@ -164,11 +164,18 @@ private[sources] class CbioReaderFactory(allNames: Array[String], required: Stru
         else { current = line.split("\t", -1); true }
       }
 
+      // minimal unquoting, mirroring the K1 writer: a cell wrapped in
+      // quotes has its wrapper stripped and doubled quotes undoubled
+      private def unquote(cell: String): String =
+        if (cell.length >= 2 && cell.head == '"' && cell.last == '"')
+          cell.substring(1, cell.length - 1).replace("\"\"", "\"")
+        else cell
+
       override def get(): InternalRow = {
         val vals = new Array[Any](cellIdx.length)
         var i = 0
         while (i < cellIdx.length) {
-          val cell = if (cellIdx(i) < current.length) current(cellIdx(i)) else ""
+          val cell = if (cellIdx(i) < current.length) unquote(current(cellIdx(i))) else ""
           vals(i) =
             if (cell.isEmpty) null
             else if (isNum(i)) java.lang.Double.valueOf(cell)

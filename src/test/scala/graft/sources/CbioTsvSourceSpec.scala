@@ -70,6 +70,18 @@ class CbioTsvSourceSpec extends AnyFunSuite {
     assert(df.select("A").as[String].collect().sorted.toSeq == Seq("1", "2"))
   }
 
+  test("quoted cells (from the K1 writer) unquote on read") {
+    val tmp = Files.createTempDirectory("cbio-quote").toString
+    val f = s"$tmp/q.txt"
+    val df = Seq(("s1", "desc with \"quotes\""), ("s2", "plain"))
+      .toDF("SAMPLE_ID", "NOTE")
+    Tsv.writeTsvFile(df, f)
+    val back = spark.read.format("cbio").load(f)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(back("s1") == "desc with \"quotes\"")
+    assert(back("s2") == "plain")
+  }
+
   test("round-trips the pipeline's own export (written by Tsv, read by cbio)") {
     val df = spark.read.format("cbio").load(writeFixture())
     // sum over the typed NUMBER column: 12.5 + 3.0, null skipped
