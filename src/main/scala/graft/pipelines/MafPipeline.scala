@@ -23,12 +23,28 @@ object MafPipeline {
     Seq("Chromosome", "Start_Position", "End_Position", "Reference_Allele", "Tumor_Seq_Allele2")
 
   /** S3/S5/U1 — read every `*.maf` TSV under a folder (comment lines
-    * skipped) and union by name, missing columns null-filled (pandas outer
-    * `concat`; reference `maf.py:14-36`). The glob is pushed to the file
-    * index — no driver-side listing.
+    * skipped) and union BY NAME, missing columns null-filled (pandas
+    * outer `concat`; reference `maf.py:14-36`). None when the folder has
+    * no `.maf` files (the reference returns None and exits, `maf.py:30`).
+    *
+    * Per-file reads, not one glob: a multi-file CSV glob binds every file
+    * to the FIRST file's header positionally, silently misaligning
+    * folders whose MAFs carry different column sets — by-name alignment
+    * requires per-file schema inference. Listing one study folder on the
+    * driver matches the reference's own folder scan; each file's scan is
+    * still distributed.
     */
-  def readAndMergeMafs(spark: SparkSession, dir: String): DataFrame =
-    Tsv.read(spark, s"$dir/*.maf", comment = Some('#'))
+  def readAndMergeMafs(spark: SparkSession, dir: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val files =
+      if (!fs.exists(p)) Array.empty[String]
+      else fs.listStatus(p).filter(s => s.isFile && s.getPath.getName.endsWith(".maf"))
+        .map(_.getPath.toString).sorted
+    if (files.isEmpty) None
+    else Some(files.map(f => Tsv.read(spark, f, comment = Some('#')))
+      .reduce(_.unionByName(_, allowMissingColumns = true)))
+  }
 
   /** J5 — annotation join with a failure channel: left join against the
     * annotation table on the variant key; matched rows get the annotation

@@ -123,6 +123,18 @@ class ClinicalPipelineSpec extends AnyFunSuite {
     ("CANCER_TYPE", "Cancer Type", "Cancer type", "STRING", "1"))
     .toDF("NORMALIZED_COLUMN_HEADER", "DISPLAY_NAME", "DESCRIPTION", "DATA_TYPE", "PRIORITY")
 
+  test("split with empty mapping keeps only the fixed id columns (reference test_empty_mapping)") {
+    val df = Seq(("s1", "p1", "LUAD", "DsA", "extra"))
+      .toDF("SAMPLE_ID", "PATIENT_ID", "CANCER_TYPE", "Dataset", "UNMAPPED_ATTR")
+    val emptyMapping = Seq.empty[(String, String)]
+      .toDF("NORMALIZED_HEADER", "ATTRIBUTE_TYPE")
+    val (patient, sample) = ClinicalPipeline.splitPatientSample(df, emptyMapping)
+    assert(patient.columns.toSeq == Seq("PATIENT_ID", "Dataset"))
+    assert(sample.columns.toSeq ==
+      Seq("SAMPLE_ID", "PATIENT_ID", "CANCER_TYPE", "Dataset"))
+    assert(!sample.columns.contains("UNMAPPED_ATTR"))
+  }
+
   test("lens join flags unmatched samples (V15)") {
     val df = Seq(("ps1", "DsA"), ("s2", "DsA")).toDF("SAMPLE_ID", "Dataset")
     val lens = Seq(("ps1", "lens-1")).toDF("study_sample_name", "lens_id")

@@ -92,6 +92,32 @@ class MafPipelineSpec extends AnyFunSuite {
     assert(rep("neo_not_in_maf") == 1L) // SAMP-9
   }
 
+  test("readAndMergeMafs: by-name union of mixed-column .maf files; None when empty") {
+    import org.apache.spark.sql.functions.col
+    val tmp = Files.createTempDirectory("maf-merge").toString
+    // two MAFs with DIFFERENT column sets and orders — pandas outer
+    // concat aligns by name and null-fills (reference maf.py:35)
+    Files.writeString(Paths.get(s"$tmp/a.maf"),
+      "#version 1\nHugo_Symbol\tChromosome\tt_ref_count\nTP53\tchr17\t10\n")
+    Files.writeString(Paths.get(s"$tmp/b.maf"),
+      "#version 1\nChromosome\tHugo_Symbol\tExtra_Col\nchr12\tKRAS\tx\n")
+    Files.writeString(Paths.get(s"$tmp/ignore.txt"), "not\ta\tmaf\n")
+    val merged = MafPipeline.readAndMergeMafs(spark, tmp).get
+    assert(merged.count() == 2)
+    val byGene = merged.collect().map(r =>
+      r.getAs[String]("Hugo_Symbol") ->
+        (r.getAs[String]("Chromosome"), Option(r.getAs[Any]("t_ref_count")),
+          Option(r.getAs[String]("Extra_Col")))).toMap
+    assert(byGene("TP53")._1 == "chr17" && byGene("TP53")._2.isDefined
+      && byGene("TP53")._3.isEmpty)
+    assert(byGene("KRAS")._1 == "chr12" && byGene("KRAS")._2.isEmpty
+      && byGene("KRAS")._3.contains("x"))
+    // empty folder → None (reference returns None and exits)
+    val empty = Files.createTempDirectory("maf-empty").toString
+    assert(MafPipeline.readAndMergeMafs(spark, empty).isEmpty)
+    assert(merged.filter(col("Chromosome") === "chr17").count() == 1)
+  }
+
   test("full 118-col MAF contract: write, re-read, V13 passes; one missing col reported") {
     import org.apache.spark.sql.functions.{col, lit}
     // widen the narrow fixture to the full contract: every missing
