@@ -136,6 +136,22 @@ object TextQueries {
         bround(expr("percentile(len, 0.9)"), 6).as("p90_len"))
   }
 
+  /** ta_vocab — corpus vocabulary: top-100 whitespace tokens by frequency
+    * (ties by token). explode → hash-partitioned count with map-side
+    * combine → TakeOrderedAndProject; the vocabulary/frequency-table pass
+    * every tokenizer build starts from. At 100 TB the combine step means
+    * the shuffle carries one row per (partition, distinct token), not per
+    * token occurrence.
+    */
+  def taVocab: Q = (s, dir) => {
+    Tables.documents(s, dir)
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("tok").asc)
+      .limit(100)
+  }
+
   /** td_redact — PII scrubbing: email/phone/long-digit-run patterns
     * replaced with typed placeholder tokens, plus per-doc redaction
     * counts. Pure map (scan-throughput at 100 TB); patterns are kept in
@@ -208,6 +224,7 @@ object TextQueries {
     "ta_fingerprint" -> taFingerprint,
     "ta_winnow" -> taWinnow,
     "ta_profile" -> taProfile,
+    "ta_vocab" -> taVocab,
     "td_redact" -> tdRedact,
     "td_split" -> tdSplit,
     "td_clean_corpus" -> tdCleanCorpus)
@@ -255,6 +272,12 @@ object TextQueries {
         | round(quantile_cont(length(text), 0.5), 6) AS median_len,
         | round(quantile_cont(length(text), 0.9), 6) AS p90_len
         | FROM documents""".stripMargin,
+    "ta_vocab" ->
+      """SELECT tok, count(*) AS freq FROM (
+        |  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents)
+        | WHERE length(tok) > 0
+        | GROUP BY 1 ORDER BY freq DESC, tok ASC LIMIT 100""".stripMargin,
     "td_redact" ->
       """SELECT doc_id,
         | len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS n_emails,
