@@ -563,21 +563,25 @@ object RefQueries {
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
         | count(*) AS n_rows, count(DISTINCT l_orderkey) AS n_orders
         | FROM lineitem GROUP BY 1, 2""".stripMargin,
+    // NB: integer sums are CAST to BIGINT everywhere in these oracles —
+    // DuckDB's sum(INTEGER/BIGINT) returns HUGEINT, which the driver's
+    // pandas fetch renders as float64 ("42.0") while Spark's LongType
+    // renders "42": a value-hash mismatch on identical results.
     "s2_tsv_roundtrip" ->
-      """SELECT count(*) AS n, sum(p_size) AS sum_size,
+      """SELECT count(*) AS n, CAST(sum(p_size) AS BIGINT) AS sum_size,
         | round(sum(p_retailprice), 2) AS sum_price FROM part""".stripMargin,
     "s3_comment_scan" ->
       "SELECT r_regionkey, r_name FROM region",
     "s5_glob_scan" ->
       "SELECT n_nationkey, n_name FROM nation",
     "s7_jsonl_roundtrip" ->
-      """SELECT lang, count(*) AS n, sum(doc_id) AS sum_ids,
+      """SELECT lang, count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS sum_ids,
         | count(DISTINCT source) AS n_sources FROM documents GROUP BY 1""".stripMargin,
     "s8_orc_roundtrip" ->
-      """SELECT o_orderstatus, count(*) AS n, sum(o_orderkey) AS sum_keys
+      """SELECT o_orderstatus, count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS sum_keys
         | FROM orders GROUP BY 1""".stripMargin,
     "s9_cbio_source" ->
-      """SELECT count(*) AS n, sum(r_regionkey) AS sum_keys,
+      """SELECT count(*) AS n, CAST(sum(r_regionkey) AS BIGINT) AS sum_keys,
         | count(DISTINCT r_name) AS n_names FROM region""".stripMargin,
     "p1_filter_na_false" ->
       """SELECT doc_id, lang, source FROM documents
@@ -608,7 +612,7 @@ object RefQueries {
         | GROUP BY 1""".stripMargin,
     "j3_full_outer" ->
       """SELECT c.c_mktsegment, count(*) AS n_rows, count(o.o_orderkey) AS n_orders,
-        | sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS n_orphan_orders
+        | CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphan_orders
         | FROM customer c FULL OUTER JOIN orders o ON c.c_custkey = o.o_custkey
         | GROUP BY 1""".stripMargin,
     "j4_lookup_enrich" ->
@@ -619,7 +623,7 @@ object RefQueries {
         | GROUP BY 1, 2""".stripMargin,
     "j5_annotation_join" ->
       """SELECT l.l_returnflag, count(a.annotation) AS n_annotated,
-        | sum(CASE WHEN a.annotation IS NULL THEN 1 ELSE 0 END) AS n_failed
+        | CAST(sum(CASE WHEN a.annotation IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_failed
         | FROM lineitem l LEFT JOIN
         |  (SELECT p_partkey, p_type AS annotation FROM part WHERE p_size > 25) a
         |  ON l.l_partkey = a.p_partkey
@@ -661,10 +665,10 @@ object RefQueries {
         |  FROM orders) WHERE rn = 1""".stripMargin,
     "a8_na_aggregates" ->
       """SELECT
-        | sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS na_orderkey,
-        | sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS na_custkey,
-        | sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS na_status,
-        | sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS na_totalprice,
+        | CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS na_orderkey,
+        | CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS na_custkey,
+        | CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS na_status,
+        | CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS na_totalprice,
         | count(*) AS n_rows
         | FROM orders""".stripMargin,
     "a9_set_equality" ->

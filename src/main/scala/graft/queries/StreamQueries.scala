@@ -23,7 +23,7 @@ object StreamQueries {
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast("decimal(18,2)")).as("sum_value"))
       .select(col("window.start").as("w_start"), col("event_type"),
-        col("n"), col("sum_value").cast("decimal(28,2)").as("sum_value"))
+        col("n"), col("sum_value").cast("double").as("sum_value"))
 
   /** ev_sliding — 1-hour windows sliding every 30 minutes. */
   def evSliding: Q = (s, dir) =>
@@ -60,7 +60,7 @@ object StreamQueries {
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_pairs"),
         sum(col("purchase_value").cast("decimal(18,2)"))
-          .cast("decimal(28,2)").as("sum_value"))
+          .cast("double").as("sum_value"))
   }
 
   /** ev_asof — as-of join: each click picks up the most recent purchase
@@ -93,7 +93,7 @@ object StreamQueries {
   val oracle: Map[String, String] = Map(
     "ev_tumbling" ->
       """SELECT time_bucket(INTERVAL 1 HOUR, ts) AS w_start, event_type,
-        | count(*) AS n, sum(value::DECIMAL(18,2))::DECIMAL(28,2) AS sum_value
+        | count(*) AS n, sum(value::DECIMAL(18,2))::DOUBLE AS sum_value
         | FROM events GROUP BY 1, 2""".stripMargin,
     "ev_sliding" ->
       """SELECT w_start, event_type, count(*) AS n FROM (
@@ -133,7 +133,7 @@ object StreamQueries {
         | FROM events""".stripMargin,
     "ev_interval_join" ->
       """SELECT c.user_id, count(*) AS n_pairs,
-        | sum(p.value::DECIMAL(18,2))::DECIMAL(28,2) AS sum_value
+        | sum(p.value::DECIMAL(18,2))::DOUBLE AS sum_value
         | FROM (SELECT user_id, ts FROM events WHERE event_type = 'click') c
         | JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
         |   ON c.user_id = p.user_id

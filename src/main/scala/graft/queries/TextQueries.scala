@@ -267,8 +267,8 @@ object TextQueries {
     "ta_profile" ->
       """SELECT count(*) AS n_docs, count(DISTINCT lang) AS n_langs,
         | min(length(text)) AS min_len, max(length(text)) AS max_len,
-        | sum(length(text)) AS sum_len,
-        | sum(len(regexp_extract_all(text, '\S+'))) AS sum_tokens,
+        | CAST(sum(length(text)) AS BIGINT) AS sum_len,
+        | CAST(sum(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS sum_tokens,
         | round(quantile_cont(length(text), 0.5), 6) AS median_len,
         | round(quantile_cont(length(text), 0.9), 6) AS p90_len
         | FROM documents""".stripMargin,
@@ -289,7 +289,7 @@ object TextQueries {
         | FROM documents""".stripMargin,
     "td_split" ->
       """SELECT CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'valid' ELSE 'test' END AS split,
-        | count(*) AS n, min(doc_id) AS min_id, sum(doc_id) AS sum_ids
+        | count(*) AS n, min(doc_id) AS min_id, CAST(sum(doc_id) AS BIGINT) AS sum_ids
         | FROM (SELECT doc_id,
         |   ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100 AS b
         |   FROM documents)

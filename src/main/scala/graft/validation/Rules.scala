@@ -115,12 +115,12 @@ object Rules {
   /** DuckDB oracle for [[standardReport]] — same numbers via UNION ALL. */
   val standardReportOracle: String =
     """SELECT 'rows_orders' AS rule, count(*) AS value, count(*) > 0 AS passed FROM orders
-      |UNION ALL SELECT 'no_null_o_orderkey', sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END), sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) = 0 FROM orders
-      |UNION ALL SELECT 'no_null_o_custkey', sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END), sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) = 0 FROM orders
+      |UNION ALL SELECT 'no_null_o_orderkey', CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT), sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) = 0 FROM orders
+      |UNION ALL SELECT 'no_null_o_custkey', CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT), sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) = 0 FROM orders
       |UNION ALL SELECT 'no_dup_o_orderkey', count(*) - count(DISTINCT o_orderkey), count(*) - count(DISTINCT o_orderkey) = 0 FROM orders
       |UNION ALL SELECT 'not_all_na_o_orderstatus', count(o_orderstatus), count(o_orderstatus) > 0 FROM orders
       |UNION ALL SELECT 'rows_lineitem', count(*), count(*) > 0 FROM lineitem
-      |UNION ALL SELECT 'no_null_l_orderkey', sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END), sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) = 0 FROM lineitem
+      |UNION ALL SELECT 'no_null_l_orderkey', CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT), sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) = 0 FROM lineitem
       |UNION ALL SELECT 'not_all_na_l_quantity', count(l_quantity), count(l_quantity) > 0 FROM lineitem
       |UNION ALL SELECT 'orderkeys_a_minus_b', (SELECT count(*) FROM (SELECT DISTINCT o_orderkey FROM orders EXCEPT SELECT DISTINCT l_orderkey FROM lineitem)), (SELECT count(*) FROM (SELECT DISTINCT o_orderkey FROM orders EXCEPT SELECT DISTINCT l_orderkey FROM lineitem)) = 0
       |UNION ALL SELECT 'orderkeys_b_minus_a', (SELECT count(*) FROM (SELECT DISTINCT l_orderkey FROM lineitem EXCEPT SELECT DISTINCT o_orderkey FROM orders)), (SELECT count(*) FROM (SELECT DISTINCT l_orderkey FROM lineitem EXCEPT SELECT DISTINCT o_orderkey FROM orders)) = 0""".stripMargin
