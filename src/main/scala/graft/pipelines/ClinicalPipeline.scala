@@ -178,9 +178,16 @@ object ClinicalPipeline {
     */
   def updateAttributeMetadata(existing: DataFrame, updates: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val tag = monotonically_increasing_id()
-    val all = existing.withColumn("__src", lit(0)).withColumn("__pos", tag)
-      .unionByName(updates.withColumn("__src", lit(1)).withColumn("__pos", tag),
+    // __pos must reproduce pandas' physical row order. A bare
+    // monotonically_increasing_id orders by (partition, offset), which is
+    // NOT source row order once a frame spans partitions or was
+    // repartitioned — so each side is first coalesced to one partition,
+    // where offset == row order. These are small control tables (dozens of
+    // attribute rows), so the single partition costs nothing.
+    def withPos(df: DataFrame): DataFrame =
+      df.coalesce(1).withColumn("__pos", monotonically_increasing_id())
+    val all = withPos(existing).withColumn("__src", lit(0))
+      .unionByName(withPos(updates).withColumn("__src", lit(1)),
         allowMissingColumns = true)
     val w = Window.partitionBy(col("NORMALIZED_COLUMN_HEADER"))
       .orderBy(col("__src").desc, col("__pos").desc)

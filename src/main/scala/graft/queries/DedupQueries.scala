@@ -218,14 +218,31 @@ object DedupQueries {
         .withColumn("component", col("id")).persist()
       var changed = 1L
       var rounds = 0
-      while (changed > 0 && rounds < 30) {
+      // Each round: (a) min-label over edge neighbors, then (b) pointer
+      // jumping — follow component -> that node's component (labels only
+      // ever name nodes inside the same component, so the hop is safe).
+      // (b) halves chain lengths, so convergence is O(log diameter), not
+      // O(diameter): a 64-round budget covers any graph that fits in
+      // longs, and hitting it is an invariant violation, not data size.
+      while (changed > 0) {
+        require(rounds < 64,
+          s"connectedComponents failed to converge after $rounds rounds " +
+            s"($changed labels still changing) — non-convergence must not " +
+            "silently split clusters")
         val nmin = edges.join(labels, edges("dst") === labels("id"))
           .groupBy(col("src")).agg(min(col("component")).as("ncomp"))
-        val updated = labels.as("l")
+        val stepped = labels.as("l")
           .join(nmin, col("l.id") === nmin("src"))
           .select(col("l.id").as("id"),
             least(col("l.component"), col("ncomp")).as("component"),
             col("l.component").as("__old"))
+        val updated = stepped.as("a")
+          .join(stepped.select(col("id").as("__jid"), col("component").as("__jcomp")),
+            col("a.component") === col("__jid"), "left")
+          .select(col("a.id").as("id"),
+            least(col("a.component"), coalesce(col("__jcomp"), col("a.component")))
+              .as("component"),
+            col("__old"))
           .persist()
         changed = updated.filter(col("component") < col("__old")).count()
         labels.unpersist()

@@ -159,26 +159,76 @@ private[sources] class CbioReaderFactory(allNames: Array[String], required: Stru
       private var current: Array[String] = _
 
       override def next(): Boolean = {
-        val line = reader.readLine()
-        if (line == null) false
-        else { current = line.split("\t", -1); true }
+        current = readRecord()
+        current != null
       }
 
-      // minimal unquoting, mirroring the K1 writer: a cell wrapped in
-      // quotes has its wrapper stripped and doubled quotes undoubled
-      private def unquote(cell: String): String =
-        if (cell.length >= 2 && cell.head == '"' && cell.last == '"')
-          cell.substring(1, cell.length - 1).replace("\"\"", "\"")
-        else cell
+      /** Quote-aware record scan mirroring the K1 writer's QUOTE_MINIMAL
+        * output ([[Tsv.cellToString]]): cells containing tab / newline /
+        * CR / quote arrive wrapped in quotes with inner quotes doubled.
+        * Char-level (not readLine) so a quoted cell can span physical
+        * lines and an embedded CR survives — readLine would treat it as a
+        * line terminator. Returns null at EOF.
+        */
+      private def readRecord(): Array[String] = {
+        var ch = reader.read()
+        if (ch == -1) return null
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        val sb = new StringBuilder
+        var inQuote = false
+        var atCellStart = true
+        var done = false
+        while (!done) {
+          if (ch == -1) {
+            require(!inQuote, s"unterminated quoted cell at EOF in $file")
+            done = true
+          } else if (inQuote) {
+            if (ch == '"') {
+              val nxt = reader.read()
+              if (nxt == '"') { sb.append('"'); ch = reader.read() }
+              else { inQuote = false; ch = nxt }
+            } else { sb.append(ch.toChar); ch = reader.read() }
+          } else if (ch == '"' && atCellStart) {
+            inQuote = true; atCellStart = false; ch = reader.read()
+          } else if (ch == '\t') {
+            out += sb.toString; sb.clear(); atCellStart = true; ch = reader.read()
+          } else if (ch == '\n') {
+            done = true
+          } else if (ch == '\r') {
+            // unquoted CR only occurs as a \r\n terminator (the writer
+            // quotes any cell containing CR); a bare \r is kept literal
+            ch = reader.read()
+            if (ch == '\n' || ch == -1) done = true
+            else { sb.append('\r'); atCellStart = false }
+          } else { sb.append(ch.toChar); atCellStart = false; ch = reader.read() }
+        }
+        out += sb.toString
+        out.toArray
+      }
+
+      /** NUMBER-cell parse matching what the paired sink can emit and what
+        * cBioPortal files contain: Format12g writes `nan`/`inf`/`-inf`
+        * (which Double.valueOf rejects), and upstream files carry `NA` —
+        * pandas reads all of these without error, so unparseable cells
+        * become null rather than a task crash.
+        */
+      private def parseNumber(cell: String): Any = cell match {
+        case "nan" | "NaN"  => java.lang.Double.valueOf(Double.NaN)
+        case "inf" | "+inf" => java.lang.Double.valueOf(Double.PositiveInfinity)
+        case "-inf"         => java.lang.Double.valueOf(Double.NegativeInfinity)
+        case _ =>
+          try java.lang.Double.valueOf(cell)
+          catch { case _: NumberFormatException => null }
+      }
 
       override def get(): InternalRow = {
         val vals = new Array[Any](cellIdx.length)
         var i = 0
         while (i < cellIdx.length) {
-          val cell = if (cellIdx(i) < current.length) unquote(current(cellIdx(i))) else ""
+          val cell = if (cellIdx(i) < current.length) current(cellIdx(i)) else ""
           vals(i) =
             if (cell.isEmpty) null
-            else if (isNum(i)) java.lang.Double.valueOf(cell)
+            else if (isNum(i)) parseNumber(cell)
             else UTF8String.fromString(cell)
           i += 1
         }

@@ -63,8 +63,16 @@ object Layout {
     val tmp = new org.apache.hadoop.fs.Path(dir + "__compact_tmp")
     spark.read.parquet(dir).repartition(n)
       .write.mode("overwrite").parquet(tmp.toString)
-    fs.delete(p, true)
-    fs.rename(tmp, p)
+    // Never a window where the only copy is gone: move the original aside,
+    // promote the rewrite, and delete the old copy last — a crash between
+    // steps leaves the data at either the target or `__compact_old`. Both
+    // renames are within one parent dir, so no cross-filesystem surprises.
+    val old = new org.apache.hadoop.fs.Path(dir + "__compact_old")
+    fs.delete(old, true) // clear any leftover from a previous failed run
+    require(fs.rename(p, old), s"compact: rename $p -> $old failed")
+    require(fs.rename(tmp, p),
+      s"compact: rename $tmp -> $p failed; original preserved at $old")
+    fs.delete(old, true)
     (before.length, dataFiles().length)
   }
 

@@ -39,4 +39,16 @@ class DedupQueriesSpec extends AnyFunSuite {
     val full = expected.keys.map(k => k -> got.getOrElse(k, k)).toMap
     assert(full == expected)
   }
+
+  test("distributed path converges on a chain with diameter > 30") {
+    // chain 0-1-2-...-40: plain min-label propagation needs ~40 rounds —
+    // the old fixed 30-round cap silently split this into two clusters;
+    // pointer jumping closes it in O(log n) rounds instead.
+    val chain = (0L until 40L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val got = DedupQueries.connectedComponents(chain, "doc_a", "doc_b",
+        maxDriverEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.values.toSet == Set(0L), s"chain must be ONE component, got ${got.values.toSet}")
+    assert(got.keySet == (0L to 40L).toSet)
+  }
 }

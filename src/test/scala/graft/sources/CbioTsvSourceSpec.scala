@@ -87,4 +87,45 @@ class CbioTsvSourceSpec extends AnyFunSuite {
     // sum over the typed NUMBER column: 12.5 + 3.0, null skipped
     assert(df.agg(sum("TMB")).head().getDouble(0) == 15.5)
   }
+
+  test("cells with embedded tabs and newlines round-trip without misalignment") {
+    val tmp = Files.createTempDirectory("cbio-sep").toString
+    val f = s"$tmp/sep.txt"
+    val df = Seq(
+      ("s1", "a\tb", "after-tab"),
+      ("s2", "line1\nline2", "after-nl"),
+      ("s3", "cr\rhere", "after-cr"),
+      ("s4", "plain", "ok"))
+      .toDF("SAMPLE_ID", "NOTE", "TRAIL")
+    Tsv.writeTsvFile(df, f)
+    val back = spark.read.format("cbio").load(f)
+      .collect().map(r => r.getString(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(back.size == 4) // an unquoted newline would have split s2 into 2 rows
+    assert(back("s1") == ("a\tb", "after-tab")) // unquoted tab would shift TRAIL
+    assert(back("s2") == ("line1\nline2", "after-nl"))
+    assert(back("s3") == ("cr\rhere", "after-cr"))
+    assert(back("s4") == ("plain", "ok"))
+  }
+
+  test("NUMBER cells: nan/inf/-inf (Format12g renderings) and NA parse leniently") {
+    val tmp = Files.createTempDirectory("cbio-num").toString
+    val f = s"$tmp/num.txt"
+    // write a frame containing NaN/Inf doubles through the sink itself
+    val df = Seq(
+      ("s1", Double.NaN), ("s2", Double.PositiveInfinity),
+      ("s3", Double.NegativeInfinity), ("s4", 1.5))
+      .toDF("SAMPLE_ID", "SCORE")
+    Tsv.writeTsvFile(df, f, headerBlock = Seq(
+      "#Sample\tScore", "#id\tval", "#STRING\tNUMBER", "#1\t1"))
+    // append an upstream-style 'NA' row (common in cBioPortal files)
+    Files.writeString(java.nio.file.Paths.get(f),
+      Files.readString(java.nio.file.Paths.get(f)) + "s5\tNA\n")
+    val back = spark.read.format("cbio").load(f)
+      .collect().map(r => r.getString(0) -> Option(r.get(1))).toMap
+    assert(back("s1").exists(v => v.asInstanceOf[Double].isNaN))
+    assert(back("s2").contains(Double.PositiveInfinity))
+    assert(back("s3").contains(Double.NegativeInfinity))
+    assert(back("s4").contains(1.5))
+    assert(back("s5").isEmpty) // NA -> null, not a task crash
+  }
 }
