@@ -23,7 +23,8 @@ object SparkEntry {
       graft.queries.DedupQueries.queries ++
       graft.queries.SimQueries.queries ++
       graft.queries.StreamQueries.queries ++
-      graft.queries.MultimodalQueries.queries
+      graft.queries.MultimodalQueries.queries ++
+      graft.queries.OlapQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → rows-only check.
@@ -34,5 +35,6 @@ object SparkEntry {
       graft.queries.DedupQueries.oracle ++
       graft.queries.SimQueries.oracle ++
       graft.queries.StreamQueries.oracle ++
-      graft.queries.MultimodalQueries.oracle
+      graft.queries.MultimodalQueries.oracle ++
+      graft.queries.OlapQueries.oracle
 }

@@ -192,7 +192,11 @@ object DedupQueries {
                           maxDriverEdges: Long = 1L << 22): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
-    val edgeCount = pairs.count()
+    // The edge list is the output of the whole LSH+verify chain — persist
+    // it so the size probe and the path taken (collect / edge expansion)
+    // don't each recompute that chain from the scan.
+    val cached = pairs.persist()
+    val edgeCount = cached.count()
     if (edgeCount <= maxDriverEdges) {
       val parent = scala.collection.mutable.Map.empty[Long, Long]
       def find(x: Long): Long = {
@@ -202,18 +206,21 @@ object DedupQueries {
         while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
         r
       }
-      pairs.select(col(aCol).cast("long"), col(bCol).cast("long"))
+      cached.select(col(aCol).cast("long"), col(bCol).cast("long"))
         .collect().foreach { row =>
           val (ra, rb) = (find(row.getLong(0)), find(row.getLong(1)))
           if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
           else { parent.getOrElseUpdate(ra, ra); () }
         }
+      cached.unpersist()
       val members = parent.keySet.toSeq
       members.map(m => (m, find(m))).toDF("id", "component")
     } else {
-      val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-        .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      val edges = cached.select(col(aCol).as("src"), col(bCol).as("dst"))
+        .unionByName(cached.select(col(bCol).as("src"), col(aCol).as("dst")))
         .persist()
+      edges.count() // materialize, then release the upstream chain's cache
+      cached.unpersist()
       var labels = edges.select(col("src").as("id")).distinct()
         .withColumn("component", col("id")).persist()
       var changed = 1L
@@ -236,6 +243,13 @@ object DedupQueries {
           .select(col("l.id").as("id"),
             least(col("l.component"), col("ncomp")).as("component"),
             col("l.component").as("__old"))
+        // localCheckpoint (eager), NOT persist: `stepped` appears twice in
+        // this join, so the logical plan DOUBLES per round — caching keeps
+        // the data but not the tree, and by round ~20 plan stringification
+        // alone OOMs the driver. Truncating lineage each round keeps the
+        // plan O(1) per round (production note: on a cluster, a reliable
+        // `checkpoint` to the checkpoint dir every few rounds also guards
+        // against executor loss; local-mode tests take the cheap path).
         val updated = stepped.as("a")
           .join(stepped.select(col("id").as("__jid"), col("component").as("__jcomp")),
             col("a.component") === col("__jid"), "left")
@@ -243,7 +257,7 @@ object DedupQueries {
             least(col("a.component"), coalesce(col("__jcomp"), col("a.component")))
               .as("component"),
             col("__old"))
-          .persist()
+          .localCheckpoint()
         changed = updated.filter(col("component") < col("__old")).count()
         labels.unpersist()
         labels = updated.drop("__old")
