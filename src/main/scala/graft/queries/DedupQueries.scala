@@ -288,6 +288,28 @@ object DedupQueries {
       .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_union"))
   }
 
+  /** dd_lev_pairs — edit-distance verification of the SimHash candidate
+    * pairs: sketches (simhash/minhash) RECALL candidates, an exact string
+    * metric confirms them — this is that confirmation stage as its own
+    * operator. Levenshtein is O(len²), so it runs on a bounded
+    * ASCII-normalized 120-char prefix (byte==char in both engines) and
+    * ONLY on the sparse candidate list — never all pairs. The candidate
+    * frame joins the doc prefixes twice on doc_id; at scale both joins
+    * shuffle on the id key (or broadcast the pair list when it's small).
+    */
+  def ddLevPairs: Q = (s, dir) => {
+    val ascii = regexp_replace(
+      regexp_replace(lower(trim(col("text"))), "\\s+", " "), "[^ -~]", "")
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), substring(ascii, 1, 120).as("prefix"))
+    ddSimhashPairs(s, dir)
+      .join(docs.withColumnsRenamed(Map("doc_id" -> "doc_a", "prefix" -> "pa")), "doc_a")
+      .join(docs.withColumnsRenamed(Map("doc_id" -> "doc_b", "prefix" -> "pb")), "doc_b")
+      .withColumn("lev", levenshtein(col("pa"), col("pb")))
+      .select(col("doc_a"), col("doc_b"), col("hamming"), col("lev"),
+        (col("lev") * 5 <= lit(120)).as("is_dup")) // lev ≤ 24 of 120 chars
+  }
+
   /** dd_embed_neardup — embedding-cosine near-dup with `label` as the
     * blocking key (stand-in for an LSH/IVF bucket at scale): pairs with
     * cos ≥ 0.35, compared as dot² ≥ t²·‖a‖²·‖b‖² to avoid sqrt — ids
@@ -318,6 +340,7 @@ object DedupQueries {
     "dd_simhash_agg" -> ddSimhashAgg,
     "dd_simhash_pairs" -> ddSimhashPairs,
     "dd_jaccard_ngram" -> ddJaccardNgram,
+    "dd_lev_pairs" -> ddLevPairs,
     "dd_embed_neardup" -> ddEmbedNeardup)
 
   // ---- DuckDB oracles ------------------------------------------------
@@ -431,6 +454,39 @@ object DedupQueries {
         |    OR ((a.simhash >> 15) & 32767) = ((b.simhash >> 15) & 32767)
         |    OR ((a.simhash >> 30) & 32767) = ((b.simhash >> 30) & 32767)
         |    OR ((a.simhash >> 45) & 32767) = ((b.simhash >> 45) & 32767))""".stripMargin,
+    "dd_lev_pairs" ->
+      s"""$duckShingles,
+        |hs AS (
+        |  SELECT doc_id,
+        |    list_transform(list_distinct(toks), t -> ${duckHash(99, "t")}) AS hv
+        |  FROM sh),
+        |sim AS (
+        |  SELECT doc_id,
+        |    list_sum(list_transform(generate_series(0, 59), j ->
+        |      CASE WHEN 2 * len(list_filter(hv, h -> ((h >> j) & 1) = 1)) > len(hv)
+        |           THEN (1::BIGINT << j) ELSE 0::BIGINT END))::BIGINT AS simhash
+        |  FROM hs),
+        |prs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+        |  FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.simhash, b.simhash)) <= ${HammingMax}
+        |    AND (((a.simhash >> 0) & 32767) = ((b.simhash >> 0) & 32767)
+        |      OR ((a.simhash >> 15) & 32767) = ((b.simhash >> 15) & 32767)
+        |      OR ((a.simhash >> 30) & 32767) = ((b.simhash >> 30) & 32767)
+        |      OR ((a.simhash >> 45) & 32767) = ((b.simhash >> 45) & 32767))),
+        |px AS (
+        |  SELECT doc_id,
+        |    substr(regexp_replace(
+        |      regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+        |      '[^ -~]', '', 'g'), 1, 120) AS prefix
+        |  FROM documents)
+        |SELECT prs.doc_a, prs.doc_b, prs.hamming,
+        |  levenshtein(pa.prefix, pb.prefix) AS lev,
+        |  levenshtein(pa.prefix, pb.prefix) * 5 <= 120 AS is_dup
+        |FROM prs
+        |JOIN px pa ON prs.doc_a = pa.doc_id
+        |JOIN px pb ON prs.doc_b = pb.doc_id""".stripMargin,
     "dd_jaccard_ngram" ->
       """WITH g AS (
         |  SELECT doc_id,

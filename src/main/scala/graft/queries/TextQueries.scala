@@ -190,6 +190,71 @@ object TextQueries {
         sum(col("doc_id")).as("sum_ids"))
   }
 
+  /** ta_repetition — Gopher-style repetition signals (Rae et al. 2021,
+    * "Scaling Language Models", §A1.1 repetition filters): fraction of
+    * tokens taken by the most frequent token, and duplicate-bigram
+    * fraction. Repetitive boilerplate (nav bars, spam, generated text)
+    * shows up as a dominant token or repeated n-grams long before any
+    * model sees it. All-integer outputs; the flag uses integer
+    * cross-multiplication (top token > 20% of tokens, or > 25% of bigrams
+    * duplicated). Token stats go through explode → two-level aggregate —
+    * the shuffle key is (doc_id, token), bounded and combine-friendly;
+    * bigram distincts stay per-row (array HOFs, zero shuffle).
+    */
+  def taRepetition: Q = (s, dir) => {
+    val toksCol = filter(split(lower(trim(col("text"))), "\\s+"),
+      t => length(t) > 0)
+    val base = Tables.documents(s, dir).select(col("doc_id"), toksCol.as("toks"))
+    val bigrams = when(size(col("toks")) < 2, array().cast("array<string>"))
+      .otherwise(zip_with(
+        slice(col("toks"), lit(1), size(col("toks")) - 1),
+        slice(col("toks"), lit(2), size(col("toks")) - 1),
+        (a, b) => concat(a, lit(" "), b)))
+    val perRow = base.select(col("doc_id"),
+      size(col("toks")).as("n_tok"),
+      size(bigrams).as("n_bigrams"),
+      size(array_distinct(bigrams)).as("n_distinct_bigrams"))
+    val word = base.select(col("doc_id"), explode(col("toks")).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("c")).as("max_tok_freq"), count(lit(1)).as("n_distinct_tok"))
+    perRow.join(word, "doc_id")
+      .select(col("doc_id"), col("n_tok"), col("n_distinct_tok"),
+        col("max_tok_freq"), col("n_bigrams"), col("n_distinct_bigrams"),
+        (col("max_tok_freq") * 5 > col("n_tok") ||
+          (col("n_bigrams") - col("n_distinct_bigrams")) * 4 > col("n_bigrams"))
+          .as("is_repetitive"))
+  }
+
+  /** ta_tfidf — top-3 characteristic terms per document by tf-idf: the
+    * keyword-extraction / topic-signal pass. Two bounded shuffles (term
+    * frequency on (doc, tok); document frequency on tok) + one window;
+    * the corpus size joins in as a broadcast scalar. Ranking is
+    * integer-deterministic — (tf desc, df asc, tok asc) — so float idf
+    * noise can never reorder rows; the tfidf score itself is informational
+    * output, rounded to 4.
+    */
+  def taTfidf: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val toks = docs.select(col("doc_id"),
+      explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(countDistinct(col("doc_id")).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("tf").desc, col("df").asc, col("tok").asc)
+    tf.join(dfreq, "tok")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("doc_id"), col("tok"), col("tf"), col("df"),
+        bround(col("tf") * log((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0))), 4)
+          .as("tfidf"),
+        col("rn"))
+  }
+
   /** td_clean_corpus — the composed training-data cleaning pass: quality
     * gate → language-ID agreement → exact dedup keeping the lowest doc_id
     * per fingerprint. One scan, one shuffle (the dedup groupBy); the
@@ -225,6 +290,8 @@ object TextQueries {
     "ta_winnow" -> taWinnow,
     "ta_profile" -> taProfile,
     "ta_vocab" -> taVocab,
+    "ta_repetition" -> taRepetition,
+    "ta_tfidf" -> taTfidf,
     "td_redact" -> tdRedact,
     "td_split" -> tdSplit,
     "td_clean_corpus" -> tdCleanCorpus)
@@ -278,6 +345,50 @@ object TextQueries {
         |  FROM documents)
         | WHERE length(tok) > 0
         | GROUP BY 1 ORDER BY freq DESC, tok ASC LIMIT 100""".stripMargin,
+    "ta_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      t -> length(t) > 0) AS tk
+        |  FROM documents),
+        |word AS (
+        |  SELECT doc_id, tok, count(*) AS c
+        |  FROM (SELECT doc_id, unnest(tk) AS tok FROM toks) GROUP BY 1, 2),
+        |ws AS (
+        |  SELECT doc_id, max(c) AS max_tok_freq, count(*) AS n_distinct_tok
+        |  FROM word GROUP BY 1),
+        |bg AS (
+        |  SELECT doc_id, len(tk) AS n_tok,
+        |    CASE WHEN len(tk) < 2 THEN CAST([] AS VARCHAR[])
+        |         ELSE list_transform(generate_series(1, len(tk) - 1),
+        |                i -> tk[i] || ' ' || tk[i+1]) END AS bgs
+        |  FROM toks),
+        |bs AS (
+        |  SELECT doc_id, n_tok, len(bgs) AS n_bigrams,
+        |    len(list_distinct(bgs)) AS n_distinct_bigrams
+        |  FROM bg)
+        |SELECT bs.doc_id, n_tok, n_distinct_tok, max_tok_freq,
+        |  n_bigrams, n_distinct_bigrams,
+        |  (max_tok_freq * 5 > n_tok
+        |   OR (n_bigrams - n_distinct_bigrams) * 4 > n_bigrams) AS is_repetitive
+        |FROM bs JOIN ws ON bs.doc_id = ws.doc_id""".stripMargin,
+    "ta_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(lower(trim(text)), '\s+'),
+        |    t -> length(t) > 0)) AS tok
+        |  FROM documents),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents)
+        |SELECT doc_id, tok, tf, df,
+        |  round(tf * ln((n_docs + 1.0) / (df + 1.0)), 4) AS tfidf, rn
+        |FROM (
+        |  SELECT doc_id, tok, tf, df, n_docs,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY tf DESC, df ASC, tok ASC) AS rn
+        |  FROM tf JOIN df USING (tok) CROSS JOIN n)
+        |WHERE rn <= 3""".stripMargin,
     "td_redact" ->
       """SELECT doc_id,
         | len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS n_emails,

@@ -1,0 +1,174 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase.{sf001, spark}
+
+/** Semantic + plan-shape lock-ins for the OLAP extension module (window
+  * functions, grouping sets, percentiles, pivot/unpivot, TPC-H-shaped
+  * joins) and the round-3 training-data additions (repetition signals,
+  * tf-idf, edit-distance verification). Exact values are covered by the
+  * DuckDB oracle gate; these tests pin the *invariants* and the physical
+  * plans the queries claim.
+  */
+class OlapQueriesSpec extends AnyFunSuite {
+
+  private def planString(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString()
+
+  test("o2: row_number unique per partition; rank/dense_rank agree under ties") {
+    val rows = OlapQueries.o2WindowRank(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    val bySeg = rows.groupBy(_.getAs[String]("c_mktsegment"))
+    bySeg.foreach { case (_, rs) =>
+      val rns = rs.map(_.getAs[Int]("rn")).sorted
+      assert(rns.toSeq == (1 to rs.length), "row_number must be 1..n")
+      // equal ordering key (nationkey) => equal rank AND equal dense_rank
+      rs.groupBy(_.getAs[Int]("c_nationkey")).foreach { case (_, tied) =>
+        assert(tied.map(_.getAs[Int]("rnk")).distinct.length == 1)
+        assert(tied.map(_.getAs[Int]("drnk")).distinct.length == 1)
+      }
+      // rank jumps past ties, dense_rank doesn't: rnk >= drnk always
+      rs.foreach(r =>
+        assert(r.getAs[Int]("rnk") >= r.getAs[Int]("drnk")))
+    }
+  }
+
+  test("o3: running total accumulates to the per-customer sum; gaps non-negative") {
+    val rows = OlapQueries.o3RunningTotal(spark, sf001).collect()
+    val byCust = rows.groupBy(_.getAs[Long]("o_custkey"))
+    byCust.foreach { case (_, rs) =>
+      val sorted = rs.sortBy(r =>
+        (r.getAs[java.time.LocalDateTime]("o_orderdate").toString,
+          r.getAs[Long]("o_orderkey")))
+      // running total is nondecreasing (prices are positive)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Double]("run_total") <= b.getAs[Double]("run_total") + 1e-6)
+        case _ => ()
+      }
+      assert(sorted.head.get(sorted.head.fieldIndex("prev_order")) == null,
+        "first row has no lag")
+      assert(sorted.last.get(sorted.last.fieldIndex("next_order")) == null,
+        "last row has no lead")
+      sorted.foreach(r => assert(r.getAs[Long]("gap_seconds") >= 0L))
+    }
+  }
+
+  test("a10 rollup: grand total row equals input count; set sizes add up") {
+    val cust = graft.Tables.customer(spark, sf001)
+    val n = cust.count()
+    val nPairs = cust.select("c_mktsegment", "c_nationkey").distinct().count()
+    val nSegs = cust.select("c_mktsegment").distinct().count()
+    val rows = OlapQueries.a10Rollup(spark, sf001).collect()
+    assert(rows.length == nPairs + nSegs + 1)
+    val grand = rows.filter(r =>
+      r.getAs[Long]("g_seg") == 1L && r.getAs[Long]("g_nat") == 1L)
+    assert(grand.length == 1 && grand.head.getAs[Long]("n") == n)
+  }
+
+  test("a11 cube: all four grouping sets present") {
+    val ord = graft.Tables.orders(spark, sf001)
+    val nBoth = ord.select("o_orderstatus", "o_orderpriority").distinct().count()
+    val nStat = ord.select("o_orderstatus").distinct().count()
+    val nPrio = ord.select("o_orderpriority").distinct().count()
+    val rows = OlapQueries.a11Cube(spark, sf001).collect()
+    assert(rows.length == nBoth + nStat + nPrio + 1)
+  }
+
+  test("a12: percentiles are ordered within each group") {
+    OlapQueries.a12Percentiles(spark, sf001).collect().foreach { r =>
+      val (q1, med, q3) = (r.getAs[Double]("q1_qty"),
+        r.getAs[Double]("median_qty"), r.getAs[Double]("q3_qty"))
+      assert(q1 <= med && med <= q3, s"percentiles out of order: $q1 $med $q3")
+    }
+  }
+
+  test("p8 pivot: cells partition the row count; absent cells are 0 not null") {
+    val rows = OlapQueries.p8Pivot(spark, sf001).collect()
+    val total = rows.map(r => r.getAs[Long]("n_O") + r.getAs[Long]("n_F") +
+      r.getAs[Long]("n_P")).sum
+    assert(total == graft.Tables.orders(spark, sf001).count())
+    rows.foreach { r =>
+      Seq("n_O", "n_F", "n_P").foreach(c =>
+        assert(r.get(r.fieldIndex(c)) != null, s"pivot cell $c must be 0, not null"))
+    }
+  }
+
+  test("p9 unpivot: two rows per part, attrs as declared, zero exchanges") {
+    val df = OlapQueries.p9Unpivot(spark, sf001)
+    val nParts = graft.Tables.part(spark, sf001).count()
+    assert(df.count() == 2 * nParts)
+    val attrs = df.select("attr").distinct().collect().map(_.getString(0)).toSet
+    assert(attrs == Set("p_size", "p_retailprice"))
+    assert(!planString(df).contains("Exchange"),
+      "melt is a per-row Expand; it must not shuffle")
+  }
+
+  test("h3: top-10 by revenue, bounded-heap sort, broadcast customer side") {
+    val df = OlapQueries.h3ShippingPriority(spark, sf001)
+    val plan = planString(df)
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"global top-N must not global-sort:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"filtered customer dim must broadcast:\n$plan")
+    val rows = df.collect()
+    assert(rows.length <= 10)
+    val revs = rows.map(_.getAs[Double]("revenue"))
+    assert(revs.sameElements(revs.sortBy(-_)), "rows ordered by revenue desc")
+  }
+
+  test("h5: all dimension joins broadcast; only the fact edge shuffles") {
+    val df = OlapQueries.h5NationRevenue(spark, sf001)
+    val plan = planString(df)
+    val nBroadcast = "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(nBroadcast >= 3,
+      s"customer/supplier/nation dims must broadcast (got $nBroadcast):\n$plan")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Double]("revenue") > 0))
+  }
+
+  test("ta_repetition: bigram counts consistent with token counts; flag formula") {
+    TextQueries.taRepetition(spark, sf001).collect().foreach { r =>
+      val nTok = r.getAs[Int]("n_tok")
+      val nBig = r.getAs[Int]("n_bigrams")
+      val nDis = r.getAs[Int]("n_distinct_bigrams")
+      val maxF = r.getAs[Long]("max_tok_freq")
+      assert(nBig == math.max(nTok - 1, 0), s"bigrams must be n_tok-1, got $nBig/$nTok")
+      assert(nDis <= nBig)
+      assert(maxF >= 1 && maxF <= nTok)
+      val expected = maxF * 5 > nTok || (nBig - nDis) * 4 > nBig
+      assert(r.getAs[Boolean]("is_repetitive") == expected)
+    }
+  }
+
+  test("ta_tfidf: ≤3 terms per doc, score matches the formula") {
+    val nDocs = graft.Tables.documents(spark, sf001).count()
+    val rows = TextQueries.taTfidf(spark, sf001).collect()
+    rows.groupBy(_.getAs[Long]("doc_id")).foreach { case (_, rs) =>
+      assert(rs.length <= 3)
+      assert(rs.map(_.getAs[Int]("rn")).sorted.toSeq == (1 to rs.length))
+    }
+    rows.take(50).foreach { r =>
+      val tf = r.getAs[Long]("tf").toDouble
+      val df = r.getAs[Long]("df").toDouble
+      val expect = BigDecimal(tf * math.log((nDocs + 1.0) / (df + 1.0)))
+        .setScale(4, BigDecimal.RoundingMode.HALF_EVEN).toDouble
+      assert(math.abs(r.getAs[Double]("tfidf") - expect) < 1e-9,
+        s"tfidf mismatch: ${r.getAs[Double]("tfidf")} vs $expect")
+    }
+  }
+
+  test("dd_lev_pairs: verification only runs on the candidate list") {
+    val cand = DedupQueries.ddSimhashPairs(spark, sf001).count()
+    val rows = DedupQueries.ddLevPairs(spark, sf001).collect()
+    assert(rows.length == cand, "one verification row per candidate pair")
+    rows.foreach { r =>
+      val lev = r.getAs[Int]("lev")
+      assert(lev >= 0 && lev <= 120)
+      assert(r.getAs[Boolean]("is_dup") == (lev * 5 <= 120))
+    }
+  }
+}
