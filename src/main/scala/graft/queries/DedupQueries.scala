@@ -303,6 +303,15 @@ object DedupQueries {
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"), substring(ascii, 1, 120).as("prefix"))
     ddSimhashPairs(s, dir)
+      // Pin an explicit partition COUNT before the O(len²) metric: the
+      // candidate list is a few MB, so AQE coalesces any advisory shuffle
+      // (including repartition-by-column) down to ~1 partition — which
+      // serializes the expensive per-row compute onto one core (measured
+      // 20s → <1s at sf0.1). Byte-size-based planning is the wrong signal
+      // when cost is per-ROW compute, not per-byte IO; same rule at
+      // 100 TB, where the post-LSH candidate list is always small
+      // relative to the corpus but the verify metric is the hot loop.
+      .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt, col("doc_a"))
       .join(docs.withColumnsRenamed(Map("doc_id" -> "doc_a", "prefix" -> "pa")), "doc_a")
       .join(docs.withColumnsRenamed(Map("doc_id" -> "doc_b", "prefix" -> "pb")), "doc_b")
       .withColumn("lev", levenshtein(col("pa"), col("pb")))
