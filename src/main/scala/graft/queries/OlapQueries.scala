@@ -184,7 +184,27 @@ object OlapQueries {
         count(lit(1)).as("n_items"))
   }
 
+  /** sql_tpch_q6 — the raw SQL surface: a user who writes ANSI SQL (not
+    * the DataFrame API) runs it verbatim through `spark.sql` over
+    * registered views — same Catalyst plan, same pushdown (both
+    * l_shipdate range bounds and the discount/quantity predicates reach
+    * the parquet scan). TPC-H Q6's forecasting-revenue-change query.
+    */
+  def sqlTpchQ6: Q = (s, dir) => {
+    Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_q6")
+    s.sql("""
+      SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+             count(*) AS n_rows
+      FROM lineitem_q6
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate < TIMESTAMP '1998-01-01'
+        AND l_discount BETWEEN 0.05 AND 0.07
+        AND l_quantity < 24
+    """)
+  }
+
   val queries: Map[String, Q] = Map(
+    "sql_tpch_q6" -> sqlTpchQ6,
     "o2_window_rank" -> o2WindowRank,
     "o3_running_total" -> o3RunningTotal,
     "a10_rollup" -> a10Rollup,
@@ -196,6 +216,14 @@ object OlapQueries {
     "h5_nation_revenue" -> h5NationRevenue)
 
   val oracle: Map[String, String] = Map(
+    "sql_tpch_q6" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+        | count(*) AS n_rows
+        | FROM lineitem
+        | WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |   AND l_shipdate < TIMESTAMP '1998-01-01'
+        |   AND l_discount BETWEEN 0.05 AND 0.07
+        |   AND l_quantity < 24""".stripMargin,
     "o2_window_rank" ->
       """SELECT c_custkey, c_mktsegment, c_nationkey, c_acctbal, rn, rnk, drnk FROM (
         |  SELECT c_custkey, c_mktsegment, c_nationkey, c_acctbal,

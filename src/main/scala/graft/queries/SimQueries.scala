@@ -187,7 +187,31 @@ object SimQueries {
       .select(col("query_id"), col("neighbor_id"), col("rank"))
   }
 
+  /** sim_quantize — int8 affine quantization of the embedding column
+    * against the global max-|x| (symmetric range): the storage-scale path
+    * for vector corpora — 4× smaller than float32 before any index is
+    * built. One tiny aggregate (the scalar scale) broadcasts into a
+    * map-only quantize pass; at 100 TB the scan dominates and nothing
+    * shuffles. Output is per-vector integer summaries (sum/min/max of the
+    * quantized dims) — engine-portable, no float rendering in the compare.
+    */
+  def simQuantize: Q = (s, dir) => {
+    val e = graft.Tables.embeddings(s, dir)
+    val scale = e.agg(
+      max(array_max(transform(col("embedding"),
+        x => abs(x.cast("double"))))).as("maxabs"))
+    e.crossJoin(broadcast(scale))
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          x => round(x.cast("double") / col("maxabs") * 127, 0).cast("int")).as("q"))
+      .select(col("vec_id"),
+        aggregate(col("q"), lit(0L), (acc, x) => acc + x).as("q_sum"),
+        array_min(col("q")).as("q_min"),
+        array_max(col("q")).as("q_max"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "sim_quantize" -> simQuantize,
     "sim_topk_brute" -> simTopkBrute,
     "sim_lsh_sig" -> simLshSig,
     "sim_lsh_topk" -> simLshTopk,
@@ -206,6 +230,17 @@ object SimQueries {
   }.mkString(" + ")
 
   val oracle: Map[String, String] = Map(
+    "sim_quantize" ->
+      """WITH m AS (
+        |  SELECT max(list_max(list_transform(embedding, x -> abs(x::DOUBLE)))) AS maxabs
+        |  FROM embeddings),
+        |q AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> round(x::DOUBLE / maxabs * 127, 0)::INT) AS qv
+        |  FROM embeddings CROSS JOIN m)
+        |SELECT vec_id, CAST(list_sum(qv) AS BIGINT) AS q_sum,
+        |  list_min(qv) AS q_min, list_max(qv) AS q_max
+        |FROM q""".stripMargin,
     "sim_topk_brute" ->
       s"""WITH v AS (
         |  SELECT vec_id, embedding, ${duckDot("embedding", "embedding")} AS nrm

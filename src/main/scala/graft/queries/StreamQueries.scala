@@ -81,7 +81,32 @@ object StreamQueries {
       .select(col("event_id"), col("user_id"), col("purchase_value"))
   }
 
+  /** ev_window_topk — top-3 spenders per hour: windowed aggregation
+    * composed with a ranking window — the "leaderboard per window" shape
+    * every event-analytics pipeline ships. Spend sums in decimal so the
+    * ranking key is exact (float sums are order-dependent in the last
+    * ulp, which could flip ranks between engines); row_number carries a
+    * user_id tiebreaker. Two shuffles: (window, user) aggregate, then
+    * the per-window rank — the second is bounded by WindowGroupLimit.
+    */
+  def evWindowTopk: Q = (s, dir) => {
+    val agg = Tables.events(s, dir)
+      .groupBy(window(col("ts"), "1 hour"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).as("spend"))
+      .select(col("window.start").as("w_start"), col("user_id"),
+        col("n_events"), col("spend"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("w_start"))
+      .orderBy(col("spend").desc, col("user_id").asc)
+    agg.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("w_start"), col("user_id"), col("n_events"),
+        col("spend").cast("double").as("spend"), col("rn"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "ev_window_topk" -> evWindowTopk,
     "ev_tumbling" -> evTumbling,
     "ev_sliding" -> evSliding,
     "ev_session" -> evSession,
@@ -91,6 +116,15 @@ object StreamQueries {
     "ev_asof" -> evAsof)
 
   val oracle: Map[String, String] = Map(
+    "ev_window_topk" ->
+      """SELECT w_start, user_id, n_events, spend::DOUBLE AS spend, rn FROM (
+        |  SELECT time_bucket(INTERVAL 1 HOUR, ts) AS w_start, user_id,
+        |    count(*) AS n_events,
+        |    sum(value::DECIMAL(18,2)) AS spend,
+        |    row_number() OVER (PARTITION BY time_bucket(INTERVAL 1 HOUR, ts)
+        |      ORDER BY sum(value::DECIMAL(18,2)) DESC, user_id ASC) AS rn
+        |  FROM events GROUP BY 1, 2)
+        | WHERE rn <= 3""".stripMargin,
     "ev_tumbling" ->
       """SELECT time_bucket(INTERVAL 1 HOUR, ts) AS w_start, event_type,
         | count(*) AS n, sum(value::DECIMAL(18,2))::DOUBLE AS sum_value

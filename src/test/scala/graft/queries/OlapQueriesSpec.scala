@@ -161,6 +161,39 @@ class OlapQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("sql_tpch_q6: raw SQL plans the same pushdown as the DataFrame API") {
+    val df = OlapQueries.sqlTpchQ6(spark, sf001)
+    val plan = planString(df)
+    // the toString elides long PushedFilters lists — match the prefix
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      s"SQL-path predicates must reach the parquet scan:\n$plan")
+    val rows = df.collect()
+    assert(rows.length == 1 && rows.head.getAs[Long]("n_rows") > 0)
+  }
+
+  test("ev_window_topk: at most 3 per window, rank pushed below the shuffle") {
+    val df = StreamQueries.evWindowTopk(spark, sf001)
+    assert(planString(df).contains("WindowGroupLimit"),
+      "per-window top-k must bound rows before the rank shuffle")
+    df.collect().groupBy(_.get(0)).foreach { case (_, rs) =>
+      assert(rs.length <= 3)
+      val spends = rs.sortBy(_.getAs[Int]("rn")).map(_.getAs[Double]("spend"))
+      assert(spends.sameElements(spends.sortBy(-_)), "ranked by spend desc")
+    }
+  }
+
+  test("sim_quantize: int8 range, symmetric scale hits ±127 somewhere") {
+    val rows = SimQueries.simQuantize(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    var hi = Int.MinValue
+    rows.foreach { r =>
+      val (mn, mx) = (r.getAs[Int]("q_min"), r.getAs[Int]("q_max"))
+      assert(mn >= -127 && mx <= 127, s"quantized out of int8 range: $mn..$mx")
+      hi = math.max(hi, math.max(mx, -mn))
+    }
+    assert(hi == 127, s"global max-|x| must map to exactly ±127, got $hi")
+  }
+
   test("dd_lev_pairs: verification only runs on the candidate list") {
     val cand = DedupQueries.ddSimhashPairs(spark, sf001).count()
     val rows = DedupQueries.ddLevPairs(spark, sf001).collect()
