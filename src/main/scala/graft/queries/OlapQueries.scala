@@ -203,7 +203,39 @@ object OlapQueries {
     """)
   }
 
+  /** u5_merge_upsert — MERGE semantics (the lakehouse upsert: apply a
+    * change set of inserts/updates/deletes to a base table) expressed as
+    * one full-outer join + null-safe delete filter + coalesce resolution.
+    * The change set is derived deterministically from the base (keys mod
+    * 10: 0→update, 1→delete, 2→insert under a shifted key). The update
+    * value is an exact double shift (+1.0), not a multiply — multiplying
+    * 2-decimal prices creates genuine half-cent boundaries where engines'
+    * rounding rules diverge. At scale this is one shuffle on the merge
+    * key (or zero with both sides bucketed on it — see Layout).
+    */
+  def u5MergeUpsert: Q = (s, dir) => {
+    val base = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val m = pmod(col("o_orderkey"), lit(10))
+    val changes = Tables.orders(s, dir)
+      .filter(pmod(col("o_orderkey"), lit(10)) <= 2)
+      .select(
+        when(m === 2, col("o_orderkey") + lit(1000000000L))
+          .otherwise(col("o_orderkey")).as("k"),
+        when(m === 0, lit("update"))
+          .when(m === 1, lit("delete"))
+          .otherwise(lit("insert")).as("op"),
+        (col("o_totalprice") + lit(1.0)).as("new_price"))
+    base.join(changes, col("o_orderkey") === col("k"), "full_outer")
+      .filter(!(col("op") <=> lit("delete")))
+      .select(
+        coalesce(col("o_orderkey"), col("k")).as("merge_key"),
+        coalesce(col("new_price"), col("o_totalprice")).as("price"),
+        col("op"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "u5_merge_upsert" -> u5MergeUpsert,
     "sql_tpch_q6" -> sqlTpchQ6,
     "o2_window_rank" -> o2WindowRank,
     "o3_running_total" -> o3RunningTotal,
@@ -216,6 +248,19 @@ object OlapQueries {
     "h5_nation_revenue" -> h5NationRevenue)
 
   val oracle: Map[String, String] = Map(
+    "u5_merge_upsert" ->
+      """WITH changes AS (
+        |  SELECT CASE WHEN o_orderkey % 10 = 2 THEN o_orderkey + 1000000000
+        |              ELSE o_orderkey END AS k,
+        |    CASE WHEN o_orderkey % 10 = 0 THEN 'update'
+        |         WHEN o_orderkey % 10 = 1 THEN 'delete'
+        |         ELSE 'insert' END AS op,
+        |    o_totalprice + 1.0 AS new_price
+        |  FROM orders WHERE o_orderkey % 10 <= 2)
+        |SELECT coalesce(o.o_orderkey, c.k) AS merge_key,
+        |  coalesce(c.new_price, o.o_totalprice) AS price, c.op AS op
+        |FROM orders o FULL OUTER JOIN changes c ON o.o_orderkey = c.k
+        |WHERE op IS DISTINCT FROM 'delete'""".stripMargin,
     "sql_tpch_q6" ->
       """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
         | count(*) AS n_rows

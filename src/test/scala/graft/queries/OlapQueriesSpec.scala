@@ -194,6 +194,25 @@ class OlapQueriesSpec extends AnyFunSuite {
     assert(hi == 127, s"global max-|x| must map to exactly ±127, got $hi")
   }
 
+  test("u5_merge_upsert: deletes gone, inserts added, updates applied") {
+    val base = graft.Tables.orders(spark, sf001)
+    val nBase = base.count()
+    val nDel = base.filter("o_orderkey % 10 = 1").count()
+    val nIns = base.filter("o_orderkey % 10 = 2").count()
+    val rows = OlapQueries.u5MergeUpsert(spark, sf001).collect()
+    assert(rows.length == nBase - nDel + nIns)
+    val byOp = rows.groupBy(r => Option(r.getAs[String]("op")).getOrElse("none"))
+    assert(byOp("insert").length == nIns)
+    assert(!byOp.contains("delete"))
+    // updated rows carry the shifted price; untouched rows the original
+    byOp("update").take(20).foreach { r =>
+      val k = r.getAs[Long]("merge_key")
+      val orig = base.filter(s"o_orderkey = $k")
+        .head().getAs[Double]("o_totalprice")
+      assert(r.getAs[Double]("price") == orig + 1.0)
+    }
+  }
+
   test("dd_lev_pairs: verification only runs on the candidate list") {
     val cand = DedupQueries.ddSimhashPairs(spark, sf001).count()
     val rows = DedupQueries.ddLevPairs(spark, sf001).collect()
