@@ -80,7 +80,18 @@ object DedupQueries {
     * candidate pairs; each candidate verified with exact shingle-set
     * Jaccard reported as integer |∩| / |∪| components.
     */
-  def ddMinhashPairs: Q = (s, dir) => {
+  def ddMinhashPairs: Q = (s, dir) =>
+    candidatePairsWithSets(s, dir)
+      .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("n_union", size(col("sh_a")) + size(col("sh_b")) - col("n_inter"))
+      .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_union"),
+        (col("n_inter") * 2 >= col("n_union")).as("jacc_ge_half"))
+
+  /** LSH candidate pairs carrying both distinct-shingle sets — the shared
+    * recall stage behind Jaccard (dd_minhash_pairs) and containment
+    * (dd_containment) verification.
+    */
+  private def candidatePairsWithSets(s: SparkSession, dir: String): DataFrame = {
     // Shingling + K md5 min-hashes is the expensive map work; materialize
     // it ONCE (persist) — the bucket self-join and the verify joins all
     // reuse it instead of re-deriving the signatures per plan branch. At
@@ -105,11 +116,21 @@ object DedupQueries {
     pairs
       .join(sh.withColumnsRenamed(Map("doc_id" -> "doc_a", "sh" -> "sh_a")), Seq("doc_a"))
       .join(sh.withColumnsRenamed(Map("doc_id" -> "doc_b", "sh" -> "sh_b")), Seq("doc_b"))
-      .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))))
-      .withColumn("n_union", size(col("sh_a")) + size(col("sh_b")) - col("n_inter"))
-      .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_union"),
-        (col("n_inter") * 2 >= col("n_union")).as("jacc_ge_half"))
   }
+
+  /** dd_containment — ASYMMETRIC overlap on the LSH candidates: containment
+    * C(A,B) = |A∩B| / |A| catches a short doc quoted inside a long one,
+    * which symmetric Jaccard dilutes below any threshold (the classic
+    * boilerplate/quotation case Broder's containment sketch targets).
+    * Integer components only; flags at 80% containment either direction.
+    */
+  def ddContainment: Q = (s, dir) =>
+    candidatePairsWithSets(s, dir)
+      .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .select(col("doc_a"), col("doc_b"),
+        size(col("sh_a")).as("n_a"), size(col("sh_b")).as("n_b"), col("n_inter"),
+        (col("n_inter") * 5 >= size(col("sh_a")) * 4).as("a_in_b"),
+        (col("n_inter") * 5 >= size(col("sh_b")) * 4).as("b_in_a"))
 
   /** dd_simhash — 60-bit SimHash per document: bit j set iff the majority
     * of distinct-token hashes have bit j set. (60 bits = the full portable
@@ -350,6 +371,7 @@ object DedupQueries {
     "dd_simhash_pairs" -> ddSimhashPairs,
     "dd_jaccard_ngram" -> ddJaccardNgram,
     "dd_lev_pairs" -> ddLevPairs,
+    "dd_containment" -> ddContainment,
     "dd_embed_neardup" -> ddEmbedNeardup)
 
   // ---- DuckDB oracles ------------------------------------------------
@@ -463,6 +485,20 @@ object DedupQueries {
         |    OR ((a.simhash >> 15) & 32767) = ((b.simhash >> 15) & 32767)
         |    OR ((a.simhash >> 30) & 32767) = ((b.simhash >> 30) & 32767)
         |    OR ((a.simhash >> 45) & 32767) = ((b.simhash >> 45) & 32767))""".stripMargin,
+    "dd_containment" ->
+      s"""$duckShingles,
+        |sig AS (
+        |  SELECT doc_id, shingles, $duckSigSelect
+        |  FROM sh),
+        |bands AS (
+        |  SELECT doc_id, list_distinct(shingles) AS shd, $duckBandSelect
+        |  FROM sig)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  len(a.shd) AS n_a, len(b.shd) AS n_b,
+        |  len(list_intersect(a.shd, b.shd)) AS n_inter,
+        |  len(list_intersect(a.shd, b.shd)) * 5 >= len(a.shd) * 4 AS a_in_b,
+        |  len(list_intersect(a.shd, b.shd)) * 5 >= len(b.shd) * 4 AS b_in_a
+        |FROM bands a JOIN bands b ON a.doc_id < b.doc_id AND ($duckBandOr)""".stripMargin,
     "dd_lev_pairs" ->
       s"""$duckShingles,
         |hs AS (

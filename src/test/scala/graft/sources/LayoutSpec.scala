@@ -65,6 +65,34 @@ class LayoutSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.cbo.enabled", prevCbo)
   }
 
+  test("z-ordered layout tightens per-file min/max on BOTH dimensions") {
+    import org.apache.spark.sql.functions._
+    val df = Tables.orders(spark, sf001)
+      .select(col("o_custkey"), col("o_totalprice"))
+    val naiveDir = java.nio.file.Files.createTempDirectory("graft-zn").toString
+    val zDir = java.nio.file.Files.createTempDirectory("graft-zo").toString
+    // naive: same file count, no clustering
+    df.repartition(4).write.mode("overwrite").parquet(naiveDir)
+    val nFiles = Layout.writeZOrdered(spark, df, zDir,
+      "o_custkey", "o_totalprice", bits = 8, numFiles = 4)
+    assert(nFiles == 4)
+    // per-file (max-min) spread, summed over files, for each dimension —
+    // the quantity parquet footer stats expose to the reader's skipper
+    def spread(dir: String, c: String): Double =
+      spark.read.parquet(dir)
+        .groupBy(input_file_name())
+        .agg((max(col(c)) - min(col(c))).cast("double").as("r"))
+        .agg(sum(col("r"))).head().getDouble(0)
+    val (nCust, zCust) = (spread(naiveDir, "o_custkey"), spread(zDir, "o_custkey"))
+    val (nPrice, zPrice) = (spread(naiveDir, "o_totalprice"), spread(zDir, "o_totalprice"))
+    assert(zCust < nCust * 0.8,
+      s"z-order must tighten custkey file ranges: $zCust vs naive $nCust")
+    assert(zPrice < nPrice * 0.8,
+      s"z-order must tighten totalprice file ranges: $zPrice vs naive $nPrice")
+    // data preserved
+    assert(spark.read.parquet(zDir).count() == df.count())
+  }
+
   test("bucketed tables join with zero exchanges (co-located SMJ)") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-layout-b").toString
     val db = "graft_layout_spec"
