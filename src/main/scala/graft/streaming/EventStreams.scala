@@ -4,7 +4,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
 
 /** Structured-Streaming surface over the `events` table (extension per
   * SURVEY §2.8/§7 — the reference is batch-only). Every transform here is
@@ -90,6 +90,63 @@ object EventStreams {
         col("purchase_ts") >= col("click_ts") - expr("INTERVAL 1 HOUR") &&
         col("purchase_ts") <= col("click_ts"))
       .select(col("click_id"), col("user_id"), col("purchase_ts"), col("purchase_value"))
+  }
+
+  /** CDC change row for the streaming upsert sink: `op` is
+    * insert/update/delete on key `k`; `version` orders changes to the
+    * same key within a batch (last write wins).
+    */
+  case class Change(k: Long, op: String, v: Double, version: Long)
+
+  /** Streaming MERGE — the foreachBatch CDC-apply pattern: each
+    * micro-batch of keyed change rows is collapsed to its latest change
+    * per key, merged into the parquet snapshot with the same
+    * full-outer + null-safe-delete + coalesce plan as the batch upsert
+    * (OlapQueries u5), and atomically promoted (write-aside + rename, no
+    * window where the only copy is gone). Exactly-once effect comes from
+    * the checkpoint + an idempotent batch function: replaying a batch
+    * after a crash rewrites the same snapshot. This is the lakehouse
+    * streaming-upsert shape with plain parquet standing in for a table
+    * format's transaction log.
+    */
+  def cdcUpsertSink(changes: Dataset[Change], baseDir: String,
+                    checkpoint: String): StreamingQuery =
+    changes.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[Change], _: Long) =>
+        applyChangeBatch(batch.toDF(), baseDir)
+      }
+      .start()
+
+  /** One CDC batch applied to the parquet snapshot at `baseDir`. */
+  def applyChangeBatch(batch: DataFrame, baseDir: String): Unit = {
+    val spark = batch.sparkSession
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("k")).orderBy(col("version").desc)
+    val latest = batch
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .select(col("k"), col("op"), col("v").as("nv"))
+    val p = new org.apache.hadoop.fs.Path(baseDir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val base =
+      if (fs.exists(p)) spark.read.parquet(baseDir)
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.DoubleType))))
+    val merged = base.join(latest, Seq("k"), "full_outer")
+      .filter(!(col("op") <=> lit("delete")))
+      .select(col("k"), coalesce(col("nv"), col("v")).as("v"))
+    // write aside, then promote — mirrors Layout.compact's crash-safe swap
+    val tmp = new org.apache.hadoop.fs.Path(baseDir + "__upsert_tmp")
+    val old = new org.apache.hadoop.fs.Path(baseDir + "__upsert_old")
+    merged.write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(old, true)
+    if (fs.exists(p)) require(fs.rename(p, old), s"upsert: rename $p -> $old failed")
+    require(fs.rename(tmp, p), s"upsert: rename $tmp -> $p failed; original at $old")
+    fs.delete(old, true)
   }
 
   /** Custom stateful sessionization with flatMapGroupsWithState: one

@@ -88,4 +88,65 @@ class PropertiesSpec extends AnyFunSuite {
       assert(salted == plain)
     }
   }
+
+  test("merge property: upsert result = base - deletes - updated_keys + changes") {
+    val keyGen = Gen.chooseNum(1L, 60L)
+    samples(Gen.zip(
+      Gen.listOfN(40, Gen.zip(keyGen, Gen.chooseNum(1.0, 99.0))),
+      Gen.listOfN(15, Gen.zip(keyGen, Gen.oneOf("insert", "update", "delete"),
+        Gen.chooseNum(100.0, 199.0)))), 6).foreach { case (baseRows, changeRows) =>
+      val base = baseRows.distinctBy(_._1).toDF("k", "v")
+      // inserts must be NEW keys; updates/deletes existing — filter to the
+      // valid change set (a real CDC feed has this contract)
+      val baseKeys = baseRows.map(_._1).toSet
+      val changes = changeRows.distinctBy(_._1).filter {
+        case (k, "insert", _) => !baseKeys.contains(k)
+        case (k, _, _)        => baseKeys.contains(k)
+      }.toDF("k", "op", "nv")
+      val merged = base.join(changes, Seq("k"), "full_outer")
+        .filter(!(col("op") <=> lit("delete")))
+        .select(col("k"), coalesce(col("nv"), col("v")).as("v"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val cs = changes.collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      val expected =
+        base.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap --
+          cs.collect { case (k, "delete", _) => k } ++
+          cs.collect { case (k, op, nv) if op != "delete" => k -> nv }
+      assert(merged == expected)
+    }
+  }
+
+  test("rollup property: every subtotal equals the sum of its children") {
+    samples(Gen.listOfN(60,
+      Gen.zip(Gen.oneOf("a", "b", "c"), Gen.chooseNum(0, 4), Gen.chooseNum(1L, 9L))), 5)
+      .foreach { rows =>
+        val df = rows.toDF("g1", "g2", "x")
+        val cube = df.rollup(col("g1"), col("g2"))
+          .agg(sum(col("x")).as("s"),
+            grouping(col("g1")).as("gg1"), grouping(col("g2")).as("gg2"))
+          .collect()
+        val leaves = cube.filter(r => r.getAs[Byte]("gg1") == 0 && r.getAs[Byte]("gg2") == 0)
+        val mids = cube.filter(r => r.getAs[Byte]("gg1") == 0 && r.getAs[Byte]("gg2") == 1)
+        val grand = cube.filter(r => r.getAs[Byte]("gg1") == 1 && r.getAs[Byte]("gg2") == 1)
+        mids.foreach { m =>
+          val g1 = m.getAs[String]("g1")
+          val kids = leaves.filter(_.getAs[String]("g1") == g1).map(_.getAs[Long]("s")).sum
+          assert(m.getAs[Long]("s") == kids, s"subtotal($g1) != sum of children")
+        }
+        assert(grand.length == 1 &&
+          grand.head.getAs[Long]("s") == leaves.map(_.getAs[Long]("s")).sum)
+      }
+  }
+
+  test("z-order property: layout preserves the exact multiset of rows") {
+    samples(Gen.listOfN(80, Gen.zip(Gen.chooseNum(0L, 1000L), Gen.chooseNum(0.0, 1.0))), 4)
+      .foreach { rows =>
+        val df = rows.toDF("a", "b")
+        val dir = java.nio.file.Files.createTempDirectory("graft-zp").toString
+        graft.sources.Layout.writeZOrdered(spark, df, dir, "a", "b", bits = 4, numFiles = 3)
+        val back = spark.read.parquet(dir).collect()
+          .map(r => (r.getLong(0), r.getDouble(1))).sorted
+        assert(back.toSeq == rows.sorted, "z-order write must not drop/alter rows")
+      }
+  }
 }

@@ -170,4 +170,31 @@ class EventStreamsSpec extends AnyFunSuite {
       assert(streamed == batch)
     } finally q.stop()
   }
+
+  test("cdcUpsertSink: micro-batched changes converge to the merged snapshot") {
+    import EventStreams.Change
+    implicit val sq = spark.sqlContext
+    val baseDir = java.nio.file.Files.createTempDirectory("graft-cdc").toString + "/base"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-cdc-ck").toString
+    val mem = MemoryStream[Change]
+    val q = EventStreams.cdcUpsertSink(mem.toDS(), baseDir, ckpt)
+    try {
+      // batch 1: three inserts, one key written twice (version 2 wins)
+      mem.addData(Change(1, "insert", 10.0, 1), Change(2, "insert", 20.0, 1),
+        Change(3, "insert", 30.0, 1), Change(3, "insert", 33.0, 2))
+      q.processAllAvailable()
+      val afterB1 = spark.read.parquet(baseDir).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(afterB1 == Map(1L -> 10.0, 2L -> 20.0, 3L -> 33.0),
+        s"batch 1 snapshot wrong: $afterB1")
+      // batch 2: update k=1, delete k=2, insert k=4
+      mem.addData(Change(1, "update", 11.0, 3), Change(2, "delete", 0.0, 3),
+        Change(4, "insert", 40.0, 3))
+      q.processAllAvailable()
+      val afterB2 = spark.read.parquet(baseDir).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(afterB2 == Map(1L -> 11.0, 3L -> 33.0, 4L -> 40.0),
+        s"batch 2 snapshot wrong: $afterB2")
+    } finally q.stop()
+  }
 }
