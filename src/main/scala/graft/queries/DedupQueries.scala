@@ -361,7 +361,42 @@ object DedupQueries {
       .select(col("vec_a"), col("vec_b"), col("label"))
   }
 
+  /** dd_para_dedup — paragraph-level exact dedup with document
+    * reassembly (the C4/RefinedWeb corpus op: a boilerplate paragraph
+    * repeated across pages is kept only where it first appears). The
+    * synthetic corpus has no newlines, so a "paragraph" is a fixed
+    * 10-word chunk — the Spark plumbing (chunk → global first-occurrence
+    * resolution → in-order reassembly) is the real operator.
+    *
+    * Three shuffles, all on bounded keys: chunk-hash (first-occurrence
+    * agg), the keep join, and doc_id (reassembly) — never a cross
+    * product, and the chunk relation is ~corpus-sized, so the op scales
+    * as one extra pass over the text. Chunking itself is a zero-shuffle
+    * transform+posexplode; reassembly sorts each doc's kept chunks by
+    * original position inside the aggregate (array_sort of (pos, text)
+    * structs), not with a global sort.
+    */
+  def ddParaDedup: Q = (s, dir) => {
+    val chunks = Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), posexplode(expr(
+        """transform(sequence(0, cast(ceil(size(ws) / 10.0) as int) - 1),
+          |          g -> array_join(slice(ws, g * 10 + 1, 10), ' '))""".stripMargin)))
+      .withColumnsRenamed(Map("pos" -> "cid", "col" -> "para"))
+    val firsts = chunks.groupBy(col("para")).agg(min(col("doc_id")).as("first_doc"))
+    val kept = chunks.as("c")
+      .join(firsts.as("f"),
+        col("c.para") === col("f.para") && col("c.doc_id") === col("f.first_doc"))
+      .groupBy(col("c.doc_id").as("doc_id"), col("c.para").as("para"))
+      .agg(min(col("c.cid")).as("cid"))
+    kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_keep"),
+        array_join(expr("transform(array_sort(collect_list(struct(cid, para))), x -> x.para)"), " ")
+          .as("text"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "dd_para_dedup" -> ddParaDedup,
     "dd_exact" -> ddExact,
     "dd_minhash_sig" -> ddMinhashSig,
     "dd_minhash_pairs" -> ddMinhashPairs,
@@ -416,6 +451,22 @@ object DedupQueries {
       |FROM hs""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "dd_para_dedup" ->
+      """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |gs AS (SELECT doc_id, ws,
+        |         unnest(range(0, CAST(ceil(len(ws) / 10.0) AS INT))) AS cid FROM ws),
+        |chunks AS (
+        |  SELECT doc_id, cid,
+        |         array_to_string(ws[cid * 10 + 1 : cid * 10 + 10], ' ') AS para
+        |  FROM gs),
+        |firsts AS (SELECT para, min(doc_id) AS first_doc FROM chunks GROUP BY para),
+        |kept AS (
+        |  SELECT c.doc_id, c.para, min(c.cid) AS cid
+        |  FROM chunks c JOIN firsts f ON c.para = f.para AND c.doc_id = f.first_doc
+        |  GROUP BY c.doc_id, c.para)
+        |SELECT doc_id, count(*) AS n_keep,
+        |       string_agg(para, ' ' ORDER BY cid) AS text
+        |FROM kept GROUP BY doc_id""".stripMargin,
     "dd_exact" ->
       """SELECT ('0x' || substr(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), 1, 15))::BIGINT AS fp_long,
         | min(doc_id) AS keep_id, count(*) AS n_docs,

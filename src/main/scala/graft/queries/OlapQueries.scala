@@ -234,7 +234,153 @@ object OlapQueries {
         col("op"))
   }
 
+  /** o4_range_frame — RANGE (value-range) frame: per-user trailing-1-hour
+    * moving sum over event time. Unlike a ROWS frame, the frame edge is a
+    * VALUE bound (ts − 1 h), so tied timestamps are peers and enter the
+    * frame together — the semantics behind every "activity in the last N
+    * minutes" feature. Ordering key is integer epoch-millis: exact frame
+    * arithmetic, no float time math, identical truncation in any engine.
+    * One shuffle on user_id; the frame scan is a per-partition sliding
+    * pointer, O(n) per user, no quadratic re-sum.
+    */
+  def o4RangeFrame: Q = (s, dir) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ms").asc)
+      .rangeBetween(-3600000L, Window.currentRow)
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"),
+        unix_millis(col("ts")).as("ts_ms"), col("value"))
+      .select(col("user_id"), col("event_id"), col("ts_ms"),
+        bround(sum(col("value")).over(w), 4).as("hour_sum"))
+  }
+
+  /** o5_dist_stats — distribution-position functions in one window pass:
+    * ntile quartile bucketing, percent_rank, cume_dist per market segment.
+    * The ordering carries a unique tiebreaker (acctbal, custkey) so ntile's
+    * bucket boundaries are deterministic; percent_rank/cume_dist are exact
+    * integer-count ratios, bit-identical across engines.
+    */
+  def o5DistStats: Q = (s, dir) => {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+    Tables.customer(s, dir).select(
+      col("c_custkey"), col("c_mktsegment"),
+      ntile(4).over(w).as("quartile"),
+      bround(percent_rank().over(w), 6).as("pr"),
+      bround(cume_dist().over(w), 6).as("cd"))
+  }
+
+  /** o6_first_last — frame-sensitive value functions: first_value under
+    * the default growing frame vs last_value / nth_value forced to the
+    * FULL partition frame (the classic bug: default-frame last_value is
+    * just the current row). One exchange + one sort serves all three.
+    */
+  def o6FirstLast: Q = (s, dir) => {
+    val ord = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    val full = ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(s, dir).select(
+      col("o_custkey"), col("o_orderkey"),
+      first(col("o_orderkey")).over(ord).as("first_ord"),
+      last(col("o_orderkey")).over(full).as("last_ord"),
+      nth_value(col("o_orderkey"), 2).over(full).as("second_ord"))
+  }
+
+  /** a13_grouping_sets — explicit non-hierarchical GROUPING SETS (neither
+    * rollup nor cube): two independent 1-D marginals in one pass through
+    * the raw SQL surface. Same Expand-before-exchange machinery as
+    * a10/a11 — the input is read once, not once per set.
+    */
+  def a13GroupingSets: Q = (s, dir) => {
+    Tables.customer(s, dir).createOrReplaceTempView("customer_gs")
+    s.sql("""
+      SELECT c_mktsegment, c_nationkey, count(*) AS n,
+             CAST(GROUPING(c_mktsegment) AS BIGINT) AS g_seg,
+             CAST(GROUPING(c_nationkey) AS BIGINT) AS g_nat
+      FROM customer_gs
+      GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey))
+    """)
+  }
+
+  /** h10_returned_items — TPC-H Q10 shape: revenue lost to returns per
+    * customer, top 20. The selective l_returnflag filter pushes to the
+    * lineitem scan (reads ~1/4 of rows), orders⋈lineitem shuffles on
+    * orderkey, customer joins on custkey, and the tiny nation dim
+    * broadcasts. Final top-20 is TakeOrderedAndProject — per-task bounded
+    * heap, no global sort at any scale.
+    */
+  def h10ReturnedItems: Q = (s, dir) => {
+    val li = Tables.lineitem(s, dir)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    val ord = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+    val cust = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+    val nat = Tables.nation(s, dir).select(col("n_nationkey"), col("n_name"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(bround(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey").asc)
+      .limit(20)
+  }
+
+  /** h18_large_orders — TPC-H Q18 shape: the "large volume customer"
+    * having-filter. The lineitem self-aggregation partial-aggregates
+    * map-side, the HAVING predicate cuts the aggregate BEFORE the joins
+    * (orders of magnitude fewer rows enter them), and the surviving keys
+    * are few enough that AQE turns both joins into broadcasts at runtime.
+    */
+  def h18LargeOrders: Q = (s, dir) => {
+    val big = Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).as("sum_qty"))
+      .filter(col("sum_qty") > 250)
+    big.join(Tables.orders(s, dir), col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.customer(s, dir).select(col("c_custkey")),
+        col("c_custkey") === col("o_custkey"))
+      .select(col("c_custkey"), col("o_orderkey"), col("o_orderdate"),
+        col("o_totalprice"), col("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(20)
+  }
+
+  /** j8_bloom_prefilter — runtime-filter join pruning, the star-schema
+    * 100 TB pattern: build a Bloom filter over the selective dim-side
+    * keys (one small job), prune the fact scan with it BEFORE the
+    * shuffle, then let the exact semi-join remove the false positives.
+    * At sf0.01 the bloom drops nothing the semi-join wouldn't; at 100 TB
+    * it is the difference between shuffling the full fact table and
+    * shuffling the ~matching slice — exactly what Spark's own
+    * spark.sql.optimizer.runtime.bloomFilter does for plans it can see
+    * through; here it is explicit and composable. ~1 M expected keys at
+    * 3% fpp ≈ 1 MB broadcast.
+    */
+  def j8BloomPrefilter: Q = (s, dir) => {
+    val urgent = Tables.orders(s, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"))
+    val bloom = urgent.stat.bloomFilter("o_orderkey", 1L << 20, 0.03)
+    val bloomB = s.sparkContext.broadcast(bloom)
+    val mightContain = udf((k: Long) => bloomB.value.mightContainLong(k))
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_returnflag"), col("l_extendedprice"))
+      .filter(mightContain(col("l_orderkey")))
+      .join(urgent, col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        bround(sum(col("l_extendedprice")), 2).as("sum_price"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "o4_range_frame" -> o4RangeFrame,
+    "o5_dist_stats" -> o5DistStats,
+    "o6_first_last" -> o6FirstLast,
+    "a13_grouping_sets" -> a13GroupingSets,
+    "h10_returned_items" -> h10ReturnedItems,
+    "h18_large_orders" -> h18LargeOrders,
+    "j8_bloom_prefilter" -> j8BloomPrefilter,
     "u5_merge_upsert" -> u5MergeUpsert,
     "sql_tpch_q6" -> sqlTpchQ6,
     "o2_window_rank" -> o2WindowRank,
@@ -248,6 +394,57 @@ object OlapQueries {
     "h5_nation_revenue" -> h5NationRevenue)
 
   val oracle: Map[String, String] = Map(
+    "o4_range_frame" ->
+      """SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+        | round(sum(value) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts)
+        |   RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW), 4) AS hour_sum
+        | FROM events""".stripMargin,
+    "o5_dist_stats" ->
+      """SELECT c_custkey, c_mktsegment,
+        | ntile(4) OVER w AS quartile,
+        | round(percent_rank() OVER w, 6) AS pr,
+        | round(cume_dist() OVER w, 6) AS cd
+        | FROM customer
+        | WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal ASC, c_custkey ASC)""".stripMargin,
+    "o6_first_last" ->
+      """SELECT o_custkey, o_orderkey,
+        | first_value(o_orderkey) OVER w AS first_ord,
+        | last_value(o_orderkey) OVER wf AS last_ord,
+        | nth_value(o_orderkey, 2) OVER wf AS second_ord
+        | FROM orders
+        | WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC),
+        |  wf AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin,
+    "a13_grouping_sets" ->
+      """SELECT c_mktsegment, c_nationkey, count(*) AS n,
+        | CAST(GROUPING(c_mktsegment) AS BIGINT) AS g_seg,
+        | CAST(GROUPING(c_nationkey) AS BIGINT) AS g_nat
+        | FROM customer GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey))""".stripMargin,
+    "h10_returned_items" ->
+      """SELECT c_custkey, c_name, n_name,
+        | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        | FROM customer
+        | JOIN orders ON c_custkey = o_custkey
+        | JOIN lineitem ON l_orderkey = o_orderkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        | WHERE l_returnflag = 'R'
+        | GROUP BY 1, 2, 3
+        | ORDER BY revenue DESC, c_custkey ASC LIMIT 20""".stripMargin,
+    "h18_large_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, sum(l_quantity) AS sum_qty FROM lineitem
+        |  GROUP BY 1 HAVING sum(l_quantity) > 250)
+        |SELECT c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
+        |FROM big JOIN orders ON o_orderkey = l_orderkey
+        |JOIN customer ON c_custkey = o_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20""".stripMargin,
+    "j8_bloom_prefilter" ->
+      """SELECT l_returnflag, count(*) AS n,
+        | round(sum(l_extendedprice), 2) AS sum_price
+        | FROM lineitem
+        | WHERE l_orderkey IN
+        |   (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        | GROUP BY 1""".stripMargin,
     "u5_merge_upsert" ->
       """WITH changes AS (
         |  SELECT CASE WHEN o_orderkey % 10 = 2 THEN o_orderkey + 1000000000
