@@ -40,6 +40,33 @@ class DedupQueriesSpec extends AnyFunSuite {
     assert(full == expected)
   }
 
+  test("dd_para_dedup: each distinct paragraph survives exactly once, in order") {
+    import graft.SparkTestBase.sf001
+    val out = DedupQueries.ddParaDedup(spark, sf001).collect()
+    assert(out.nonEmpty)
+    // global invariant: total kept paragraphs == distinct paragraphs
+    val docs = graft.Tables.documents(spark, sf001)
+    val distinctParas = docs
+      .selectExpr("doc_id", "split(text, ' ') AS ws")
+      .selectExpr("""explode(transform(sequence(0, cast(ceil(size(ws)/10.0) as int)-1),
+                     g -> array_join(slice(ws, g*10+1, 10), ' '))) AS para""")
+      .distinct().count()
+    assert(out.map(_.getAs[Long]("n_keep")).sum == distinctParas)
+    // a doc whose paragraphs are all globally-first keeps its text verbatim
+    val original = docs.select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    val intact = out.filter { r =>
+      original(r.getAs[Long]("doc_id")) == r.getAs[String]("text")
+    }
+    assert(intact.nonEmpty, "some documents must survive unmodified")
+    // and every reassembled text is a subsequence of the original's chunks
+    out.take(50).foreach { r =>
+      val orig = original(r.getAs[Long]("doc_id"))
+      r.getAs[String]("text").split(' ').foreach(w =>
+        assert(orig.contains(w), "reassembly must not invent tokens"))
+    }
+  }
+
   test("distributed path converges on a chain with diameter > 30") {
     // chain 0-1-2-...-40: plain min-label propagation needs ~40 rounds —
     // the old fixed 30-round cap silently split this into two clusters;

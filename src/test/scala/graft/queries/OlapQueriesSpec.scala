@@ -213,6 +213,97 @@ class OlapQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("o4: trailing-hour RANGE frame sums exactly the in-window events") {
+    val rows = OlapQueries.o4RangeFrame(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    val byUser = rows.groupBy(_.getAs[Long]("user_id"))
+    byUser.foreach { case (_, rs) =>
+      val evs = rs.map(r => (r.getAs[Long]("ts_ms"), r.getAs[Long]("event_id"))).toSet
+      assert(evs.size == rs.length, "event rows must be unique")
+      // recompute each row's frame sum directly from the raw rows — the
+      // window result must equal the brute-force trailing-hour sum (tied
+      // timestamps are peers: both enter every frame they tie into)
+      val values = graft.Tables.events(spark, sf001)
+        .selectExpr("user_id", "unix_millis(ts) AS ts_ms", "value").collect()
+        .filter(_.getAs[Long]("user_id") == rs.head.getAs[Long]("user_id"))
+        .map(r => (r.getAs[Long]("ts_ms"), r.getAs[Double]("value")))
+      rs.take(25).foreach { r =>
+        val t = r.getAs[Long]("ts_ms")
+        val want = values.filter { case (ts, _) => ts >= t - 3600000 && ts <= t }
+          .map(_._2).sum
+        assert(math.abs(r.getAs[Double]("hour_sum") - want) < 1e-3,
+          s"frame sum mismatch at ts=$t")
+      }
+    }
+  }
+
+  test("o5: ntile buckets are balanced and position stats lie in [0,1]") {
+    val rows = OlapQueries.o5DistStats(spark, sf001).collect()
+    rows.groupBy(_.getAs[String]("c_mktsegment")).foreach { case (_, rs) =>
+      val sizes = rs.groupBy(_.getAs[Int]("quartile")).view.mapValues(_.length).toMap
+      assert(sizes.keySet.subsetOf(Set(1, 2, 3, 4)))
+      // SQL ntile: bucket sizes differ by at most one, larger buckets first
+      assert(sizes.values.max - sizes.values.min <= 1)
+      rs.foreach { r =>
+        val (pr, cd) = (r.getAs[Double]("pr"), r.getAs[Double]("cd"))
+        assert(pr >= 0.0 && pr <= 1.0); assert(cd > 0.0 && cd <= 1.0)
+      }
+    }
+  }
+
+  test("o6: first/last/nth resolve against the FULL partition frame") {
+    val rows = OlapQueries.o6FirstLast(spark, sf001).collect()
+    rows.groupBy(_.getAs[Long]("o_custkey")).foreach { case (_, rs) =>
+      // every row in a partition must agree on first/last/second
+      assert(rs.map(_.getAs[Long]("first_ord")).distinct.length == 1)
+      assert(rs.map(_.getAs[Long]("last_ord")).distinct.length == 1)
+      if (rs.length == 1)
+        assert(rs.head.get(rs.head.fieldIndex("second_ord")) == null,
+          "nth_value(2) on a 1-row partition must be null")
+    }
+  }
+
+  test("a13: explicit grouping sets emit exactly the two 1-D marginals") {
+    val cust = graft.Tables.customer(spark, sf001)
+    val nSeg = cust.select("c_mktsegment").distinct().count()
+    val nNat = cust.select("c_nationkey").distinct().count()
+    val rows = OlapQueries.a13GroupingSets(spark, sf001).collect()
+    assert(rows.length == nSeg + nNat)
+    val (segRows, natRows) = rows.partition(_.getAs[Long]("g_nat") == 1L)
+    assert(segRows.length == nSeg && natRows.length == nNat)
+    assert(segRows.forall(r => r.get(r.fieldIndex("c_nationkey")) == null))
+    assert(natRows.forall(r => r.get(r.fieldIndex("c_mktsegment")) == null))
+    assert(rows.map(_.getAs[Long]("n")).sum == 2 * cust.count())
+  }
+
+  test("h10/h18 plan: top-k is TakeOrderedAndProject, not a global sort") {
+    val p10 = planString(OlapQueries.h10ReturnedItems(spark, sf001))
+    val p18 = planString(OlapQueries.h18LargeOrders(spark, sf001))
+    assert(p10.contains("TakeOrderedAndProject"), p10.linesIterator.take(3).mkString)
+    assert(p18.contains("TakeOrderedAndProject"), p18.linesIterator.take(3).mkString)
+    assert(p10.contains("BroadcastHashJoin"), "nation dim must broadcast")
+  }
+
+  test("j8: bloom prefilter returns exactly the semi-join result") {
+    val got = OlapQueries.j8BloomPrefilter(spark, sf001).collect()
+      .map(r => (r.getAs[String]("l_returnflag"),
+        (r.getAs[Long]("n"), r.getAs[Double]("sum_price")))).toMap
+    val urgent = graft.Tables.orders(spark, sf001)
+      .filter("o_orderpriority = '1-URGENT'").select("o_orderkey")
+    val want = graft.Tables.lineitem(spark, sf001)
+      .join(urgent, org.apache.spark.sql.functions.col("l_orderkey") ===
+        org.apache.spark.sql.functions.col("o_orderkey"), "left_semi")
+      .groupBy("l_returnflag")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.bround(org.apache.spark.sql.functions
+          .sum(org.apache.spark.sql.functions.col("l_extendedprice")), 2).as("sum_price"))
+      .collect()
+      .map(r => (r.getAs[String]("l_returnflag"),
+        (r.getAs[Long]("n"), r.getAs[Double]("sum_price")))).toMap
+    assert(got == want, "bloom false positives must be removed by the exact semi-join")
+  }
+
   test("dd_lev_pairs: verification only runs on the candidate list") {
     val cand = DedupQueries.ddSimhashPairs(spark, sf001).count()
     val rows = DedupQueries.ddLevPairs(spark, sf001).collect()
