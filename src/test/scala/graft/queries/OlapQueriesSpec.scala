@@ -310,8 +310,13 @@ class OlapQueriesSpec extends AnyFunSuite {
     assert(rows.length == cand, "one verification row per candidate pair")
     rows.foreach { r =>
       val lev = r.getAs[Int]("lev")
-      assert(lev >= 0 && lev <= 120)
-      assert(r.getAs[Boolean]("is_dup") == (lev * 5 <= 120))
+      assert(lev == -1 || (lev >= 0 && lev <= 24),
+        "bounded distance: exact when <= threshold, -1 sentinel beyond")
+      assert(r.getAs[Boolean]("is_dup") == (lev != -1))
     }
+    assert(rows.exists(_.getAs[Int]("lev") == -1),
+      "candidate list must contain some beyond-threshold pairs")
+    assert(rows.exists(r => r.getAs[Int]("lev") >= 0),
+      "candidate list must contain some verified dups")
   }
 }
