@@ -373,7 +373,20 @@ object OlapQueries {
         bround(sum(col("l_extendedprice")), 2).as("sum_price"))
   }
 
+  /** u6_intersect — row-level INTERSECT (distinct-set semantics), the
+    * set-op the reference's surface lacks (COVERAGE §2.6 notes U-family
+    * has union/except only): customers with both open AND finished
+    * orders. Spark plans one hash-partitioned left-semi over
+    * pre-distincted sides — a single exchange per side on the same key.
+    */
+  def u6Intersect: Q = (s, dir) => {
+    val o = Tables.orders(s, dir)
+    o.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+      .intersect(o.filter(col("o_orderstatus") === "F").select(col("o_custkey")))
+  }
+
   val queries: Map[String, Q] = Map(
+    "u6_intersect" -> u6Intersect,
     "o4_range_frame" -> o4RangeFrame,
     "o5_dist_stats" -> o5DistStats,
     "o6_first_last" -> o6FirstLast,
@@ -394,6 +407,10 @@ object OlapQueries {
     "h5_nation_revenue" -> h5NationRevenue)
 
   val oracle: Map[String, String] = Map(
+    "u6_intersect" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        | INTERSECT
+        | SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'""".stripMargin,
     "o4_range_frame" ->
       """SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
         | round(sum(value) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts)

@@ -190,6 +190,29 @@ object TextQueries {
         sum(col("doc_id")).as("sum_ids"))
   }
 
+  /** td_stratified_sample — deterministic per-stratum downsampling (the
+    * data-mixing op behind every corpus rebalance: keep 25% of English,
+    * 60% of Chinese, all of the rest). Membership is a pure hash of
+    * doc_id — reproducible across runs, engines, partitionings, and
+    * re-ingests; never rand(), which breaks resume and lineage. The
+    * per-stratum rate is a literal CASE (a broadcast-sized control
+    * table at scale), the filter is map-side BEFORE any shuffle, and
+    * the summary agg (with an exact membership checksum) is the only
+    * exchange.
+    */
+  def tdStratifiedSample: Q = (s, dir) => {
+    val rate = when(col("lang") === "en", 25L)
+      .when(col("lang") === "zh", 60L)
+      .otherwise(100L)
+    val keep = pmod(Hashing.md5Long(col("doc_id").cast("string")), lit(100L)) < rate
+    Tables.documents(s, dir)
+      .filter(keep)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept"),
+        sum(col("doc_id")).cast("long").as("sum_ids"),
+        sum(col("n_chars")).cast("long").as("sum_chars"))
+  }
+
   /** ta_repetition — Gopher-style repetition signals (Rae et al. 2021,
     * "Scaling Language Models", §A1.1 repetition filters): fraction of
     * tokens taken by the most frequent token, and duplicate-bigram
@@ -294,6 +317,7 @@ object TextQueries {
     "ta_tfidf" -> taTfidf,
     "td_redact" -> tdRedact,
     "td_split" -> tdSplit,
+    "td_stratified_sample" -> tdStratifiedSample,
     "td_clean_corpus" -> tdCleanCorpus)
 
   private val duckLangScores = langStopwords.map { case (l, words) =>
@@ -398,6 +422,15 @@ object TextQueries {
         |     '\+?[0-9]{1,3}[- .][0-9]{3}[- .][0-9]{3,4}[- .]?[0-9]{0,4}', '<PHONE>', 'g'),
         |   '[0-9]{9,}', '<NUM>', 'g') AS clean_text
         | FROM documents""".stripMargin,
+    "td_stratified_sample" ->
+      """SELECT lang, count(*) AS n_kept,
+        | CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+        | CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        | FROM (SELECT lang, doc_id, n_chars,
+        |   ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100 AS b
+        |   FROM documents)
+        | WHERE b < CASE lang WHEN 'en' THEN 25 WHEN 'zh' THEN 60 ELSE 100 END
+        | GROUP BY 1""".stripMargin,
     "td_split" ->
       """SELECT CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'valid' ELSE 'test' END AS split,
         | count(*) AS n, min(doc_id) AS min_id, CAST(sum(doc_id) AS BIGINT) AS sum_ids
