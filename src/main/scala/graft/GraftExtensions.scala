@@ -22,6 +22,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // whole-plan rewrite: point-in-interval joins → binned equi-joins
+    // (see graft.plans.BinnedRangeJoin) — runs after the main optimizer
+    // batches, before physical planning picks a join strategy
+    ext.injectOptimizerRule(_ => graft.plans.BinnedRangeJoin)
     ext.injectFunction((
       new FunctionIdentifier("replace_first"),
       new ExpressionInfo(classOf[ReplaceFirst].getName, "replace_first"),

@@ -373,6 +373,32 @@ object OlapQueries {
         bround(sum(col("l_extendedprice")), 2).as("sum_price"))
   }
 
+  /** j9_range_join — point-in-interval join through the
+    * [[graft.plans.BinnedRangeJoin]] optimizer rule: events falling in
+    * each user's first-six-hours window, written as the natural
+    * `ts BETWEEN lo AND hi` join. Without the rule Catalyst has no equi
+    * key and plans a BroadcastNestedLoopJoin (every event × every
+    * interval); the rule rewrites to an hour-bin equi-join — one shuffle
+    * of events by bin, ~7 exploded rows per 6 h interval — and re-applies
+    * the exact predicate. The join is intentionally CROSS-user (an event
+    * can fall in any user's window): a genuine m×n range join, not one an
+    * equi key could express.
+    */
+  def j9RangeJoin: Q = (s, dir) => {
+    if (!s.experimental.extraOptimizations.contains(graft.plans.BinnedRangeJoin))
+      s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations :+ graft.plans.BinnedRangeJoin
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), unix_millis(col("ts")).as("ts_ms"), col("value"))
+    val iv = ev.groupBy(col("user_id").as("iv_user"))
+      .agg(min(col("ts_ms")).as("lo"))
+      .select(col("iv_user"), col("lo"), (col("lo") + lit(21600000L)).as("hi"))
+    ev.join(iv, col("ts_ms") >= col("lo") && col("ts_ms") <= col("hi"))
+      .groupBy(col("iv_user"))
+      .agg(count(lit(1)).as("n_in_window"),
+        bround(sum(col("value")), 4).as("sum_value"))
+  }
+
   /** u6_intersect — row-level INTERSECT (distinct-set semantics), the
     * set-op the reference's surface lacks (COVERAGE §2.6 notes U-family
     * has union/except only): customers with both open AND finished
@@ -386,6 +412,7 @@ object OlapQueries {
   }
 
   val queries: Map[String, Q] = Map(
+    "j9_range_join" -> j9RangeJoin,
     "u6_intersect" -> u6Intersect,
     "o4_range_frame" -> o4RangeFrame,
     "o5_dist_stats" -> o5DistStats,
@@ -407,6 +434,14 @@ object OlapQueries {
     "h5_nation_revenue" -> h5NationRevenue)
 
   val oracle: Map[String, String] = Map(
+    "j9_range_join" ->
+      """WITH ev AS (SELECT user_id, epoch_ms(ts) AS ts_ms, value FROM events),
+        |iv AS (SELECT user_id AS iv_user, min(ts_ms) AS lo,
+        |         min(ts_ms) + 21600000 AS hi FROM ev GROUP BY 1)
+        |SELECT iv_user, count(*) AS n_in_window,
+        |       round(sum(value), 4) AS sum_value
+        |FROM ev JOIN iv ON ts_ms >= lo AND ts_ms <= hi
+        |GROUP BY 1""".stripMargin,
     "u6_intersect" ->
       """SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
         | INTERSECT
