@@ -227,9 +227,21 @@ object ClinicalPipeline {
     val patientDs = dropAllNaColumns(
       patient.filter(col("Dataset") === dataset).drop("Dataset")).distinct()
 
+    // V2/V5/V6 ride the export write itself (df.observe): the counters
+    // are computed by the SAME pass that serializes the rows, where the
+    // reference re-scans once per rule (`clinical.py:809-837`) — at
+    // 100 TB each separate validation aggregate is another full pass.
+    val obs = org.apache.spark.sql.Observation(s"graft_v_$dataset")
+    val sampleObserved = sampleDs.observe(obs,
+      count(lit(1)).as("n_rows"),
+      coalesce(sum(col("SAMPLE_ID").isNull.cast("long")), lit(0L))
+        .as("null_sample_id"),
+      coalesce(sum(col("PATIENT_ID").isNull.cast("long")), lit(0L))
+        .as("null_patient_id"))
+
     Tsv.writeTsvFile(patientDs, s"$outDir/data_clinical_patient.txt",
       cbioHeaderBlock(patientDs.columns.toSeq, attrMeta))
-    Tsv.writeTsvFile(sampleDs, s"$outDir/data_clinical_sample.txt",
+    Tsv.writeTsvFile(sampleObserved, s"$outDir/data_clinical_sample.txt",
       cbioHeaderBlock(sampleDs.columns.toSeq, attrMeta))
     if (sampleDs.columns.contains("CANCER_TYPE"))
       Tsv.writeCaseLists(sampleDs, "CANCER_TYPE", "SAMPLE_ID", studyId, s"$outDir/case_lists")
@@ -239,10 +251,11 @@ object ClinicalPipeline {
       "name" -> s"$studyId ($dataset)",
       "reference_genome" -> "hg38"))
 
-    // V2–V7 over the written sample frame
-    val nSamples = sampleDs.count()
-    val nullIds = sampleDs.filter(col("SAMPLE_ID").isNull).count()
-    val nullPatients = sampleDs.filter(col("PATIENT_ID").isNull).count()
+    // the metrics were collected during the sample write — no re-scan
+    val m = obs.get
+    val nSamples = m("n_rows").asInstanceOf[Long]
+    val nullIds = m("null_sample_id").asInstanceOf[Long]
+    val nullPatients = m("null_patient_id").asInstanceOf[Long]
     Seq(
       (s"rows_$dataset", nSamples, nSamples > 0),
       (s"no_null_sample_id_$dataset", nullIds, nullIds == 0),

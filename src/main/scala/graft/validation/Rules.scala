@@ -36,6 +36,40 @@ object Rules {
   def notAllNa(c: String): Rule =
     Rule(s"not_all_na_$c", count(col(c)), passWhenZero = false)
 
+  /** Attach a rule set to a frame as `observe` metrics — ZERO-extra-pass
+    * validation: the counters are computed by whatever action
+    * materializes the frame (an export write, a downstream aggregate)
+    * instead of a separate scan per table. `evaluate` costs one extra
+    * pass per frame; this costs none — at 100 TB that is the difference
+    * between validating for free and re-reading the table. Returns the
+    * instrumented frame (use it IN PLACE of the original for exactly one
+    * action) and the Observation; read results with [[observedReport]]
+    * after the action ran. Aggregates are coalesced to 0 so an empty
+    * frame yields counts, not nulls. Limitation (Spark's, by design):
+    * observe metrics cannot contain distinct aggregates — dup checks
+    * stay in `evaluate`.
+    */
+  def observed(df: DataFrame, name: String,
+               rules: Seq[Rule]): (DataFrame, org.apache.spark.sql.Observation) = {
+    val obs = org.apache.spark.sql.Observation(name)
+    val aggs = rules.map(r => coalesce(r.agg, lit(0L)).cast("long").as(r.name))
+    (df.observe(obs, aggs.head, aggs.tail: _*), obs)
+  }
+
+  /** The (rule, value, passed) report rows from an [[observed]] frame's
+    * metrics; blocks until the instrumented action has completed.
+    */
+  def observedReport(spark: SparkSession,
+                     obs: org.apache.spark.sql.Observation,
+                     rules: Seq[Rule]): DataFrame = {
+    import spark.implicits._
+    val m = obs.get
+    rules.map { r =>
+      val v = m(r.name).asInstanceOf[Long]
+      (r.name, v, if (r.passWhenZero) v == 0L else v > 0L)
+    }.toDF("rule", "value", "passed")
+  }
+
   /** Evaluate a set of rules over one frame in a single aggregate pass,
     * returning (rule, value, passed) rows.
     */

@@ -52,6 +52,42 @@ class RulesSpec extends AnyFunSuite {
     assert(ok.getBoolean(2))
   }
 
+  test("observed rules ride the materializing action — no extra scan, same values") {
+    val orders = graft.Tables.orders(spark, graft.SparkTestBase.sf001)
+    val rules = Seq(Rules.rowCount("orders"), Rules.noNulls("o_orderkey"),
+      Rules.notAllNa("o_orderstatus"))
+    val (instrumented, obs) = Rules.observed(orders, "obs_rules_spec", rules)
+    // job parity: the instrumented action must launch exactly as many
+    // jobs as the plain one — validation adds NO pass of its own
+    val tracker = spark.sparkContext.statusTracker
+    def jobs = tracker.getJobIdsForGroup(null).length
+    val before = jobs
+    orders.count() // baseline: plain action's job count (AQE may use >1)
+    val plainJobs = jobs - before
+    val mid = jobs
+    val nRows = instrumented.count() // stand-in for an export write
+    val report = Rules.observedReport(spark, obs, rules).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    val instrumentedJobs = jobs - mid
+    assert(instrumentedJobs <= plainJobs + 0,
+      s"metrics must not launch their own job ($instrumentedJobs vs $plainJobs)")
+    assert(report("rows_orders") == (nRows, true))
+    assert(report("no_null_o_orderkey") == (0L, true))
+    assert(report("not_all_na_o_orderstatus")._2)
+  }
+
+  test("observed rules coalesce to zero on an empty frame") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("k", "v")
+    val rules = Seq(Rules.rowCount("empty"), Rules.noNulls("k"))
+    val (instrumented, obs) = Rules.observed(empty, "obs_empty_spec", rules)
+    instrumented.write.mode("overwrite")
+      .parquet(java.nio.file.Files.createTempDirectory("graft-obs").toString + "/out")
+    val rep = Rules.observedReport(spark, obs, rules).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rep("rows_empty") == 0L && rep("no_null_k") == 0L)
+  }
+
   test("standardReport over sf0.001: key-integrity rules pass, orphan orders reported") {
     val rep = Rules.standardReport(spark, graft.SparkTestBase.sf001).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(2))).toMap
