@@ -105,7 +105,25 @@ object StreamQueries {
         col("spend").cast("double").as("spend"), col("rn"))
   }
 
+  /** ev_enrich — batch face of the stream-static dimension join
+    * ([[EventStreams.enrichStream]]): events enriched with a user-tier
+    * dim (derived deterministically here; a lookup table in production)
+    * and aggregated per tier. On a stream the dim broadcasts per
+    * micro-batch with zero state; the batch plan is the identical
+    * broadcast join.
+    */
+  def evEnrich: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+    val dim = ev.select(col("user_id")).distinct()
+      .withColumn("tier", pmod(col("user_id"), lit(3L)))
+    EventStreams.enrichStream(ev, dim, "user_id")
+      .groupBy(col("tier"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "ev_enrich" -> evEnrich,
     "ev_window_topk" -> evWindowTopk,
     "ev_tumbling" -> evTumbling,
     "ev_sliding" -> evSliding,
@@ -116,6 +134,10 @@ object StreamQueries {
     "ev_asof" -> evAsof)
 
   val oracle: Map[String, String] = Map(
+    "ev_enrich" ->
+      """SELECT user_id % 3 AS tier, count(*) AS n,
+        | sum(value::DECIMAL(18,2))::DOUBLE AS sum_value
+        | FROM events GROUP BY 1""".stripMargin,
     "ev_window_topk" ->
       """SELECT w_start, user_id, n_events, spend::DOUBLE AS spend, rn FROM (
         |  SELECT time_bucket(INTERVAL 1 HOUR, ts) AS w_start, user_id,

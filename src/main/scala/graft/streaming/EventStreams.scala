@@ -92,6 +92,21 @@ object EventStreams {
       .select(col("click_id"), col("user_id"), col("purchase_ts"), col("purchase_value"))
   }
 
+  /** Stream-static enrichment — the most common production streaming
+    * join: each micro-batch of the stream left-joins a static dimension
+    * (user → tier, device → model, code → name). Stateless: no
+    * watermark, no state store — every batch probes the dim anew, so a
+    * dim refresh (re-read of a table/path) is picked up on the next
+    * batch. The static side is explicitly broadcast: at 1000 executors a
+    * shuffle join would re-shuffle EVERY micro-batch of the stream; the
+    * broadcast ships the dim once per batch and leaves the stream's
+    * partitioning untouched. Same plan works on a batch frame (oracle
+    * path).
+    */
+  def enrichStream(events: DataFrame, dim: DataFrame,
+                   key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
   /** CDC change row for the streaming upsert sink: `op` is
     * insert/update/delete on key `k`; `version` orders changes to the
     * same key within a batch (last write wins).

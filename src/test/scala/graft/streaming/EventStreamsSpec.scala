@@ -171,6 +171,40 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static enrich: dim joined per micro-batch, broadcast, matches batch") {
+    implicit val sq = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val mem = MemoryStream[Event]
+    val out = EventStreams.enrichStream(mem.toDF(), dim, "user_id")
+      .select($"event_id", $"user_id", $"tier")
+    val q = out.writeStream.format("memory").queryName("enrich_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(ev(1, 10, 1), ev(2, 20, 2), ev(3, 30, 99))
+      q.processAllAvailable()
+      mem.addData(ev(4, 40, 2))
+      q.processAllAvailable()
+      val got = spark.table("enrich_out").collect()
+        .map(r => r.getLong(0) -> Option(r.getString(2))).toMap
+      // left join: unmatched user keeps the row with a null tier
+      assert(got == Map(1L -> Some("gold"), 2L -> Some("silver"),
+        3L -> None, 4L -> Some("silver")))
+      // streaming result == the same function applied in batch mode
+      val batch = EventStreams.enrichStream(
+        Seq(ev(1, 10, 1), ev(2, 20, 2), ev(3, 30, 99), ev(4, 40, 2)).toDF(),
+        dim, "user_id")
+        .select($"event_id", $"user_id", $"tier").collect()
+        .map(r => r.getLong(0) -> Option(r.getString(2))).toMap
+      assert(batch == got)
+      // the static side must broadcast — no per-batch shuffle of the stream
+      // (asserted on the batch face: same function, same join plan)
+      val batchPlan = EventStreams.enrichStream(
+        Seq(ev(1, 10, 1)).toDF(), dim, "user_id")
+        .queryExecution.executedPlan.toString
+      assert(batchPlan.contains("BroadcastHashJoin"), batchPlan.take(300))
+    } finally q.stop()
+  }
+
   test("cdcUpsertSink: micro-batched changes converge to the merged snapshot") {
     import EventStreams.Change
     implicit val sq = spark.sqlContext
