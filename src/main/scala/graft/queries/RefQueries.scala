@@ -93,6 +93,25 @@ object RefQueries {
         countDistinct(col("source")).as("n_sources"))
   }
 
+  /** S10 — XML sink/scan round-trip (Spark 4 built-in XML source): the
+    * interchange format for registry/clinical feeds. Schema inference
+    * types the numeric fields back; the aggregate proves value fidelity
+    * through the round-trip. Row-oriented text like JSONL: fine for
+    * interchange, never the analytics layout — no column pruning or
+    * predicate pushdown, which is exactly what the oracle-equal parquet
+    * path provides.
+    */
+  def s10XmlRoundtrip: Q = (s, dir) => {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-s10").toString
+    Tables.customer(s, dir).select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+      .write.mode("overwrite").format("xml").option("rowTag", "customer")
+      .save(s"$tmp/cust")
+    s.read.format("xml").option("rowTag", "customer").load(s"$tmp/cust")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"), sum(col("c_custkey")).as("sum_keys"),
+        bround(sum(col("c_acctbal")), 2).as("sum_bal"))
+  }
+
   /** S8 — ORC sink/scan round-trip: the second columnar format, same
     * predicate/column pushdown surface as parquet.
     */
@@ -529,6 +548,7 @@ object RefQueries {
     "s5_glob_scan" -> s5GlobScan,
     "s7_jsonl_roundtrip" -> s7JsonlRoundtrip,
     "s8_orc_roundtrip" -> s8OrcRoundtrip,
+    "s10_xml_roundtrip" -> s10XmlRoundtrip,
     "s9_cbio_source" -> s9CbioSource,
     "p1_filter_na_false" -> p1FilterNaFalse,
     "p2_neq_keep_nulls" -> p2NeqKeepNulls,
@@ -585,6 +605,9 @@ object RefQueries {
     "s8_orc_roundtrip" ->
       """SELECT o_orderstatus, count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS sum_keys
         | FROM orders GROUP BY 1""".stripMargin,
+    "s10_xml_roundtrip" ->
+      """SELECT c_mktsegment, count(*) AS n, CAST(sum(c_custkey) AS BIGINT) AS sum_keys,
+        | round(sum(c_acctbal), 2) AS sum_bal FROM customer GROUP BY 1""".stripMargin,
     "s9_cbio_source" ->
       """SELECT count(*) AS n, CAST(sum(r_regionkey) AS BIGINT) AS sum_keys,
         | count(DISTINCT r_name) AS n_names FROM region""".stripMargin,

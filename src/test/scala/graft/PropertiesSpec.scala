@@ -138,6 +138,32 @@ class PropertiesSpec extends AnyFunSuite {
       }
   }
 
+  test("range-join property: binned rewrite ≡ naive join on random intervals") {
+    import graft.plans.BinnedRangeJoin
+    val pts = Gen.listOfN(40, Gen.chooseNum(-500L, 500L))
+    val ivs = Gen.listOfN(15, Gen.zip(Gen.chooseNum(-500L, 500L),
+      Gen.chooseNum(-100L, 100L))) // (lo, signed length) — some inverted
+    samples(Gen.zip(pts, ivs), 5).zipWithIndex.foreach { case ((ps, is), i) =>
+      val points = ps.toDF("p")
+      val intervals = is.zipWithIndex
+        .map { case ((lo, len), id) => (id.toLong, lo, lo + len) }
+        .toDF("iv_id", "lo", "hi")
+      def run() = points
+        .join(intervals, col("p") >= col("lo") && col("p") <= col("hi"))
+        .collect().map(r => (r.getLong(1), r.getLong(0))).sorted.toSeq
+      val naive = run()
+      spark.conf.set(BinnedRangeJoin.BinWidthKey, Seq("7", "64", "1000")(i % 3))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ BinnedRangeJoin
+      try assert(run() == naive, s"sample $i diverged")
+      finally {
+        spark.experimental.extraOptimizations =
+          spark.experimental.extraOptimizations.filterNot(_ == BinnedRangeJoin)
+        spark.conf.unset(BinnedRangeJoin.BinWidthKey)
+      }
+    }
+  }
+
   test("z-order property: layout preserves the exact multiset of rows") {
     samples(Gen.listOfN(80, Gen.zip(Gen.chooseNum(0L, 1000L), Gen.chooseNum(0.0, 1.0))), 4)
       .foreach { rows =>
