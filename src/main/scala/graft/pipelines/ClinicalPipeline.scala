@@ -227,17 +227,20 @@ object ClinicalPipeline {
     val patientDs = dropAllNaColumns(
       patient.filter(col("Dataset") === dataset).drop("Dataset")).distinct()
 
-    // V2/V5/V6 ride the export write itself (df.observe): the counters
-    // are computed by the SAME pass that serializes the rows, where the
-    // reference re-scans once per rule (`clinical.py:809-837`) — at
-    // 100 TB each separate validation aggregate is another full pass.
-    val obs = org.apache.spark.sql.Observation(s"graft_v_$dataset")
-    val sampleObserved = sampleDs.observe(obs,
-      count(lit(1)).as("n_rows"),
-      coalesce(sum(col("SAMPLE_ID").isNull.cast("long")), lit(0L))
-        .as("null_sample_id"),
-      coalesce(sum(col("PATIENT_ID").isNull.cast("long")), lit(0L))
-        .as("null_patient_id"))
+    // V2/V5/V6 ride the export write itself (Rules.observed → df.observe):
+    // the counters are computed by the SAME pass that serializes the
+    // rows, where the reference re-scans once per rule
+    // (`clinical.py:809-837`) — at 100 TB each separate validation
+    // aggregate is another full pass.
+    import graft.validation.Rules
+    val exportRules = Seq(
+      Rules.rowCount(dataset),
+      Rules.Rule(s"no_null_sample_id_$dataset",
+        sum(when(col("SAMPLE_ID").isNull, 1L).otherwise(0L))),
+      Rules.Rule(s"no_null_patient_id_$dataset",
+        sum(when(col("PATIENT_ID").isNull, 1L).otherwise(0L))))
+    val (sampleObserved, obs) =
+      Rules.observed(sampleDs, s"graft_v_$dataset", exportRules)
 
     Tsv.writeTsvFile(patientDs, s"$outDir/data_clinical_patient.txt",
       cbioHeaderBlock(patientDs.columns.toSeq, attrMeta))
@@ -253,13 +256,10 @@ object ClinicalPipeline {
 
     // the metrics were collected during the sample write — no re-scan
     val m = obs.get
-    val nSamples = m("n_rows").asInstanceOf[Long]
-    val nullIds = m("null_sample_id").asInstanceOf[Long]
-    val nullPatients = m("null_patient_id").asInstanceOf[Long]
-    Seq(
-      (s"rows_$dataset", nSamples, nSamples > 0),
-      (s"no_null_sample_id_$dataset", nullIds, nullIds == 0),
-      (s"no_null_patient_id_$dataset", nullPatients, nullPatients == 0))
+    exportRules.map { r =>
+      val v = m(r.name).asInstanceOf[Long]
+      (r.name, v, if (r.passWhenZero) v == 0L else v > 0L)
+    }
   }
 
   /** The whole-study fan-out at scale: materialize the preprocessed

@@ -26,6 +26,14 @@ import org.apache.spark.sql.types.{LongType, IntegerType}
   * (`spark.graft.rangeJoin.binWidth`, default 3 600 000 — one hour of
   * epoch-millis) trades explode fan-out (≈ interval_len/W rows per
   * interval) against bin selectivity, the standard range-join knob.
+  * The default suits epoch-millis time joins; for a SMALL integral
+  * domain (ids, scores) it degenerates to one bin — a single hot join
+  * key, worse than the nested loop — so set the width to roughly the
+  * typical interval length of YOUR data, exactly as Databricks' range
+  * join hint requires. Intervals spanning more than
+  * `spark.graft.rangeJoin.maxBinsPerInterval` bins (sentinel
+  * open-ended bounds) fail fast with a message naming the knob rather
+  * than materializing a giant Sequence array.
   *
   * At scale this turns the nested loop into one shuffle of points by bin
   * and ≈len/W copies of each interval — linear, partitionable, AQE- and
@@ -47,6 +55,12 @@ object BinnedRangeJoin extends Rule[LogicalPlan] with PredicateHelper {
 
   val EnabledKey = "spark.graft.rangeJoin.enabled"
   val BinWidthKey = "spark.graft.rangeJoin.binWidth"
+  /** Fail-fast ceiling on bins per interval: a sentinel bound (e.g.
+    * `valid_to = Long.MaxValue`) would otherwise ask Sequence to
+    * materialize trillions of elements and kill the executor with an
+    * opaque array error. Exceeding the cap raises a message naming the
+    * width knob instead. */
+  val MaxBinsKey = "spark.graft.rangeJoin.maxBinsPerInterval"
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!conf.getConfString(EnabledKey, "true").toBoolean) return plan
@@ -111,8 +125,19 @@ object BinnedRangeJoin extends Rule[LogicalPlan] with PredicateHelper {
     val newPSide = Project(pSide.output :+ binAlias, pSide)
 
     // lo > hi (or null bound) can never match an inner join — filter
-    // before exploding so Sequence never sees inverted boundaries
-    val nonEmpty = Filter(LessThanOrEqual(lo, hi), iSide)
+    // before exploding so Sequence never sees inverted boundaries; in the
+    // same pass, fail fast (with the knob named) on interval spans whose
+    // bin fan-out exceeds the cap — AssertTrue returns null on success,
+    // so the IsNull wrapper is a pass-through predicate that throws with
+    // a clear message instead of letting Sequence build a giant array
+    val maxBins = conf.getConfString(MaxBinsKey, "1000000").toLong
+    val spanOk = IsNull(If(
+      LessThanOrEqual(Subtract(binOf(hi), binOf(lo)), Literal(maxBins)),
+      Literal.create(null, org.apache.spark.sql.types.NullType),
+      new RaiseError(Literal(
+        s"BinnedRangeJoin: interval spans more than $maxBins bins; " +
+          s"raise $BinWidthKey (or $MaxBinsKey) for this data"))))
+    val nonEmpty = Filter(And(LessThanOrEqual(lo, hi), spanOk), iSide)
     val binAttr = AttributeReference("__graft_bin_i", LongType, nullable = false)()
     // Sequence is TimeZoneAwareExpression: it stays UNRESOLVED until the
     // timezone is bound (even for integral sequences where it is unused)

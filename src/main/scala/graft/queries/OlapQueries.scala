@@ -361,9 +361,14 @@ object OlapQueries {
     val urgent = Tables.orders(s, dir)
       .filter(col("o_orderpriority") === "1-URGENT")
       .select(col("o_orderkey"))
+    // bloomFilter() is the build-side job of the runtime-filter pattern —
+    // an eager action by design (Spark's own runtime bloom does the same
+    // in its subquery). The filter rides the UDF closure (~1 MB into
+    // each task set) rather than an explicit broadcast: same shipping
+    // cost, but its lifetime is the closure's — nothing to destroy(),
+    // so repeated invocations (bench reps) don't accumulate broadcasts.
     val bloom = urgent.stat.bloomFilter("o_orderkey", 1L << 20, 0.03)
-    val bloomB = s.sparkContext.broadcast(bloom)
-    val mightContain = udf((k: Long) => bloomB.value.mightContainLong(k))
+    val mightContain = udf((k: Long) => bloom.mightContainLong(k))
     Tables.lineitem(s, dir)
       .select(col("l_orderkey"), col("l_returnflag"), col("l_extendedprice"))
       .filter(mightContain(col("l_orderkey")))
@@ -383,6 +388,13 @@ object OlapQueries {
     * the exact predicate. The join is intentionally CROSS-user (an event
     * can fall in any user's window): a genuine m×n range join, not one an
     * equi key could express.
+    *
+    * The rule is installed session-wide (idempotently) and deliberately
+    * left installed — that IS the deployment model (a cluster sets
+    * `spark.sql.extensions=graft.GraftExtensions` and every session has
+    * it). It is semantics-preserving and its eligibility is narrow
+    * (exactly two range conjuncts, no equi key), so coexisting queries
+    * are untouched; `spark.graft.rangeJoin.enabled=false` opts out.
     */
   def j9RangeJoin: Q = (s, dir) => {
     if (!s.experimental.extraOptimizations.contains(graft.plans.BinnedRangeJoin))

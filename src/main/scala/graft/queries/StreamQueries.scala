@@ -114,8 +114,10 @@ object StreamQueries {
     */
   def evEnrich: Q = (s, dir) => {
     val ev = Tables.events(s, dir)
+    // % (remainder), not pmod: the oracle's SQL % is remainder, and the
+    // two diverge on negative ids (pmod(-1,3)=2 vs -1%3=-1)
     val dim = ev.select(col("user_id")).distinct()
-      .withColumn("tier", pmod(col("user_id"), lit(3L)))
+      .withColumn("tier", col("user_id") % lit(3L))
     EventStreams.enrichStream(ev, dim, "user_id")
       .groupBy(col("tier"))
       .agg(count(lit(1)).as("n"),

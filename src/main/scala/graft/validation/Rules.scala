@@ -51,6 +51,7 @@ object Rules {
     */
   def observed(df: DataFrame, name: String,
                rules: Seq[Rule]): (DataFrame, org.apache.spark.sql.Observation) = {
+    require(rules.nonEmpty, "observed() needs at least one rule")
     val obs = org.apache.spark.sql.Observation(name)
     val aggs = rules.map(r => coalesce(r.agg, lit(0L)).cast("long").as(r.name))
     (df.observe(obs, aggs.head, aggs.tail: _*), obs)

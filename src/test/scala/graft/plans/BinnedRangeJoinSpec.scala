@@ -77,6 +77,24 @@ class BinnedRangeJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("sentinel-wide interval fails fast naming the width knob, not an array error") {
+    spark.conf.set(BinnedRangeJoin.BinWidthKey, "10")
+    spark.conf.set(BinnedRangeJoin.MaxBinsKey, "1000")
+    try withRule {
+      val sentinel = Seq((1L, 0L, Long.MaxValue)).toDF("iv_id", "lo", "hi")
+      val ex = intercept[Exception] {
+        points.join(sentinel, col("p") >= col("lo") && col("p") <= col("hi")).collect()
+      }
+      def messages(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+      assert(messages(ex).exists(_.contains("rangeJoin.binWidth")),
+        s"expected the knob-naming error, got: ${ex.getMessage}")
+    } finally {
+      spark.conf.unset(BinnedRangeJoin.BinWidthKey)
+      spark.conf.unset(BinnedRangeJoin.MaxBinsKey)
+    }
+  }
+
   test("disabled flag is a clean no-op") {
     spark.conf.set(BinnedRangeJoin.EnabledKey, "false")
     try withRule {

@@ -29,13 +29,16 @@ class RefQueriesSpec extends AnyFunSuite {
     assert(total == graft.Tables.lineitem(spark, sf001).count())
   }
 
-  test("a2_approx_distinct: HLL estimate within 2% of exact") {
+  test("a2_approx_distinct: HLL estimate within 3 sigma of exact") {
     val row = RefQueries.a2ApproxDistinct(spark, sf001).head()
     import org.apache.spark.sql.functions._
     val exact = graft.Tables.lineitem(spark, sf001)
       .agg(countDistinct(col("l_orderkey")), countDistinct(col("l_partkey"))).head()
+    // tolerance = 3×rsd (query uses rsd=0.02): a 1×rsd bound is one
+    // standard deviation of the estimator — ~32% flake odds on any
+    // regenerated dataset; 3σ holds across refreshes
     def close(approx: Long, truth: Long): Boolean =
-      math.abs(approx - truth).toDouble / truth < 0.02
+      math.abs(approx - truth).toDouble / truth < 0.06
     assert(close(row.getLong(0), exact.getLong(0)),
       s"orders: ${row.getLong(0)} vs ${exact.getLong(0)}")
     assert(close(row.getLong(1), exact.getLong(1)),
