@@ -21,6 +21,9 @@ object Multimodal {
 
   case class Media(doc_id: Long, media: Array[Byte])
   case class MediaEmbed(doc_id: Long, embedding: Array[Float], model_ver: String)
+  /** Decode outcome row: exactly one of (embedding, error) is set. */
+  case class MediaResult(doc_id: Long, embedding: Option[Array[Float]],
+                         model_ver: String, error: Option[String])
 
   /** ---- STUB BOUNDARY -------------------------------------------------
     * A real deployment plugs javax.imageio / ffmpeg-JNI / an ONNX session
@@ -115,6 +118,45 @@ object Multimodal {
       .mapPartitions { it =>
         val model = FakeVisionModel.load()
         it.grouped(batchSize).flatMap(model.embedBatch(_))
+      }
+      .toDF()
+  }
+
+  /** Decode with an ERROR CHANNEL — the plumbing a real corpus demands:
+    * at 100 TB some fraction of media is always corrupt, and one bad
+    * payload must become an error ROW (same J5 error-report shape as the
+    * annotation join), never a task failure that kills the stage and
+    * retries the whole partition's GPU work. Per-item try/catch inside
+    * the batch loop; downstream splits on `error IS NULL` — good rows to
+    * the feature store, error rows to the quarantine report. Both come
+    * from ONE pass; no second decode.
+    */
+  def embedWithErrors(docs: DataFrame, batchSize: Int = 64,
+                      maxBytes: Long = 1L << 26): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    mediaTable(docs).select(col("doc_id"), col("media")).as[Media]
+      .mapPartitions { it =>
+        val model = FakeVisionModel.load()
+        it.grouped(batchSize).flatMap { batch =>
+          batch.map { m =>
+            try {
+              if (m.media == null || m.media.isEmpty)
+                MediaResult(m.doc_id, None, model.version, Some("empty payload"))
+              else if (m.media.length > maxBytes)
+                MediaResult(m.doc_id, None, model.version,
+                  Some(s"payload ${m.media.length} bytes exceeds cap $maxBytes"))
+              else {
+                val Seq(e) = model.embedBatch(Seq(m))
+                MediaResult(m.doc_id, Some(e.embedding), e.model_ver, None)
+              }
+            } catch {
+              case ex: Exception =>
+                MediaResult(m.doc_id, None, model.version,
+                  Some(s"decode failed: ${ex.getClass.getSimpleName}"))
+            }
+          }
+        }
       }
       .toDF()
   }

@@ -37,7 +37,19 @@ object MultimodalQueries {
         round(aggregate(col("embedding"), lit(0.0d),
           (acc, x) => acc + x.cast("double")), 3).as("embed_sum"))
 
+  /** mm_embed_errors — the decode error channel under a byte cap: one
+    * pass yields good rows AND quarantine rows (doc counts + id
+    * checksums per outcome). The cap (180 bytes) is chosen to split the
+    * corpus both ways at every SF; the outcome condition is pure integer
+    * arithmetic, so DuckDB mirrors it.
+    */
+  def mmEmbedErrors: Q = (s, dir) =>
+    Multimodal.embedWithErrors(Tables.documents(s, dir), maxBytes = 180)
+      .groupBy(col("error").isNull.as("ok"))
+      .agg(count(lit(1)).as("n"), sum(col("doc_id")).cast("long").as("sum_ids"))
+
   val queries: Map[String, Q] = Map(
+    "mm_embed_errors" -> mmEmbedErrors,
     "mm_meta" -> mmMeta,
     "mm_frames" -> mmFrames,
     "mm_resize" -> mmResize,
@@ -47,6 +59,10 @@ object MultimodalQueries {
   private val blen = "octet_length(encode(text))"
 
   val oracle: Map[String, String] = Map(
+    "mm_embed_errors" ->
+      s"""SELECT $blen <= 180 AND $blen > 0 AS ok,
+         | count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS sum_ids
+         | FROM documents GROUP BY 1""".stripMargin,
     "mm_meta" ->
       s"""SELECT doc_id, $blen AS byte_len,
          | CASE $blen % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'

@@ -56,6 +56,31 @@ class MultimodalSpec extends AnyFunSuite {
     assert(bad == 0)
   }
 
+  test("embedWithErrors: corrupt/oversized media become error rows in the same pass") {
+    import graft.SparkTestBase.spark
+    import spark.implicits._
+    val mixed = Seq(
+      (1L, "a short good doc"),
+      (2L, ""), // empty payload → error row
+      (3L, "x" * 500), // over the 100-byte cap → error row
+      (4L, "another fine one")).toDF("doc_id", "text")
+    val r = Multimodal.embedWithErrors(mixed, maxBytes = 100)
+      .collect().map(x => x.getLong(0) ->
+        (Option(x.get(1)), Option(x.getString(3)))).toMap
+    assert(r.size == 4, "one outcome row per input — nothing dropped, no crash")
+    assert(r(1L)._1.isDefined && r(1L)._2.isEmpty)
+    assert(r(4L)._1.isDefined && r(4L)._2.isEmpty)
+    assert(r(2L)._1.isEmpty && r(2L)._2.exists(_.contains("empty")))
+    assert(r(3L)._1.isEmpty && r(3L)._2.exists(_.contains("exceeds cap")))
+    // good rows carry the same embeddings the plain path computes
+    val plain = Multimodal.embedFeatures(mixed.filter($"doc_id".isin(1L, 4L)))
+      .select($"doc_id", $"embedding").as[(Long, Array[Float])].collect().toMap
+    val good = Multimodal.embedWithErrors(mixed, maxBytes = 100)
+      .filter($"error".isNull)
+      .select($"doc_id", $"embedding").as[(Long, Array[Float])].collect().toMap
+    assert(plain.keys.forall(k => plain(k).sameElements(good(k))))
+  }
+
   test("embedFeatures: fixed dim, deterministic across runs and batch sizes") {
     val e1 = Multimodal.embedFeatures(docs, batchSize = 64)
       .select($"doc_id", $"embedding").as[(Long, Array[Float])].collect().toMap
