@@ -411,6 +411,28 @@ object OlapQueries {
         bround(sum(col("value")), 4).as("sum_value"))
   }
 
+  /** j10_nullsafe_join — equi-join on NULL-SAFE equality (`<=>`): NULL
+    * keys match the dim's NULL row instead of dropping out, the lookup
+    * shape for "unknown bucket" enrichment. Spark plans `<=>` as a hash
+    * join key (EqualNullSafe is an equi key, NOT a theta join), so this
+    * broadcasts like any lookup — semantics the plain `===` join cannot
+    * express without a coalesce-to-sentinel hack that corrupts real
+    * sentinel values.
+    */
+  def j10NullsafeJoin: Q = (s, dir) => {
+    import s.implicits._
+    val facts = Tables.orders(s, dir).select(
+      col("o_orderkey"),
+      when(pmod(col("o_orderkey"), lit(7)) === 0, lit(null).cast("string"))
+        .otherwise(col("o_orderstatus")).as("k"))
+    val dim = Seq((Some("O"), "open"), (Some("F"), "finished"),
+      (Some("P"), "pending"), (Option.empty[String], "unknown"))
+      .toDF("dk", "label")
+    facts.join(broadcast(dim), col("k") <=> col("dk"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).cast("long").as("sum_keys"))
+  }
+
   /** u6_intersect — row-level INTERSECT (distinct-set semantics), the
     * set-op the reference's surface lacks (COVERAGE §2.6 notes U-family
     * has union/except only): customers with both open AND finished
@@ -425,6 +447,7 @@ object OlapQueries {
 
   val queries: Map[String, Q] = Map(
     "j9_range_join" -> j9RangeJoin,
+    "j10_nullsafe_join" -> j10NullsafeJoin,
     "u6_intersect" -> u6Intersect,
     "o4_range_frame" -> o4RangeFrame,
     "o5_dist_stats" -> o5DistStats,
@@ -446,6 +469,16 @@ object OlapQueries {
     "h5_nation_revenue" -> h5NationRevenue)
 
   val oracle: Map[String, String] = Map(
+    "j10_nullsafe_join" ->
+      """WITH facts AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_orderstatus END AS k
+        |  FROM orders),
+        |dim(dk, label) AS (VALUES ('O', 'open'), ('F', 'finished'),
+        |                          ('P', 'pending'), (NULL, 'unknown'))
+        |SELECT label, count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS sum_keys
+        |FROM facts JOIN dim ON k IS NOT DISTINCT FROM dk
+        |GROUP BY 1""".stripMargin,
     "j9_range_join" ->
       """WITH ev AS (SELECT user_id, epoch_ms(ts) AS ts_ms, value FROM events),
         |iv AS (SELECT user_id AS iv_user, min(ts_ms) AS lo,
