@@ -187,6 +187,42 @@ object SimQueries {
       .select(col("query_id"), col("neighbor_id"), col("rank"))
   }
 
+  /** sim_ivf_probe2 — multi-probe IVF search (nprobe=2): each query
+    * probes its TWO nearest centroid buckets, the standard recall lever
+    * when the true neighbor sits just across a Voronoi boundary.
+    * The probe list is a tiny (queries × centroids) cross join ranked
+    * per query — the coarse-index fan-out, broadcast to the candidate
+    * scan; candidates still live in exactly one bucket, so no neighbor
+    * is scored twice and the only real shuffle stays the per-query
+    * top-k window. Cost scales with nprobe × bucket size, the classic
+    * IVF recall/latency dial.
+    */
+  def simIvfProbe2: Q = (s, dir) => {
+    import s.implicits._
+    val cents = collectCentroids(s, dir)
+    val centDf = cents.toDF("c_label", "ce", "cn")
+    val v = vectors(s, dir).withColumn("bucket", nearestCentroid(cents))
+    val q0 = v.select(col("vec_id").as("query_id"), col("embedding").as("eq"))
+      .filter(col("query_id") < 10)
+    val wp = Window.partitionBy(col("query_id"))
+      .orderBy(col("cscore").desc, col("c_label").asc)
+    val probes = q0.crossJoin(broadcast(centDf))
+      .withColumn("cscore", signedSq(dotc(col("eq"), col("ce"))) / col("cn"))
+      .withColumn("prn", row_number().over(wp))
+      .filter(col("prn") <= 2)
+      .select(col("query_id"), col("eq"), col("c_label").as("bucket"))
+    val cand = v.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("ec"), col("nrm").as("nc"), col("bucket"))
+    val scored = cand.join(broadcast(probes), Seq("bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("score", signedSq(dotc(col("eq"), col("ec"))) / col("nc"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= LshTopK)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+
   /** sim_quantize — int8 affine quantization of the embedding column
     * against the global max-|x| (symmetric range): the storage-scale path
     * for vector corpora — 4× smaller than float32 before any index is
@@ -216,7 +252,8 @@ object SimQueries {
     "sim_lsh_sig" -> simLshSig,
     "sim_lsh_topk" -> simLshTopk,
     "sim_ivf_assign" -> simIvfAssign,
-    "sim_ivf_topk" -> simIvfTopk)
+    "sim_ivf_topk" -> simIvfTopk,
+    "sim_ivf_probe2" -> simIvfProbe2)
 
   // ---- DuckDB oracles ------------------------------------------------
 
@@ -294,6 +331,34 @@ object SimQueries {
         |  SELECT q.query_id, c.vec_id AS neighbor_id,
         |    (${duckDot("q.eq", "c.embedding")}) * abs(${duckDot("q.eq", "c.embedding")}) / c.nrm AS score
         |  FROM assigned c JOIN q ON c.bucket = q.bucket AND c.vec_id <> q.query_id)
+        |SELECT query_id, neighbor_id, rank FROM (
+        |  SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+        |  FROM scored)
+        |WHERE rank <= $LshTopK""".stripMargin,
+    "sim_ivf_probe2" ->
+      s"""WITH v AS (
+        |  SELECT vec_id, label, embedding, ${duckDot("embedding", "embedding")} AS nrm
+        |  FROM embeddings),
+        |cent AS (
+        |  SELECT label AS c_label, embedding AS ce, nrm AS cn FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY label ORDER BY vec_id) AS rn FROM v)
+        |  WHERE rn = 1),
+        |ranked AS (
+        |  SELECT v.vec_id, v.embedding, v.nrm, cent.c_label,
+        |    row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |      (${duckDot("v.embedding", "cent.ce")}) * abs(${duckDot("v.embedding", "cent.ce")}) / cent.cn DESC,
+        |      cent.c_label) AS rn
+        |  FROM v CROSS JOIN cent),
+        |assigned AS (
+        |  SELECT vec_id, embedding, nrm, c_label AS bucket FROM ranked WHERE rn = 1),
+        |probes AS (
+        |  SELECT vec_id AS query_id, embedding AS eq, c_label AS bucket
+        |  FROM ranked WHERE rn <= 2 AND vec_id < 10),
+        |scored AS (
+        |  SELECT p.query_id, c.vec_id AS neighbor_id,
+        |    (${duckDot("p.eq", "c.embedding")}) * abs(${duckDot("p.eq", "c.embedding")}) / c.nrm AS score
+        |  FROM assigned c JOIN probes p ON c.bucket = p.bucket AND c.vec_id <> p.query_id)
         |SELECT query_id, neighbor_id, rank FROM (
         |  SELECT query_id, neighbor_id,
         |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
