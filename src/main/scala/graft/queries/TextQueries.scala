@@ -213,6 +213,52 @@ object TextQueries {
         sum(col("n_chars")).cast("long").as("sum_chars"))
   }
 
+  /** td_pack — sequence packing for training: documents (in id order)
+    * greedily packed into ~512-token bins by running token count, the
+    * standard pretraining batch-prep op. The running sum uses
+    * [[graft.operators.PrefixSum]] — a range-partition + per-partition
+    * window + broadcast offsets, NOT a partitionless global window (which
+    * funnels the whole corpus through one task). bin = floor(tokens
+    * before this doc / 512): a doc can straddle a boundary (its tokens
+    * overflow into the next bin), matching how packed pretraining
+    * sequences split documents at sequence edges.
+    */
+  def tdPack: Q = (s, dir) => {
+    val target = 512
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        size(filter(split(trim(col("text")), "\\s+"), t => length(t) > 0))
+          .cast("long").as("n_tokens"))
+    graft.operators.PrefixSum
+      .withRunningSum(toks, "doc_id", "n_tokens", "cum_tokens")
+      .withColumn("bin", floor((col("cum_tokens") - col("n_tokens")) / target))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("bin_tokens"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+  }
+
+  /** ta_unigram_lp — unigram language-model scoring (the CCNet-style
+    * quality filter proxy: docs whose tokens are improbable under the
+    * corpus unigram distribution are gibberish/noise candidates). Corpus
+    * term frequencies via one token aggregate; per-doc mean log-prob via
+    * a second. Both shuffles key on bounded sets (vocab, doc_id); the
+    * frequency table broadcasts into the scoring join at this
+    * vocabulary size — at web scale it stays an equi-join on token.
+    */
+  def taUnigramLp: Q = (s, dir) => {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        explode(filter(split(lower(trim(col("text"))), "\\s+"),
+          t => length(t) > 0)).as("tok"))
+    val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val total = freq.agg(sum(col("cnt"))).head().getLong(0)
+    toks.join(broadcast(freq), Seq("tok"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_toks"),
+        bround(avg(log(col("cnt").cast("double") / lit(total.toDouble))), 6)
+          .as("avg_lp"))
+  }
+
   /** ta_repetition — Gopher-style repetition signals (Rae et al. 2021,
     * "Scaling Language Models", §A1.1 repetition filters): fraction of
     * tokens taken by the most frequent token, and duplicate-bigram
@@ -318,6 +364,8 @@ object TextQueries {
     "td_redact" -> tdRedact,
     "td_split" -> tdSplit,
     "td_stratified_sample" -> tdStratifiedSample,
+    "td_pack" -> tdPack,
+    "ta_unigram_lp" -> taUnigramLp,
     "td_clean_corpus" -> tdCleanCorpus)
 
   private val duckLangScores = langStopwords.map { case (l, words) =>
@@ -422,6 +470,29 @@ object TextQueries {
         |     '\+?[0-9]{1,3}[- .][0-9]{3}[- .][0-9]{3,4}[- .]?[0-9]{0,4}', '<PHONE>', 'g'),
         |   '[0-9]{9,}', '<NUM>', 'g') AS clean_text
         | FROM documents""".stripMargin,
+    "td_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id, len(regexp_extract_all(trim(text), '\S+')) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |    sum(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM t)
+        |SELECT CAST(floor((cum - n_tokens) / 512) AS BIGINT) AS bin,
+        |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM c GROUP BY 1""".stripMargin,
+    "ta_unigram_lp" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(trim(text)), '\S+')) AS tok
+        |  FROM documents),
+        |freq AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+        |tot AS (SELECT sum(cnt)::DOUBLE AS total FROM freq)
+        |SELECT t.doc_id, count(*) AS n_toks,
+        |  round(avg(ln(f.cnt::DOUBLE / tot.total)), 6) AS avg_lp
+        |FROM toks t JOIN freq f ON t.tok = f.tok CROSS JOIN tot
+        |GROUP BY 1""".stripMargin,
     "td_stratified_sample" ->
       """SELECT lang, count(*) AS n_kept,
         | CAST(sum(doc_id) AS BIGINT) AS sum_ids,

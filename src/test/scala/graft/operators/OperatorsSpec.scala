@@ -43,4 +43,21 @@ class OperatorsSpec extends AnyFunSuite {
       .agg(count(lit(1)), sum("payload")).as[(Long, Long)].head()
     assert(salted == plain)
   }
+
+  test("PrefixSum: two-pass distributed running sum == global-window running sum") {
+    // ids deliberately shuffled + gappy; weights include zeros
+    val rows = Seq(7L, 3L, 11L, 1L, 9L, 5L, 2L, 20L, 15L, 8L)
+      .map(id => (id, id % 4)) // weight = id mod 4 (some zeros)
+    val df = rows.toDF("id", "w")
+    val got = PrefixSum.withRunningSum(df, "id", "w", "cum", numPartitions = 3)
+      .select($"id", $"cum").as[(Long, Long)].collect().toMap
+    // reference: sequential scan in id order
+    var acc = 0L
+    val want = rows.sortBy(_._1).map { case (id, w) => acc += w; id -> acc }.toMap
+    assert(got == want)
+    // the heavy pass must be genuinely parallel: >1 populated partition
+    val nParts = PrefixSum.withRunningSum(df, "id", "w", "cum", numPartitions = 3)
+      .select(org.apache.spark.sql.functions.spark_partition_id()).distinct().count()
+    assert(nParts > 1, "range partitioning must spread rows across partitions")
+  }
 }
