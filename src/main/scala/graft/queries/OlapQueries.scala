@@ -203,6 +203,84 @@ object OlapQueries {
     """)
   }
 
+  private def registerSqlViews(s: SparkSession, dir: String): Unit = {
+    Tables.lineitem(s, dir).createOrReplaceTempView("li_sql")
+    Tables.orders(s, dir).createOrReplaceTempView("ord_sql")
+    Tables.customer(s, dir).createOrReplaceTempView("cust_sql")
+    Tables.supplier(s, dir).createOrReplaceTempView("supp_sql")
+  }
+
+  /** h13_custdist — TPC-H Q13 shape through the raw SQL surface: the
+    * order-count distribution, a LEFT join whose count(o_orderkey)
+    * correctly yields 0 for orderless customers, re-aggregated into a
+    * histogram. Two cascaded aggregations, each partial-aggregated
+    * map-side; the outer one's key space is tiny (distinct counts).
+    */
+  def h13Custdist: Q = (s, dir) => {
+    registerSqlViews(s, dir)
+    s.sql("""
+      SELECT c_count, count(*) AS custdist FROM (
+        SELECT c_custkey, count(o_orderkey) AS c_count
+        FROM cust_sql LEFT JOIN ord_sql ON c_custkey = o_custkey
+        GROUP BY 1)
+      GROUP BY 1
+      ORDER BY custdist DESC, c_count DESC LIMIT 10
+    """)
+  }
+
+  /** h15_top_supplier — TPC-H Q15 shape: a CTE referenced TWICE (revenue
+    * per supplier feeds both the max and the filter). Catalyst plans the
+    * scalar `max` as a subquery over the same aggregate — at scale the
+    * CTE is one shuffle reused, not two scans of lineitem.
+    */
+  def h15TopSupplier: Q = (s, dir) => {
+    registerSqlViews(s, dir)
+    s.sql("""
+      WITH rev AS (
+        SELECT l_suppkey AS supplier_no,
+               round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS total_revenue
+        FROM li_sql GROUP BY 1)
+      SELECT s_suppkey, s_name, total_revenue
+      FROM supp_sql JOIN rev ON s_suppkey = supplier_no
+      WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+    """)
+  }
+
+  /** h17_small_quantity — TPC-H Q17 shape: a CORRELATED scalar subquery
+    * (per-part average quantity) gating the fact scan. Catalyst
+    * decorrelates it into an aggregate + equi-join on l_partkey — the
+    * textbook subquery-to-join rewrite; naive per-row re-execution would
+    * be O(rows × parts). Decimal sum so both engines round identically.
+    */
+  def h17SmallQuantity: Q = (s, dir) => {
+    registerSqlViews(s, dir)
+    s.sql("""
+      SELECT round(sum(CAST(l_extendedprice AS DECIMAL(18,2))) / 7.0, 2)
+               AS avg_yearly,
+             count(*) AS n
+      FROM li_sql l1
+      WHERE l_quantity < (SELECT 0.5 * avg(l_quantity) FROM li_sql l2
+                          WHERE l2.l_partkey = l1.l_partkey)
+    """)
+  }
+
+  /** h22_wealthy_inactive — TPC-H Q22 shape: an uncorrelated scalar
+    * subquery (global average balance, computed once and broadcast as a
+    * literal-like filter) plus NOT EXISTS decorrelated to a left-anti
+    * join. The anti join's build side is the filtered orders projection.
+    */
+  def h22WealthyInactive: Q = (s, dir) => {
+    registerSqlViews(s, dir)
+    s.sql("""
+      SELECT count(*) AS n_cust, round(sum(c_acctbal), 2) AS total_bal
+      FROM cust_sql
+      WHERE c_acctbal > (SELECT avg(c_acctbal) FROM cust_sql WHERE c_acctbal > 0)
+        AND NOT EXISTS (SELECT 1 FROM ord_sql
+                        WHERE o_custkey = c_custkey
+                          AND o_orderpriority = '1-URGENT')
+    """)
+  }
+
   /** u5_merge_upsert — MERGE semantics (the lakehouse upsert: apply a
     * change set of inserts/updates/deletes to a base table) expressed as
     * one full-outer join + null-safe delete filter + coalesce resolution.
@@ -448,6 +526,10 @@ object OlapQueries {
   val queries: Map[String, Q] = Map(
     "j9_range_join" -> j9RangeJoin,
     "j10_nullsafe_join" -> j10NullsafeJoin,
+    "h13_custdist" -> h13Custdist,
+    "h15_top_supplier" -> h15TopSupplier,
+    "h17_small_quantity" -> h17SmallQuantity,
+    "h22_wealthy_inactive" -> h22WealthyInactive,
     "u6_intersect" -> u6Intersect,
     "o4_range_frame" -> o4RangeFrame,
     "o5_dist_stats" -> o5DistStats,
@@ -469,6 +551,34 @@ object OlapQueries {
     "h5_nation_revenue" -> h5NationRevenue)
 
   val oracle: Map[String, String] = Map(
+    "h13_custdist" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY 1)
+        |GROUP BY 1 ORDER BY custdist DESC, c_count DESC LIMIT 10""".stripMargin,
+    "h15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |    round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS total_revenue
+        |  FROM lineitem GROUP BY 1)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM supplier JOIN rev ON s_suppkey = supplier_no
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)""".stripMargin,
+    "h17_small_quantity" ->
+      """SELECT round(sum(CAST(l_extendedprice AS DECIMAL(18,2))) / 7.0, 2)
+        |   AS avg_yearly,
+        | count(*) AS n
+        |FROM lineitem l1
+        |WHERE l_quantity < (SELECT 0.5 * avg(l_quantity) FROM lineitem l2
+        |                    WHERE l2.l_partkey = l1.l_partkey)""".stripMargin,
+    "h22_wealthy_inactive" ->
+      """SELECT count(*) AS n_cust, round(sum(c_acctbal), 2) AS total_bal
+        |FROM customer
+        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderpriority = '1-URGENT')""".stripMargin,
     "j10_nullsafe_join" ->
       """WITH facts AS (
         |  SELECT o_orderkey,
