@@ -284,6 +284,18 @@ class OlapQueriesSpec extends AnyFunSuite {
     assert(p10.contains("BroadcastHashJoin"), "nation dim must broadcast")
   }
 
+  test("h17/h22: subqueries decorrelate to joins, never per-row re-execution") {
+    val p17 = planString(OlapQueries.h17SmallQuantity(spark, sf001))
+    // the correlated per-part average must become an aggregate + join on
+    // l_partkey — a plan with a nested-loop or per-row subquery would
+    // re-scan lineitem once per row
+    assert(p17.contains("Join") && p17.toLowerCase.contains("l_partkey"),
+      p17.linesIterator.take(8).mkString("\n"))
+    assert(!p17.contains("CartesianProduct") && !p17.contains("BroadcastNestedLoopJoin"))
+    val p22 = planString(OlapQueries.h22WealthyInactive(spark, sf001))
+    assert(p22.contains("LeftAnti"), "NOT EXISTS must plan as an anti join")
+  }
+
   test("j8: bloom prefilter returns exactly the semi-join result") {
     val got = OlapQueries.j8BloomPrefilter(spark, sf001).collect()
       .map(r => (r.getAs[String]("l_returnflag"),
