@@ -375,27 +375,29 @@ object DedupQueries {
     * 10-word chunk — the Spark plumbing (chunk → global first-occurrence
     * resolution → in-order reassembly) is the real operator.
     *
-    * Three shuffles, all on bounded keys: chunk-hash (first-occurrence
-    * agg), the keep join, and doc_id (reassembly) — never a cross
-    * product, and the chunk relation is ~corpus-sized, so the op scales
-    * as one extra pass over the text. Chunking itself is a zero-shuffle
+    * ONE scan, two shuffles, all on bounded keys: the global
+    * first-occurrence is `min(doc_id) OVER (PARTITION BY para)` — a
+    * window on the chunk-hash shuffle, replacing the
+    * aggregate-plus-self-join form that read the corpus twice — then
+    * doc_id (reassembly). Never a cross product; the op scales as one
+    * extra pass over the text. Chunking itself is a zero-shuffle
     * transform+posexplode; reassembly sorts each doc's kept chunks by
     * original position inside the aggregate (array_sort of (pos, text)
     * structs), not with a global sort.
     */
   def ddParaDedup: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
     val chunks = Tables.documents(s, dir)
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .select(col("doc_id"), posexplode(expr(
         """transform(sequence(0, cast(ceil(size(ws) / 10.0) as int) - 1),
           |          g -> array_join(slice(ws, g * 10 + 1, 10), ' '))""".stripMargin)))
       .withColumnsRenamed(Map("pos" -> "cid", "col" -> "para"))
-    val firsts = chunks.groupBy(col("para")).agg(min(col("doc_id")).as("first_doc"))
-    val kept = chunks.as("c")
-      .join(firsts.as("f"),
-        col("c.para") === col("f.para") && col("c.doc_id") === col("f.first_doc"))
-      .groupBy(col("c.doc_id").as("doc_id"), col("c.para").as("para"))
-      .agg(min(col("c.cid")).as("cid"))
+    val kept = chunks
+      .withColumn("first_doc", min(col("doc_id")).over(Window.partitionBy(col("para"))))
+      .filter(col("doc_id") === col("first_doc"))
+      .groupBy(col("doc_id"), col("para"))
+      .agg(min(col("cid")).as("cid"))
     kept.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_keep"),
         array_join(expr("transform(array_sort(collect_list(struct(cid, para))), x -> x.para)"), " ")
