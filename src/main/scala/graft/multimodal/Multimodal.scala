@@ -139,23 +139,33 @@ object Multimodal {
       .mapPartitions { it =>
         val model = FakeVisionModel.load()
         it.grouped(batchSize).flatMap { batch =>
-          batch.map { m =>
-            try {
-              if (m.media == null || m.media.isEmpty)
-                MediaResult(m.doc_id, None, model.version, Some("empty payload"))
-              else if (m.media.length > maxBytes)
-                MediaResult(m.doc_id, None, model.version,
-                  Some(s"payload ${m.media.length} bytes exceeds cap $maxBytes"))
-              else {
-                val Seq(e) = model.embedBatch(Seq(m))
-                MediaResult(m.doc_id, Some(e.embedding), e.model_ver, None)
-              }
-            } catch {
-              case ex: Exception =>
-                MediaResult(m.doc_id, None, model.version,
-                  Some(s"decode failed: ${ex.getClass.getSimpleName}"))
-            }
+          // screen first, then ONE model call for the batch's valid items
+          // (the whole point of batching is one GPU/codec invocation per
+          // batch); per-item fallback only for attribution when the
+          // batched call itself fails
+          val (bad, good) = batch.partition(m =>
+            m.media == null || m.media.isEmpty || m.media.length > maxBytes)
+          val badRows = bad.map { m =>
+            val why = if (m.media == null || m.media.isEmpty) "empty payload"
+              else s"payload ${m.media.length} bytes exceeds cap $maxBytes"
+            MediaResult(m.doc_id, None, model.version, Some(why))
           }
+          val goodRows =
+            try model.embedBatch(good)
+              .map(e => MediaResult(e.doc_id, Some(e.embedding), e.model_ver, None))
+            catch {
+              case _: Exception => good.map { m =>
+                try {
+                  val Seq(e) = model.embedBatch(Seq(m))
+                  MediaResult(m.doc_id, Some(e.embedding), e.model_ver, None)
+                } catch {
+                  case ex: Exception =>
+                    MediaResult(m.doc_id, None, model.version,
+                      Some(s"decode failed: ${ex.getClass.getSimpleName}"))
+                }
+              }
+            }
+          badRows ++ goodRows
         }
       }
       .toDF()

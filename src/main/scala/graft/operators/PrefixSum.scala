@@ -31,6 +31,15 @@ object PrefixSum {
     */
   def withRunningSum(df: DataFrame, orderCol: String, weightCol: String,
                      cumCol: String, numPartitions: Int = 0): DataFrame = {
+    // CORRECTNESS depends on both references to `ranged` resolving to the
+    // SAME physical exchange (ReuseExchange/AQE stage reuse): two
+    // independent executions of repartitionByRange sample with different
+    // seeds and may pick different partition bounds, silently mismatching
+    // offsets and rows. The subtrees are identical by construction, so
+    // reuse is deterministic — but it must not be disabled.
+    // OperatorsSpec locks the ReusedExchange into the executed plan.
+    require(df.sparkSession.conf.get("spark.sql.exchange.reuse.enabled", "true").toBoolean,
+      "PrefixSum.withRunningSum requires spark.sql.exchange.reuse.enabled=true")
     val parts = if (numPartitions > 0) numPartitions
       else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val ranged = df.repartitionByRange(parts, col(orderCol))

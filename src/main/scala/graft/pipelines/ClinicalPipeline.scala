@@ -255,11 +255,7 @@ object ClinicalPipeline {
       "reference_genome" -> "hg38"))
 
     // the metrics were collected during the sample write — no re-scan
-    val m = obs.get
-    exportRules.map { r =>
-      val v = m(r.name).asInstanceOf[Long]
-      (r.name, v, if (r.passWhenZero) v == 0L else v > 0L)
-    }
+    Rules.observedRows(obs, exportRules)
   }
 
   /** The whole-study fan-out at scale: materialize the preprocessed

@@ -131,8 +131,13 @@ object BinnedRangeJoin extends Rule[LogicalPlan] with PredicateHelper {
     // so the IsNull wrapper is a pass-through predicate that throws with
     // a clear message instead of letting Sequence build a giant array
     val maxBins = conf.getConfString(MaxBinsKey, "1000000").toLong
+    // Coalesce(span ≤ max, true): a NULL bound makes the span NULL — that
+    // row is unmatched (dropped by the lo ≤ hi conjunct), NOT an error,
+    // so the raise must only fire on a definite over-cap span
     val spanOk = IsNull(If(
-      LessThanOrEqual(Subtract(binOf(hi), binOf(lo)), Literal(maxBins)),
+      Coalesce(Seq(
+        LessThanOrEqual(Subtract(binOf(hi), binOf(lo)), Literal(maxBins)),
+        Literal(true))),
       Literal.create(null, org.apache.spark.sql.types.NullType),
       new RaiseError(Literal(
         s"BinnedRangeJoin: interval spans more than $maxBins bins; " +

@@ -255,8 +255,8 @@ object OlapQueries {
   def h17SmallQuantity: Q = (s, dir) => {
     registerSqlViews(s, dir)
     s.sql("""
-      SELECT round(sum(CAST(l_extendedprice AS DECIMAL(18,2))) / 7.0, 2)
-               AS avg_yearly,
+      SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))) / 7.0, 2)
+                  AS DOUBLE) AS avg_yearly,
              count(*) AS n
       FROM li_sql l1
       WHERE l_quantity < (SELECT 0.5 * avg(l_quantity) FROM li_sql l2

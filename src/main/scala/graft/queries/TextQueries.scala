@@ -251,11 +251,16 @@ object TextQueries {
         explode(filter(split(lower(trim(col("text"))), "\\s+"),
           t => length(t) > 0)).as("tok"))
     val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
-    val total = freq.agg(sum(col("cnt"))).head().getLong(0)
+    // total as a LAZY 1-row cross join (the oracle's `tot` CTE shape):
+    // an eager .head() here would run the whole tokenize+aggregate once
+    // at plan-construction time and AGAIN in the join — ReuseExchange
+    // shares the freq shuffle between the two uses inside one plan
+    val total = freq.agg(sum(col("cnt")).cast("double").as("total"))
     toks.join(broadcast(freq), Seq("tok"))
+      .crossJoin(broadcast(total))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_toks"),
-        bround(avg(log(col("cnt").cast("double") / lit(total.toDouble))), 6)
+        bround(avg(log(col("cnt").cast("double") / col("total"))), 6)
           .as("avg_lp"))
   }
 

@@ -57,18 +57,24 @@ object Rules {
     (df.observe(obs, aggs.head, aggs.tail: _*), obs)
   }
 
-  /** The (rule, value, passed) report rows from an [[observed]] frame's
-    * metrics; blocks until the instrumented action has completed.
+  /** The (rule, value, passed) rows from an [[observed]] frame's metrics;
+    * blocks until the instrumented action has completed.
     */
-  def observedReport(spark: SparkSession,
-                     obs: org.apache.spark.sql.Observation,
-                     rules: Seq[Rule]): DataFrame = {
-    import spark.implicits._
+  def observedRows(obs: org.apache.spark.sql.Observation,
+                   rules: Seq[Rule]): Seq[(String, Long, Boolean)] = {
     val m = obs.get
     rules.map { r =>
       val v = m(r.name).asInstanceOf[Long]
       (r.name, v, if (r.passWhenZero) v == 0L else v > 0L)
-    }.toDF("rule", "value", "passed")
+    }
+  }
+
+  /** [[observedRows]] as a report DataFrame. */
+  def observedReport(spark: SparkSession,
+                     obs: org.apache.spark.sql.Observation,
+                     rules: Seq[Rule]): DataFrame = {
+    import spark.implicits._
+    observedRows(obs, rules).toDF("rule", "value", "passed")
   }
 
   /** Evaluate a set of rules over one frame in a single aggregate pass,

@@ -59,5 +59,13 @@ class OperatorsSpec extends AnyFunSuite {
     val nParts = PrefixSum.withRunningSum(df, "id", "w", "cum", numPartitions = 3)
       .select(org.apache.spark.sql.functions.spark_partition_id()).distinct().count()
     assert(nParts > 1, "range partitioning must spread rows across partitions")
+    // correctness precondition: BOTH branches must execute ONE shared
+    // range exchange — a second independent repartitionByRange could
+    // sample different partition bounds and mismatch offsets to rows
+    val out = PrefixSum.withRunningSum(df, "id", "w", "cum", numPartitions = 3)
+    out.queryExecution.toRdd.count()
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedExchange"),
+      s"range exchange must be shared, not duplicated:\n${plan.take(600)}")
   }
 }

@@ -95,6 +95,20 @@ class BinnedRangeJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("NULL interval bounds drop the row (unmatched), never raise the span error") {
+    spark.conf.set(BinnedRangeJoin.BinWidthKey, "10")
+    try withRule {
+      val withNulls = Seq((1L, Some(0L), Some(20L)), (2L, None, Some(5L)),
+        (3L, Some(5L), None)).toDF("iv_id", "lo", "hi")
+      val got = points
+        .join(withNulls, col("p") >= col("lo") && col("p") <= col("hi"))
+        .select(col("iv_id"), col("p")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got.forall(_._1 == 1L), "null-bounded intervals match nothing")
+      assert(got.nonEmpty)
+    } finally spark.conf.unset(BinnedRangeJoin.BinWidthKey)
+  }
+
   test("disabled flag is a clean no-op") {
     spark.conf.set(BinnedRangeJoin.EnabledKey, "false")
     try withRule {
