@@ -164,6 +164,22 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("prefix-sum property: distributed ≡ sequential for any data and partitioning") {
+    import graft.operators.PrefixSum
+    val gen = Gen.zip(
+      Gen.listOfN(60, Gen.chooseNum(-10000L, 10000L)).map(_.distinct),
+      Gen.chooseNum(1, 6))
+    samples(gen, 5).foreach { case (ids, parts) =>
+      val rows = ids.map(id => (id, math.abs(id) % 7))
+      val got = PrefixSum
+        .withRunningSum(rows.toDF("id", "w"), "id", "w", "cum", numPartitions = parts)
+        .select(col("id"), col("cum")).as[(Long, Long)].collect().toMap
+      var acc = 0L
+      val want = rows.sortBy(_._1).map { case (id, w) => acc += w; id -> acc }.toMap
+      assert(got == want, s"diverged at parts=$parts n=${ids.length}")
+    }
+  }
+
   test("z-order property: layout preserves the exact multiset of rows") {
     samples(Gen.listOfN(80, Gen.zip(Gen.chooseNum(0L, 1000L), Gen.chooseNum(0.0, 1.0))), 4)
       .foreach { rows =>
