@@ -1,62 +1,96 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Distributed prefix sum — the scale-correct form of
   * `Window.orderBy(id)` with no partition key, which Spark executes by
   * moving EVERY row to one partition (fine at 60k rows, dead at 100 TB).
   *
-  * Classic two-level shape, expressed as ONE lazy plan:
-  *   1. range-partition by the order column (partition i holds a
-  *      contiguous range);
-  *   2. per-partition totals → exclusive running sum over the
-  *      #partitions-row totals table (this tiny window IS single-task,
-  *      but over partition COUNT rows, not data rows) → per-partition
-  *      offsets;
-  *   3. offsets broadcast-join back; a per-PARTITION window (parallel —
-  *      the partition id is the window key) adds the offset to the
-  *      local running sum.
+  * Classic two-level scan over ONE physical shuffle:
+  *   1. range-partition by the order column and sort within partitions
+  *      (partition i holds a contiguous range, rows in order);
+  *   2. job A: per-partition weight totals (a #partitions-sized collect
+  *      — 32 longs locally, a few thousand on a real cluster);
+  *   3. exclusive scan of the totals on the driver → per-partition
+  *      offsets, broadcast;
+  *   4. job B: a second pass over the SAME shuffled RDD adds offset +
+  *      local running sum per row.
   *
-  * Both uses of the ranged frame contain the identical range Exchange,
-  * which Catalyst's ReuseExchange collapses to one shuffle — no
-  * persist/unpersist lifecycle, no driver collect, nothing leaked on
-  * repeated invocation.
+  * Both jobs hang off one RDD lineage, so the range exchange's map
+  * stage runs exactly once (job B fetches the retained shuffle files —
+  * Spark skips the already-computed stage). Partition bounds are
+  * therefore fixed by construction: there is no second, independently-
+  * sampled repartitionByRange whose bounds could drift from the first,
+  * and no reliance on Catalyst's ReuseExchange collapsing two identical
+  * subtrees. The earlier windowed form had exactly that hazard — column
+  * pruning could specialize one branch and defeat reuse, silently
+  * mismatching offsets to rows.
   */
 object PrefixSum {
 
   /** Adds `cumCol` = inclusive running sum of `weightCol` in `orderCol`
-    * order, computed with the two-level distributed plan above.
+    * order, computed with the two-job single-shuffle plan above.
+    * Integral weights accumulate in Long (no 2^53 precision cliff),
+    * fractional in Double; null weights contribute 0 (the `sum(...)`
+    * window semantics this replaces). Ties on `orderCol` receive
+    * arbitrary-but-valid relative cum values, as with any non-total
+    * ordering.
     */
   def withRunningSum(df: DataFrame, orderCol: String, weightCol: String,
                      cumCol: String, numPartitions: Int = 0): DataFrame = {
-    // CORRECTNESS depends on both references to `ranged` resolving to the
-    // SAME physical exchange (ReuseExchange/AQE stage reuse): two
-    // independent executions of repartitionByRange sample with different
-    // seeds and may pick different partition bounds, silently mismatching
-    // offsets and rows. The subtrees are identical by construction, so
-    // reuse is deterministic — but it must not be disabled.
-    // OperatorsSpec locks the ReusedExchange into the executed plan.
-    require(df.sparkSession.conf.get("spark.sql.exchange.reuse.enabled", "true").toBoolean,
-      "PrefixSum.withRunningSum requires spark.sql.exchange.reuse.enabled=true")
+    val spark = df.sparkSession
     val parts = if (numPartitions > 0) numPartitions
-      else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val wIdx = df.schema.fieldIndex(weightCol)
+    val integral = df.schema(weightCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case FloatType | DoubleType                        => false
+      case t => throw new IllegalArgumentException(
+        s"PrefixSum weight column must be numeric, got $t")
+    }
     val ranged = df.repartitionByRange(parts, col(orderCol))
-      .withColumn("__pid", spark_partition_id())
-    // exclusive prefix over partition totals: offset(p) = sum of all
-    // earlier partitions' weights (repartitionByRange assigns partition
-    // ids in range order, so pid order == orderCol order)
-    val wOff = Window.orderBy(col("__pid"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = ranged.groupBy(col("__pid"))
-      .agg(sum(col(weightCol)).as("__w"))
-      .withColumn("__off", coalesce(sum(col("__w")).over(wOff), lit(0L)))
-      .select(col("__pid"), col("__off"))
-    val wLocal = Window.partitionBy(col("__pid")).orderBy(col(orderCol))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    ranged.join(broadcast(offsets), Seq("__pid"))
-      .withColumn(cumCol, sum(col(weightCol)).over(wLocal) + col("__off"))
-      .drop("__pid", "__off")
+      .sortWithinPartitions(col(orderCol))
+    // One RDD object shared by both jobs => one shuffle, fixed bounds.
+    val rdd = ranged.rdd
+
+    if (integral) {
+      def w(r: Row): Long =
+        if (r.isNullAt(wIdx)) 0L else r.get(wIdx).asInstanceOf[Number].longValue()
+      val totals = rdd.mapPartitionsWithIndex { (pid, it) =>
+        var s = 0L; it.foreach(r => s += w(r)); Iterator((pid, s))
+      }.collect().toMap
+      val offsets = new Array[Long](rdd.getNumPartitions)
+      var acc = 0L
+      (0 until rdd.getNumPartitions).foreach { pid =>
+        offsets(pid) = acc; acc += totals.getOrElse(pid, 0L)
+      }
+      val bc = spark.sparkContext.broadcast(offsets)
+      val outRdd = rdd.mapPartitionsWithIndex { (pid, it) =>
+        var run = bc.value(pid)
+        it.map { r => run += w(r); Row.fromSeq(r.toSeq :+ run) }
+      }
+      spark.createDataFrame(outRdd,
+        StructType(df.schema.fields :+ StructField(cumCol, LongType, nullable = false)))
+    } else {
+      def w(r: Row): Double =
+        if (r.isNullAt(wIdx)) 0.0 else r.get(wIdx).asInstanceOf[Number].doubleValue()
+      val totals = rdd.mapPartitionsWithIndex { (pid, it) =>
+        var s = 0.0; it.foreach(r => s += w(r)); Iterator((pid, s))
+      }.collect().toMap
+      val offsets = new Array[Double](rdd.getNumPartitions)
+      var acc = 0.0
+      (0 until rdd.getNumPartitions).foreach { pid =>
+        offsets(pid) = acc; acc += totals.getOrElse(pid, 0.0)
+      }
+      val bc = spark.sparkContext.broadcast(offsets)
+      val outRdd = rdd.mapPartitionsWithIndex { (pid, it) =>
+        var run = bc.value(pid)
+        it.map { r => run += w(r); Row.fromSeq(r.toSeq :+ run) }
+      }
+      spark.createDataFrame(outRdd,
+        StructType(df.schema.fields :+ StructField(cumCol, DoubleType, nullable = false)))
+    }
   }
 }

@@ -64,16 +64,17 @@ object MafPipeline {
 
   /** F9 — consecutive fixed-size chunk assignment over a defined global
     * order (reference `split_into_chunks`, `maf.py:39-72`: ⌈n/max_rows⌉
-    * chunks of up to `maxRows` consecutive rows). Kept only for external
-    * tools that cap input size — inside Spark, partitions subsume chunks.
-    * The global row numbering is inherently sequential (single-partition
-    * window), matching the reference's semantics; don't put it on a 100 TB
-    * path.
+    * chunks of up to `maxRows` consecutive rows). The global row number
+    * comes from [[graft.operators.PrefixSum]] with weight 1 — a range
+    * shuffle + per-partition counts + broadcast offsets — NOT a
+    * partitionless `Window.orderBy` (which funnels the whole table
+    * through one task and dies at 100 TB): chunk = ⌊(rank-1)/maxRows⌋.
     */
   def assignChunks(df: DataFrame, orderCol: String, maxRows: Int): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col(orderCol))
-    df.withColumn("chunk",
-      floor((row_number().over(w) - 1) / maxRows).cast("long"))
+    graft.operators.PrefixSum
+      .withRunningSum(df.withColumn("__one", lit(1L)), orderCol, "__one", "__rn")
+      .withColumn("chunk", floor((col("__rn") - lit(1L)) / maxRows).cast("long"))
+      .drop("__one", "__rn")
   }
 
   /** P2 — postprocessing: drop chrM rows, null Chromosome SURVIVES

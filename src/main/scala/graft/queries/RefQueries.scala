@@ -507,15 +507,14 @@ object RefQueries {
   }
 
   /** F9 — consecutive fixed-size chunk assignment over a defined global
-    * order (reference `maf.py:39-72`; in Spark partitions subsume chunks —
-    * this materializes the chunk ids only to prove the semantics).
+    * order (reference `maf.py:39-72`). Rides
+    * [[graft.pipelines.MafPipeline.assignChunks]], whose row numbering is
+    * the distributed PrefixSum (range shuffle + broadcast offsets) — no
+    * partitionless global window anywhere in this plan.
     */
   def f9Chunks: Q = (s, dir) => {
-    val w = Window.orderBy(col("o_orderkey"))
-    Tables.orders(s, dir)
-      .select(col("o_orderkey"))
-      .withColumn("rn", row_number().over(w))
-      .withColumn("chunk", floor((col("rn") - 1) / 400L))
+    graft.pipelines.MafPipeline
+      .assignChunks(Tables.orders(s, dir).select(col("o_orderkey")), "o_orderkey", 400)
       .groupBy(col("chunk")).agg(count(lit(1)).as("n"),
         min(col("o_orderkey")).as("first_key"), max(col("o_orderkey")).as("last_key"))
   }

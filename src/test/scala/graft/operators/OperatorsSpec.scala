@@ -59,13 +59,37 @@ class OperatorsSpec extends AnyFunSuite {
     val nParts = PrefixSum.withRunningSum(df, "id", "w", "cum", numPartitions = 3)
       .select(org.apache.spark.sql.functions.spark_partition_id()).distinct().count()
     assert(nParts > 1, "range partitioning must spread rows across partitions")
-    // correctness precondition: BOTH branches must execute ONE shared
-    // range exchange — a second independent repartitionByRange could
-    // sample different partition bounds and mismatch offsets to rows
+    // structural single-exchange: the result is a computed RDD (both
+    // passes ran over ONE shared shuffle lineage), not a plan with two
+    // independently-sampled range exchanges ReuseExchange must collapse
     val out = PrefixSum.withRunningSum(df, "id", "w", "cum", numPartitions = 3)
-    out.queryExecution.toRdd.count()
     val plan = out.queryExecution.executedPlan.toString
-    assert(plan.contains("ReusedExchange"),
-      s"range exchange must be shared, not duplicated:\n${plan.take(600)}")
+    assert(plan.contains("ExistingRDD"),
+      s"prefix sum must materialize over one shared RDD lineage:\n${plan.take(600)}")
+  }
+
+  test("PrefixSum: correct with extra columns beyond order/weight (pruning hazard)") {
+    // The windowed predecessor was only correct if Catalyst's
+    // ReuseExchange collapsed both range shuffles; extra columns let
+    // column pruning specialize one branch and defeat reuse. The RDD
+    // form must be immune: same answer regardless of payload columns.
+    val rows = Seq(9L, 2L, 14L, 5L, 1L, 30L, 7L, 11L)
+      .map(id => (id, id % 5, s"payload-$id", id * 2.5))
+    val df = rows.toDF("id", "w", "tag", "extra")
+    val got = PrefixSum.withRunningSum(df, "id", "w", "cum", numPartitions = 3)
+      .select($"id", $"tag", $"cum").as[(Long, String, Long)].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    var acc = 0L
+    val want = rows.sortBy(_._1)
+      .map { case (id, w, tag, _) => acc += w; id -> (tag, acc) }.toMap
+    assert(got == want)
+  }
+
+  test("PrefixSum: fractional weights accumulate in Double") {
+    val rows = Seq((3L, 0.5), (1L, 1.25), (2L, 2.0), (5L, 0.25))
+    val got = PrefixSum.withRunningSum(rows.toDF("id", "w"), "id", "w", "cum",
+        numPartitions = 2)
+      .select($"id", $"cum").as[(Long, Double)].collect().toMap
+    assert(got == Map(1L -> 1.25, 2L -> 3.25, 3L -> 3.75, 5L -> 4.0))
   }
 }

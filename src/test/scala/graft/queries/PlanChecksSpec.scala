@@ -79,6 +79,19 @@ class PlanChecksSpec extends AnyFunSuite {
       s"simhash60 not inside a codegen'd Project:\n$plan")
   }
 
+  test("F9 chunk assignment contains no partitionless global window") {
+    // the scale-killer shape: Window.orderBy(...) with no partitionBy
+    // funnels every row through ONE task. f9 now rides PrefixSum (range
+    // shuffle + broadcast offsets); no Window node may remain anywhere.
+    val df = RefQueries.f9Chunks(spark, sf001)
+    val plan = planString(df)
+    assert(!plan.contains("Window"),
+      s"f9_chunks must not plan any Window operator:\n$plan")
+    assert(df.queryExecution.analyzed.toString.contains("ExistingRDD") ||
+      plan.contains("ExistingRDD"),
+      s"f9_chunks should materialize over the PrefixSum RDD:\n${plan.take(600)}")
+  }
+
   test("ev_tumbling keeps partial aggregation before its single shuffle") {
     val plan = planString(StreamQueries.evTumbling(spark, sf001))
     // map-side combine: a partial_* aggregate below the exchange
