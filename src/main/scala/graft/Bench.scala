@@ -6,13 +6,17 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Untimed warmup: JIT/codegen/shuffle machinery spin-up otherwise
     // lands entirely on whichever query happens to run first.
-    try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    try SparkEntry.entry(spark).count() catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] entry warmup failed: $e")
+    }
     // Optional comma-separated query filter for local iteration
     // (e.g. SPARK_GRAFT_ONLY=dd_minhash_pairs,sim_ivf_topk).
     val only = sys.env.get("SPARK_GRAFT_ONLY")
@@ -30,9 +34,11 @@ object Bench {
     // re-codegens) differently per data size, so a smaller-SF warmup
     // only partially transfers. Disable: SPARK_GRAFT_WARMUP=0.
     if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0") {
-      selected.foreach { case (_, fn) =>
+      selected.foreach { case (name, fn) =>
         try { fn(spark, sfDir).queryExecution.toRdd.count(); () }
-        catch { case _: Throwable => () }
+        catch { case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[bench] warmup $name failed: $e")
+        }
       }
     }
     // SPARK_GRAFT_REPS=N → report the min over N runs (local iteration
@@ -47,7 +53,11 @@ object Bench {
         // as a bare scan. toRdd computes every output column per row —
         // the same work DuckDB's fetchall pays in the comparison.
         try { fn(spark, sfDir).queryExecution.toRdd.count() }
-        catch { case _: Throwable => -1L }
+        catch { case scala.util.control.NonFatal(e) =>
+          // visible failure, never a near-zero "fast" time for a broken query
+          System.err.println(s"[bench] $name FAILED: $e")
+          -1L
+        }
         (System.nanoTime() - t0) / 1e9
       }
       name -> times.min

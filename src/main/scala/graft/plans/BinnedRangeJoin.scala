@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{LongType, IntegerType}
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
 
 /** Optimizer rule rewriting a point-in-interval INNER join
   * (`p BETWEEN lo AND hi`, no equi keys) into a binned equi-join.
@@ -134,9 +134,16 @@ object BinnedRangeJoin extends Rule[LogicalPlan] with PredicateHelper {
     // Coalesce(span ≤ max, true): a NULL bound makes the span NULL — that
     // row is unmatched (dropped by the lo ≤ hi conjunct), NOT an error,
     // so the raise must only fire on a definite over-cap span
+    // span compared in Double: Long subtraction wraps for sentinel-wide
+    // bounds (lo near Long.MinValue, hi = Long.MaxValue, width 1 → span
+    // 2^64 wraps negative and slips under the cap). Double subtraction
+    // saturates toward ±inf instead; ulp error near 2^60 is ~256 bins —
+    // irrelevant against a giant-array cap.
     val spanOk = IsNull(If(
       Coalesce(Seq(
-        LessThanOrEqual(Subtract(binOf(hi), binOf(lo)), Literal(maxBins)),
+        LessThanOrEqual(
+          Subtract(Cast(binOf(hi), DoubleType), Cast(binOf(lo), DoubleType)),
+          Literal(maxBins.toDouble)),
         Literal(true))),
       Literal.create(null, org.apache.spark.sql.types.NullType),
       new RaiseError(Literal(

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.Bridge
 
 import graft.Tables
 
@@ -441,15 +442,25 @@ object OlapQueries {
       .select(col("o_orderkey"))
     // bloomFilter() is the build-side job of the runtime-filter pattern —
     // an eager action by design (Spark's own runtime bloom does the same
-    // in its subquery). The filter rides the UDF closure (~1 MB into
-    // each task set) rather than an explicit broadcast: same shipping
-    // cost, but its lifetime is the closure's — nothing to destroy(),
-    // so repeated invocations (bench reps) don't accumulate broadcasts.
+    // in its subquery). The probe side is Spark's native
+    // BloomFilterMightContain over the serialized sketch as a binary
+    // literal — the same expression InjectRuntimeFilter plants — so the
+    // fact-scan filter stays inside whole-stage codegen (the earlier UDF
+    // form broke the codegen span at exactly the hottest point). Both
+    // sides speak sketch.BloomFilterImpl putLong/mightContainLong, so
+    // build and probe hash identically; the literal ships with the task
+    // binary like the old closure did — nothing to destroy() across
+    // bench reps.
     val bloom = urgent.stat.bloomFilter("o_orderkey", 1L << 20, 0.03)
-    val mightContain = udf((k: Long) => bloom.mightContainLong(k))
+    val bytes = { val b = new java.io.ByteArrayOutputStream(); bloom.writeTo(b); b.toByteArray }
+    val mightContain = Bridge.column(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        org.apache.spark.sql.catalyst.expressions.Literal(bytes,
+          org.apache.spark.sql.types.BinaryType),
+        Bridge.expression(col("l_orderkey"))))
     Tables.lineitem(s, dir)
       .select(col("l_orderkey"), col("l_returnflag"), col("l_extendedprice"))
-      .filter(mightContain(col("l_orderkey")))
+      .filter(mightContain)
       .join(urgent, col("l_orderkey") === col("o_orderkey"), "left_semi")
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n"),
@@ -467,17 +478,16 @@ object OlapQueries {
     * can fall in any user's window): a genuine m×n range join, not one an
     * equi key could express.
     *
-    * The rule is installed session-wide (idempotently) and deliberately
-    * left installed — that IS the deployment model (a cluster sets
-    * `spark.sql.extensions=graft.GraftExtensions` and every session has
-    * it). It is semantics-preserving and its eligibility is narrow
-    * (exactly two range conjuncts, no equi key), so coexisting queries
-    * are untouched; `spark.graft.rangeJoin.enabled=false` opts out.
+    * The rule arrives with the session — every entry point (Verify,
+    * Bench, SparkTestBase) builds with
+    * `spark.sql.extensions=graft.GraftExtensions`, the cluster
+    * deployment model — so this query function mutates NO session state
+    * and bench results cannot depend on query order. The rule is
+    * semantics-preserving and its eligibility is narrow (exactly two
+    * range conjuncts, no equi key), so coexisting queries are untouched;
+    * `spark.graft.rangeJoin.enabled=false` opts out.
     */
   def j9RangeJoin: Q = (s, dir) => {
-    if (!s.experimental.extraOptimizations.contains(graft.plans.BinnedRangeJoin))
-      s.experimental.extraOptimizations =
-        s.experimental.extraOptimizations :+ graft.plans.BinnedRangeJoin
     val ev = Tables.events(s, dir)
       .select(col("user_id"), unix_millis(col("ts")).as("ts_ms"), col("value"))
     val iv = ev.groupBy(col("user_id").as("iv_user"))

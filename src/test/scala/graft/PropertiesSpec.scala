@@ -151,16 +151,12 @@ class PropertiesSpec extends AnyFunSuite {
       def run() = points
         .join(intervals, col("p") >= col("lo") && col("p") <= col("hi"))
         .collect().map(r => (r.getLong(1), r.getLong(0))).sorted.toSeq
-      val naive = run()
+      // rule is session-wide via GraftExtensions; baseline = opt-out flag
+      spark.conf.set(BinnedRangeJoin.EnabledKey, "false")
+      val naive = try run() finally spark.conf.unset(BinnedRangeJoin.EnabledKey)
       spark.conf.set(BinnedRangeJoin.BinWidthKey, Seq("7", "64", "1000")(i % 3))
-      spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations :+ BinnedRangeJoin
       try assert(run() == naive, s"sample $i diverged")
-      finally {
-        spark.experimental.extraOptimizations =
-          spark.experimental.extraOptimizations.filterNot(_ == BinnedRangeJoin)
-        spark.conf.unset(BinnedRangeJoin.BinWidthKey)
-      }
+      finally spark.conf.unset(BinnedRangeJoin.BinWidthKey)
     }
   }
 

@@ -13,13 +13,13 @@ import graft.SparkTestBase.spark
 class BinnedRangeJoinSpec extends AnyFunSuite {
   import spark.implicits._
 
-  private def withRule[T](f: => T): T = {
-    if (!spark.experimental.extraOptimizations.contains(BinnedRangeJoin))
-      spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations :+ BinnedRangeJoin
-    try f
-    finally spark.experimental.extraOptimizations =
-      spark.experimental.extraOptimizations.filterNot(_ == BinnedRangeJoin)
+  // The rule is session-wide (installed by GraftExtensions via
+  // spark.sql.extensions in SparkTestBase — the deployment model).
+  // Baselines run with the documented opt-out flag, not by mutating
+  // spark.experimental.extraOptimizations.
+  private def withoutRule[T](f: => T): T = {
+    spark.conf.set(BinnedRangeJoin.EnabledKey, "false")
+    try f finally spark.conf.unset(BinnedRangeJoin.EnabledKey)
   }
 
   // points across signs and bin boundaries; width divides/straddles both
@@ -43,8 +43,8 @@ class BinnedRangeJoinSpec extends AnyFunSuite {
 
   test("rewrite preserves semantics across signs, boundaries, inverted intervals") {
     spark.conf.set(BinnedRangeJoin.BinWidthKey, "10")
-    val naive = result(joined) // rule not installed
-    val binned = withRule(result(joined))
+    val naive = withoutRule(result(joined))
+    val binned = result(joined)
     assert(binned == naive)
     assert(naive.contains((2L, 0L)) && naive.contains((4L, 10L)) &&
       naive.contains((4L, 99L)) && !naive.exists(_._1 == 5L))
@@ -53,34 +53,30 @@ class BinnedRangeJoinSpec extends AnyFunSuite {
 
   test("physical plan: nested loop without the rule, equi-join with it") {
     def plan(df: DataFrame) = df.queryExecution.executedPlan.toString()
-    val without = plan(joined)
+    val without = withoutRule(plan(joined))
     assert(without.contains("BroadcastNestedLoopJoin"),
       "baseline must be the nested loop the rule exists to remove")
-    withRule {
-      val withIt = plan(joined)
-      assert(!withIt.contains("BroadcastNestedLoopJoin"), withIt.take(400))
-      assert(withIt.contains("__graft_bin"), "bin key must drive the join")
-    }
+    val withIt = plan(joined)
+    assert(!withIt.contains("BroadcastNestedLoopJoin"), withIt.take(400))
+    assert(withIt.contains("__graft_bin"), "bin key must drive the join")
   }
 
   test("strict bounds rewrite too; equi-keyed joins are left alone") {
     val strict = points.join(intervals, col("p") > col("lo") && col("p") < col("hi"))
       .select(col("iv_id"), col("p"))
-    val naive = result(strict)
-    assert(withRule(result(strict)) == naive)
+    val naive = withoutRule(result(strict))
+    assert(result(strict) == naive)
     // an equality conjunct means Catalyst already hash-joins — no rewrite
     val equi = points.withColumn("k", col("p") % 2)
       .join(intervals.withColumn("k", col("iv_id") % 2),
         Seq("k"), "inner")
-    withRule {
-      assert(!equi.queryExecution.executedPlan.toString().contains("__graft_bin"))
-    }
+    assert(!equi.queryExecution.executedPlan.toString().contains("__graft_bin"))
   }
 
   test("sentinel-wide interval fails fast naming the width knob, not an array error") {
     spark.conf.set(BinnedRangeJoin.BinWidthKey, "10")
     spark.conf.set(BinnedRangeJoin.MaxBinsKey, "1000")
-    try withRule {
+    try {
       val sentinel = Seq((1L, 0L, Long.MaxValue)).toDF("iv_id", "lo", "hi")
       val ex = intercept[Exception] {
         points.join(sentinel, col("p") >= col("lo") && col("p") <= col("hi")).collect()
@@ -97,7 +93,7 @@ class BinnedRangeJoinSpec extends AnyFunSuite {
 
   test("NULL interval bounds drop the row (unmatched), never raise the span error") {
     spark.conf.set(BinnedRangeJoin.BinWidthKey, "10")
-    try withRule {
+    try {
       val withNulls = Seq((1L, Some(0L), Some(20L)), (2L, None, Some(5L)),
         (3L, Some(5L), None)).toDF("iv_id", "lo", "hi")
       val got = points
@@ -111,9 +107,8 @@ class BinnedRangeJoinSpec extends AnyFunSuite {
 
   test("disabled flag is a clean no-op") {
     spark.conf.set(BinnedRangeJoin.EnabledKey, "false")
-    try withRule {
-      assert(joined.queryExecution.executedPlan.toString()
-        .contains("BroadcastNestedLoopJoin"))
-    } finally spark.conf.unset(BinnedRangeJoin.EnabledKey)
+    try assert(joined.queryExecution.executedPlan.toString()
+      .contains("BroadcastNestedLoopJoin"))
+    finally spark.conf.unset(BinnedRangeJoin.EnabledKey)
   }
 }

@@ -79,6 +79,20 @@ class PlanChecksSpec extends AnyFunSuite {
       s"simhash60 not inside a codegen'd Project:\n$plan")
   }
 
+  test("j8 bloom prefilter stays inside whole-stage codegen on the fact scan") {
+    val df = OlapQueries.j8BloomPrefilter(spark, sf001)
+    df.queryExecution.toRdd.count() // AQE: codegen spans appear in the FINAL plan
+    val plan = planString(df)
+    // truncated on failure: the serialized bloom literal alone is ~1 MB of hex
+    def short = plan.linesIterator.map(_.take(200)).mkString("\n")
+    // native BloomFilterMightContain, not a codegen-breaking UDF: the
+    // probe must appear in a `*(n) Filter` span (WholeStageCodegen)
+    assert("""\*\(\d+\) Filter .*might_contain""".r.findFirstIn(plan).isDefined,
+      s"bloom probe not inside a codegen'd Filter:\n$short")
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("UDF"),
+      s"no UDF may remain in the probe path:\n$short")
+  }
+
   test("F9 chunk assignment contains no partitionless global window") {
     // the scale-killer shape: Window.orderBy(...) with no partitionBy
     // funnels every row through ONE task. f9 now rides PrefixSum (range
