@@ -4,8 +4,8 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{AsciiClassCount, Format12g, MinHashSigs, ReplaceFirst,
-  SimHash60, VecDot, WinnowFingerprints, WordSetCount, WsTokenCount}
+import graft.functions.{AsciiClassCount, Format12g, MinHashSigs, PyTitleCase,
+  ReplaceFirst, SimHash60, VecDot, WinnowFingerprints, WordSetCount, WsTokenCount}
 
 /** SQL-surface registration of the engine's custom expressions, for
   * cluster deployment via `spark.sql.extensions=graft.GraftExtensions`
@@ -59,6 +59,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("word_set_count"),
       new ExpressionInfo(classOf[WordSetCount].getName, "word_set_count"),
       (exprs: Seq[Expression]) => WordSetCount(exprs(0), strLits(exprs.drop(1)))))
+    ext.injectFunction((
+      new FunctionIdentifier("py_title"),
+      new ExpressionInfo(classOf[PyTitleCase].getName, "py_title"),
+      (exprs: Seq[Expression]) => PyTitleCase(exprs.head)))
     ext.injectFunction((
       new FunctionIdentifier("winnow_fingerprints"),
       new ExpressionInfo(classOf[WinnowFingerprints].getName, "winnow_fingerprints"),

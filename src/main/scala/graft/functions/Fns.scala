@@ -42,12 +42,13 @@ object Fns {
   /** F2 — `str.replace("_"," ").str.upper()` (`clinical.py:136-167`). */
   def capsCase(c: Column): Column = upper(translate(c, "_", " "))
 
-  /** F3 — `str.replace("_"," ").str.title()` (`clinical.py:160-163`).
-    * `initcap` capitalizes after whitespace and lowercases the rest —
-    * equivalent to Python `str.title()` on the `[a-z_]+` domain the
-    * reference feeds it.
+  /** F3 — `str.replace("_"," ").str.title()` (`clinical.py:160-163`),
+    * with EXACT Python semantics via [[PyTitleCase]]: a cased letter
+    * after any non-cased character (digit, apostrophe, punctuation)
+    * starts a word — where `initcap` (whitespace-only word starts)
+    * diverges.
     */
-  def titleCase(c: Column): Column = initcap(translate(c, "_", " "))
+  def titleCase(c: Column): Column = PyTitleCase.pyTitle(translate(c, "_", " "))
 
   /** F4 — conditional id remap: paper id where present, else original
     * (`clinical.py:170-196`).
@@ -121,5 +122,7 @@ object Fns {
       "ascii_class_count", exprs => AsciiClassCount(exprs(0), intLit(exprs(1))), "built-in")
     reg.createOrReplaceTempFunction(
       "winnow_fingerprints", exprs => WinnowFingerprints(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "py_title", exprs => PyTitleCase(exprs.head), "built-in")
   }
 }

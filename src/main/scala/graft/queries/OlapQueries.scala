@@ -204,6 +204,56 @@ object OlapQueries {
     """)
   }
 
+  /** sql_tpch_q4 — the EXISTS→left-semi decorrelation shape (TPC-H Q4,
+    * adapted to this schema's columns): orders in a half-year window
+    * having at least one lineitem shipped after the order date. The
+    * correlated EXISTS must plan as ONE left-semi hash join on
+    * l_orderkey (the non-equi `l_shipdate > o_orderdate` conjunct rides
+    * the join condition) — never a per-row subquery re-execution.
+    */
+  def sqlTpchQ4: Q = (s, dir) => {
+    registerSqlViews(s, dir)
+    s.sql("""
+      SELECT o_orderpriority, count(*) AS order_count
+      FROM ord_sql
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate <  TIMESTAMP '1997-01-01'
+        AND EXISTS (SELECT 1 FROM li_sql
+                    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+      GROUP BY o_orderpriority
+    """)
+  }
+
+  /** sql_tpch_q21 — the double-correlated EXISTS + NOT EXISTS shape
+    * (TPC-H Q21, the hardest standard decorrelation, adapted to this
+    * schema: "late" = shipped >60 days after the order date): suppliers
+    * who were the ONLY late shipper on a multi-supplier finished order.
+    * Both subqueries correlate on l1.l_orderkey AND the outer
+    * o_orderdate; the planner must produce one left-semi and one
+    * left-anti join over lineitem — three scans of lineitem total, no
+    * nested-loop re-execution. PLANS.md records the semi/anti shape.
+    */
+  def sqlTpchQ21: Q = (s, dir) => {
+    registerSqlViews(s, dir)
+    s.sql("""
+      SELECT s_name, count(*) AS numwait
+      FROM supp_sql, li_sql l1, ord_sql
+      WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+        AND o_orderstatus = 'F'
+        AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+        AND EXISTS (SELECT 1 FROM li_sql l2
+                    WHERE l2.l_orderkey = l1.l_orderkey
+                      AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (SELECT 1 FROM li_sql l3
+                        WHERE l3.l_orderkey = l1.l_orderkey
+                          AND l3.l_suppkey <> l1.l_suppkey
+                          AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      GROUP BY s_name
+      ORDER BY numwait DESC, s_name
+      LIMIT 100
+    """)
+  }
+
   private def registerSqlViews(s: SparkSession, dir: String): Unit = {
     Tables.lineitem(s, dir).createOrReplaceTempView("li_sql")
     Tables.orders(s, dir).createOrReplaceTempView("ord_sql")
@@ -521,6 +571,29 @@ object OlapQueries {
       .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).cast("long").as("sum_keys"))
   }
 
+  /** j11_skew_salted — deliberately skewed fact→dim join through
+    * [[graft.operators.SkewJoin.saltedJoin]]: every 4th supplier key is
+    * remapped to nation 7, so one join key carries ~28% of the fact
+    * table (25× its fair share). The salt — a deterministic hash of the
+    * row, retry-safe — spreads that hot key over `factor` reducers; the
+    * dim side explodes `factor`× so every (key, salt) bucket matches.
+    * Result ≡ the plain join (the DuckDB oracle IS the plain join);
+    * OperatorsSpec asserts the (key, salt) shuffle and that every
+    * expression in the plan is deterministic.
+    */
+  def j11SkewSalted: Q = (s, dir) => {
+    val fact = Tables.lineitem(s, dir).select(
+      when(pmod(col("l_suppkey"), lit(4)) === 0, lit(7L))
+        .otherwise(pmod(col("l_suppkey"), lit(25)).cast("long")).as("k"),
+      col("l_quantity"))
+    val dim = Tables.nation(s, dir)
+      .select(col("n_nationkey").cast("long").as("k"), col("n_name"))
+    graft.operators.SkewJoin.saltedJoin(fact, dim, Seq("k"), factor = 8)
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity")).cast("long").as("sum_qty"))
+  }
+
   /** u6_intersect — row-level INTERSECT (distinct-set semantics), the
     * set-op the reference's surface lacks (COVERAGE §2.6 notes U-family
     * has union/except only): customers with both open AND finished
@@ -550,6 +623,9 @@ object OlapQueries {
     "j8_bloom_prefilter" -> j8BloomPrefilter,
     "u5_merge_upsert" -> u5MergeUpsert,
     "sql_tpch_q6" -> sqlTpchQ6,
+    "sql_tpch_q4" -> sqlTpchQ4,
+    "sql_tpch_q21" -> sqlTpchQ21,
+    "j11_skew_salted" -> j11SkewSalted,
     "o2_window_rank" -> o2WindowRank,
     "o3_running_total" -> o3RunningTotal,
     "a10_rollup" -> a10Rollup,
@@ -561,6 +637,35 @@ object OlapQueries {
     "h5_nation_revenue" -> h5NationRevenue)
 
   val oracle: Map[String, String] = Map(
+    "sql_tpch_q4" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate <  TIMESTAMP '1997-01-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        |GROUP BY o_orderpriority""".stripMargin,
+    "sql_tpch_q21" ->
+      """SELECT s_name, count(*) AS numwait
+        |FROM supplier, lineitem l1, orders
+        |WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+        |  AND o_orderstatus = 'F'
+        |  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 100""".stripMargin,
+    "j11_skew_salted" ->
+      """SELECT n_name, count(*) AS n, CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+        |FROM lineitem JOIN nation
+        |  ON (CASE WHEN l_suppkey % 4 = 0 THEN 7 ELSE l_suppkey % 25 END) = n_nationkey
+        |GROUP BY 1""".stripMargin,
     "h13_custdist" ->
       """SELECT c_count, count(*) AS custdist FROM (
         |  SELECT c_custkey, count(o_orderkey) AS c_count

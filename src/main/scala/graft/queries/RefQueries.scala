@@ -472,13 +472,18 @@ object RefQueries {
   }
 
   /** F2/F3 — case normalization: CAPS and Title Case after `_`→space
-    * (reference `clinical.py:136-167`).
+    * (reference `clinical.py:136-167`). `type_title_exact` drives the
+    * [[graft.functions.PyTitleCase]] expression through the inputs where
+    * `initcap` diverges from Python `str.title()` — a cased letter after
+    * a digit or apostrophe starts a word (`"42'kit"` → `"42'Kit"`).
     */
   def f2CapsTitle: Q = (s, dir) => {
     Tables.part(s, dir)
       .select(col("p_partkey"),
         Fns.capsCase(col("p_type")).as("type_caps"),
-        Fns.titleCase(col("p_type")).as("type_title"))
+        Fns.titleCase(col("p_type")).as("type_title"),
+        Fns.titleCase(concat(col("p_type"), lit(" "),
+          col("p_partkey").cast("string"), lit("'kit"))).as("type_title_exact"))
   }
 
   /** F4 — conditional coalesce id remap (reference `clinical.py:170-196`). */
@@ -723,7 +728,11 @@ object RefQueries {
     "f2_caps_title" ->
       """SELECT p_partkey, upper(replace(p_type, '_', ' ')) AS type_caps,
         | array_to_string(list_transform(string_split(replace(p_type, '_', ' '), ' '),
-        |   x -> upper(x[1]) || lower(x[2:])), ' ') AS type_title FROM part""".stripMargin,
+        |   x -> upper(x[1]) || lower(x[2:])), ' ') AS type_title,
+        | array_to_string(list_transform(string_split(replace(p_type, '_', ' '), ' '),
+        |   x -> upper(x[1]) || lower(x[2:])), ' ')
+        |  || ' ' || CAST(p_partkey AS VARCHAR) || '''Kit' AS type_title_exact
+        | FROM part""".stripMargin,
     "f4_coalesce_remap" ->
       """SELECT doc_id, coalesce(nullif(source, 'src0'), lang) AS display_id
         | FROM documents""".stripMargin,

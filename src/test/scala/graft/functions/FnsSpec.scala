@@ -65,6 +65,32 @@ class FnsSpec extends AnyFunSuite {
     assert(t == "Not Hispanic Or Latino")
   }
 
+  test("F3 exact Python str.title(): word starts after digits/punctuation, not just spaces") {
+    import graft.functions.PyTitleCase.pyTitle
+    // goldens are CPython outputs; every case here diverges from initcap
+    val goldens = Seq(
+      "they're ok"  -> "They'Re Ok",   // apostrophe starts a word
+      "3g spark"    -> "3G Spark",     // letter after digit
+      "2-in-1 usb"  -> "2-In-1 Usb",   // hyphens start words
+      "x2y z"       -> "X2Y Z",        // mid-token digit resets
+      "o'NEILL 42'kit" -> "O'Neill 42'Kit",
+      ""            -> "",
+      "  a"         -> "  A")
+    goldens.foreach { case (in, want) =>
+      val got = one(pyTitle(lit(in))).getString(0)
+      assert(got == want, s"title($in)")
+    }
+    // uncased letters (Lo) do NOT continue a word, unlike Character.isLetter
+    assert(one(pyTitle(lit("あb"))).getString(0) == "あB")
+    // null propagates (null-intolerant expression)
+    val n = Seq(Option.empty[String]).toDF("s")
+      .select(pyTitle($"s")).collect().head
+    assert(n.isNullAt(0))
+    // SQL surface (GraftExtensions / registerAll)
+    graft.functions.Fns.registerAll(spark)
+    assert(spark.sql("SELECT py_title('3g spark')").head.getString(0) == "3G Spark")
+  }
+
   test("F4 remapId: paper id where present, fallback to original") {
     // reference tests/test_clinical.py:229-293
     val df = Seq((Some("paper1"), "orig1"), (None, "orig2"))

@@ -44,6 +44,22 @@ class OperatorsSpec extends AnyFunSuite {
     assert(salted == plain)
   }
 
+  test("saltedJoin shuffles on (key, salt) and every expression is retry-deterministic") {
+    val big = (1 to 400).map(i => (if (i % 3 == 0) 1L else i.toLong, i))
+      .toDF("k", "payload")
+    val small = Seq((1L, "hot"), (7L, "cold"), (8L, "x")).toDF("k", "name")
+    val out = SkewJoin.saltedJoin(big, small, Seq("k"), factor = 8)
+    // a rand()-salted join recomputes DIFFERENT salts on task retry and
+    // rows migrate between reducers mid-shuffle; the hash salt is a pure
+    // function of the row, so the whole plan must be deterministic
+    assert(out.queryExecution.analyzed.expressions.forall(_.deterministic),
+      "salted join must contain no nondeterministic expression")
+    out.queryExecution.toRdd.count()
+    val plan = out.queryExecution.executedPlan.toString
+    assert("""hashpartitioning\([^)]*__salt""".r.findFirstIn(plan).isDefined,
+      s"shuffle must key on (join keys, __salt):\n${plan.take(800)}")
+  }
+
   test("PrefixSum: two-pass distributed running sum == global-window running sum") {
     // ids deliberately shuffled + gappy; weights include zeros
     val rows = Seq(7L, 3L, 11L, 1L, 9L, 5L, 2L, 20L, 15L, 8L)
