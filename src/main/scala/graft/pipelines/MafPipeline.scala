@@ -62,6 +62,22 @@ object MafPipeline {
     (annotated, errors)
   }
 
+  /** J5 live mode — the same annotate contract served by a remote batch
+    * service through [[LiveAnnotator]] (reference `maf.py:95-130`'s
+    * Genome Nexus fan-out) instead of a pre-fetched annotation table.
+    * Same two outputs as [[annotate]]: enriched rows with
+    * `Annotation_Status`, and the FAILED rows as the error report.
+    */
+  def annotateLive(maf: DataFrame, annotationCols: Seq[String],
+                   clientFactory: () => LiveAnnotator.Client,
+                   batchSize: Int = 100): (DataFrame, DataFrame) = {
+    val annotated = LiveAnnotator.annotateLive(
+      maf, VariantKey, annotationCols, clientFactory, batchSize)
+    val errors = annotated.filter(col("Annotation_Status") === "FAILED")
+      .select((VariantKey :+ "Tumor_Sample_Barcode").map(col): _*)
+    (annotated, errors)
+  }
+
   /** F9 — consecutive fixed-size chunk assignment over a defined global
     * order (reference `split_into_chunks`, `maf.py:39-72`: ⌈n/max_rows⌉
     * chunks of up to `maxRows` consecutive rows). The global row number

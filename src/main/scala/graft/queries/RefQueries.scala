@@ -278,6 +278,34 @@ object RefQueries {
         sum(when(col("annotation").isNull, 1L).otherwise(0L)).as("n_failed"))
   }
 
+  /** J5 live mode — the SAME enrichment as j5_annotation_join, but
+    * through [[graft.pipelines.LiveAnnotator]]: a once-per-partition
+    * client, fixed-size request batches, per-item FAILED rows (reference
+    * `maf.py:95-130`'s pooled Genome Nexus calls). The in-process client
+    * here stands in for the HTTP service — the SERVICE owns the lookup
+    * data (collected to the driver only because the fake is local; a
+    * real client holds a connection, not data). Oracle: identical SQL to
+    * j5_annotation_join — live mode must be indistinguishable from the
+    * join form.
+    */
+  def j5LiveAnnotate: Q = (s, dir) => {
+    import graft.pipelines.LiveAnnotator
+    val li = Tables.lineitem(s, dir).select(col("l_partkey"), col("l_returnflag"))
+    val lookup: Map[String, String] = Tables.part(s, dir)
+      .filter(col("p_size") > 25)
+      .select(col("p_partkey").cast("string"), col("p_type"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val annotated = LiveAnnotator.annotateLive(
+      li, Seq("l_partkey"), Seq("annotation"),
+      () => new LiveAnnotator.Client {
+        def annotateBatch(keys: Seq[String]): Seq[Option[Seq[String]]] =
+          keys.map(k => lookup.get(k).map(Seq(_)))
+      }, batchSize = 256)
+    annotated.groupBy(col("l_returnflag"))
+      .agg(count(col("annotation")).as("n_annotated"),
+        sum(when(col("annotation").isNull, 1L).otherwise(0L)).as("n_failed"))
+  }
+
   /** J6 — semi-join case list: entities retained iff present in the fact
     * table (reference `load.py:12-35` cases_sequenced).
     */
@@ -565,6 +593,7 @@ object RefQueries {
     "j3_full_outer" -> j3FullOuter,
     "j4_lookup_enrich" -> j4LookupEnrich,
     "j5_annotation_join" -> j5AnnotationJoin,
+    "j5_live_annotate" -> j5LiveAnnotate,
     "j6_semi_join" -> j6SemiJoin,
     "j6_anti_join" -> j6AntiJoin,
     "j7_bucketed_colocated" -> j7BucketedColocated,
@@ -654,6 +683,13 @@ object RefQueries {
         | LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
         | GROUP BY 1, 2""".stripMargin,
     "j5_annotation_join" ->
+      """SELECT l.l_returnflag, count(a.annotation) AS n_annotated,
+        | CAST(sum(CASE WHEN a.annotation IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_failed
+        | FROM lineitem l LEFT JOIN
+        |  (SELECT p_partkey, p_type AS annotation FROM part WHERE p_size > 25) a
+        |  ON l.l_partkey = a.p_partkey
+        | GROUP BY 1""".stripMargin,
+    "j5_live_annotate" ->
       """SELECT l.l_returnflag, count(a.annotation) AS n_annotated,
         | CAST(sum(CASE WHEN a.annotation IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_failed
         | FROM lineitem l LEFT JOIN

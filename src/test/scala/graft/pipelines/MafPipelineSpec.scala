@@ -177,4 +177,82 @@ class MafPipelineSpec extends AnyFunSuite {
     assert(!byRule("maf_column_contract")._3)
     assert(byRule("maf_not_in_neo")._3 && byRule("neo_not_in_maf")._3)
   }
+
+  private def annMap = Map(
+    "chr1|100|100|A|T" -> Seq("missense_variant", "TP53"),
+    "chr2|200|200|C|G" -> Seq("stop_gained", "KRAS"))
+
+  test("J5 live: batched enrichment ≡ the annotation join, transient failures retried") {
+    import LiveAnnotatorFakes._
+    reset(failures = 2) // first two batch calls throw; retries absorb them
+    val lookup = annMap // local val: the lambda must not capture the spec instance
+    val (live, liveErrors) = MafPipeline.annotateLive(
+      maf, Seq("Consequence", "Hugo_Symbol"),
+      () => FlakyClient(lookup), batchSize = 2)
+    val cols = maf.columns ++ Seq("Consequence", "Hugo_Symbol", "Annotation_Status")
+    val liveRows = live.select(cols.map(col): _*).collect().map(_.toSeq).toSet
+    val (joined, joinErrors) = MafPipeline.annotate(maf, annotations)
+    val joinRows = joined.select(cols.map(col): _*).collect().map(_.toSeq).toSet
+    assert(liveRows == joinRows, "live mode must be indistinguishable from the join form")
+    assert(liveErrors.collect().map(_.toSeq).toSet ==
+      joinErrors.collect().map(_.toSeq).toSet)
+    assert(maxBatchSeen.get() <= 2, "requests must honor the batch size")
+  }
+
+  test("J5 live: a poisoned key quarantines ONE row via per-item fallback") {
+    import LiveAnnotatorFakes._
+    reset(failures = 0)
+    val lookup = annMap // local val: the lambda must not capture the spec instance
+    val (live, errors) = MafPipeline.annotateLive(
+      maf.repartition(1), Seq("Consequence", "Hugo_Symbol"),
+      () => PoisonClient(lookup, poison = "chr2|200|200|C|G"), batchSize = 10)
+    val byBarcodeStatus = live.collect()
+      .map(r => (r.getAs[String]("Tumor_Sample_Barcode"),
+        r.getAs[Long]("Start_Position")) -> r.getAs[String]("Annotation_Status")).toMap
+    // chr1 row annotated despite the poisoned batch-mate; poison row and
+    // the two service-unknown rows all FAILED — and the task never died
+    assert(byBarcodeStatus(("SAMP-1", 100L)) == "SUCCESS")
+    assert(byBarcodeStatus(("SAMP-2", 200L)) == "FAILED")
+    // before errors.count(): that re-executes the (lazy) plan and loads
+    // a fresh client for the second run
+    assert(clientLoads.get() == 1, "client must load once per partition")
+    assert(errors.count() == 3)
+  }
+}
+
+/** Shared state for the fake annotation services (local-mode tests run in
+  * one JVM, so plain statics observe executor-thread activity).
+  */
+object LiveAnnotatorFakes {
+  import java.util.concurrent.atomic.AtomicInteger
+  val clientLoads = new AtomicInteger(0)
+  val failuresRemaining = new AtomicInteger(0)
+  val maxBatchSeen = new AtomicInteger(0)
+  def reset(failures: Int): Unit = {
+    clientLoads.set(0); failuresRemaining.set(failures); maxBatchSeen.set(0)
+  }
+
+  /** Succeeds once the injected transient failures are exhausted. */
+  case class FlakyClient(lookup: Map[String, Seq[String]])
+      extends LiveAnnotator.Client {
+    clientLoads.incrementAndGet()
+    override def annotateBatch(keys: Seq[String]): Seq[Option[Seq[String]]] = {
+      maxBatchSeen.getAndAccumulate(keys.length, math.max)
+      if (failuresRemaining.getAndDecrement() > 0)
+        throw new RuntimeException("injected transient service failure")
+      keys.map(lookup.get)
+    }
+  }
+
+  /** Always throws when the batch contains the poisoned key. */
+  case class PoisonClient(lookup: Map[String, Seq[String]], poison: String)
+      extends LiveAnnotator.Client {
+    clientLoads.incrementAndGet()
+    override def annotateBatch(keys: Seq[String]): Seq[Option[Seq[String]]] = {
+      maxBatchSeen.getAndAccumulate(keys.length, math.max)
+      if (keys.contains(poison))
+        throw new RuntimeException("injected poisoned-key failure")
+      keys.map(lookup.get)
+    }
+  }
 }
