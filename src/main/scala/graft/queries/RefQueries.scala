@@ -144,6 +144,35 @@ object RefQueries {
         countDistinct(col("r_name")).as("n_names"))
   }
 
+  /** S11/K6 — the `cbio` WRITE path (the reference's `save_to_synapse`,
+    * `load.py:38-82`): store `customer` twice through the distributed
+    * DSv2 sink (staged part files, rename-on-commit, `_version.json`
+    * version-comment sidecar — the Synapse entity-versioning surface),
+    * then read the committed dataset back through the cbio reader and
+    * aggregate. Oracle aggregates the original parquet, so serialization,
+    * commit visibility and overwrite semantics are all on the hash.
+    */
+  def s11CbioStoreRoundtrip: Q = (s, dir) => {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-s11").toString + "/customer"
+    val df = Tables.customer(s, dir).select(
+      col("c_name"), col("c_mktsegment"),
+      col("c_acctbal").cast(DoubleType).as("c_acctbal"))
+    df.write.format("cbio").option("versionComment", "initial export")
+      .mode("overwrite").save(tmp)
+    df.write.format("cbio").option("versionComment", "refresh")
+      .mode("overwrite").save(tmp)
+    require(graft.sources.CbioTsvSource.currentVersion(tmp).contains((2L, "refresh")),
+      "cbio store must bump the version sidecar per commit")
+    s.read.format("cbio").load(tmp)
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("c_name")).as("n_names"),
+        sum(col("c_acctbal")).as("sum_bal"))
+      .select(col("c_mktsegment"), col("n"), col("n_names"),
+        bround(col("sum_bal"), 2).as("sum_bal"))
+  }
+
   /** P1 — regex filter with pandas `na=False` semantics (null text counts
     * as non-match → row kept) scoped to one partition value (reference
     * `clinical.py:74-95`).
@@ -582,6 +611,7 @@ object RefQueries {
     "s8_orc_roundtrip" -> s8OrcRoundtrip,
     "s10_xml_roundtrip" -> s10XmlRoundtrip,
     "s9_cbio_source" -> s9CbioSource,
+    "s11_cbio_store_roundtrip" -> s11CbioStoreRoundtrip,
     "p1_filter_na_false" -> p1FilterNaFalse,
     "p2_neq_keep_nulls" -> p2NeqKeepNulls,
     "p3_partition_filter" -> p3PartitionFilter,
@@ -644,6 +674,9 @@ object RefQueries {
     "s9_cbio_source" ->
       """SELECT count(*) AS n, CAST(sum(r_regionkey) AS BIGINT) AS sum_keys,
         | count(DISTINCT r_name) AS n_names FROM region""".stripMargin,
+    "s11_cbio_store_roundtrip" ->
+      """SELECT c_mktsegment, count(*) AS n, count(DISTINCT c_name) AS n_names,
+        | round(sum(c_acctbal), 2) AS sum_bal FROM customer GROUP BY 1""".stripMargin,
     "p1_filter_na_false" ->
       """SELECT doc_id, lang, source FROM documents
         | WHERE (NOT coalesce(regexp_matches(text, 'slow (?:join|scan)'), false)

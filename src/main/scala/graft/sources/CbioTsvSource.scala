@@ -7,10 +7,14 @@ import scala.jdk.CollectionConverters._
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table,
+  TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader,
   PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory,
+  LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder,
+  WriterCommitMessage}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -33,6 +37,21 @@ import org.apache.spark.unsafe.types.UTF8String
   * a 2-column projection parses only 2 cells per line. One InputPartition
   * per file; at scale the format stays driver-light because only schema
   * inference reads on the driver, and only the first KB of one file.
+  *
+  * The WRITE side (the reference's `save_to_synapse`, `load.py:38-82`)
+  * is the same format produced distributed: each task streams its
+  * partition to a staged part file (own `#` header block + header row,
+  * QUOTE_MINIMAL cells, `%.12g` doubles — byte-compatible with the K1
+  * sink), and the driver-side commit renames staged files into place and
+  * bumps a `_version.json` sidecar carrying the Synapse-style version
+  * number and `version_comment`. Uncommitted attempts never become
+  * visible (readers skip `_`-prefixed files), so a failed or speculative
+  * task leaves no partial data — the rename-on-commit protocol that keeps
+  * a 1000-task write exactly-once without any coordination beyond the
+  * driver's commit message collection.
+  *
+  *   df.write.format("cbio").option("versionComment", "v2 refresh")
+  *     .mode("overwrite").save(dir)     // or mode("append")
   */
 class CbioTsvSource extends TableProvider with DataSourceRegister {
 
@@ -52,14 +71,52 @@ class CbioTsvSource extends TableProvider with DataSourceRegister {
 }
 
 object CbioTsvSource {
+  /** The version sidecar the write path maintains (Synapse entity
+    * versioning, reference `load.py:58-66`): bumped on every committed
+    * write, carrying the caller's `version_comment`.
+    */
+  val VersionSidecar = "_version.json"
+
+  /** Data files only: sidecars, staging files and FS markers (`_`/`.`
+    * prefixes) are invisible to readers — exactly how Spark's own file
+    * index treats `_SUCCESS`.
+    */
+  private[sources] def isDataFile(name: String): Boolean =
+    !name.startsWith("_") && !name.startsWith(".")
+
+  private[sources] def listDataFiles(fs: FileSystem, dir: Path): Array[Path] =
+    fs.listStatus(dir).filter(_.isFile).map(_.getPath)
+      .filter(p => isDataFile(p.getName)).sortBy(_.getName)
+
+  /** (version, comment) from the sidecar, if the dataset has been written
+    * through the cbio sink; None for hand-assembled directories.
+    */
+  def currentVersion(path: String): Option[(Long, String)] = {
+    val dir = new Path(path)
+    val fs = FileSystem.get(dir.toUri, new Configuration())
+    val sidecar = new Path(dir, VersionSidecar)
+    if (!fs.exists(sidecar)) None
+    else {
+      val in = fs.open(sidecar)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      val version = """"version"\s*:\s*(\d+)""".r.findFirstMatchIn(text).map(_.group(1).toLong)
+      val comment = """"comment"\s*:\s*"((?:[^"\\]|\\.)*)"""".r.findFirstMatchIn(text)
+        .map(m => CbioWriteSupport.unescapeJson(m.group(1)))
+      version.map(v => (v, comment.getOrElse("")))
+    }
+  }
+
   /** Lines of the header block + the column header line of a file (for a
-    * directory: of its first file — all parts share the schema).
+    * directory: of its first data file — all parts share the schema).
     */
   private[sources] def headerLines(path: String): (Seq[String], String) = {
     var p = new Path(path)
     val fs = FileSystem.get(p.toUri, new Configuration())
-    if (fs.getFileStatus(p).isDirectory)
-      p = fs.listStatus(p).filter(_.isFile).map(_.getPath).sortBy(_.getName).head
+    if (fs.getFileStatus(p).isDirectory) {
+      val files = listDataFiles(fs, p)
+      require(files.nonEmpty, s"no data files in $path")
+      p = files.head
+    }
     val in = fs.open(p)
     try {
       val reader = new java.io.BufferedReader(new java.io.InputStreamReader(in, "UTF-8"))
@@ -98,14 +155,18 @@ object CbioTsvSource {
 }
 
 private[sources] class CbioTsvTable(path: String, schema: StructType)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"cbio:$path"
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new CbioScanBuilder(path, schema)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new CbioWriteBuilder(path, info)
 }
 
 private[sources] class CbioScanBuilder(path: String, full: StructType)
@@ -124,7 +185,7 @@ private[sources] class CbioScanBuilder(path: String, full: StructType)
       val fs = FileSystem.get(p.toUri, new Configuration())
       val files =
         if (fs.getFileStatus(p).isDirectory)
-          fs.listStatus(p).filter(_.isFile).map(_.getPath.toString)
+          CbioTsvSource.listDataFiles(fs, p).map(_.toString)
         else Array(path)
       files.map(f => CbioInputPartition(f): InputPartition)
     }
@@ -237,5 +298,256 @@ private[sources] class CbioReaderFactory(allNames: Array[String], required: Stru
 
       override def close(): Unit = reader.close()
     }
+  }
+}
+
+private[sources] class CbioWriteBuilder(path: String, info: LogicalWriteInfo)
+    extends WriteBuilder with SupportsTruncate {
+  private var truncateFirst = false
+
+  // mode("overwrite") plans OverwriteByExpression(true) -> truncate()
+  override def truncate(): WriteBuilder = { truncateFirst = true; this }
+
+  override def build(): Write = {
+    CbioWriteSupport.validateSchema(info.schema())
+    new CbioWrite(path, info.schema(), info.queryId(),
+      Option(info.options.get("versionComment")), truncateFirst)
+  }
+}
+
+private[sources] class CbioWrite(path: String, schema: StructType, queryId: String,
+                                 comment: Option[String], truncateFirst: Boolean)
+    extends Write {
+  override def toBatch: BatchWrite =
+    new CbioBatchWrite(path, schema, queryId, comment, truncateFirst)
+}
+
+/** Task commit message: the staged file this attempt produced (None for an
+  * empty partition — no header-only part files clutter the dataset).
+  */
+private[sources] case class CbioCommit(partitionId: Int, staged: Option[String])
+    extends WriterCommitMessage
+
+private[sources] class CbioBatchWrite(path: String, schema: StructType, queryId: String,
+                                      comment: Option[String], truncateFirst: Boolean)
+    extends BatchWrite {
+
+  private def fs(): (FileSystem, Path) = {
+    val dir = new Path(path)
+    (FileSystem.get(dir.toUri, new Configuration()), dir)
+  }
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    val (hfs, dir) = fs()
+    hfs.mkdirs(dir) // driver-side, before any task runs
+    CbioWriterFactory(path, schema, queryId)
+  }
+
+  /** Driver-side commit: the only place staged data becomes visible.
+    * Renames are per-file metadata operations — no data moves — so the
+    * commit is O(parts) regardless of data size. The version sidecar is
+    * written last: a crash mid-commit leaves a readable dataset and a
+    * stale version, never a torn file.
+    */
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val (hfs, dir) = fs()
+    val priorVersion = CbioTsvSource.currentVersion(path).map(_._1).getOrElse(0L)
+    if (truncateFirst)
+      CbioTsvSource.listDataFiles(hfs, dir).foreach(hfs.delete(_, false))
+    messages.collect { case CbioCommit(pid, Some(staged)) =>
+      val target = new Path(dir, f"part-$pid%05d-$queryId.cbio.txt")
+      if (!hfs.rename(new Path(staged), target))
+        throw new java.io.IOException(s"cbio commit: rename $staged -> $target failed")
+    }
+    dropStaging(hfs, dir) // failed/speculative attempts' leftovers
+    val files = CbioTsvSource.listDataFiles(hfs, dir).map(_.getName)
+    val json =
+      s"""{"version": ${priorVersion + 1L},
+         | "comment": "${CbioWriteSupport.escapeJson(comment.getOrElse(""))}",
+         | "queryId": "${CbioWriteSupport.escapeJson(queryId)}",
+         | "files": [${files.map(f => "\"" + CbioWriteSupport.escapeJson(f) + "\"").mkString(", ")}]}
+         |""".stripMargin
+    val out = hfs.create(new Path(dir, CbioTsvSource.VersionSidecar), true)
+    try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val (hfs, dir) = fs()
+    if (hfs.exists(dir)) dropStaging(hfs, dir)
+  }
+
+  private def dropStaging(hfs: FileSystem, dir: Path): Unit =
+    hfs.listStatus(dir).map(_.getPath)
+      .filter(_.getName.startsWith(s"_staging-$queryId-"))
+      .foreach(hfs.delete(_, false))
+}
+
+private[sources] case class CbioWriterFactory(path: String, schema: StructType,
+                                              queryId: String)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new CbioDataWriter(path, schema, queryId, partitionId, taskId)
+}
+
+private[sources] class CbioDataWriter(path: String, schema: StructType, queryId: String,
+                                      partitionId: Int, taskId: Long)
+    extends DataWriter[InternalRow] {
+
+  private val staged = s"$path/_staging-$queryId-p$partitionId-t$taskId.cbio.txt"
+  private var out: java.io.Writer = _
+  private val cells = schema.fields.map(f => CbioWriteSupport.cellWriter(f.dataType))
+
+  // opened on first row: empty partitions produce no file at all
+  private def writer(): java.io.Writer = {
+    if (out == null) {
+      val p = new Path(staged)
+      val hfs = FileSystem.get(p.toUri, new Configuration())
+      out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+        hfs.create(p, true), java.nio.charset.StandardCharsets.UTF_8), 1 << 16)
+      CbioWriteSupport.headerBlock(schema).foreach { l => out.write(l); out.write('\n') }
+      out.write(schema.fieldNames.mkString("\t")); out.write('\n')
+    }
+    out
+  }
+
+  override def write(row: InternalRow): Unit = {
+    val w = writer()
+    var i = 0
+    while (i < cells.length) {
+      if (i > 0) w.write('\t')
+      if (!row.isNullAt(i)) w.write(CbioWriteSupport.quoteMinimal(cells(i)(row, i)))
+      i += 1
+    }
+    w.write('\n')
+  }
+
+  override def commit(): WriterCommitMessage = {
+    if (out != null) out.close()
+    CbioCommit(partitionId, if (out != null) Some(staged) else None)
+  }
+
+  override def abort(): Unit = {
+    if (out != null) out.close()
+    val p = new Path(staged)
+    val hfs = FileSystem.get(p.toUri, new Configuration())
+    if (hfs.exists(p)) hfs.delete(p, false)
+  }
+
+  override def close(): Unit = ()
+}
+
+/** Serialization rules shared by every cbio part writer — the same bytes
+  * the K1 sink emits ([[Tsv.cellToString]]): `%.12g` doubles, ISO dates,
+  * empty cell for null, QUOTE_MINIMAL quoting.
+  */
+private[sources] object CbioWriteSupport {
+
+  def validateSchema(schema: StructType): Unit = {
+    val bad = schema.fields.filterNot(f => f.dataType match {
+      case StringType | DoubleType | FloatType | LongType | IntegerType |
+           ShortType | ByteType | BooleanType | DateType | TimestampType => true
+      case _: DecimalType => true
+      case _ => false
+    })
+    require(bad.isEmpty,
+      s"cbio sink supports flat string/numeric/boolean/date columns; " +
+        s"unsupported: ${bad.map(f => s"${f.name}: ${f.dataType.simpleString}").mkString(", ")}")
+  }
+
+  /** The 4-line `#` metadata block (display/description/datatype/priority),
+    * round-tripping field metadata the reader surfaced — a cbio read →
+    * transform → cbio write keeps the clinical header intact.
+    */
+  def headerBlock(schema: StructType): Seq[String] = {
+    def meta(f: StructField, key: String, default: String): String = {
+      val v = if (f.metadata.contains(key)) f.metadata.getString(key) else default
+      v.replaceAll("[\t\n\r]", " ")
+    }
+    val display = schema.fields.map(f => meta(f, "displayName", f.name))
+    val desc = schema.fields.map(f => meta(f, "description", f.name))
+    val dtype = schema.fields.map(_.dataType match {
+      case _: NumericType => "NUMBER"
+      case _              => "STRING"
+    })
+    val prio = schema.fields.map(f => meta(f, "priority", "1"))
+    Seq(display, desc, dtype, prio).map(_.mkString("#", "\t", ""))
+  }
+
+  /** Per-type cell renderer, resolved once per column — no per-row
+    * dataType dispatch in the write loop.
+    */
+  def cellWriter(dt: DataType): (InternalRow, Int) => String = dt match {
+    case StringType  => (r, i) => r.getUTF8String(i).toString
+    case DoubleType  => (r, i) => graft.functions.Format12gUtil.formatString(r.getDouble(i))
+    case FloatType   => (r, i) => graft.functions.Format12gUtil.formatString(r.getFloat(i).toDouble)
+    case LongType    => (r, i) => r.getLong(i).toString
+    case IntegerType => (r, i) => r.getInt(i).toString
+    case ShortType   => (r, i) => r.getShort(i).toString
+    case ByteType    => (r, i) => r.getByte(i).toString
+    case BooleanType => (r, i) => r.getBoolean(i).toString
+    case d: DecimalType =>
+      (r, i) => r.getDecimal(i, d.precision, d.scale).toJavaBigDecimal.toPlainString
+    case DateType =>
+      (r, i) => java.time.LocalDate.ofEpochDay(r.getInt(i).toLong).toString
+    case TimestampType => // micros since epoch, rendered in UTC like the parquet fixtures
+      (r, i) => {
+        val us = r.getLong(i)
+        java.time.LocalDateTime.ofEpochSecond(
+          Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L).toInt * 1000,
+          java.time.ZoneOffset.UTC)
+          .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
+      }
+    case other => throw new IllegalArgumentException(s"unsupported cbio cell type $other")
+  }
+
+  /** pandas QUOTE_MINIMAL: quote only cells containing a separator, line
+    * break or quote; double inner quotes. Mirrors [[Tsv.cellToString]] and
+    * the reader's [[CbioReaderFactory]] record scan.
+    */
+  def quoteMinimal(s: String): String = {
+    var needs = false
+    var i = 0
+    while (i < s.length && !needs) {
+      val c = s.charAt(i)
+      needs = c == '\t' || c == '\n' || c == '\r' || c == '"'
+      i += 1
+    }
+    if (needs) "\"" + s.replace("\"", "\"\"") + "\"" else s
+  }
+
+  def escapeJson(s: String): String = {
+    val sb = new StringBuilder
+    s.foreach {
+      case '"'  => sb.append("\\\"")
+      case '\\' => sb.append("\\\\")
+      case '\n' => sb.append("\\n")
+      case '\r' => sb.append("\\r")
+      case '\t' => sb.append("\\t")
+      case c if c < ' ' => sb.append("\\u%04x".format(c.toInt))
+      case c => sb.append(c)
+    }
+    sb.toString
+  }
+
+  def unescapeJson(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case '"'  => sb.append('"'); i += 2
+          case '\\' => sb.append('\\'); i += 2
+          case 'n'  => sb.append('\n'); i += 2
+          case 'r'  => sb.append('\r'); i += 2
+          case 't'  => sb.append('\t'); i += 2
+          case 'u' if i + 5 < s.length =>
+            sb.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar); i += 6
+          case other => sb.append(other); i += 2
+        }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
   }
 }

@@ -2,6 +2,8 @@ package graft.sources
 
 import java.nio.file.Files
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, StringType}
 import org.scalatest.funsuite.AnyFunSuite
@@ -105,6 +107,108 @@ class CbioTsvSourceSpec extends AnyFunSuite {
     assert(back("s2") == ("line1\nline2", "after-nl"))
     assert(back("s3") == ("cr\rhere", "after-cr"))
     assert(back("s4") == ("plain", "ok"))
+  }
+
+  // ---- write path (K6 / `save_to_synapse` surface, reference load.py:38-82) ----
+
+  test("write: fresh-dir save round-trips values and types through the reader") {
+    val dir = Files.createTempDirectory("cbio-w").toString + "/ds"
+    val df = Seq(
+      ("s1", 12.5, 3L, true),
+      ("s2", Double.NaN, -7L, false),
+      ("s3", 0.1 + 0.2, 0L, true))
+      .toDF("SAMPLE_ID", "SCORE", "COUNT", "FLAG")
+    df.repartition(3).write.format("cbio").mode("append").save(dir)
+    val back = spark.read.format("cbio").load(dir)
+    // NUMBER columns (double AND long) read back typed double; bool is STRING
+    assert(back.schema("SCORE").dataType == DoubleType)
+    assert(back.schema("COUNT").dataType == DoubleType)
+    assert(back.schema("FLAG").dataType == StringType)
+    val rows = back.collect().map(r => r.getString(0) -> ((r.get(1), r.get(2), r.get(3)))).toMap
+    assert(rows("s1") == ((12.5, 3.0, "true")))
+    assert(rows("s2")._1.asInstanceOf[Double].isNaN && rows("s2")._2 == -7.0)
+    assert(rows("s3")._1 == 0.3) // %.12g rounds 0.30000000000000004 to 12 sig digits
+  }
+
+  test("write: version sidecar bumps per store and carries the version comment") {
+    val dir = Files.createTempDirectory("cbio-v").toString + "/ds"
+    val df = Seq(("s1", 1.0)).toDF("SAMPLE_ID", "SCORE")
+    df.write.format("cbio").option("versionComment", "initial export")
+      .mode("overwrite").save(dir)
+    assert(CbioTsvSource.currentVersion(dir).contains((1L, "initial export")))
+    df.write.format("cbio").option("versionComment", "round \"5\" refresh")
+      .mode("overwrite").save(dir)
+    assert(CbioTsvSource.currentVersion(dir).contains((2L, "round \"5\" refresh")))
+    // the sidecar is invisible to the reader
+    assert(spark.read.format("cbio").load(dir).count() == 1)
+  }
+
+  test("write: append adds parts, overwrite replaces them") {
+    val dir = Files.createTempDirectory("cbio-m").toString + "/ds"
+    val df = Seq(("s1", 1.0), ("s2", 2.0)).toDF("SAMPLE_ID", "SCORE")
+    df.write.format("cbio").mode("overwrite").save(dir)
+    df.write.format("cbio").mode("append").save(dir)
+    assert(spark.read.format("cbio").load(dir).count() == 4)
+    assert(CbioTsvSource.currentVersion(dir).map(_._1).contains(2L))
+    df.write.format("cbio").mode("overwrite").save(dir)
+    assert(spark.read.format("cbio").load(dir).count() == 2)
+    assert(CbioTsvSource.currentVersion(dir).map(_._1).contains(3L))
+  }
+
+  test("write: empty partitions leave no part files") {
+    val dir = Files.createTempDirectory("cbio-e").toString + "/ds"
+    Seq(("s1", 1.0), ("s2", 2.0), ("s3", 3.0)).toDF("SAMPLE_ID", "SCORE")
+      .repartition(16).write.format("cbio").mode("append").save(dir)
+    val parts = Files.list(java.nio.file.Paths.get(dir)).iterator().asScala
+      .map(_.getFileName.toString).filter(n => !n.startsWith("_") && !n.startsWith(".")).toSeq
+    assert(parts.nonEmpty && parts.size <= 3, s"expected <=3 data files, got $parts")
+    assert(spark.read.format("cbio").load(dir).count() == 3)
+  }
+
+  test("write: clinical header metadata survives a cbio read -> write -> read") {
+    val dir = Files.createTempDirectory("cbio-meta").toString + "/ds"
+    val first = spark.read.format("cbio").load(writeFixture())
+    first.write.format("cbio").mode("append").save(dir)
+    val s = spark.read.format("cbio").load(dir).schema
+    assert(s("TMB").dataType == DoubleType)
+    assert(s("TMB").metadata.getString("displayName") == "TMB Score")
+    assert(s("TMB").metadata.getString("priority") == "2")
+    assert(s("CANCER_TYPE").metadata.getString("description") == "Oncotree name")
+  }
+
+  test("write: QUOTE_MINIMAL cells (tabs, newlines, quotes) round-trip") {
+    val dir = Files.createTempDirectory("cbio-wq").toString + "/ds"
+    val df = Seq(
+      ("s1", "a\tb"), ("s2", "l1\nl2"), ("s3", "say \"hi\""), ("s4", "plain"))
+      .toDF("SAMPLE_ID", "NOTE")
+    df.write.format("cbio").mode("append").save(dir)
+    val back = spark.read.format("cbio").load(dir)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(back == Map("s1" -> "a\tb", "s2" -> "l1\nl2", "s3" -> "say \"hi\"", "s4" -> "plain"))
+  }
+
+  test("write: nested column types are rejected with a clear error") {
+    val dir = Files.createTempDirectory("cbio-bad").toString + "/ds"
+    val df = Seq(("s1", Seq(1, 2))).toDF("SAMPLE_ID", "VALS")
+    val e = intercept[Exception] {
+      df.write.format("cbio").mode("append").save(dir)
+    }
+    assert(e.getMessage.contains("VALS") || Option(e.getCause).exists(_.getMessage.contains("VALS")))
+  }
+
+  test("write: StudyValidator consumes a cbio-written study directory") {
+    val study = Files.createTempDirectory("cbio-study").toString
+    // each required output written as a cbio dataset directory
+    val sample = Seq(("s1", "p1", "LUAD"), ("s2", "p2", "BRCA"))
+      .toDF("SAMPLE_ID", "PATIENT_ID", "CANCER_TYPE")
+    graft.Schemas.RequiredOutputFiles.foreach { f =>
+      sample.write.format("cbio").option("versionComment", s"r5 $f").mode("overwrite").save(s"$study/$f")
+    }
+    assert(graft.pipelines.StudyValidator.missingFiles(study).isEmpty)
+    val outputs = graft.pipelines.StudyValidator.loadAllOutputs(spark, study)
+    val clin = outputs("data_clinical_sample.txt")
+    assert(clin.isDefined && clin.get.count() == 2)
+    assert(clin.get.columns.toSeq == Seq("SAMPLE_ID", "PATIENT_ID", "CANCER_TYPE"))
   }
 
   test("NUMBER cells: nan/inf/-inf (Format12g renderings) and NA parse leniently") {
