@@ -326,9 +326,19 @@ class OlapQueriesSpec extends AnyFunSuite {
         "bounded distance: exact when <= threshold, -1 sentinel beyond")
       assert(r.getAs[Boolean]("is_dup") == (lev != -1))
     }
-    assert(rows.exists(_.getAs[Int]("lev") == -1),
-      "candidate list must contain some beyond-threshold pairs")
-    assert(rows.exists(r => r.getAs[Int]("lev") >= 0),
-      "candidate list must contain some verified dups")
+    // Both branches of the bounded metric pinned on CONSTRUCTED rows, not
+    // on the synthetic corpus' text statistics (a regenerated fixture may
+    // contain no beyond-threshold candidate or no verified dup):
+    import org.apache.spark.sql.functions.{col, levenshtein, lit}
+    import graft.SparkTestBase.spark.implicits._
+    val seeded = Seq(
+      ("a" * 120, "a" * 118 + "bb"), // lev 2   -> verified dup
+      ("a" * 120, "b" * 120))        // lev 120 -> bounded DP stops at 24: -1
+      .toDF("pa", "pb")
+      .withColumn("lev", levenshtein(col("pa"), col("pb"), 24))
+      .withColumn("is_dup", col("lev") =!= lit(-1))
+      .collect()
+    assert(seeded(0).getAs[Int]("lev") == 2 && seeded(0).getAs[Boolean]("is_dup"))
+    assert(seeded(1).getAs[Int]("lev") == -1 && !seeded(1).getAs[Boolean]("is_dup"))
   }
 }
