@@ -53,7 +53,17 @@ object Plans {
     "h18_large_orders" ->
       "HAVING cuts the aggregate BEFORE both joins — only qualifying orderkeys enter; partial_sum below the exchange",
     "j8_bloom_prefilter" ->
-      "bloom UDF filter sits directly on the fact scan, BEFORE the semi-join shuffle — the runtime-filter pattern made explicit",
+      "native might_contain probe sits directly on the fact scan INSIDE whole-stage codegen, BEFORE the semi-join shuffle — the runtime-filter pattern made explicit",
+    "j11_skew_salted" ->
+      "hashpartitioning on (key, salt): the hot key fans out across `factor` reducers; salt is a pure row function so retries re-derive it",
+    "sql_tpch_q21" ->
+      "double-correlated EXISTS + NOT EXISTS: one left-semi and one left-anti join over lineitem — three passes total, no per-row re-execution",
+    "sql_tpch_q2" ->
+      "correlated min-equality (argmin) DECORRELATED: min(l_extendedprice) per part computed once, equi-joined back on l_partkey",
+    "sql_tpch_q19" ->
+      "disjunctive predicate does NOT defeat the join: p_partkey=l_partkey extracted as the hash key, the brand×quantity OR stays a residual filter",
+    "sql_tpch_q20" ->
+      "IN + nested correlated scalar: left-semi on suppkey above an aggregate-join on partkey — both levels decorrelated",
     "dd_para_dedup" ->
       "ONE corpus scan: first-occurrence via min-over-window on the chunk-hash shuffle (no self-join), then the reassembly exchange",
     "j9_range_join" ->

@@ -254,11 +254,90 @@ object OlapQueries {
     """)
   }
 
+  /** sql_tpch_q2 — the correlated-min-equality (argmin) shape of TPC-H
+    * Q2, adapted to this schema (no partsupp table; lineitem is the
+    * part↔supplier bridge): for every part of one brand, the lineitems
+    * priced at that part's minimum. The correlated scalar subquery must
+    * decorrelate to ONE aggregate of lineitem joined back on partkey —
+    * never a per-outer-row min re-scan.
+    */
+  def sqlTpchQ2: Q = (s, dir) => {
+    registerSqlViews(s, dir)
+    s.sql("""
+      SELECT p_brand, p_partkey, l_suppkey, l_extendedprice AS min_price
+      FROM part_sql, li_sql
+      WHERE p_partkey = l_partkey AND p_brand = 'Brand#23'
+        AND l_extendedprice = (SELECT min(l2.l_extendedprice) FROM li_sql l2
+                               WHERE l2.l_partkey = p_partkey)
+    """)
+  }
+
+  /** sql_tpch_q11 — TPC-H Q11's HAVING-over-global-scalar-subquery shape:
+    * parts whose shipped quantity exceeds a fraction of the corpus total.
+    * The subquery is uncorrelated — planned ONCE as a scalar subquery
+    * stage, broadcast into the filter above the aggregation, so the
+    * threshold costs one extra scan, not one per group. Quantities are
+    * integral-valued doubles: sums are exact, the comparison cannot
+    * float-flip between engines.
+    */
+  def sqlTpchQ11: Q = (s, dir) => {
+    registerSqlViews(s, dir)
+    s.sql("""
+      SELECT l_partkey, CAST(sum(l_quantity) AS BIGINT) AS total_qty
+      FROM li_sql
+      GROUP BY l_partkey
+      HAVING sum(l_quantity) > (SELECT 1.2 * sum(l_quantity) / count(DISTINCT l_partkey)
+                                FROM li_sql)
+    """)
+  }
+
+  /** sql_tpch_q19 — TPC-H Q19's disjunctive join predicate: an OR of
+    * brand×quantity-band conjuncts over a shared equi key. The planner
+    * must extract `p_partkey = l_partkey` as the hash-join key and keep
+    * the disjunction as a residual filter — a naive reading of the OR
+    * would fall back to a nested-loop join over the whole fact table.
+    */
+  def sqlTpchQ19: Q = (s, dir) => {
+    registerSqlViews(s, dir)
+    s.sql("""
+      SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+             count(*) AS n_items
+      FROM li_sql, part_sql
+      WHERE p_partkey = l_partkey
+        AND ((p_brand = 'Brand#12' AND l_quantity BETWEEN 1 AND 11)
+          OR (p_brand = 'Brand#23' AND l_quantity BETWEEN 10 AND 20)
+          OR (p_brand = 'Brand#34' AND l_quantity BETWEEN 20 AND 30))
+    """)
+  }
+
+  /** sql_tpch_q20 — TPC-H Q20's nested shape: an IN subquery whose
+    * filter references a CORRELATED scalar subquery (here: suppliers
+    * shipping >4× a part's fair per-supplier share — "dominant
+    * suppliers"; the reference Q20 compares availability to half the
+    * shipped quantity the same way). Two aggregation levels deep, both
+    * must decorrelate: the inner scalar to an aggregate-join on
+    * l_partkey, the IN to a left-semi join on s_suppkey.
+    */
+  def sqlTpchQ20: Q = (s, dir) => {
+    registerSqlViews(s, dir)
+    s.sql("""
+      SELECT s_name, s_nationkey
+      FROM supp_sql
+      WHERE s_suppkey IN (
+        SELECT sp.l_suppkey FROM
+          (SELECT l_partkey, l_suppkey, sum(l_quantity) AS q
+           FROM li_sql GROUP BY l_partkey, l_suppkey) sp
+        WHERE sp.q > (SELECT 4.0 * sum(l2.l_quantity) / count(DISTINCT l2.l_suppkey)
+                      FROM li_sql l2 WHERE l2.l_partkey = sp.l_partkey))
+    """)
+  }
+
   private def registerSqlViews(s: SparkSession, dir: String): Unit = {
     Tables.lineitem(s, dir).createOrReplaceTempView("li_sql")
     Tables.orders(s, dir).createOrReplaceTempView("ord_sql")
     Tables.customer(s, dir).createOrReplaceTempView("cust_sql")
     Tables.supplier(s, dir).createOrReplaceTempView("supp_sql")
+    Tables.part(s, dir).createOrReplaceTempView("part_sql")
   }
 
   /** h13_custdist — TPC-H Q13 shape through the raw SQL surface: the
@@ -625,6 +704,10 @@ object OlapQueries {
     "sql_tpch_q6" -> sqlTpchQ6,
     "sql_tpch_q4" -> sqlTpchQ4,
     "sql_tpch_q21" -> sqlTpchQ21,
+    "sql_tpch_q2" -> sqlTpchQ2,
+    "sql_tpch_q11" -> sqlTpchQ11,
+    "sql_tpch_q19" -> sqlTpchQ19,
+    "sql_tpch_q20" -> sqlTpchQ20,
     "j11_skew_salted" -> j11SkewSalted,
     "o2_window_rank" -> o2WindowRank,
     "o3_running_total" -> o3RunningTotal,
@@ -661,6 +744,35 @@ object OlapQueries {
         |GROUP BY s_name
         |ORDER BY numwait DESC, s_name
         |LIMIT 100""".stripMargin,
+    "sql_tpch_q2" ->
+      """SELECT p_brand, p_partkey, l_suppkey, l_extendedprice AS min_price
+        |FROM part, lineitem
+        |WHERE p_partkey = l_partkey AND p_brand = 'Brand#23'
+        |  AND l_extendedprice = (SELECT min(l2.l_extendedprice) FROM lineitem l2
+        |                         WHERE l2.l_partkey = p_partkey)""".stripMargin,
+    "sql_tpch_q11" ->
+      """SELECT l_partkey, CAST(sum(l_quantity) AS BIGINT) AS total_qty
+        |FROM lineitem
+        |GROUP BY l_partkey
+        |HAVING sum(l_quantity) > (SELECT 1.2 * sum(l_quantity) / count(DISTINCT l_partkey)
+        |                          FROM lineitem)""".stripMargin,
+    "sql_tpch_q19" ->
+      """SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |       count(*) AS n_items
+        |FROM lineitem, part
+        |WHERE p_partkey = l_partkey
+        |  AND ((p_brand = 'Brand#12' AND l_quantity BETWEEN 1 AND 11)
+        |    OR (p_brand = 'Brand#23' AND l_quantity BETWEEN 10 AND 20)
+        |    OR (p_brand = 'Brand#34' AND l_quantity BETWEEN 20 AND 30))""".stripMargin,
+    "sql_tpch_q20" ->
+      """SELECT s_name, s_nationkey
+        |FROM supplier
+        |WHERE s_suppkey IN (
+        |  SELECT sp.l_suppkey FROM
+        |    (SELECT l_partkey, l_suppkey, sum(l_quantity) AS q
+        |     FROM lineitem GROUP BY l_partkey, l_suppkey) sp
+        |  WHERE sp.q > (SELECT 4.0 * sum(l2.l_quantity) / count(DISTINCT l2.l_suppkey)
+        |                FROM lineitem l2 WHERE l2.l_partkey = sp.l_partkey))""".stripMargin,
     "j11_skew_salted" ->
       """SELECT n_name, count(*) AS n, CAST(sum(l_quantity) AS BIGINT) AS sum_qty
         |FROM lineitem JOIN nation

@@ -296,6 +296,40 @@ class OlapQueriesSpec extends AnyFunSuite {
     assert(p22.contains("LeftAnti"), "NOT EXISTS must plan as an anti join")
   }
 
+  test("q4/q21: EXISTS shapes plan as semi/anti joins") {
+    val p4 = planString(OlapQueries.sqlTpchQ4(spark, sf001))
+    assert(p4.contains("LeftSemi"), "Q4's EXISTS must plan as a left-semi join")
+    assert(!p4.contains("CartesianProduct") && !p4.contains("BroadcastNestedLoopJoin"))
+    val p21 = planString(OlapQueries.sqlTpchQ21(spark, sf001))
+    assert(p21.contains("LeftSemi") && p21.contains("LeftAnti"),
+      "Q21 needs one semi (EXISTS) and one anti (NOT EXISTS) join")
+    assert(!p21.contains("CartesianProduct") && !p21.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q2/q11/q19/q20: the four new subquery shapes decorrelate, no nested loops") {
+    // q2: correlated min-equality -> aggregate + join on l_partkey
+    val p2 = planString(OlapQueries.sqlTpchQ2(spark, sf001))
+    assert(p2.contains("Join") && p2.toLowerCase.contains("l_partkey"),
+      p2.linesIterator.take(8).mkString("\n"))
+    assert(!p2.contains("CartesianProduct") && !p2.contains("BroadcastNestedLoopJoin"))
+    // q11: the uncorrelated threshold is ONE scalar subquery stage, not a
+    // per-group re-scan (it appears as Subquery/ReusedSubquery in the plan)
+    val p11 = planString(OlapQueries.sqlTpchQ11(spark, sf001))
+    assert(p11.contains("Subquery"), p11.linesIterator.take(8).mkString("\n"))
+    assert(!p11.contains("CartesianProduct") && !p11.contains("BroadcastNestedLoopJoin"))
+    // q19: the disjunctive predicate must NOT defeat the equi-join — the
+    // shared p_partkey = l_partkey key plans a hash/sort-merge join with
+    // the OR as residual
+    val p19 = planString(OlapQueries.sqlTpchQ19(spark, sf001))
+    assert(p19.contains("HashJoin") || p19.contains("SortMergeJoin"),
+      p19.linesIterator.take(8).mkString("\n"))
+    assert(!p19.contains("CartesianProduct") && !p19.contains("BroadcastNestedLoopJoin"))
+    // q20: IN -> left-semi; inner correlated scalar -> aggregate + join
+    val p20 = planString(OlapQueries.sqlTpchQ20(spark, sf001))
+    assert(p20.contains("LeftSemi"), p20.linesIterator.take(8).mkString("\n"))
+    assert(!p20.contains("CartesianProduct") && !p20.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("j8: bloom prefilter returns exactly the semi-join result") {
     val got = OlapQueries.j8BloomPrefilter(spark, sf001).collect()
       .map(r => (r.getAs[String]("l_returnflag"),
