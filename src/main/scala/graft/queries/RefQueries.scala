@@ -173,6 +173,31 @@ object RefQueries {
         bround(col("sum_bal"), 2).as("sum_bal"))
   }
 
+  /** S12/S1 — the Synapse ingest surface (`syn.get(synid).path` →
+    * read, reference `clinical.py:319`, `utils.py:25-49`) over the mock
+    * entity store: store `region` twice under one entity (v2 recases the
+    * names), then read version 1 PINNED and the latest side by side
+    * through `format("synapse")`. The oracle reconstructs both versions
+    * from the original parquet — version resolution, the store round-trip
+    * and the folder-children surface are all on the hash.
+    */
+  def s12SynapseFetch: Q = (s, dir) => {
+    val root = java.nio.file.Files.createTempDirectory("graft-s12").toString
+    val region = Tables.region(s, dir).select(col("r_regionkey"), col("r_name"))
+    val id = graft.sources.SynapseStore.store(region, root, "region.txt", "synFolder", "initial")
+    graft.sources.SynapseStore.store(
+      region.withColumn("r_name", upper(col("r_name"))),
+      root, "region.txt", "synFolder", "recased")
+    require(graft.sources.SynapseStore.getChildren(root, "synFolder").map(_._2) == Seq("region.txt"),
+      "folder listing must see exactly the stored entity")
+    val v1 = s.read.format("synapse").option("store", root)
+      .option("version", "1").load(id)
+      .select(lit("v1").as("ver"), col("r_name"))
+    val latest = s.read.format("synapse").option("store", root).load(id)
+      .select(lit("v2").as("ver"), col("r_name"))
+    v1.unionByName(latest)
+  }
+
   /** P1 — regex filter with pandas `na=False` semantics (null text counts
     * as non-match → row kept) scoped to one partition value (reference
     * `clinical.py:74-95`).
@@ -612,6 +637,7 @@ object RefQueries {
     "s10_xml_roundtrip" -> s10XmlRoundtrip,
     "s9_cbio_source" -> s9CbioSource,
     "s11_cbio_store_roundtrip" -> s11CbioStoreRoundtrip,
+    "s12_synapse_fetch" -> s12SynapseFetch,
     "p1_filter_na_false" -> p1FilterNaFalse,
     "p2_neq_keep_nulls" -> p2NeqKeepNulls,
     "p3_partition_filter" -> p3PartitionFilter,
@@ -677,6 +703,10 @@ object RefQueries {
     "s11_cbio_store_roundtrip" ->
       """SELECT c_mktsegment, count(*) AS n, count(DISTINCT c_name) AS n_names,
         | round(sum(c_acctbal), 2) AS sum_bal FROM customer GROUP BY 1""".stripMargin,
+    "s12_synapse_fetch" ->
+      """SELECT 'v1' AS ver, r_name FROM region
+        |UNION ALL
+        |SELECT 'v2' AS ver, upper(r_name) AS r_name FROM region""".stripMargin,
     "p1_filter_na_false" ->
       """SELECT doc_id, lang, source FROM documents
         | WHERE (NOT coalesce(regexp_matches(text, 'slow (?:join|scan)'), false)
