@@ -356,8 +356,51 @@ object TextQueries {
         count(lit(1)).as("n_dups"))
   }
 
+  /** Benchmark decontamination core: training docs sharing any word
+    * `n`-gram with the benchmark subset (`benchPred`). The scale path is
+    * the runtime-filter pattern: a Bloom sketch of the benchmark's gram
+    * hashes probes every training gram INSIDE the scan stage (native
+    * `might_contain`, codegen'd like j8), so only candidate grams — a
+    * sliver at 100 TB, where benchmark ≪ corpus — reach the exact
+    * semi-join that removes Bloom false positives. Without the sketch,
+    * every training gram would shuffle.
+    */
+  def decontaminate(docs: DataFrame, n: Int, benchPred: Column): DataFrame = {
+    val toks = split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ")
+    val grams = docs
+      .select(col("doc_id"), benchPred.as("is_bench"), toks.as("toks"))
+      .withColumn("gram",
+        explode(when(size(col("toks")) >= n, expr(
+          s"transform(sequence(0, size(toks) - $n), i -> concat_ws(' ', slice(toks, i + 1, $n)))"))
+          .otherwise(array().cast("array<string>"))))
+      .select(col("doc_id"), col("is_bench"), col("gram"))
+    val bench = grams.filter(col("is_bench")).select(col("gram")).distinct()
+    val bloom = bench.select(xxhash64(col("gram")).as("h"))
+      .stat.bloomFilter("h", 1L << 20, 0.03)
+    val bytes = { val b = new java.io.ByteArrayOutputStream(); bloom.writeTo(b); b.toByteArray }
+    import org.apache.spark.sql.graftbridge.Bridge
+    val mightContain = Bridge.column(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        org.apache.spark.sql.catalyst.expressions.Literal(bytes,
+          org.apache.spark.sql.types.BinaryType),
+        Bridge.expression(xxhash64(col("gram")))))
+    grams.filter(!col("is_bench"))
+      .filter(mightContain)
+      .join(bench, Seq("gram"), "left_semi")
+      .select(col("doc_id")).distinct()
+  }
+
+  /** td_decontaminate — test-set decontamination over `documents`:
+    * every 23rd doc plays the held-out benchmark; training docs sharing
+    * a word 8-gram with it are flagged for removal (the n-gram-overlap
+    * rule training pipelines run before releasing a corpus).
+    */
+  def tdDecontaminate: Q = (s, dir) =>
+    decontaminate(Tables.documents(s, dir), 8, col("doc_id") % 23 === 0)
+
   val queries: Map[String, Q] = Map(
     "ta_tokens" -> taTokens,
+    "td_decontaminate" -> tdDecontaminate,
     "ta_langid" -> taLangid,
     "ta_quality" -> taQuality,
     "ta_fingerprint" -> taFingerprint,
@@ -378,6 +421,17 @@ object TextQueries {
   }.mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    "td_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, array_to_string(t[i:i+7], ' ') AS gram
+        |  FROM toks, UNNEST(range(1, len(t) - 6)) AS u(i)
+        |  WHERE len(t) >= 8),
+        |bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 23 = 0)
+        |SELECT DISTINCT g.doc_id FROM grams g JOIN bench b USING (gram)
+        |WHERE g.doc_id % 23 <> 0""".stripMargin,
     "ta_tokens" ->
       """SELECT doc_id,
         | len(regexp_extract_all(text, '\S+')) AS n_ws_tokens,

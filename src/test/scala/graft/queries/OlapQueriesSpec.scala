@@ -350,6 +350,27 @@ class OlapQueriesSpec extends AnyFunSuite {
     assert(got == want, "bloom false positives must be removed by the exact semi-join")
   }
 
+  test("td_decontaminate: seeded overlap flags; bloom probe codegen'd before the semi join") {
+    import graft.SparkTestBase.spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val eight = "alpha bravo charlie delta echo foxtrot golf hotel"
+    val docs = Seq(
+      (0L, s"benchmark says $eight and more"),       // is_bench (id % 23 == 0)
+      (1L, s"training doc copying $eight verbatim"), // shares the 8-gram -> flagged
+      (2L, "totally unrelated words nine ten eleven twelve thirteen fourteen fifteen"),
+      (3L, "short text"))                            // < 8 tokens -> no grams
+      .toDF("doc_id", "text")
+    val out = TextQueries.decontaminate(docs, 8, col("doc_id") % 23 === 0)
+    assert(out.as[Long].collect().toSet == Set(1L),
+      "exactly the verbatim-overlap doc is contaminated")
+    // scale shape: the native bloom probe runs before the exact semi join,
+    // inside codegen (no UDF), FPs removed by LeftSemi
+    val plan = planString(out)
+    assert(plan.contains("might_contain"), plan.linesIterator.take(10).mkString("\n"))
+    assert(plan.contains("LeftSemi"))
+    assert(!plan.toLowerCase.contains("batchevalpython") && !plan.contains("UDF"))
+  }
+
   test("dd_lev_pairs: verification only runs on the candidate list") {
     val cand = DedupQueries.ddSimhashPairs(spark, sf001).count()
     val rows = DedupQueries.ddLevPairs(spark, sf001).collect()
