@@ -46,6 +46,21 @@ object MafPipeline {
       .reduce(_.unionByName(_, allowMissingColumns = true)))
   }
 
+  /** The same merge over the Synapse store — the reference's actual
+    * ingest (`maf.py:23-28`: `syn.getChildren(folder)` → keep `*.maf` →
+    * `pd.read_csv(syn.get(id).path)` → concat). Children resolve to
+    * their latest stored version; merge stays by-name with null fill.
+    */
+  def readAndMergeMafsFromStore(spark: SparkSession, storeRoot: String,
+                                folderId: String): Option[DataFrame] = {
+    val mafs = graft.sources.SynapseStore.getChildren(storeRoot, folderId)
+      .filter(_._2.endsWith(".maf"))
+    if (mafs.isEmpty) None
+    else Some(mafs.map { case (id, _) =>
+      Tsv.read(spark, graft.sources.SynapseStore.get(storeRoot, id), comment = Some('#'))
+    }.reduce(_.unionByName(_, allowMissingColumns = true)))
+  }
+
   /** J5 — annotation join with a failure channel: left join against the
     * annotation table on the variant key; matched rows get the annotation
     * columns and `Annotation_Status = SUCCESS`, unmatched become the error

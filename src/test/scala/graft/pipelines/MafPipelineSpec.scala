@@ -118,6 +118,37 @@ class MafPipelineSpec extends AnyFunSuite {
     assert(merged.filter(col("Chromosome") === "chr17").count() == 1)
   }
 
+  test("readAndMergeMafsFromStore: getChildren -> latest version -> by-name merge") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("maf-store").toString
+    val folder = "synMafFolder"
+    // two .maf entities with different column sets; one has a superseded v1
+    graft.sources.SynapseStore.store(
+      Seq(("OLD", "chr0", 1.0)).toDF("Hugo_Symbol", "Chromosome", "t_ref_count"),
+      root, "a.maf", folder, "v1 draft")
+    graft.sources.SynapseStore.store(
+      Seq(("TP53", "chr17", 10.0)).toDF("Hugo_Symbol", "Chromosome", "t_ref_count"),
+      root, "a.maf", folder, "v2 final")
+    graft.sources.SynapseStore.store(
+      Seq(("chr12", "KRAS", "x")).toDF("Chromosome", "Hugo_Symbol", "Extra_Col"),
+      root, "b.maf", folder, "one-off")
+    // a non-.maf sibling must be excluded by the extension filter
+    graft.sources.SynapseStore.store(
+      Seq(("s1", "p1")).toDF("SAMPLE_ID", "PATIENT_ID"), root, "clin.txt", folder)
+    val merged = MafPipeline.readAndMergeMafsFromStore(spark, root, folder).get
+    assert(merged.count() == 2, "latest version only; non-maf excluded")
+    val byGene = merged.collect().map(r =>
+      r.getAs[String]("Hugo_Symbol") ->
+        (r.getAs[String]("Chromosome"), Option(r.getAs[Any]("t_ref_count")),
+          Option(r.getAs[String]("Extra_Col")))).toMap
+    assert(!byGene.contains("OLD"), "superseded v1 content must not appear")
+    assert(byGene("TP53")._1 == "chr17" && byGene("TP53")._2.contains(10.0)
+      && byGene("TP53")._3.isEmpty)
+    assert(byGene("KRAS")._1 == "chr12" && byGene("KRAS")._2.isEmpty
+      && byGene("KRAS")._3.contains("x"))
+    assert(MafPipeline.readAndMergeMafsFromStore(spark, root, "synNoSuchFolder").isEmpty)
+  }
+
   test("full 118-col MAF contract: write, re-read, V13 passes; one missing col reported") {
     import org.apache.spark.sql.functions.{col, lit}
     // widen the narrow fixture to the full contract: every missing
