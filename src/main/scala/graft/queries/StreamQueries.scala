@@ -124,7 +124,39 @@ object StreamQueries {
         sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
   }
 
+  /** ev_funnel — ordered-sequence funnel (view → click → purchase per
+    * user): ONE shuffle on user_id, then a codegen'd higher-order
+    * `aggregate` scan over each user's time-sorted event array advances a
+    * stage counter on first match — the sequential-pattern operator that
+    * a self-join-per-stage formulation would pay one shuffle PER STAGE
+    * for. Greedy first-occurrence advance ≡ subsequence membership, which
+    * is what the oracle tests with an ordered-string regex. Tie order
+    * (same ts) is pinned by sorting (ts, event_type) structs on both
+    * sides.
+    */
+  def evFunnel: Q = (s, dir) => {
+    // qualifying events only (cheap views, cheap clicks, big purchases) —
+    // the funnel is over a predicate per stage, as real funnels are
+    val qualifying =
+      (col("event_type") === "view" && col("value") < 50) ||
+        (col("event_type") === "click" && col("value") < 20) ||
+        (col("event_type") === "purchase" && col("value") > 150)
+    Tables.events(s, dir)
+      .filter(qualifying)
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(struct(col("ts"), col("event_type")))).as("evs"))
+      .withColumn("stage", expr(
+        """aggregate(evs, 0, (st, e) ->
+             CASE WHEN st = 0 AND e.event_type = 'view' THEN 1
+                  WHEN st = 1 AND e.event_type = 'click' THEN 2
+                  WHEN st = 2 AND e.event_type = 'purchase' THEN 3
+                  ELSE st END)"""))
+      .groupBy(col("stage"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "ev_funnel" -> evFunnel,
     "ev_enrich" -> evEnrich,
     "ev_window_topk" -> evWindowTopk,
     "ev_tumbling" -> evTumbling,
@@ -136,6 +168,20 @@ object StreamQueries {
     "ev_asof" -> evAsof)
 
   val oracle: Map[String, String] = Map(
+    "ev_funnel" ->
+      """WITH seq AS (
+        |  SELECT user_id, string_agg(event_type, ',' ORDER BY ts, event_type) AS s
+        |  FROM events
+        |  WHERE (event_type = 'view' AND value < 50)
+        |     OR (event_type = 'click' AND value < 20)
+        |     OR (event_type = 'purchase' AND value > 150)
+        |  GROUP BY 1)
+        |SELECT CASE
+        |  WHEN regexp_matches(s, 'view.*click.*purchase') THEN 3
+        |  WHEN regexp_matches(s, 'view.*click') THEN 2
+        |  WHEN regexp_matches(s, 'view') THEN 1 ELSE 0 END AS stage,
+        |  count(*) AS n_users
+        |FROM seq GROUP BY 1""".stripMargin,
     "ev_enrich" ->
       """SELECT user_id % 3 AS tier, count(*) AS n,
         | sum(value::DECIMAL(18,2))::DOUBLE AS sum_value
