@@ -11,7 +11,8 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Tabl
   TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader,
-  PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+  PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters,
+  SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory,
   LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder,
   WriterCommitMessage}
@@ -170,15 +171,37 @@ private[sources] class CbioTsvTable(path: String, schema: StructType)
 }
 
 private[sources] class CbioScanBuilder(path: String, full: StructType)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
   private var required: StructType = full
+  private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
+  /** Best-effort pushdown with re-check: supported predicates are
+    * evaluated inside the reader — a non-matching line is dropped before
+    * any UTF8String/InternalRow materialization — and EVERY filter is
+    * also returned as residual, so Spark re-applies it above the scan.
+    * The reader may therefore only drop rows the real predicate drops;
+    * it can never wrongly keep (Spark re-checks) and never wrongly drop
+    * (eval mirrors SQL null/NaN semantics, see [[CbioFilterEval]]).
+    */
+  override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter])
+      : Array[org.apache.spark.sql.sources.Filter] = {
+    pushed = filters.filter(CbioFilterEval.supported(full, _))
+    filters
+  }
+
+  override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
+
   override def build(): Scan = new Scan with Batch {
     override def readSchema(): StructType = required
     override def toBatch: Batch = this
+
+    override def description(): String =
+      s"cbio $path, PushedFilters: [${pushed.mkString(", ")}], " +
+        s"ReadSchema: ${required.simpleString}"
 
     override def planInputPartitions(): Array[InputPartition] = {
       val p = new Path(path)
@@ -191,13 +214,86 @@ private[sources] class CbioScanBuilder(path: String, full: StructType)
     }
 
     override def createReaderFactory(): PartitionReaderFactory =
-      new CbioReaderFactory(full.fieldNames, required)
+      new CbioReaderFactory(full.fieldNames, required, full, pushed)
+  }
+}
+
+/** Row-level evaluation of pushed V2 filters over raw TSV cells,
+  * mirroring Spark's SQL semantics exactly: comparisons with a NULL cell
+  * are null → row dropped (except IsNull); doubles order with NaN
+  * greatest and NaN = NaN true (Spark's double ordering). Only
+  * single-column leaf predicates are pushed — compound/unknown filters
+  * stay residual-only.
+  */
+private[sources] object CbioFilterEval {
+  import org.apache.spark.sql.sources._
+
+  def supported(schema: StructType, f: Filter): Boolean = f match {
+    case EqualTo(a, _)            => leaf(schema, a)
+    // inequalities only on numeric columns: Java String.compareTo is
+    // UTF-16 code-unit order, Spark's UTF8String is byte (code point)
+    // order — they disagree on surrogate-vs-+ ranges, and a pushed
+    // eval must never drop a row Spark's residual would keep
+    case GreaterThan(a, _)        => num(schema, a)
+    case GreaterThanOrEqual(a, _) => num(schema, a)
+    case LessThan(a, _)           => num(schema, a)
+    case LessThanOrEqual(a, _)    => num(schema, a)
+    case In(a, _)                 => leaf(schema, a)
+    case IsNull(a)                => leaf(schema, a)
+    case IsNotNull(a)             => leaf(schema, a)
+    case StringStartsWith(a, _)   => str(schema, a)
+    case StringEndsWith(a, _)     => str(schema, a)
+    case StringContains(a, _)     => str(schema, a)
+    case _                        => false
+  }
+
+  private def leaf(schema: StructType, a: String): Boolean =
+    schema.fieldNames.contains(a)
+  private def str(schema: StructType, a: String): Boolean =
+    schema.fieldNames.contains(a) && schema(a).dataType == StringType
+  private def num(schema: StructType, a: String): Boolean =
+    schema.fieldNames.contains(a) && schema(a).dataType == DoubleType
+
+  /** Spark double ordering: NaN is greatest and equal to itself; -0.0
+    * normalizes equal to 0.0.
+    */
+  private def cmp(a: Double, b: Double): Int =
+    java.lang.Double.compare(if (a == 0.0) 0.0 else a, if (b == 0.0) 0.0 else b)
+
+  private def cmpAny(cell: Any, v: Any): Option[Int] = (cell, v) match {
+    case (null, _) | (_, null) => None
+    case (c: Double, x: Number) => Some(cmp(c, x.doubleValue()))
+    case (c: String, x: String) => Some(c.compareTo(x))
+    case _ => None
+  }
+
+  /** cellOf returns the TYPED cell value (String / java.lang.Double) or
+    * null; rows where `eval` is false are dropped pre-materialization.
+    */
+  def eval(f: Filter, cellOf: String => Any): Boolean = f match {
+    case IsNull(a)    => cellOf(a) == null
+    case IsNotNull(a) => cellOf(a) != null
+    case EqualTo(a, v)            => cmpAny(cellOf(a), v).contains(0)
+    case GreaterThan(a, v)        => cmpAny(cellOf(a), v).exists(_ > 0)
+    case GreaterThanOrEqual(a, v) => cmpAny(cellOf(a), v).exists(_ >= 0)
+    case LessThan(a, v)           => cmpAny(cellOf(a), v).exists(_ < 0)
+    case LessThanOrEqual(a, v)    => cmpAny(cellOf(a), v).exists(_ <= 0)
+    case In(a, vs)                => vs.exists(v => cmpAny(cellOf(a), v).contains(0))
+    case StringStartsWith(a, p) =>
+      cellOf(a) match { case s: String => s.startsWith(p); case _ => false }
+    case StringEndsWith(a, p) =>
+      cellOf(a) match { case s: String => s.endsWith(p); case _ => false }
+    case StringContains(a, p) =>
+      cellOf(a) match { case s: String => s.contains(p); case _ => false }
+    case _ => true // unknown: keep, Spark's residual decides
   }
 }
 
 private[sources] case class CbioInputPartition(file: String) extends InputPartition
 
-private[sources] class CbioReaderFactory(allNames: Array[String], required: StructType)
+private[sources] class CbioReaderFactory(allNames: Array[String], required: StructType,
+                                         full: StructType,
+                                         filters: Array[org.apache.spark.sql.sources.Filter])
     extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
@@ -217,10 +313,27 @@ private[sources] class CbioReaderFactory(allNames: Array[String], required: Stru
       private val cellIdx: Array[Int] = required.fieldNames.map(headerIdx(_))
       private val isNum: Array[Boolean] =
         required.fields.map(_.dataType == DoubleType)
+      // pushed-filter access path: column name -> (file cell idx, numeric?)
+      private val filterCols: Map[String, (Int, Boolean)] =
+        filters.flatMap(_.references).distinct.collect {
+          case name if headerIdx.contains(name) =>
+            name -> (headerIdx(name), full(name).dataType == DoubleType)
+        }.toMap
       private var current: Array[String] = _
+
+      private def typedCell(name: String): Any = filterCols.get(name) match {
+        case Some((idx, numeric)) =>
+          val cell = if (idx < current.length) current(idx) else ""
+          if (cell.isEmpty) null
+          else if (numeric) parseNumber(cell)
+          else cell
+        case None => null
+      }
 
       override def next(): Boolean = {
         current = readRecord()
+        while (current != null && !filters.forall(CbioFilterEval.eval(_, typedCell)))
+          current = readRecord()
         current != null
       }
 

@@ -38,6 +38,52 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("cbio sink property: arbitrary cells (tabs/quotes/newlines/doubles) round-trip") {
+    // Fuzz the DSv2 write/read pair: whatever the writer quotes, the
+    // reader must unquote to the identical value — including separators,
+    // quote runs, CR/LF, unicode, and Format12g double renderings.
+    val nastyChar: Gen[String] = Gen.frequency(
+      8 -> Gen.asciiPrintableChar.map(_.toString),
+      2 -> Gen.oneOf("\t", "\n", "\r", "\"", "\r\n"),
+      1 -> Gen.oneOf("é", "…", "😀"))
+    val cell: Gen[Option[String]] = Gen.frequency(
+      6 -> Gen.listOf(nastyChar).map(cs => Some(cs.mkString)),
+      1 -> Gen.const(None))
+    val num: Gen[Option[Double]] = Gen.frequency(
+      5 -> Gen.chooseNum(-1e6, 1e6).map(Some(_)),
+      1 -> Gen.oneOf(Double.NaN, Double.PositiveInfinity,
+        Double.NegativeInfinity, 0.0, -0.0).map(Some(_)),
+      1 -> Gen.const(None))
+    samples(Gen.listOfN(20, Gen.zip(cell, num)), 6).zipWithIndex.foreach {
+      case (rows, i) =>
+        val dir = java.nio.file.Files
+          .createTempDirectory(s"cbio-prop-$i").toString + "/ds"
+        val df = rows.zipWithIndex
+          .map { case ((t, v), id) => (id.toLong, t, v) }
+          .toDF("id", "txt", "num")
+        df.repartition(3).write.format("cbio").mode("append").save(dir)
+        val back = spark.read.format("cbio").load(dir)
+          .collect().map(r => r.getAs[Double]("id") ->
+            ((Option(r.getAs[String]("txt")), Option(r.getAs[Any]("num"))))).toMap
+        rows.zipWithIndex.foreach { case ((t, v), id) =>
+          val (bt, bv) = back(id.toDouble)
+          // empty string and null both serialize to an empty cell — the
+          // format (like pandas to_csv) cannot tell them apart
+          assert(bt == t.filter(_.nonEmpty), s"row $id text: got $bt want $t")
+          (v, bv) match {
+            case (Some(d), Some(b: Double)) =>
+              // reader parses what Format12g wrote: 12 significant digits
+              if (d.isNaN) assert(b.isNaN, s"row $id num: got $b want NaN")
+              else if (d.isInfinite) assert(b == d, s"row $id num: got $b want $d")
+              else assert(b == graft.functions.Format12gUtil.formatString(d).toDouble,
+                s"row $id num: got $b want $d")
+            case (None, None) => ()
+            case other => fail(s"row $id num presence mismatch: $other")
+          }
+        }
+    }
+  }
+
   test("winnow property: non-empty, ascending-distinct, in [0, M)") {
     samples(Gen.listOf(word).map(_.mkString(" ")), 30).foreach { text =>
       val fps = TextOps.winnowFingerprints(

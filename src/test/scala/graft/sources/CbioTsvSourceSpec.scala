@@ -109,6 +109,53 @@ class CbioTsvSourceSpec extends AnyFunSuite {
     assert(back("s4") == ("plain", "ok"))
   }
 
+  // ---- filter pushdown (reader-side row skip, residual re-checked) ----
+
+  private def scanDescription(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.collectLeaves().head
+      .asInstanceOf[org.apache.spark.sql.execution.datasources.v2.BatchScanExec]
+      .scan.description()
+
+  test("pushdown: supported predicates reach the reader; result matches post-hoc filter") {
+    val f = writeFixture()
+    val df = spark.read.format("cbio").load(f)
+    val filtered = df.filter(col("TMB") > 5.0 && col("CANCER_TYPE") === "LUAD")
+    val desc = scanDescription(filtered)
+    assert(desc.contains("GreaterThan(TMB,5.0)"), desc)
+    assert(desc.contains("EqualTo(CANCER_TYPE,LUAD)"), desc)
+    val rows = filtered.collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("s1")) // 12.5 LUAD; null TMB dropped
+  }
+
+  test("pushdown: Spark double semantics (NaN greatest, -0.0 = 0.0) are not violated") {
+    val tmp = Files.createTempDirectory("cbio-push").toString
+    val f = s"$tmp/num.txt"
+    val df = Seq(("a", Double.NaN), ("b", -0.0), ("c", 1.5), ("d", 3.0))
+      .toDF("K", "SCORE")
+    Tsv.writeTsvFile(df, f, headerBlock = Seq(
+      "#K\tScore", "#k\tv", "#STRING\tNUMBER", "#1\t1"))
+    val src = spark.read.format("cbio").load(f)
+    // NaN sorts greatest in Spark: > 2.0 keeps NaN and 3.0. A pushed eval
+    // using primitive > would WRONGLY drop NaN before the residual runs.
+    assert(src.filter(col("SCORE") > 2.0).collect().map(_.getString(0)).sorted.toSeq
+      == Seq("a", "d"))
+    // -0.0 normalizes equal to 0.0 ("-0" is Format12g's rendering)
+    assert(src.filter(col("SCORE") === 0.0).collect().map(_.getString(0)).toSeq
+      == Seq("b"))
+  }
+
+  test("pushdown: string inequalities stay residual-only, equality pushes") {
+    val f = writeFixture()
+    val src = spark.read.format("cbio").load(f)
+    val ineq = src.filter(col("CANCER_TYPE") > "B")
+    assert(!scanDescription(ineq).contains("GreaterThan(CANCER_TYPE"),
+      "UTF-16 vs UTF-8 ordering: string > must not be pushed")
+    assert(ineq.count() == 3) // correctness unaffected: residual applies it
+    val eq = src.filter(col("PATIENT_ID") === "p1")
+    assert(scanDescription(eq).contains("EqualTo(PATIENT_ID,p1)"))
+    assert(eq.count() == 2)
+  }
+
   // ---- write path (K6 / `save_to_synapse` surface, reference load.py:38-82) ----
 
   test("write: fresh-dir save round-trips values and types through the reader") {
