@@ -75,6 +75,43 @@ object SynapseStore {
     id
   }
 
+  /** `syn.store(File(path))`: stores a local file AS-IS as a new version
+    * of the (parent, name) entity — the reference's upload loop stores
+    * its written outputs (data TSVs, meta key-value files, case lists)
+    * verbatim (`load.py:57-66`). The version-comment sidecar keeps the
+    * same shape as the DataFrame store, so [[versionComment]] works on
+    * both.
+    */
+  def storeFile(root: String, localFile: String, name: String, parentId: String,
+                versionComment: String = ""): String = {
+    val id = entityId(parentId, name)
+    val (hfs, rootP) = fs(root)
+    val next = latestVersion(root, id).getOrElse(0L) + 1L
+    val vdir = new Path(rootP, s"$id/v$next")
+    hfs.mkdirs(vdir)
+    org.apache.hadoop.fs.FileUtil.copy(
+      hfs, new Path(localFile), hfs, new Path(vdir, name),
+      false, true, new Configuration())
+    val sidecar =
+      s"""{"version": $next,
+         | "comment": "${CbioWriteSupport.escapeJson(versionComment)}",
+         | "files": ["${CbioWriteSupport.escapeJson(name)}"]}
+         |""".stripMargin
+    val sOut = hfs.create(new Path(vdir, CbioTsvSource.VersionSidecar), true)
+    try sOut.write(sidecar.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally sOut.close()
+    val meta =
+      s"""{"synId": "${CbioWriteSupport.escapeJson(id)}",
+         | "name": "${CbioWriteSupport.escapeJson(name)}",
+         | "parent": "${CbioWriteSupport.escapeJson(parentId)}",
+         | "latest": $next}
+         |""".stripMargin
+    val out = hfs.create(new Path(rootP, s"$id/meta.json"), true)
+    try out.write(meta.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    id
+  }
+
   /** `syn.get(synid, version=...).path`: the local path of an entity
     * version (default: latest). The returned path is a cbio dataset
     * directory readable by `format("cbio")` or `format("synapse")`.
