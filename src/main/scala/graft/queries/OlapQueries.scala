@@ -96,13 +96,20 @@ object OlapQueries {
     * 6 decimals so interpolation float noise can't flip the oracle hash.
     */
   def a12Percentiles: Q = (s, dir) =>
+    // one percentile ARRAY per column: Spark's exact percentile is an
+    // object aggregate maintaining a value->count map per (group, agg) —
+    // asking for the three quantity quantiles in one call shares one map
+    // instead of building three identical ones (measured ~2x on the agg)
     Tables.lineitem(s, dir)
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n"),
-        bround(expr("percentile(l_quantity, 0.25)"), 6).as("q1_qty"),
-        bround(expr("percentile(l_quantity, 0.5)"), 6).as("median_qty"),
-        bround(expr("percentile(l_quantity, 0.75)"), 6).as("q3_qty"),
-        bround(expr("percentile(l_extendedprice, 0.9)"), 6).as("p90_price"))
+        expr("percentile(l_quantity, array(0.25D, 0.5D, 0.75D))").as("qs"),
+        expr("percentile(l_extendedprice, 0.9)").as("p90"))
+      .select(col("l_returnflag"), col("n"),
+        bround(element_at(col("qs"), 1), 6).as("q1_qty"),
+        bround(element_at(col("qs"), 2), 6).as("median_qty"),
+        bround(element_at(col("qs"), 3), 6).as("q3_qty"),
+        bround(col("p90"), 6).as("p90_price"))
 
   /** p8_pivot — long→wide reshape: order counts per (priority × status).
     * Pivot values are DECLARED (not discovered) so the plan is a single
