@@ -73,7 +73,11 @@ object Plans {
     "h22_wealthy_inactive" ->
       "NOT EXISTS planned as a broadcast left-ANTI join; the global-average scalar subquery runs once, not per row",
     "td_pack" ->
-      "distributed prefix sum: ONE range exchange (ReusedExchange for the offsets branch), per-partition windows — no single-task global sort")
+      "distributed prefix sum: ONE range exchange (ReusedExchange for the offsets branch), per-partition windows — no single-task global sort",
+    "td_decontaminate" ->
+      "native might_contain over the benchmark sketch filters training grams INSIDE the scan stage, BEFORE the shuffle; the exact LeftSemi above removes bloom false positives",
+    "ev_funnel" ->
+      "one exchange on user_id; the view→click→purchase pattern scan is a codegen'd higher-order aggregate over each user's sorted event array — no per-stage self-joins")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
