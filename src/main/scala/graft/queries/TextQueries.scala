@@ -398,8 +398,30 @@ object TextQueries {
   def tdDecontaminate: Q = (s, dir) =>
     decontaminate(Tables.documents(s, dir), 8, col("doc_id") % 23 === 0)
 
+  /** ta_source_overlap — cross-source contamination matrix: for every
+    * pair of corpus sources, the count of winnowing fingerprints they
+    * share. Pair generation is fingerprint-bucketed — a self-join on
+    * `fp` with an ordered-pair filter, never a source×source×doc cross
+    * product — so the shuffle key carries the work and the biggest
+    * group is the hottest shingle, not the corpus. This is the
+    * "how much does crawl A overlap dataset B" report run before
+    * choosing training-mixture weights.
+    */
+  def taSourceOverlap: Q = (s, dir) => {
+    val norm = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+    val fps = Tables.documents(s, dir)
+      .select(col("source"), explode(TextExprs.winnowFingerprints(norm)).as("fp"))
+      .distinct()
+    fps.toDF("source_a", "fp")
+      .join(fps.toDF("source_b", "fp"), Seq("fp"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("shared_fps"))
+  }
+
   val queries: Map[String, Q] = Map(
     "ta_tokens" -> taTokens,
+    "ta_source_overlap" -> taSourceOverlap,
     "td_decontaminate" -> tdDecontaminate,
     "ta_langid" -> taLangid,
     "ta_quality" -> taQuality,
@@ -421,6 +443,32 @@ object TextQueries {
   }.mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    "ta_source_overlap" ->
+      """WITH cp AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN length(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) = 0 THEN []
+        |         ELSE list_transform(
+        |           string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ''),
+        |           c -> unicode(c)::BIGINT) END AS cps
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN len(cps) = 0 THEN [0]
+        |         WHEN len(cps) < 5 THEN [list_reduce(cps, (a, c) -> a * 131 + c) % 134217689]
+        |         ELSE list_transform(generate_series(1, len(cps) - 4),
+        |                i -> list_reduce(cps[i:i+4], (a, c) -> a * 131 + c) % 134217689)
+        |    END AS gh
+        |  FROM cp),
+        |f AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN len(gh) <= 4 THEN [list_min(gh)]
+        |         ELSE list_transform(generate_series(1, len(gh) - 3), i -> list_min(gh[i:i+3]))
+        |    END AS fps
+        |  FROM g),
+        |fps AS (SELECT DISTINCT source, fp FROM (SELECT source, unnest(fps) AS fp FROM f))
+        |SELECT a.source AS source_a, b.source AS source_b, count(*) AS shared_fps
+        |FROM fps a JOIN fps b ON a.fp = b.fp AND a.source < b.source
+        |GROUP BY 1, 2""".stripMargin,
     "td_decontaminate" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
