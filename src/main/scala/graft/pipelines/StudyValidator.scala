@@ -50,6 +50,12 @@ object StudyValidator {
       }
       colRule +: neoRules
     }
-    fileRule +: mafRules
+    // V18 — the portal validator's structural + strict-MAF rule set over
+    // the same package (reference `validate.py:198-226` runs the external
+    // validateData subprocess here; PortalRules is its native twin)
+    val portalRules = graft.validation.PortalRules
+      .validateStudyPackage(spark, dir).collect().toSeq
+      .map(r => (r.getString(0), r.getLong(1).toString, r.getBoolean(2)))
+    (fileRule +: mafRules) ++ portalRules
   }
 }

@@ -645,6 +645,104 @@ object RefQueries {
     graft.validation.Rules.standardReport(s, dir)
   }
 
+  /** V18 — the external cBioPortal validator's rule set
+    * ([[graft.validation.PortalRules]]; reference `validate.py:198-226`
+    * shells out to `validateData.py --no_portal_checks
+    * --strict_maf_checks`) driven end-to-end: strict-MAF field checks +
+    * id-containment as distributed aggregates/anti-joins over frames
+    * derived deterministically from the corpus, plus the structural
+    * package checks run against a real (small, deterministic) study
+    * package written through the cbio sinks. Field checks are ONE
+    * aggregate pass over the MAF-shaped fact frame; each containment is
+    * one anti-join shuffle — the shapes that survive a 100 TB MAF.
+    */
+  def v18PortalRules: Q = (s, dir) => {
+    import s.implicits._
+    import graft.validation.{PortalRules, Rules}
+    val customer = Tables.customer(s, dir)
+    val pk = pmod(col("c_custkey"), lit(1000L))
+    def mkSamples(df: DataFrame): DataFrame = df.select(
+      concat(lit("S"), col("c_custkey").cast(StringType)).as("SAMPLE_ID"),
+      concat(lit("P"), pk.cast(StringType)).as("PATIENT_ID"),
+      col("c_mktsegment").as("CANCER_TYPE"))
+    val samples = mkSamples(customer)
+    // patients table misses every patient id divisible by 97 — a seeded,
+    // data-dependent violation rate for the containment rule
+    val patients = customer.filter(pmod(pk, lit(97L)) =!= 0L)
+      .select(concat(lit("P"), pk.cast(StringType)).as("PATIENT_ID")).distinct()
+
+    val chrm = pmod(col("l_partkey"), lit(27L)) // 0 and 26 are invalid names
+    val a5 = pmod(col("l_suppkey"), lit(5L))    // 4 -> 'R', an invalid base
+    val a4 = pmod(col("l_suppkey"), lit(4L))
+    val maf = Tables.lineitem(s, dir).select(
+      concat(lit("S"), pmod(col("l_orderkey"), lit(2347L)).cast(StringType))
+        .as("Tumor_Sample_Barcode"),
+      when(chrm === 23L, "X").when(chrm === 24L, "Y").when(chrm === 25L, "MT")
+        .otherwise(chrm.cast(StringType)).as("Chromosome"),
+      col("l_orderkey").as("Start_Position"),
+      (col("l_orderkey") + col("l_linenumber") - lit(3L)).as("End_Position"),
+      when(a5 === 0L, "A").when(a5 === 1L, "C").when(a5 === 2L, "G")
+        .when(a5 === 3L, "T").otherwise("R").as("Reference_Allele"),
+      when(a4 === 0L, "A").when(a4 === 1L, "C").when(a4 === 2L, "G")
+        .otherwise("T").as("Tumor_Seq_Allele2"),
+      when(col("l_returnflag") === "R", "Somatic")
+        .when(col("l_returnflag") === "A", "Germline")
+        .otherwise("Unknowable").as("Mutation_Status"),
+      lit("GRCh38").as("NCBI_Build"))
+
+    // a small deterministic study package through the real sinks; the
+    // structural rules then audit actual on-disk meta/header/case-list
+    // files, not an in-memory mock
+    val tmp = java.nio.file.Files.createTempDirectory("graft-v18").toString
+    val studyId = "graft_v18"
+    val samplesSmall = mkSamples(customer.filter(col("c_custkey") <= 500L))
+    Tsv.writeTsvFile(samplesSmall, s"$tmp/data_clinical_sample.txt", Seq(
+      "#Sample ID\tPatient ID\tCancer Type",
+      "#Sample identifier\tPatient identifier\tCancer type",
+      "#STRING\tSTRING\tSTRING",
+      "#1\t1\t1"))
+    Tsv.writeTsvFile(samplesSmall.select(col("PATIENT_ID")).distinct(),
+      s"$tmp/data_clinical_patient.txt",
+      Seq("#Patient ID", "#Patient identifier", "#STRING", "#1"))
+    Tsv.writeMetaFile(s"$tmp/meta_clinical_sample.txt", Seq(
+      "cancer_study_identifier" -> studyId,
+      "genetic_alteration_type" -> "CLINICAL",
+      "datatype" -> "SAMPLE_ATTRIBUTES",
+      "data_filename" -> "data_clinical_sample.txt"))
+    Tsv.writeMetaFile(s"$tmp/meta_clinical_patient.txt", Seq(
+      "cancer_study_identifier" -> studyId,
+      "genetic_alteration_type" -> "CLINICAL",
+      "datatype" -> "PATIENT_ATTRIBUTES",
+      "data_filename" -> "data_clinical_patient.txt"))
+    Tsv.writeCaseLists(samplesSmall, "CANCER_TYPE", "SAMPLE_ID", studyId,
+      s"$tmp/case_lists")
+    val structural = PortalRules.structuralReport(tmp)
+
+    // the five rule groups are independent jobs over different frames —
+    // submit them concurrently (same pattern as Rules.standardReport)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fieldF = Future(Rules.evaluate(s, maf, PortalRules.mafFieldRules(maf)))
+    val v1F = Future(PortalRules.subsetViolations(samples, "PATIENT_ID", patients, "PATIENT_ID"))
+    val v2F = Future(PortalRules.subsetViolations(maf, "Tumor_Sample_Barcode", samples, "SAMPLE_ID"))
+    val v3F = Future(PortalRules.subsetViolations(maf, "Tumor_Sample_Barcode", samples, "SAMPLE_ID",
+      distinctChild = true))
+    val dupF = Future(Rules.evaluate(s, samples, Seq(Rules.noKeyedDups("SAMPLE_ID")))
+      .head().getLong(1))
+    val fieldReport = Await.result(fieldF, Duration.Inf)
+    val (v1, v2, v3, dup) = (Await.result(v1F, Duration.Inf),
+      Await.result(v2F, Duration.Inf), Await.result(v3F, Duration.Inf),
+      Await.result(dupF, Duration.Inf))
+    (structural ++ Seq(
+      ("sample_patient_in_patients", v1, v1 == 0L),
+      ("maf_barcode_in_samples", v2, v2 == 0L),
+      ("case_list_ids_in_samples", v3, v3 == 0L),
+      ("no_dup_sample_id", dup, dup == 0L)))
+      .toDF("rule", "value", "passed")
+      .unionByName(fieldReport)
+  }
+
   val queries: Map[String, Q] = Map(
     "q1_agg" -> q1Agg,
     "s2_tsv_roundtrip" -> s2TsvRoundtrip,
@@ -688,7 +786,8 @@ object RefQueries {
     "f6_days_to_months" -> f6DaysToMonths,
     "f9_chunks" -> f9Chunks,
     "o1_top_n" -> o1TopN,
-    "v_report" -> vReport)
+    "v_report" -> vReport,
+    "v18_portal_rules" -> v18PortalRules)
 
   val oracle: Map[String, String] = Map(
     "q1_agg" ->
@@ -871,5 +970,6 @@ object RefQueries {
     "o1_top_n" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         | ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
-    "v_report" -> graft.validation.Rules.standardReportOracle)
+    "v_report" -> graft.validation.Rules.standardReportOracle,
+    "v18_portal_rules" -> graft.validation.PortalRules.fixtureOracle)
 }

@@ -1,0 +1,324 @@
+package graft.validation
+
+import java.nio.file.{Files, Path, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** V18 — the data-level rule set of the external cBioPortal validator the
+  * reference shells out to (`validateData.py --no_portal_checks
+  * --strict_maf_checks`, invoked at reference
+  * `src/iatlascbioportalexport/validate.py:198-226`), re-expressed
+  * natively. The subprocess itself is out of scope (SURVEY §2.10 V18);
+  * what it CHECKS over the study package is pure data validation and is
+  * reproduced here in two layers:
+  *
+  *  - [[structuralReport]] — driver-side checks over the package's small
+  *    control files (meta key-value files, case-list files, the
+  *    4+1-line clinical header block). These files are kilobytes by
+  *    contract, so driver-side parsing is the right altitude.
+  *  - [[mafFieldRules]] / [[subsetViolations]] — the strict-MAF field
+  *    checks and the id-containment checks, as distributed aggregates
+  *    (ONE pass over the MAF for all field rules; one shuffle per
+  *    containment anti-join). This is the layer that must scale: the MAF
+  *    is the fact table.
+  *
+  * [[validateStudyPackage]] runs both layers over a study directory and
+  * is wired into the study lifecycle by
+  * [[graft.pipelines.StudyValidator.report]].
+  */
+object PortalRules {
+
+  /** Valid chromosome names after normalization (the importer accepts a
+    * `chr` prefix and strips it; `chrM`/`MT` are synonyms).
+    */
+  val ValidChromosomes: Set[String] =
+    ((1 to 22).map(_.toString) ++ Seq("X", "Y", "MT")).toSet
+
+  /** Allowed Mutation_Status values (strict MAF check). */
+  val ValidMutationStatus: Set[String] = Set(
+    "Somatic", "Germline", "LOH", "None", "Unknown", "Wildtype",
+    "Post-transcriptional modification")
+
+  /** Allele strings: bases, N, or `-` for indel placeholder. */
+  val AllelePattern: String = "^[ACGTN-]+$"
+
+  /** Datatype line values the clinical header block may carry. */
+  val ValidHeaderDatatypes: Set[String] = Set("STRING", "NUMBER", "BOOLEAN")
+
+  /** Keys every case-list file must define. */
+  val CaseListRequiredKeys: Seq[String] = Seq(
+    "cancer_study_identifier", "stable_id", "case_list_name",
+    "case_list_description", "case_list_ids")
+
+  /** `chr17`/`chrX`/`chrm` → `17`/`X`/`M T`-normalized form. */
+  def normChromosome(c: Column): Column =
+    when(upper(regexp_replace(c, "(?i)^chr", "")) === "M", lit("MT"))
+      .otherwise(upper(regexp_replace(c, "(?i)^chr", "")))
+
+  private def violation(cond: Column): Column =
+    sum(when(cond, 1L).otherwise(0L))
+
+  /** The strict-MAF field checks present in `maf`'s schema, as rules for
+    * ONE aggregate pass (Rules.evaluate) — never one scan per rule.
+    * Column subset is honored because pipeline-internal MAF frames carry
+    * only the columns their study provides.
+    */
+  def mafFieldRules(maf: DataFrame): Seq[Rules.Rule] = {
+    val cols = maf.columns.toSet
+    val b = Seq.newBuilder[Rules.Rule]
+    if (cols("Chromosome"))
+      b += Rules.Rule("maf_chromosome_valid",
+        violation(!coalesce(
+          normChromosome(col("Chromosome")).isin(ValidChromosomes.toSeq: _*),
+          lit(false))))
+    if (cols("Start_Position") && cols("End_Position"))
+      b += Rules.Rule("maf_extent_valid",
+        violation(col("Start_Position") <= 0L ||
+          col("End_Position") < col("Start_Position")))
+    if (cols("Reference_Allele") && cols("Tumor_Seq_Allele2"))
+      b += Rules.Rule("maf_allele_valid",
+        violation(!coalesce(col("Reference_Allele").rlike(AllelePattern), lit(false)) ||
+          !coalesce(col("Tumor_Seq_Allele2").rlike(AllelePattern), lit(false))))
+    if (cols("Mutation_Status"))
+      b += Rules.Rule("maf_mutation_status_valid",
+        violation(!coalesce(
+          col("Mutation_Status").isin(ValidMutationStatus.toSeq: _*), lit(false))))
+    if (cols("Tumor_Sample_Barcode"))
+      b += Rules.Rule("maf_barcode_present",
+        violation(col("Tumor_Sample_Barcode").isNull ||
+          col("Tumor_Sample_Barcode") === ""))
+    if (cols("NCBI_Build"))
+      b += Rules.Rule("maf_ncbi_build_consistent",
+        countDistinct(col("NCBI_Build")) - lit(1L))
+    b.result()
+  }
+
+  /** Containment check `child[childKey] ⊆ parent[parentKey]` as a
+    * violation count: distinct-or-row-level anti-join, ONE shuffle. Keys
+    * are cast to string first (the package's TSVs are untyped at rest, so
+    * a numeric-inferred id must still match its string twin — J2).
+    */
+  def subsetViolations(child: DataFrame, childKey: String,
+                       parent: DataFrame, parentKey: String,
+                       distinctChild: Boolean = false): Long = {
+    val c0 = child.select(col(childKey).cast("string").as("k")).na.drop()
+    val c = if (distinctChild) c0.distinct() else c0
+    c.join(parent.select(col(parentKey).cast("string").as("k")).na.drop().distinct(),
+      Seq("k"), "left_anti").count()
+  }
+
+  // ---------------------------------------------------------------------
+  // Structural layer (driver-side; control files are small by contract)
+  // ---------------------------------------------------------------------
+
+  private def parseKeyValueFile(p: Path): Map[String, String] =
+    Files.readAllLines(p).asScala
+      .filter(_.contains(":"))
+      .map { l => val i = l.indexOf(':'); l.take(i).trim -> l.drop(i + 1).trim }
+      .toMap
+
+  private def listFiles(dir: Path, prefix: String): Seq[Path] =
+    if (!Files.isDirectory(dir)) Seq.empty
+    else {
+      val s = Files.list(dir)
+      try s.iterator().asScala.filter(p =>
+        p.getFileName.toString.startsWith(prefix) &&
+          p.getFileName.toString.endsWith(".txt")).toSeq.sortBy(_.toString)
+      finally s.close()
+    }
+
+  /** The package-shape checks validateData performs before touching row
+    * data. Returns (rule, violationCount, passed) rows:
+    *
+    *  - `portal_meta_files_resolve` — every `meta_*.txt` parses and its
+    *    `data_filename` (when present) names an existing file.
+    *  - `portal_study_id_consistent` — exactly one
+    *    `cancer_study_identifier` across metas + case lists.
+    *  - `portal_data_files_have_meta` — every `data_*.txt` is referenced
+    *    by some meta's `data_filename`.
+    *  - `portal_clinical_header_block` — each `data_clinical_*.txt` opens
+    *    with 4 `#` lines whose field counts equal the column line's,
+    *    datatype line values in {STRING,NUMBER,BOOLEAN}, priority line
+    *    integers.
+    *  - `portal_case_list_fields` — each `cases_*.txt` under `case_lists/`
+    *    defines the 5 required keys and its `stable_id` is prefixed by the
+    *    study id.
+    */
+  def structuralReport(dir: String): Seq[(String, Long, Boolean)] = {
+    val root = Paths.get(dir)
+    val metas = listFiles(root, "meta_").map(p => p -> parseKeyValueFile(p))
+    val caseLists = listFiles(root.resolve("case_lists"), "cases_")
+      .map(p => p -> parseKeyValueFile(p))
+
+    val metaResolve = metas.count { case (_, kv) =>
+      !kv.contains("cancer_study_identifier") ||
+        kv.get("data_filename").exists(f => !Files.exists(root.resolve(f)))
+    }.toLong
+
+    val studyIds = (metas.map(_._2) ++ caseLists.map(_._2))
+      .flatMap(_.get("cancer_study_identifier")).distinct
+    val idConsistent = math.max(0L, studyIds.size.toLong - 1L)
+    val studyId = studyIds.headOption.getOrElse("")
+
+    val referenced = metas.flatMap(_._2.get("data_filename")).toSet
+    val dataOrphans = listFiles(root, "data_")
+      .count(p => !referenced(p.getFileName.toString)).toLong
+
+    val headerViolations = listFiles(root, "data_clinical_").map { p =>
+      val lines = Files.readAllLines(p).asScala.toSeq
+      val block = lines.takeWhile(_.startsWith("#"))
+      val columnLine = lines.drop(block.size).headOption.getOrElse("")
+      val nCols = columnLine.split("\t", -1).length
+      if (block.size != 4) 1L
+      else {
+        val counts = block.map(_.stripPrefix("#").split("\t", -1).length)
+        val datatypes = block(2).stripPrefix("#").split("\t", -1)
+        val priorities = block(3).stripPrefix("#").split("\t", -1)
+        val bad = counts.exists(_ != nCols) ||
+          datatypes.exists(d => !ValidHeaderDatatypes(d)) ||
+          priorities.exists(pr => scala.util.Try(pr.trim.toInt).isFailure)
+        if (bad) 1L else 0L
+      }
+    }.sum
+
+    val caseListViolations = caseLists.count { case (_, kv) =>
+      CaseListRequiredKeys.exists(k => !kv.contains(k)) ||
+        !kv.get("stable_id").exists(_.startsWith(studyId))
+    }.toLong
+
+    Seq(
+      ("portal_meta_files_resolve", metaResolve, metaResolve == 0L),
+      ("portal_study_id_consistent", idConsistent, idConsistent == 0L),
+      ("portal_data_files_have_meta", dataOrphans, dataOrphans == 0L),
+      ("portal_clinical_header_block", headerViolations, headerViolations == 0L),
+      ("portal_case_list_fields", caseListViolations, caseListViolations == 0L))
+  }
+
+  // ---------------------------------------------------------------------
+  // Full package validation (structural + data layers over a study dir)
+  // ---------------------------------------------------------------------
+
+  /** Everything `validateData --no_portal_checks --strict_maf_checks`
+    * checks over a written study package, as one report frame
+    * (rule, value, passed). Row data is read back through the same
+    * comment-skipping TSV scan the portal importer uses.
+    */
+  def validateStudyPackage(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.sources.Tsv
+    val root = Paths.get(dir)
+    def readIf(name: String): Option[DataFrame] =
+      if (Files.exists(root.resolve(name)))
+        Some(Tsv.read(spark, root.resolve(name).toString, comment = Some('#')))
+      else None
+
+    val sample = readIf("data_clinical_sample.txt")
+    val patient = readIf("data_clinical_patient.txt")
+    val maf = readIf("data_mutations.txt")
+
+    val dataRows = Seq.newBuilder[(String, Long, Boolean)]
+    for (s <- sample; p <- patient if s.columns.contains("PATIENT_ID") &&
+           p.columns.contains("PATIENT_ID")) {
+      val v = subsetViolations(s, "PATIENT_ID", p, "PATIENT_ID")
+      dataRows += (("sample_patient_in_patients", v, v == 0L))
+    }
+    for (s <- sample if s.columns.contains("SAMPLE_ID")) {
+      val dups = Rules.evaluate(spark, s, Seq(Rules.noKeyedDups("SAMPLE_ID")))
+        .head().getLong(1)
+      dataRows += (("no_dup_sample_id", dups, dups == 0L))
+    }
+    for (m <- maf) {
+      val fieldRules = mafFieldRules(m)
+      if (fieldRules.nonEmpty)
+        Rules.evaluate(spark, m, fieldRules).collect().foreach(r =>
+          dataRows += ((r.getString(0), r.getLong(1), r.getBoolean(2))))
+      for (s <- sample if s.columns.contains("SAMPLE_ID") &&
+             m.columns.contains("Tumor_Sample_Barcode")) {
+        val v = subsetViolations(m, "Tumor_Sample_Barcode", s, "SAMPLE_ID")
+        dataRows += (("maf_barcode_in_samples", v, v == 0L))
+      }
+    }
+    // case-list ids ⊆ clinical sample ids (union of every list's ids)
+    for (s <- sample if s.columns.contains("SAMPLE_ID")) {
+      val listIds = listFiles(root.resolve("case_lists"), "cases_")
+        .flatMap(p => parseKeyValueFile(p).get("case_list_ids").toSeq
+          .flatMap(_.split("\t").toSeq))
+      if (listIds.nonEmpty) {
+        val idsDf = listIds.toDF("id").distinct()
+        val v = subsetViolations(idsDf, "id", s, "SAMPLE_ID")
+        dataRows += (("case_list_ids_in_samples", v, v == 0L))
+      }
+    }
+
+    (structuralReport(dir) ++ dataRows.result())
+      .toDF("rule", "value", "passed")
+  }
+
+  /** DuckDB oracle for the `v18_portal_rules` query
+    * ([[graft.queries.RefQueries.v18PortalRules]]): the data-level counts
+    * recomputed over the same derived frames; the five structural rules
+    * are constant-0 rows — a correctly written package has no violations,
+    * so any sink/header regression shows up as a hash mismatch.
+    */
+  val fixtureOracle: String =
+    """WITH samples AS (
+      |  SELECT 'S' || CAST(c_custkey AS VARCHAR) AS sample_id,
+      |         'P' || CAST(c_custkey % 1000 AS VARCHAR) AS patient_id
+      |  FROM customer),
+      |patients AS (
+      |  SELECT DISTINCT 'P' || CAST(c_custkey % 1000 AS VARCHAR) AS patient_id
+      |  FROM customer WHERE (c_custkey % 1000) % 97 <> 0),
+      |maf AS (
+      |  SELECT 'S' || CAST(l_orderkey % 2347 AS VARCHAR) AS barcode,
+      |         CASE l_partkey % 27 WHEN 23 THEN 'X' WHEN 24 THEN 'Y' WHEN 25 THEN 'MT'
+      |           ELSE CAST(l_partkey % 27 AS VARCHAR) END AS chrom,
+      |         l_orderkey AS start_pos,
+      |         l_orderkey + l_linenumber - 3 AS end_pos,
+      |         CASE l_suppkey % 5 WHEN 0 THEN 'A' WHEN 1 THEN 'C' WHEN 2 THEN 'G'
+      |           WHEN 3 THEN 'T' ELSE 'R' END AS ref_allele,
+      |         CASE l_suppkey % 4 WHEN 0 THEN 'A' WHEN 1 THEN 'C' WHEN 2 THEN 'G'
+      |           ELSE 'T' END AS tum_allele,
+      |         CASE l_returnflag WHEN 'R' THEN 'Somatic' WHEN 'A' THEN 'Germline'
+      |           ELSE 'Unknowable' END AS status,
+      |         'GRCh38' AS build
+      |  FROM lineitem),
+      |r AS (
+      |  SELECT 'portal_meta_files_resolve' AS rule, 0 AS value
+      |  UNION ALL SELECT 'portal_study_id_consistent', 0
+      |  UNION ALL SELECT 'portal_data_files_have_meta', 0
+      |  UNION ALL SELECT 'portal_clinical_header_block', 0
+      |  UNION ALL SELECT 'portal_case_list_fields', 0
+      |  UNION ALL SELECT 'sample_patient_in_patients',
+      |    (SELECT count(*) FROM samples
+      |      WHERE patient_id NOT IN (SELECT patient_id FROM patients))
+      |  UNION ALL SELECT 'maf_barcode_in_samples',
+      |    (SELECT count(*) FROM maf
+      |      WHERE barcode NOT IN (SELECT sample_id FROM samples))
+      |  UNION ALL SELECT 'case_list_ids_in_samples',
+      |    (SELECT count(*) FROM (SELECT DISTINCT barcode FROM maf)
+      |      WHERE barcode NOT IN (SELECT sample_id FROM samples))
+      |  UNION ALL SELECT 'no_dup_sample_id',
+      |    (SELECT count(*) - count(DISTINCT sample_id) FROM samples)
+      |  UNION ALL SELECT 'maf_chromosome_valid',
+      |    (SELECT sum(CASE WHEN chrom NOT IN ('1','2','3','4','5','6','7','8','9','10',
+      |      '11','12','13','14','15','16','17','18','19','20','21','22','X','Y','MT')
+      |      THEN 1 ELSE 0 END) FROM maf)
+      |  UNION ALL SELECT 'maf_extent_valid',
+      |    (SELECT sum(CASE WHEN start_pos <= 0 OR end_pos < start_pos
+      |      THEN 1 ELSE 0 END) FROM maf)
+      |  UNION ALL SELECT 'maf_allele_valid',
+      |    (SELECT sum(CASE WHEN NOT regexp_matches(ref_allele, '^[ACGTN-]+$')
+      |      OR NOT regexp_matches(tum_allele, '^[ACGTN-]+$') THEN 1 ELSE 0 END) FROM maf)
+      |  UNION ALL SELECT 'maf_mutation_status_valid',
+      |    (SELECT sum(CASE WHEN status NOT IN ('Somatic','Germline','LOH','None',
+      |      'Unknown','Wildtype','Post-transcriptional modification')
+      |      THEN 1 ELSE 0 END) FROM maf)
+      |  UNION ALL SELECT 'maf_barcode_present',
+      |    (SELECT sum(CASE WHEN barcode IS NULL OR barcode = '' THEN 1 ELSE 0 END) FROM maf)
+      |  UNION ALL SELECT 'maf_ncbi_build_consistent',
+      |    (SELECT count(DISTINCT build) - 1 FROM maf))
+      |SELECT rule, CAST(value AS BIGINT) AS value, value = 0 AS passed FROM r""".stripMargin
+}

@@ -100,6 +100,17 @@ class StudyRunnerSpec extends AnyFunSuite {
     assert(maf.filter(org.apache.spark.sql.functions.col("Chromosome") === "chrM").count() == 0)
     assert(maf.columns.contains("Hugo_Symbol") && maf.columns.contains("Annotation_Status"))
 
+    // V18: the produced package passes every portal-validator rule
+    val portalNames = Set("maf_chromosome_valid", "maf_extent_valid",
+      "maf_allele_valid", "maf_mutation_status_valid", "maf_barcode_present",
+      "maf_ncbi_build_consistent", "maf_barcode_in_samples",
+      "case_list_ids_in_samples", "sample_patient_in_patients",
+      "no_dup_sample_id")
+    val portal = res.validation.filter { case (r, _, _) =>
+      r.startsWith("portal_") || portalNames(r) }
+    assert(portal.nonEmpty)
+    portal.foreach { case (r, v, ok) => assert(ok, s"$r value=$v") }
+
     // validation: only the data types this study does not carry are missing
     val missing = res.validation.collectFirst { case ("required_files", d, _) => d }.get
     assert(missing.split(",").toSet == Set(

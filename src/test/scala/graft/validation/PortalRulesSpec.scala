@@ -1,0 +1,160 @@
+package graft.validation
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase.spark
+import graft.sources.Tsv
+
+/** V18 — the native twin of the external cBioPortal validator run
+  * (reference `validate.py:198-226`): a healthy package passes every
+  * structural + data rule; each seeded violation trips exactly its rule.
+  */
+class PortalRulesSpec extends AnyFunSuite {
+  import spark.implicits._
+
+  private def write(p: Path, s: String): Unit = {
+    Option(p.getParent).foreach(Files.createDirectories(_))
+    Files.write(p, s.getBytes(StandardCharsets.UTF_8))
+  }
+
+  /** A minimal valid package: 2 patients / 3 samples / 2-row MAF. */
+  private def healthyPackage(): String = {
+    val dir = Files.createTempDirectory("portal-ok").toString
+    val sample = Seq(("s1", "p1", "Melanoma"), ("s2", "p1", "Melanoma"),
+      ("s3", "p2", "Lung"))
+      .toDF("SAMPLE_ID", "PATIENT_ID", "CANCER_TYPE")
+    val patient = Seq("p1", "p2").toDF("PATIENT_ID")
+    Tsv.writeTsvFile(sample, s"$dir/data_clinical_sample.txt", Seq(
+      "#Sample ID\tPatient ID\tCancer Type",
+      "#Sample identifier\tPatient identifier\tCancer type",
+      "#STRING\tSTRING\tSTRING", "#1\t1\t1"))
+    Tsv.writeTsvFile(patient, s"$dir/data_clinical_patient.txt",
+      Seq("#Patient ID", "#Patient identifier", "#STRING", "#1"))
+    val maf = Seq(
+      ("s1", "chr17", 100L, 101L, "C", "T", "Somatic", "GRCh38"),
+      ("s3", "X", 50L, 50L, "-", "A", "Germline", "GRCh38"))
+      .toDF("Tumor_Sample_Barcode", "Chromosome", "Start_Position",
+        "End_Position", "Reference_Allele", "Tumor_Seq_Allele2",
+        "Mutation_Status", "NCBI_Build")
+    Tsv.writeTsvFile(maf, s"$dir/data_mutations.txt")
+    Tsv.writeMetaFile(s"$dir/meta_clinical_sample.txt", Seq(
+      "cancer_study_identifier" -> "study1", "datatype" -> "SAMPLE_ATTRIBUTES",
+      "data_filename" -> "data_clinical_sample.txt"))
+    Tsv.writeMetaFile(s"$dir/meta_clinical_patient.txt", Seq(
+      "cancer_study_identifier" -> "study1", "datatype" -> "PATIENT_ATTRIBUTES",
+      "data_filename" -> "data_clinical_patient.txt"))
+    Tsv.writeMetaFile(s"$dir/meta_mutations.txt", Seq(
+      "cancer_study_identifier" -> "study1", "datatype" -> "MAF",
+      "data_filename" -> "data_mutations.txt"))
+    Tsv.writeCaseLists(sample, "CANCER_TYPE", "SAMPLE_ID", "study1",
+      s"$dir/case_lists")
+    dir
+  }
+
+  private def reportMap(dir: String): Map[String, (Long, Boolean)] =
+    PortalRules.validateStudyPackage(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+
+  test("healthy package passes every portal rule") {
+    val rep = reportMap(healthyPackage())
+    assert(rep.nonEmpty)
+    rep.foreach { case (rule, (v, passed)) => assert(passed, s"$rule value=$v") }
+    // every layer actually ran
+    assert(rep.contains("portal_meta_files_resolve"))
+    assert(rep.contains("portal_clinical_header_block"))
+    assert(rep.contains("portal_case_list_fields"))
+    assert(rep.contains("sample_patient_in_patients"))
+    assert(rep.contains("case_list_ids_in_samples"))
+    assert(rep.contains("maf_chromosome_valid"))
+    assert(rep.contains("maf_barcode_in_samples"))
+  }
+
+  test("dangling data_filename trips meta_files_resolve") {
+    val dir = healthyPackage()
+    Tsv.writeMetaFile(s"$dir/meta_extra.txt", Seq(
+      "cancer_study_identifier" -> "study1",
+      "data_filename" -> "data_absent.txt"))
+    assert(reportMap(dir)("portal_meta_files_resolve") == ((1L, false)))
+  }
+
+  test("divergent study id trips study_id_consistent") {
+    val dir = healthyPackage()
+    Tsv.writeMetaFile(s"$dir/meta_mutations.txt", Seq(
+      "cancer_study_identifier" -> "OTHER_STUDY", "datatype" -> "MAF",
+      "data_filename" -> "data_mutations.txt"))
+    assert(reportMap(dir)("portal_study_id_consistent") == ((1L, false)))
+  }
+
+  test("orphan data file trips data_files_have_meta") {
+    val dir = healthyPackage()
+    write(Paths.get(dir, "data_orphan.txt"), "A\tB\n1\t2\n")
+    assert(reportMap(dir)("portal_data_files_have_meta") == ((1L, false)))
+  }
+
+  test("bad header datatype and short block trip clinical_header_block") {
+    val dir = healthyPackage()
+    // 4-line block but an illegal datatype value
+    val p = Paths.get(dir, "data_clinical_patient.txt")
+    val lines = Files.readAllLines(p)
+    lines.set(2, "#VARCHAR")
+    write(p, String.join("\n", lines) + "\n")
+    assert(reportMap(dir)("portal_clinical_header_block") == ((1L, false)))
+    // drop a block line entirely -> still one violating file
+    lines.remove(1)
+    write(p, String.join("\n", lines) + "\n")
+    assert(reportMap(dir)("portal_clinical_header_block") == ((1L, false)))
+  }
+
+  test("case list with missing key or foreign stable_id trips case_list_fields") {
+    val dir = healthyPackage()
+    write(Paths.get(dir, "case_lists", "cases_bad.txt"),
+      "cancer_study_identifier: study1\nstable_id: other_all\n" +
+        "case_list_name: n\ncase_list_description: d\ncase_list_ids: s1\n")
+    assert(reportMap(dir)("portal_case_list_fields") == ((1L, false)))
+  }
+
+  test("case-list id not in clinical samples trips case_list_ids_in_samples") {
+    val dir = healthyPackage()
+    write(Paths.get(dir, "case_lists", "cases_extra.txt"),
+      "cancer_study_identifier: study1\nstable_id: study1_extra\n" +
+        "case_list_name: n\ncase_list_description: d\ncase_list_ids: s1\tGHOST\n")
+    assert(reportMap(dir)("case_list_ids_in_samples") == ((1L, false)))
+  }
+
+  test("strict-MAF violations are counted per rule") {
+    val dir = healthyPackage()
+    val bad = Seq(
+      // bad chromosome, end < start, bad ref allele, bad status, unknown barcode
+      ("GHOST", "chr99", 100L, 99L, "Q", "T", "Possibly", "GRCh37"),
+      // fine row, chr prefix + M synonym normalize away
+      ("s2", "chrm", 5L, 6L, "AT", "-", "LOH", "GRCh38"))
+      .toDF("Tumor_Sample_Barcode", "Chromosome", "Start_Position",
+        "End_Position", "Reference_Allele", "Tumor_Seq_Allele2",
+        "Mutation_Status", "NCBI_Build")
+    Tsv.writeTsvFile(bad, s"$dir/data_mutations.txt")
+    val rep = reportMap(dir)
+    assert(rep("maf_chromosome_valid") == ((1L, false)))
+    assert(rep("maf_extent_valid") == ((1L, false)))
+    assert(rep("maf_allele_valid") == ((1L, false)))
+    assert(rep("maf_mutation_status_valid") == ((1L, false)))
+    assert(rep("maf_barcode_in_samples") == ((1L, false)))
+    assert(rep("maf_ncbi_build_consistent") == ((1L, false)))
+  }
+
+  test("sample referencing an absent patient trips containment + dup check") {
+    val dir = healthyPackage()
+    val sample = Seq(("s1", "p1", "Melanoma"), ("s1", "p1", "Melanoma"),
+      ("s4", "pX", "Lung"))
+      .toDF("SAMPLE_ID", "PATIENT_ID", "CANCER_TYPE")
+    Tsv.writeTsvFile(sample, s"$dir/data_clinical_sample.txt", Seq(
+      "#Sample ID\tPatient ID\tCancer Type",
+      "#Sample identifier\tPatient identifier\tCancer type",
+      "#STRING\tSTRING\tSTRING", "#1\t1\t1"))
+    val rep = reportMap(dir)
+    assert(rep("sample_patient_in_patients") == ((1L, false)))
+    assert(rep("no_dup_sample_id") == ((1L, false)))
+  }
+}
