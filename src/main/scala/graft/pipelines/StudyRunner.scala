@@ -30,11 +30,19 @@ object StudyRunner {
   case class StudyResult(outDir: String,
                          clinicalChecks: Seq[(String, Long, Boolean)],
                          validation: Seq[(String, String, Boolean)],
-                         storedOutputs: Map[String, String])
+                         storedOutputs: Map[String, String],
+                         missingOutputs: Seq[String])
 
+  /** `strictUpload = true` makes a missing required output fail the run
+    * (the reference's `syn.store(File(...))` raises on an absent path —
+    * `load.py:57-66`); the default records the absences in
+    * [[StudyResult.missingOutputs]] and warns, for studies that
+    * legitimately carry a subset of the global data types.
+    */
   def run(spark: SparkSession, storeRoot: String, in: StudyInputs,
           dataset: String, studyId: String, outDir: String,
-          outputFolderId: String, versionComment: String): StudyResult = {
+          outputFolderId: String, versionComment: String,
+          strictUpload: Boolean = false): StudyResult = {
     def fetch(id: String): DataFrame =
       spark.read.format("synapse").option("store", storeRoot).load(id)
 
@@ -80,6 +88,17 @@ object StudyRunner {
     // plus the case-list folder's children
     val caseLists = Option(Paths.get(outDir, "case_lists").toFile.listFiles())
       .map(_.toSeq.map(f => s"case_lists/${f.getName}")).getOrElse(Seq.empty)
+    // a required output that is absent at upload time must not vanish
+    // silently: strict mode fails like the reference's syn.store would,
+    // lenient mode records + warns
+    val missingOutputs = Schemas.RequiredOutputFiles
+      .filterNot(f => Files.exists(Paths.get(outDir, f)))
+    if (missingOutputs.nonEmpty) {
+      val msg = s"study upload $studyId: required outputs absent: " +
+        missingOutputs.mkString(", ")
+      if (strictUpload) throw new IllegalStateException(msg)
+      System.err.println(s"[graft] WARN $msg")
+    }
     val stored = (Schemas.RequiredOutputFiles ++ caseLists)
       .filter(f => Files.exists(Paths.get(outDir, f)))
       .map { f =>
@@ -90,6 +109,6 @@ object StudyRunner {
         f -> SynapseStore.storeFile(storeRoot, Paths.get(outDir, f).toString,
           Paths.get(f).getFileName.toString, parent, versionComment)
       }.toMap
-    StudyResult(outDir, clinicalChecks, validation, stored)
+    StudyResult(outDir, clinicalChecks, validation, stored, missingOutputs)
   }
 }

@@ -569,13 +569,19 @@ object OlapQueries {
     * it is the difference between shuffling the full fact table and
     * shuffling the ~matching slice — exactly what Spark's own
     * spark.sql.optimizer.runtime.bloomFilter does for plans it can see
-    * through; here it is explicit and composable. ~1 M expected keys at
-    * 3% fpp ≈ 1 MB broadcast.
+    * through; here it is explicit and composable. The sketch is sized
+    * from the build side's actual key count (3% fpp), so the broadcast
+    * stays proportional to the dim slice at every scale.
     */
   def j8BloomPrefilter: Q = (s, dir) => {
+    // persisted: the build side feeds the bloom job AND the exact
+    // semi-join — one orders scan, and its count sizes the sketch so the
+    // fpp holds at any scale instead of degrading past a fixed capacity
     val urgent = Tables.orders(s, dir)
       .filter(col("o_orderpriority") === "1-URGENT")
       .select(col("o_orderkey"))
+      .persist()
+    val urgentKeys = urgent.count()
     // bloomFilter() is the build-side job of the runtime-filter pattern —
     // an eager action by design (Spark's own runtime bloom does the same
     // in its subquery). The probe side is Spark's native
@@ -587,7 +593,7 @@ object OlapQueries {
     // build and probe hash identically; the literal ships with the task
     // binary like the old closure did — nothing to destroy() across
     // bench reps.
-    val bloom = urgent.stat.bloomFilter("o_orderkey", 1L << 20, 0.03)
+    val bloom = urgent.stat.bloomFilter("o_orderkey", math.max(urgentKeys, 1L), 0.03)
     val bytes = { val b = new java.io.ByteArrayOutputStream(); bloom.writeTo(b); b.toByteArray }
     val mightContain = Bridge.column(
       org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(

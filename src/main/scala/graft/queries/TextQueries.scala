@@ -374,9 +374,16 @@ object TextQueries {
           s"transform(sequence(0, size(toks) - $n), i -> concat_ws(' ', slice(toks, i + 1, $n)))"))
           .otherwise(array().cast("array<string>"))))
       .select(col("doc_id"), col("is_bench"), col("gram"))
-    val bench = grams.filter(col("is_bench")).select(col("gram")).distinct()
+    // the benchmark gram frame feeds BOTH the Bloom sketch and the exact
+    // semi-join build — persist it so `docs` is tokenized+exploded once
+    // per side, not twice (two full corpus passes at 100 TB otherwise);
+    // the count that materializes the cache also sizes the Bloom, so the
+    // sketch keeps its fpp at any scale instead of degrading toward 1
+    // past a hard-coded capacity
+    val bench = grams.filter(col("is_bench")).select(col("gram")).distinct().persist()
+    val benchGrams = bench.count()
     val bloom = bench.select(xxhash64(col("gram")).as("h"))
-      .stat.bloomFilter("h", 1L << 20, 0.03)
+      .stat.bloomFilter("h", math.max(benchGrams, 1L), 0.03)
     val bytes = { val b = new java.io.ByteArrayOutputStream(); bloom.writeTo(b); b.toByteArray }
     import org.apache.spark.sql.graftbridge.Bridge
     val mightContain = Bridge.column(

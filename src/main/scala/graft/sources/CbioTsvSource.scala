@@ -6,6 +6,8 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.util.SerializableConfiguration
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table,
   TableCapability, TableProvider}
@@ -94,7 +96,7 @@ object CbioTsvSource {
     */
   def currentVersion(path: String): Option[(Long, String)] = {
     val dir = new Path(path)
-    val fs = FileSystem.get(dir.toUri, new Configuration())
+    val fs = FileSystem.get(dir.toUri, Bridge.activeHadoopConf())
     val sidecar = new Path(dir, VersionSidecar)
     if (!fs.exists(sidecar)) None
     else {
@@ -112,7 +114,7 @@ object CbioTsvSource {
     */
   private[sources] def headerLines(path: String): (Seq[String], String) = {
     var p = new Path(path)
-    val fs = FileSystem.get(p.toUri, new Configuration())
+    val fs = FileSystem.get(p.toUri, Bridge.activeHadoopConf())
     if (fs.getFileStatus(p).isDirectory) {
       val files = listDataFiles(fs, p)
       require(files.nonEmpty, s"no data files in $path")
@@ -205,7 +207,7 @@ private[sources] class CbioScanBuilder(path: String, full: StructType)
 
     override def planInputPartitions(): Array[InputPartition] = {
       val p = new Path(path)
-      val fs = FileSystem.get(p.toUri, new Configuration())
+      val fs = FileSystem.get(p.toUri, Bridge.activeHadoopConf())
       val files =
         if (fs.getFileStatus(p).isDirectory)
           CbioTsvSource.listDataFiles(fs, p).map(_.toString)
@@ -214,7 +216,8 @@ private[sources] class CbioScanBuilder(path: String, full: StructType)
     }
 
     override def createReaderFactory(): PartitionReaderFactory =
-      new CbioReaderFactory(full.fieldNames, required, full, pushed)
+      new CbioReaderFactory(full.fieldNames, required, full, pushed,
+        Bridge.serializableConf())
   }
 }
 
@@ -293,14 +296,15 @@ private[sources] case class CbioInputPartition(file: String) extends InputPartit
 
 private[sources] class CbioReaderFactory(allNames: Array[String], required: StructType,
                                          full: StructType,
-                                         filters: Array[org.apache.spark.sql.sources.Filter])
+                                         filters: Array[org.apache.spark.sql.sources.Filter],
+                                         conf: SerializableConfiguration)
     extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val file = partition.asInstanceOf[CbioInputPartition].file
     new PartitionReader[InternalRow] {
       private val p = new Path(file)
-      private val fs = FileSystem.get(p.toUri, new Configuration())
+      private val fs = FileSystem.get(p.toUri, conf.value)
       private val reader = new java.io.BufferedReader(
         new java.io.InputStreamReader(fs.open(p), "UTF-8"))
       // skip the # block + re-read this file's header to map name -> cell
@@ -447,31 +451,38 @@ private[sources] class CbioBatchWrite(path: String, schema: StructType, queryId:
 
   private def fs(): (FileSystem, Path) = {
     val dir = new Path(path)
-    (FileSystem.get(dir.toUri, new Configuration()), dir)
+    (FileSystem.get(dir.toUri, Bridge.activeHadoopConf()), dir)
   }
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     val (hfs, dir) = fs()
     hfs.mkdirs(dir) // driver-side, before any task runs
-    CbioWriterFactory(path, schema, queryId)
+    CbioWriterFactory(path, schema, queryId, Bridge.serializableConf())
   }
 
   /** Driver-side commit: the only place staged data becomes visible.
     * Renames are per-file metadata operations — no data moves — so the
-    * commit is O(parts) regardless of data size. The version sidecar is
-    * written last: a crash mid-commit leaves a readable dataset and a
-    * stale version, never a torn file.
+    * commit is O(parts) regardless of data size. Order matters for
+    * overwrite: the new parts are renamed into place FIRST, the previous
+    * version's files (distinguishable by queryId in the name) deleted
+    * after — a crash mid-commit can expose old+new parts together for
+    * one overwrite window, but never loses the previous version while
+    * showing a partial new one. The version sidecar is written last: a
+    * crash before it leaves a readable dataset and a stale version,
+    * never a torn file.
     */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val (hfs, dir) = fs()
     val priorVersion = CbioTsvSource.currentVersion(path).map(_._1).getOrElse(0L)
-    if (truncateFirst)
-      CbioTsvSource.listDataFiles(hfs, dir).foreach(hfs.delete(_, false))
     messages.collect { case CbioCommit(pid, Some(staged)) =>
       val target = new Path(dir, f"part-$pid%05d-$queryId.cbio.txt")
       if (!hfs.rename(new Path(staged), target))
         throw new java.io.IOException(s"cbio commit: rename $staged -> $target failed")
     }
+    if (truncateFirst)
+      CbioTsvSource.listDataFiles(hfs, dir)
+        .filterNot(_.getName.contains(queryId))
+        .foreach(hfs.delete(_, false))
     dropStaging(hfs, dir) // failed/speculative attempts' leftovers
     val files = CbioTsvSource.listDataFiles(hfs, dir).map(_.getName)
     val json =
@@ -497,14 +508,16 @@ private[sources] class CbioBatchWrite(path: String, schema: StructType, queryId:
 }
 
 private[sources] case class CbioWriterFactory(path: String, schema: StructType,
-                                              queryId: String)
+                                              queryId: String,
+                                              conf: SerializableConfiguration)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new CbioDataWriter(path, schema, queryId, partitionId, taskId)
+    new CbioDataWriter(path, schema, queryId, partitionId, taskId, conf)
 }
 
 private[sources] class CbioDataWriter(path: String, schema: StructType, queryId: String,
-                                      partitionId: Int, taskId: Long)
+                                      partitionId: Int, taskId: Long,
+                                      conf: SerializableConfiguration)
     extends DataWriter[InternalRow] {
 
   private val staged = s"$path/_staging-$queryId-p$partitionId-t$taskId.cbio.txt"
@@ -515,7 +528,7 @@ private[sources] class CbioDataWriter(path: String, schema: StructType, queryId:
   private def writer(): java.io.Writer = {
     if (out == null) {
       val p = new Path(staged)
-      val hfs = FileSystem.get(p.toUri, new Configuration())
+      val hfs = FileSystem.get(p.toUri, conf.value)
       out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
         hfs.create(p, true), java.nio.charset.StandardCharsets.UTF_8), 1 << 16)
       CbioWriteSupport.headerBlock(schema).foreach { l => out.write(l); out.write('\n') }
@@ -543,7 +556,7 @@ private[sources] class CbioDataWriter(path: String, schema: StructType, queryId:
   override def abort(): Unit = {
     if (out != null) out.close()
     val p = new Path(staged)
-    val hfs = FileSystem.get(p.toUri, new Configuration())
+    val hfs = FileSystem.get(p.toUri, conf.value)
     if (hfs.exists(p)) hfs.delete(p, false)
   }
 

@@ -4,8 +4,8 @@ import java.util
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
@@ -49,7 +49,66 @@ object SynapseStore {
 
   private def fs(root: String): (FileSystem, Path) = {
     val p = new Path(root)
-    (FileSystem.get(p.toUri, new Configuration()), p)
+    (FileSystem.get(p.toUri, Bridge.activeHadoopConf()), p)
+  }
+
+  /** Atomically claim the next free version number for an entity.
+    *
+    * Two concurrent `store`s to the same (parent, name) must not both
+    * write `v<N>`: the claim is an exclusive file create
+    * (`create(overwrite = false)` — atomic on a real filesystem), so
+    * exactly one writer wins each number and the loser retries with the
+    * next. Claim files persist, keeping version numbers monotonic even
+    * if a claimed write later fails (Synapse itself never reuses a
+    * version number).
+    */
+  private def claimVersion(hfs: FileSystem, entityDir: Path, hint: Long): Long = {
+    var n = math.max(hint, 1L)
+    hfs.mkdirs(entityDir)
+    while (true) {
+      val claim = new Path(entityDir, s"v$n.claim")
+      val taken = hfs.exists(claim) || hfs.exists(new Path(entityDir, s"v$n"))
+      if (!taken) {
+        try {
+          val out = hfs.create(claim, false)
+          out.close()
+          return n
+        } catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException => n += 1
+          case _: java.nio.file.FileAlreadyExistsException => n += 1
+          case e: java.io.IOException if e.getMessage != null &&
+              e.getMessage.contains("already exists") => n += 1
+        }
+      } else n += 1
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Stage-then-rename commit: the version directory appears atomically
+    * (a reader never observes a half-written `v<N>`); writes stage under
+    * a dot-prefixed temp dir invisible to [[latestVersion]].
+    */
+  private def commitVersionDir(hfs: FileSystem, entityDir: Path, n: Long,
+                               write: Path => Unit): Unit = {
+    val tmp = new Path(entityDir,
+      s".tmp-v$n-${java.util.UUID.randomUUID().toString.take(8)}")
+    write(tmp)
+    val target = new Path(entityDir, s"v$n")
+    if (!hfs.rename(tmp, target))
+      throw new java.io.IOException(s"synapse store: rename $tmp -> $target failed")
+  }
+
+  private def writeEntityMeta(hfs: FileSystem, rootP: Path, id: String,
+                              name: String, parentId: String, latest: Long): Unit = {
+    val meta =
+      s"""{"synId": "${CbioWriteSupport.escapeJson(id)}",
+         | "name": "${CbioWriteSupport.escapeJson(name)}",
+         | "parent": "${CbioWriteSupport.escapeJson(parentId)}",
+         | "latest": $latest}
+         |""".stripMargin
+    val out = hfs.create(new Path(rootP, s"$id/meta.json"), true)
+    try out.write(meta.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
   }
 
   /** `syn.store(File(...), version_comment=...)`: writes the frame as a
@@ -60,18 +119,12 @@ object SynapseStore {
             versionComment: String = ""): String = {
     val id = entityId(parentId, name)
     val (hfs, rootP) = fs(root)
-    val next = latestVersion(root, id).getOrElse(0L) + 1L
-    df.write.format("cbio").option("versionComment", versionComment)
-      .mode("overwrite").save(new Path(rootP, s"$id/v$next").toString)
-    val meta =
-      s"""{"synId": "${CbioWriteSupport.escapeJson(id)}",
-         | "name": "${CbioWriteSupport.escapeJson(name)}",
-         | "parent": "${CbioWriteSupport.escapeJson(parentId)}",
-         | "latest": $next}
-         |""".stripMargin
-    val out = hfs.create(new Path(rootP, s"$id/meta.json"), true)
-    try out.write(meta.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
+    val entityDir = new Path(rootP, id)
+    val next = claimVersion(hfs, entityDir, latestVersion(root, id).getOrElse(0L) + 1L)
+    commitVersionDir(hfs, entityDir, next, tmp =>
+      df.write.format("cbio").option("versionComment", versionComment)
+        .mode("overwrite").save(tmp.toString))
+    writeEntityMeta(hfs, rootP, id, name, parentId, next)
     id
   }
 
@@ -86,29 +139,23 @@ object SynapseStore {
                 versionComment: String = ""): String = {
     val id = entityId(parentId, name)
     val (hfs, rootP) = fs(root)
-    val next = latestVersion(root, id).getOrElse(0L) + 1L
-    val vdir = new Path(rootP, s"$id/v$next")
-    hfs.mkdirs(vdir)
-    org.apache.hadoop.fs.FileUtil.copy(
-      hfs, new Path(localFile), hfs, new Path(vdir, name),
-      false, true, new Configuration())
-    val sidecar =
-      s"""{"version": $next,
-         | "comment": "${CbioWriteSupport.escapeJson(versionComment)}",
-         | "files": ["${CbioWriteSupport.escapeJson(name)}"]}
-         |""".stripMargin
-    val sOut = hfs.create(new Path(vdir, CbioTsvSource.VersionSidecar), true)
-    try sOut.write(sidecar.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally sOut.close()
-    val meta =
-      s"""{"synId": "${CbioWriteSupport.escapeJson(id)}",
-         | "name": "${CbioWriteSupport.escapeJson(name)}",
-         | "parent": "${CbioWriteSupport.escapeJson(parentId)}",
-         | "latest": $next}
-         |""".stripMargin
-    val out = hfs.create(new Path(rootP, s"$id/meta.json"), true)
-    try out.write(meta.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
+    val entityDir = new Path(rootP, id)
+    val next = claimVersion(hfs, entityDir, latestVersion(root, id).getOrElse(0L) + 1L)
+    commitVersionDir(hfs, entityDir, next, { vdir =>
+      hfs.mkdirs(vdir)
+      org.apache.hadoop.fs.FileUtil.copy(
+        hfs, new Path(localFile), hfs, new Path(vdir, name),
+        false, true, Bridge.activeHadoopConf())
+      val sidecar =
+        s"""{"version": $next,
+           | "comment": "${CbioWriteSupport.escapeJson(versionComment)}",
+           | "files": ["${CbioWriteSupport.escapeJson(name)}"]}
+           |""".stripMargin
+      val sOut = hfs.create(new Path(vdir, CbioTsvSource.VersionSidecar), true)
+      try sOut.write(sidecar.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally sOut.close()
+    })
+    writeEntityMeta(hfs, rootP, id, name, parentId, next)
     id
   }
 
@@ -148,15 +195,21 @@ object SynapseStore {
     }.sortBy(_._2)
   }
 
-  /** Latest version number of an entity, None if it does not exist. */
+  /** Latest version number of an entity, None if it does not exist.
+    * Derived from the committed `v<N>` directories, NOT meta.json's
+    * `latest` field: version directories appear atomically (rename
+    * commit), so the listing is the authoritative, race-free view even
+    * while a concurrent writer's meta.json update is still in flight.
+    */
   def latestVersion(root: String, synId: String): Option[Long] = {
     val (hfs, rootP) = fs(root)
-    val metaP = new Path(rootP, s"$synId/meta.json")
-    if (!hfs.exists(metaP)) None
+    val entityDir = new Path(rootP, synId)
+    if (!hfs.exists(entityDir)) None
     else {
-      val in = hfs.open(metaP)
-      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-      """"latest"\s*:\s*(\d+)""".r.findFirstMatchIn(text).map(_.group(1).toLong)
+      val versions = hfs.listStatus(entityDir).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.matches("v\\d+"))
+        .map(_.getPath.getName.drop(1).toLong)
+      if (versions.isEmpty) None else Some(versions.max)
     }
   }
 

@@ -116,6 +116,15 @@ class StudyRunnerSpec extends AnyFunSuite {
     assert(missing.split(",").toSet == Set(
       "data_gene_signatures.txt", "meta_gene_signatures.txt",
       "data_rna_seq_mrna.txt", "meta_rna_seq_mrna.txt"), missing)
+    // absent required outputs are surfaced, not silently skipped; strict
+    // mode fails the run like the reference's syn.store on a missing path
+    assert(res.missingOutputs.toSet == missing.split(",").toSet)
+    assertThrows[IllegalStateException] {
+      StudyRunner.run(spark, root, in, dataset = "DsA",
+        studyId = "iatlas_DsA_strict", outDir = outDir,
+        outputFolderId = "synOutStrict", versionComment = "strict",
+        strictUpload = true)
+    }
 
     // upload: every produced output stored verbatim at version 1 with the comment
     assert(res.storedOutputs.keySet.filterNot(_.startsWith("case_lists/")) == produced.toSet)

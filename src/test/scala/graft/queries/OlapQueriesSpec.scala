@@ -369,6 +369,11 @@ class OlapQueriesSpec extends AnyFunSuite {
     assert(plan.contains("might_contain"), plan.linesIterator.take(10).mkString("\n"))
     assert(plan.contains("LeftSemi"))
     assert(!plan.toLowerCase.contains("batchevalpython") && !plan.contains("UDF"))
+    // single-scan shape: the persisted bench gram frame feeds the exact
+    // semi-join from the cache — the corpus is tokenized+exploded once
+    // per side, not re-derived for the join build
+    assert(plan.contains("InMemoryTableScan"),
+      s"semi-join build must read the persisted bench grams:\n$plan")
   }
 
   test("dd_lev_pairs: verification only runs on the candidate list") {

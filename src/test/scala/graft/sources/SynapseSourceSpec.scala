@@ -87,4 +87,46 @@ class SynapseSourceSpec extends AnyFunSuite {
     assert(scan.output.map(_.name) == Seq("SAMPLE_ID"))
     assert(df.as[String].collect().sorted.toSeq == Seq("s1", "s2"))
   }
+
+  test("concurrent stores to one entity claim distinct versions, both survive") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val root = freshRoot()
+    // a barrier maximizes the interleaving window: both writers compute
+    // their version hint from the same pre-store state
+    val gate = new java.util.concurrent.CyclicBarrier(2)
+    def racer(df: org.apache.spark.sql.DataFrame, comment: String) = Future {
+      gate.await()
+      SynapseStore.store(df, root, "raced.txt", "synRace", comment)
+    }
+    val (idA, idB) = (racer(df1, "from A"), racer(df2, "from B"))
+    val (a, b) = (Await.result(idA, Duration.Inf), Await.result(idB, Duration.Inf))
+    assert(a == b, "same (parent, name) -> same entity")
+    // both writes must land as DISTINCT versions — the claim file makes
+    // version assignment atomic, no lost update
+    assert(SynapseStore.latestVersion(root, a).contains(2L))
+    val comments = Seq(1L, 2L)
+      .flatMap(v => SynapseStore.versionComment(root, a, v))
+    assert(comments.toSet == Set("from A", "from B"), comments.toString)
+    // both version directories are complete, readable datasets
+    Seq(1L, 2L).foreach { v =>
+      val back = spark.read.format("synapse").option("store", root)
+        .option("version", v.toString).load(a)
+      assert(back.count() >= 2, s"v$v must be a complete dataset")
+    }
+  }
+
+  test("interrupted store (claim without committed dir) never blocks the next version") {
+    val root = freshRoot()
+    val id = SynapseStore.store(df1, root, "data.txt", "synF", "v1")
+    // simulate a writer that claimed v2 and died before the rename commit
+    val claim = java.nio.file.Paths.get(root, id, "v2.claim")
+    java.nio.file.Files.createFile(claim)
+    val id2 = SynapseStore.store(df2, root, "data.txt", "synF", "after crash")
+    assert(id2 == id)
+    // the dead claim's number is skipped, never reused (monotonic versions)
+    assert(SynapseStore.latestVersion(root, id).contains(3L))
+    assert(SynapseStore.versionComment(root, id, 3L).contains("after crash"))
+  }
 }
