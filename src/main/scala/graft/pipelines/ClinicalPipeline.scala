@@ -216,12 +216,50 @@ object ClinicalPipeline {
       line(_._4, _ => "1"))
   }
 
+  /** The attrMeta header facts as column metadata + NUMBER typing, so the
+    * distributed cbio sink reproduces the same 4-line header the
+    * single-file path writes ([[cbioHeaderBlock]]): displayName /
+    * description / priority ride `StructField.metadata`; NUMBER-declared
+    * string columns are cast to double so the sink's type-derived
+    * datatype line matches the declaration.
+    */
+  def withCbioMetadata(df: DataFrame, attrMeta: DataFrame): DataFrame = {
+    val meta = attrMeta
+      .select("NORMALIZED_COLUMN_HEADER", "DISPLAY_NAME", "DESCRIPTION", "DATA_TYPE", "PRIORITY")
+      .collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getString(2), r.getString(3), r.getString(4)))
+      .toMap
+    val cols = df.schema.fields.map { f =>
+      meta.get(f.name) match {
+        case Some((display, desc, dtype, prio)) =>
+          val mb = new org.apache.spark.sql.types.MetadataBuilder()
+            .putString("displayName", Option(display).getOrElse(f.name))
+            .putString("description", Option(desc).getOrElse(f.name))
+            .putString("priority", Option(prio).getOrElse("1"))
+            .build()
+          val c = if (dtype == "NUMBER" && f.dataType == org.apache.spark.sql.types.StringType)
+            col(f.name).cast("double") else col(f.name)
+          c.as(f.name, mb)
+        case None => col(f.name)
+      }
+    }
+    df.select(cols.toIndexedSeq: _*)
+  }
+
   /** Per-dataset export (reference `clinical.py:922-950`): P3 filter →
     * P5 drop-all-NA → headered patient/sample TSVs + case lists. Returns
     * the V1–V7-style report rows for the dataset.
+    *
+    * `partedSink = true` is the 100×-scale mode: the clinical outputs are
+    * written as cbio dataset DIRECTORIES through the distributed DSv2
+    * sink — one part per partition, each carrying the full header block,
+    * no single-task `coalesce(1)` funnel — and read back identically by
+    * `format("cbio")` / [[graft.sources.Tsv.read]]. The default keeps the
+    * reference's single-file parity surface for small per-study outputs.
     */
   def exportDataset(patient: DataFrame, sample: DataFrame, dataset: String,
-                    attrMeta: DataFrame, studyId: String, outDir: String): Seq[(String, Long, Boolean)] = {
+                    attrMeta: DataFrame, studyId: String, outDir: String,
+                    partedSink: Boolean = false): Seq[(String, Long, Boolean)] = {
     val sampleDs = dropAllNaColumns(
       sample.filter(col("Dataset") === dataset).drop("Dataset"))
     val patientDs = dropAllNaColumns(
@@ -242,10 +280,17 @@ object ClinicalPipeline {
     val (sampleObserved, obs) =
       Rules.observed(sampleDs, s"graft_v_$dataset", exportRules)
 
-    Tsv.writeTsvFile(patientDs, s"$outDir/data_clinical_patient.txt",
-      cbioHeaderBlock(patientDs.columns.toSeq, attrMeta))
-    Tsv.writeTsvFile(sampleObserved, s"$outDir/data_clinical_sample.txt",
-      cbioHeaderBlock(sampleDs.columns.toSeq, attrMeta))
+    if (partedSink) {
+      withCbioMetadata(patientDs, attrMeta).write.format("cbio")
+        .mode("overwrite").save(s"$outDir/data_clinical_patient.txt")
+      withCbioMetadata(sampleObserved, attrMeta).write.format("cbio")
+        .mode("overwrite").save(s"$outDir/data_clinical_sample.txt")
+    } else {
+      Tsv.writeTsvFile(patientDs, s"$outDir/data_clinical_patient.txt",
+        cbioHeaderBlock(patientDs.columns.toSeq, attrMeta))
+      Tsv.writeTsvFile(sampleObserved, s"$outDir/data_clinical_sample.txt",
+        cbioHeaderBlock(sampleDs.columns.toSeq, attrMeta))
+    }
     if (sampleDs.columns.contains("CANCER_TYPE"))
       Tsv.writeCaseLists(sampleDs, "CANCER_TYPE", "SAMPLE_ID", studyId, s"$outDir/case_lists")
     Tsv.writeMetaFile(s"$outDir/meta_study.txt", Seq(

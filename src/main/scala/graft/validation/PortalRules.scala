@@ -167,7 +167,21 @@ object PortalRules {
     val dataOrphans = listFiles(root, "data_")
       .count(p => !referenced(p.getFileName.toString)).toLong
 
-    val headerViolations = listFiles(root, "data_clinical_").map { p =>
+    // a clinical output may be a single file OR a parted cbio dataset
+    // directory (ClinicalPipeline partedSink) — every part file must
+    // carry the full header block
+    def clinicalParts(p: Path): Seq[Path] =
+      if (!Files.isDirectory(p)) Seq(p)
+      else {
+        val s = Files.list(p)
+        try s.iterator().asScala.filter { f =>
+          val n = f.getFileName.toString
+          Files.isRegularFile(f) && !n.startsWith("_") && !n.startsWith(".")
+        }.toSeq.sortBy(_.toString)
+        finally s.close()
+      }
+
+    val headerViolations = listFiles(root, "data_clinical_").flatMap(clinicalParts).map { p =>
       val lines = Files.readAllLines(p).asScala.toSeq
       val block = lines.takeWhile(_.startsWith("#"))
       val columnLine = lines.drop(block.size).headOption.getOrElse("")

@@ -60,6 +60,52 @@ class OperatorsSpec extends AnyFunSuite {
       s"shuffle must key on (join keys, __salt):\n${plan.take(800)}")
   }
 
+  test("saltedJoin actually spreads the hot key: max partition share ~ 1/factor") {
+    // AQE's OptimizeSkewedJoin is the runtime alternative to explicit
+    // salting, but it only splits MAP OUTPUT chunks above
+    // skewedPartitionThresholdInBytes (256 MB default) — a hot KEY below
+    // that threshold, or a non-splittable aggregation downstream, still
+    // lands on one reducer. Salting moves the spread into the shuffle
+    // key itself. AQE is disabled here so the measurement sees the raw
+    // reducer layout, not post-hoc coalescing of the small test data.
+    val factor = 8
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    // enough reducers that the factor salt buckets rarely collide on a
+    // partition id (the test session default of 4 would re-funnel them)
+    spark.conf.set("spark.sql.shuffle.partitions", "64")
+    try {
+      val big = (1 to 4000).map(i => (if (i % 2 == 0) 1L else i.toLong, i))
+        .toDF("k", "payload") // key 1 carries ~50% of the fact side
+      val small = Seq((1L, "hot"), (7L, "cold")).toDF("k", "name")
+
+      def hotShare(df: org.apache.spark.sql.DataFrame): (Int, Double) = {
+        val counts = df.filter(col("k") === 1L)
+          .groupBy(spark_partition_id().as("pid"))
+          .count().as[(Int, Long)].collect().map(_._2)
+        (counts.length, counts.max.toDouble / counts.sum)
+      }
+
+      // baseline: the plain shuffled join funnels the hot key into ONE reducer
+      val plain = big.join(small.hint("shuffle_hash"), Seq("k"))
+      val (plainParts, plainShare) = hotShare(plain)
+      assert(plainParts == 1 && plainShare == 1.0,
+        s"unsalted hot key must land on one reducer, got $plainParts parts")
+
+      // salted: the hot key fans out over ~factor reducers, none holding
+      // much more than the fair 1/factor share (hash collisions between
+      // salt buckets and the 32 shuffle partitions allow a little slack)
+      val salted = SkewJoin.saltedJoin(big, small, Seq("k"), factor)
+      val (saltParts, saltShare) = hotShare(salted)
+      assert(saltParts >= factor - 2,
+        s"hot key must spread over ~$factor reducers, got $saltParts")
+      assert(saltShare <= 2.0 / factor,
+        f"max partition share $saltShare%.3f exceeds 2/factor = ${2.0 / factor}%.3f")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.shuffle.partitions", "4")
+    }
+  }
+
   test("PrefixSum: two-pass distributed running sum == global-window running sum") {
     // ids deliberately shuffled + gappy; weights include zeros
     val rows = Seq(7L, 3L, 11L, 1L, 9L, 5L, 2L, 20L, 15L, 8L)

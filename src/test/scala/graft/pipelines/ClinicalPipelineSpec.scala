@@ -92,6 +92,55 @@ class ClinicalPipelineSpec extends AnyFunSuite {
       .contains("reference_genome: hg38"))
   }
 
+  test("partedSink export: distributed cbio directories, header per part, same data back") {
+    val (pre, _) = ClinicalPipeline.preprocess(
+      clinicalFixture, oncotreeFixture, neoFixture, attrMappingFixture)
+    val withCt = pre.withColumn("CANCER_TYPE", col("ONCOTREE_CODE"))
+    val (patient, sample0) = ClinicalPipeline.splitPatientSample(withCt, attrMappingFixture)
+    // several partitions so the parted sink actually writes >1 part file
+    val sample = sample0.repartition(3)
+
+    val single = Files.createTempDirectory("clin-single").toString
+    val parted = Files.createTempDirectory("clin-parted").toString
+    val r1 = ClinicalPipeline.exportDataset(
+      patient, sample, "DsA", attrMetaFixture, "iatlas_test", single)
+    val r2 = ClinicalPipeline.exportDataset(
+      patient, sample, "DsA", attrMetaFixture, "iatlas_test", parted,
+      partedSink = true)
+    assert(r1.forall(_._3) && r2.forall(_._3))
+
+    // the parted output is a cbio dataset DIRECTORY with >1 part, each
+    // carrying the full 4-line header block (no coalesce(1) funnel)
+    val dirP = Paths.get(s"$parted/data_clinical_sample.txt")
+    assert(Files.isDirectory(dirP))
+    val parts = Files.list(dirP).iterator().asScala
+      .filter { f =>
+        val n = f.getFileName.toString
+        !n.startsWith("_") && !n.startsWith(".") // sidecar + CRC files
+      }.toSeq
+    assert(parts.size >= 2, s"expected multiple parts, got ${parts.map(_.getFileName)}")
+    parts.foreach { p =>
+      val lines = Files.readAllLines(p).asScala
+      assert(lines.take(4).forall(_.startsWith("#")), p.toString)
+      assert(lines(4).split("\t").contains("SAMPLE_ID"), p.toString)
+    }
+
+    // reads back identically through the cbio reader; NUMBER attrs typed
+    val back = spark.read.format("cbio").load(dirP.toString)
+    val viaFile = graft.sources.Tsv.read(spark,
+      s"$single/data_clinical_sample.txt", comment = Some('#'))
+    assert(back.count() == viaFile.count())
+    assert(back.schema("SNV").dataType == org.apache.spark.sql.types.DoubleType)
+    val key = back.columns.sorted.toSeq
+    assert(back.select("SAMPLE_ID").as[String].collect().sorted.toSeq ==
+      viaFile.select("SAMPLE_ID").as[String].collect().map(String.valueOf(_)).sorted.toSeq)
+
+    // the portal structural rules accept the directory-shaped output
+    val portal = graft.validation.PortalRules.structuralReport(parted)
+    val header = portal.find(_._1 == "portal_clinical_header_block").get
+    assert(header._3, header.toString)
+  }
+
   test("exportAllDatasets: partitioned fan-out writes every dataset from pruned reads") {
     val (pre, _) = ClinicalPipeline.preprocess(
       clinicalFixture, oncotreeFixture, neoFixture, attrMappingFixture)

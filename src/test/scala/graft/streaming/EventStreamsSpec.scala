@@ -280,4 +280,56 @@ class EventStreamsSpec extends AnyFunSuite {
     runToCompletion()
     assert(snapshot() == s2)
   }
+
+  test("RocksDB state store: sessionizer and watermark dedup results identical") {
+    // At 100× the keyed state (open sessions, dedup horizon) outgrows the
+    // default HDFS-backed in-memory provider; RocksDB spills it to local
+    // disk with the same semantics. Run the stateful operators under the
+    // RocksDB provider and require byte-identical results. (The CDC
+    // upsert sink needs no variant: its state is the checkpoint's source
+    // log + the idempotent parquet snapshot, not a state store.)
+    implicit val s = spark
+    implicit val sq = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // sessionizer (flatMapGroupsWithState keyed state)
+      val mem = MemoryStream[Event]
+      val q = EventStreams.sessionize(mem.toDS())
+        .writeStream.format("memory").queryName("sessions_rocks")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        mem.addData(ev(1, 0, 1, value = 2.0), ev(2, 5, 1, value = 3.0), ev(3, 30, 1))
+        q.processAllAvailable()
+        mem.addData(ev(9, 300, 2)); q.processAllAvailable()
+        mem.addData(ev(10, 600, 2)); q.processAllAvailable()
+      } finally q.stop()
+      val rows = spark.table("sessions_rocks").as[SessionOut].collect()
+        .filter(_.user_id == 1L).sortBy(_.session_start.getTime)
+      assert(rows.length == 2, s"expected 2 closed sessions, got ${rows.toSeq}")
+      assert(rows(0).n_events == 2L && rows(0).sum_value == 5.0)
+      assert(rows(0).session_start == ts(0) && rows(0).session_end == ts(15))
+      assert(rows(1).n_events == 1L && rows(1).session_start == ts(30))
+
+      // watermark dedup (dropDuplicates state)
+      val mem2 = MemoryStream[Event]
+      val q2 = EventStreams.dedupedStream(mem2.toDF(), "30 minutes")
+        .writeStream.format("memory").queryName("dedup_rocks")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        mem2.addData(ev(1, 0, 1), ev(1, 0, 1), ev(2, 5, 2))
+        q2.processAllAvailable()
+        mem2.addData(ev(1, 1, 1), ev(3, 10, 3))
+        q2.processAllAvailable()
+      } finally q2.stop()
+      val ids = spark.table("dedup_rocks").select($"event_id")
+        .as[Long].collect().sorted.toSeq
+      assert(ids == Seq(1L, 2L, 3L), s"expected deduped ids, got $ids")
+    } finally prior match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
 }
