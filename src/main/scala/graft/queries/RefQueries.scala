@@ -725,15 +725,20 @@ object RefQueries {
     import scala.concurrent.ExecutionContext.Implicits.global
     val fieldF = Future(Rules.evaluate(s, maf, PortalRules.mafFieldRules(maf)))
     val v1F = Future(PortalRules.subsetViolations(samples, "PATIENT_ID", patients, "PATIENT_ID"))
-    val v2F = Future(PortalRules.subsetViolations(maf, "Tumor_Sample_Barcode", samples, "SAMPLE_ID"))
-    val v3F = Future(PortalRules.subsetViolations(maf, "Tumor_Sample_Barcode", samples, "SAMPLE_ID",
-      distinctChild = true))
+    // row-level (maf_barcode_in_samples) and distinct (case-list) barcode
+    // containment share ONE anti-join: count + count-distinct over the
+    // same unmatched slice instead of two shuffles of the fact side
+    val barcodesF = Future {
+      val r = maf.select(col("Tumor_Sample_Barcode").as("bk"))
+        .join(samples.select(col("SAMPLE_ID").as("bk")).distinct(), Seq("bk"), "left_anti")
+        .agg(count(lit(1)), countDistinct(col("bk"))).head()
+      (r.getLong(0), r.getLong(1))
+    }
     val dupF = Future(Rules.evaluate(s, samples, Seq(Rules.noKeyedDups("SAMPLE_ID")))
       .head().getLong(1))
     val fieldReport = Await.result(fieldF, Duration.Inf)
-    val (v1, v2, v3, dup) = (Await.result(v1F, Duration.Inf),
-      Await.result(v2F, Duration.Inf), Await.result(v3F, Duration.Inf),
-      Await.result(dupF, Duration.Inf))
+    val (v1, (v2, v3), dup) = (Await.result(v1F, Duration.Inf),
+      Await.result(barcodesF, Duration.Inf), Await.result(dupF, Duration.Inf))
     (structural ++ Seq(
       ("sample_patient_in_patients", v1, v1 == 0L),
       ("maf_barcode_in_samples", v2, v2 == 0L),

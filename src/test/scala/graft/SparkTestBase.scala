@@ -21,4 +21,5 @@ object SparkTestBase {
   }
 
   val sf001 = "/root/testdata/sf0.001"
+  val sf01 = "/root/testdata/sf0.1"
 }

@@ -6,7 +6,7 @@ import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.SparkTestBase.{sf001, spark}
+import graft.SparkTestBase.{sf001, sf01, spark}
 
 /** Physical-plan assertions — the scale properties the queries claim
   * (broadcast joins for control tables, parquet filter/column pushdown,
@@ -14,6 +14,17 @@ import graft.SparkTestBase.{sf001, spark}
   * tests so a regression in plan shape fails CI, not just the benchmark.
   */
 class PlanChecksSpec extends AnyFunSuite {
+
+  /** Every locked property is asserted at BOTH scale points: AQE and the
+    * broadcast/codegen thresholds can pick different physical shapes as
+    * data grows, so a plan that is right at sf0.001 is re-proven at the
+    * bench scale (sf0.1) instead of assumed.
+    */
+  private val scales: Seq[(String, String)] =
+    Seq("sf0.001" -> sf001, "sf0.1" -> sf01)
+
+  private def ptest(name: String)(body: String => Unit): Unit =
+    scales.foreach { case (tag, dir) => test(s"$name @ $tag")(body(dir)) }
 
   private def executedPlan(df: DataFrame): SparkPlan =
     df.queryExecution.executedPlan match {
@@ -24,21 +35,21 @@ class PlanChecksSpec extends AnyFunSuite {
   private def planString(df: DataFrame): String =
     df.queryExecution.executedPlan.toString()
 
-  test("J1 control-table join broadcasts (no shuffle of the big side)") {
-    val plan = planString(RefQueries.j1LeftBroadcast(spark, sf001))
+  ptest("J1 control-table join broadcasts (no shuffle of the big side)") { sfDir =>
+    val plan = planString(RefQueries.j1LeftBroadcast(spark, sfDir))
     assert(plan.contains("BroadcastHashJoin"),
       s"expected broadcast hash join, got:\n$plan")
   }
 
-  test("P3 partition filter is pushed into the parquet scan") {
-    val df = RefQueries.p3PartitionFilter(spark, sf001)
+  ptest("P3 partition filter is pushed into the parquet scan") { sfDir =>
+    val df = RefQueries.p3PartitionFilter(spark, sfDir)
     val scan = planString(df)
     assert(scan.contains("PushedFilters: [") && scan.contains("EqualTo"),
       s"expected pushed filters in scan, got:\n$scan")
   }
 
-  test("q1 aggregation reads only the columns it needs (column pruning)") {
-    val df = RefQueries.q1Agg(spark, sf001)
+  ptest("q1 aggregation reads only the columns it needs (column pruning)") { sfDir =>
+    val df = RefQueries.q1Agg(spark, sfDir)
     val scanLine = planString(df).linesIterator
       .find(_.contains("ReadSchema")).getOrElse("")
     // lineitem is 16 columns; the pricing summary needs 4
@@ -46,32 +57,32 @@ class PlanChecksSpec extends AnyFunSuite {
       s"scan reads more than projected columns: $scanLine")
   }
 
-  test("sim_topk_brute plans a WindowGroupLimit (map-side top-k)") {
-    val plan = planString(SimQueries.simTopkBrute(spark, sf001))
+  ptest("sim_topk_brute plans a WindowGroupLimit (map-side top-k)") { sfDir =>
+    val plan = planString(SimQueries.simTopkBrute(spark, sfDir))
     assert(plan.contains("WindowGroupLimit"),
       s"expected WindowGroupLimit for row_number<=k, got:\n$plan")
   }
 
-  test("sim_ivf_assign is map-only: no exchange in the assignment plan") {
-    val plan = planString(SimQueries.simIvfAssign(spark, sf001))
+  ptest("sim_ivf_assign is map-only: no exchange in the assignment plan") { sfDir =>
+    val plan = planString(SimQueries.simIvfAssign(spark, sfDir))
     assert(!plan.contains("Exchange"),
       s"centroid assignment must not shuffle (argmax over broadcast-side literals):\n$plan")
   }
 
-  test("A7 keep-last plans a WindowGroupLimit (rank pushed below the shuffle)") {
-    val plan = planString(RefQueries.a7KeepLast(spark, sf001))
+  ptest("A7 keep-last plans a WindowGroupLimit (rank pushed below the shuffle)") { sfDir =>
+    val plan = planString(RefQueries.a7KeepLast(spark, sfDir))
     assert(plan.contains("WindowGroupLimit"),
       s"expected WindowGroupLimit for row_number==1, got:\n$plan")
   }
 
-  test("O1 global top-N plans TakeOrderedAndProject, not a full sort") {
-    val plan = planString(RefQueries.o1TopN(spark, sf001))
+  ptest("O1 global top-N plans TakeOrderedAndProject, not a full sort") { sfDir =>
+    val plan = planString(RefQueries.o1TopN(spark, sfDir))
     assert(plan.contains("TakeOrderedAndProject"),
       s"expected bounded-heap top-N operator, got:\n$plan")
   }
 
-  test("custom sketch/vec expressions stay inside WholeStageCodegen") {
-    val dd = DedupQueries.ddSimhash(spark, sf001)
+  ptest("custom sketch/vec expressions stay inside WholeStageCodegen") { sfDir =>
+    val dd = DedupQueries.ddSimhash(spark, sfDir)
     val plan = planString(dd)
     // `*(n)` prefixes mark WholeStageCodegen spans in toString output; the
     // custom expression must sit inside one, not in a fallback project
@@ -79,8 +90,8 @@ class PlanChecksSpec extends AnyFunSuite {
       s"simhash60 not inside a codegen'd Project:\n$plan")
   }
 
-  test("j8 bloom prefilter stays inside whole-stage codegen on the fact scan") {
-    val df = OlapQueries.j8BloomPrefilter(spark, sf001)
+  ptest("j8 bloom prefilter stays inside whole-stage codegen on the fact scan") { sfDir =>
+    val df = OlapQueries.j8BloomPrefilter(spark, sfDir)
     df.queryExecution.toRdd.count() // AQE: codegen spans appear in the FINAL plan
     val plan = planString(df)
     // truncated on failure: the serialized bloom literal alone is ~1 MB of hex
@@ -93,11 +104,11 @@ class PlanChecksSpec extends AnyFunSuite {
       s"no UDF may remain in the probe path:\n$short")
   }
 
-  test("F9 chunk assignment contains no partitionless global window") {
+  ptest("F9 chunk assignment contains no partitionless global window") { sfDir =>
     // the scale-killer shape: Window.orderBy(...) with no partitionBy
     // funnels every row through ONE task. f9 now rides PrefixSum (range
     // shuffle + broadcast offsets); no Window node may remain anywhere.
-    val df = RefQueries.f9Chunks(spark, sf001)
+    val df = RefQueries.f9Chunks(spark, sfDir)
     val plan = planString(df)
     assert(!plan.contains("Window"),
       s"f9_chunks must not plan any Window operator:\n$plan")
@@ -106,8 +117,8 @@ class PlanChecksSpec extends AnyFunSuite {
       s"f9_chunks should materialize over the PrefixSum RDD:\n${plan.take(600)}")
   }
 
-  test("ev_tumbling keeps partial aggregation before its single shuffle") {
-    val plan = planString(StreamQueries.evTumbling(spark, sf001))
+  ptest("ev_tumbling keeps partial aggregation before its single shuffle") { sfDir =>
+    val plan = planString(StreamQueries.evTumbling(spark, sfDir))
     // map-side combine: a partial_* aggregate below the exchange
     assert(plan.contains("partial_count") || plan.contains("partial_sum"),
       s"no partial aggregation in plan:\n$plan")
