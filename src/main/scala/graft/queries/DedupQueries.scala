@@ -368,6 +368,49 @@ object DedupQueries {
       .select(col("vec_a"), col("vec_b"), col("label"))
   }
 
+  /** dd_embed_neardup_lsh — the SCALED-BLOCKING twin of
+    * [[ddEmbedNeardup]]: same cos ≥ 0.35 predicate, but candidates are
+    * generated by banded-OR hyperplane LSH (2 bands × 3 planes from the
+    * [[SimQueries.lshSig]] signature) within each label, then verified
+    * exactly. A pair is a candidate if ANY band agrees. The honest
+    * asymptotics: banding divides the label-blocked quadratic by
+    * buckets-per-band (8 here → candidate dot products ≈ bands·N²/2·8 =
+    * N²/8 vs N²/2), and the PLANE COUNT is the scale knob — log₂(planes
+    * per band) must grow with log N to keep pairs-per-bucket constant.
+    * The recall trade is explicit: at this LOW threshold (cos 0.35,
+    * planes agree with p≈0.61) two 3-plane bands recover ~40% of true
+    * pairs (9 of 26 at sf0.01) — low-similarity LSH prunes OR recalls,
+    * never both; production indexes run near-dup thresholds (cos ≥ 0.8,
+    * p≈0.8/plane) where the same banding holds ~75-95% recall.
+    * Verification runs on the candidate multiset (a pair agreeing in
+    * both bands is verified twice, bounded ≤ bands×) and the output is
+    * de-duplicated after the cheap filter, so no embedding-array
+    * distinct ever shuffles.
+    */
+  def ddEmbedNeardupLsh: Q = (s, dir) => {
+    val t2 = 0.35 * 0.35
+    val e = Tables.embeddings(s, dir)
+      .withColumn("nrm", graft.functions.VecExprs.dot(col("embedding"), col("embedding")))
+      .withColumn("sig", SimQueries.lshSig)
+    val bandCols = (0 until 2).map(b => struct(lit(b).as("band"),
+      shiftright(col("sig"), 3 * b).bitwiseAND(lit(7L)).as("bv")))
+    val banded = e
+      .select(col("vec_id"), col("label"), col("embedding"), col("nrm"),
+        explode(array(bandCols: _*)).as("bb"))
+      .select(col("vec_id"), col("label"), col("embedding"), col("nrm"),
+        col("bb.band").as("band"), col("bb.bv").as("bv"))
+    val a = banded.select(col("vec_id").as("vec_a"), col("label"), col("band"),
+      col("bv"), col("embedding").as("ea"), col("nrm").as("na"))
+    val b = banded.select(col("vec_id").as("vec_b"), col("label"), col("band"),
+      col("bv"), col("embedding").as("eb"), col("nrm").as("nb"))
+    a.join(b, Seq("label", "band", "bv"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("dot", graft.functions.VecExprs.dot(col("ea"), col("eb")))
+      .filter(col("dot") > 0 && col("dot") * col("dot") >= lit(t2) * col("na") * col("nb"))
+      .select(col("vec_a"), col("vec_b"), col("label"))
+      .distinct()
+  }
+
   /** dd_para_dedup — paragraph-level exact dedup with document
     * reassembly (the C4/RefinedWeb corpus op: a boilerplate paragraph
     * repeated across pages is kept only where it first appears). The
@@ -416,7 +459,8 @@ object DedupQueries {
     "dd_jaccard_ngram" -> ddJaccardNgram,
     "dd_lev_pairs" -> ddLevPairs,
     "dd_containment" -> ddContainment,
-    "dd_embed_neardup" -> ddEmbedNeardup)
+    "dd_embed_neardup" -> ddEmbedNeardup,
+    "dd_embed_neardup_lsh" -> ddEmbedNeardupLsh)
 
   // ---- DuckDB oracles ------------------------------------------------
 
@@ -620,5 +664,24 @@ object DedupQueries {
         |    a.nrm AS na, b.nrm AS nb
         |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id)
         |SELECT vec_a, vec_b, label FROM p
+        |WHERE dot > 0 AND dot * dot >= 0.1225 * na * nb""".stripMargin,
+    "dd_embed_neardup_lsh" ->
+      s"""WITH n AS (
+        |  SELECT vec_id, label, embedding,
+        |    list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)) AS nrm,
+        |    (${SimQueries.duckSig}) AS sig
+        |  FROM embeddings),
+        |banded AS (
+        |  SELECT vec_id, label, embedding, nrm, band, (sig >> (3 * band)) & 7 AS bv
+        |  FROM n, (SELECT unnest([0, 1]) AS band) bands),
+        |cand AS (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+        |    list_sum(list_transform(generate_series(1, 64),
+        |      i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) AS dot,
+        |    a.nrm AS na, b.nrm AS nb
+        |  FROM banded a JOIN banded b
+        |    ON a.label = b.label AND a.band = b.band AND a.bv = b.bv
+        |   AND a.vec_id < b.vec_id)
+        |SELECT DISTINCT vec_a, vec_b, label FROM cand
         |WHERE dot > 0 AND dot * dot >= 0.1225 * na * nb""".stripMargin)
 }

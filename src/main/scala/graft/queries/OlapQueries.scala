@@ -345,6 +345,140 @@ object OlapQueries {
     Tables.customer(s, dir).createOrReplaceTempView("cust_sql")
     Tables.supplier(s, dir).createOrReplaceTempView("supp_sql")
     Tables.part(s, dir).createOrReplaceTempView("part_sql")
+    Tables.nation(s, dir).createOrReplaceTempView("nat_sql")
+    Tables.region(s, dir).createOrReplaceTempView("reg_sql")
+  }
+
+  // --- TPC-H Q7/Q8/Q9/Q14/Q16, adapted to this corpus' columns (no
+  // partsupp/shipmode/commitdate). ONE template per query drives BOTH
+  // engines — the Spark run substitutes registered view names, the
+  // DuckDB oracle the parquet table names — so the SQL under test and
+  // its oracle cannot drift apart.
+  //
+  // Money sums accumulate as DECIMAL(18,4), not DOUBLE: the per-row
+  // price*(1-discount) doubles are bit-identical across engines (same
+  // IEEE inputs, same multiply), but double SUMS are order-dependent —
+  // Spark's partial-aggregate order differs from DuckDB's, and a 1-ulp
+  // difference on a multi-million total flips round(x, 2) at a cent
+  // boundary (observed on 2 of 175 Q9 groups). Exact decimal addition is
+  // associative, so the totals agree regardless of plan or partitioning.
+  // Money TOTALS are emitted as the unrounded exact sum cast to DOUBLE:
+  // one Q9 group's true total lands exactly on a half cent (…9.9450),
+  // where Spark's round() sees the decimal representation (HALF_UP →
+  // .95) but a double-typed round sees the nearest binary double
+  // (…944999… → .94) — and a DECIMAL output column renders trailing
+  // zeros differently per client. The exact-decimal→double conversion is
+  // bit-identical in both engines, so no rounding is needed at all;
+  // ratio outputs (Q8, Q14) divide as identical doubles and round far
+  // from any midpoint.
+
+  private def fillNames(template: String, names: Map[String, String]): String =
+    names.foldLeft(template) { case (t, (k, v)) => t.replace(s"{$k}", v) }
+
+  private val sparkViews = Map("lineitem" -> "li_sql", "orders" -> "ord_sql",
+    "customer" -> "cust_sql", "supplier" -> "supp_sql", "part" -> "part_sql",
+    "nation" -> "nat_sql", "region" -> "reg_sql")
+  private val duckNames: Map[String, String] =
+    sparkViews.keys.map(k => k -> k).toMap
+
+  /** Q7 volume shipping: the disjunctive two-nation-pair predicate over a
+    * 4-table join. Both nation dims broadcast; the only real shuffle is
+    * orders⋈lineitem on orderkey. */
+  private[queries] val tpchQ7Sql: String =
+    """SELECT supp_nation, cust_nation, l_year,
+      |       CAST(sum(volume) AS DOUBLE) AS revenue
+      |FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |        CAST(year(l_shipdate) AS BIGINT) AS l_year,
+      |        CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) AS volume
+      |      FROM {supplier}, {lineitem}, {orders}, {customer}, {nation} n1, {nation} n2
+      |      WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+      |        AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+      |        AND c_nationkey = n2.n_nationkey
+      |        AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+      |          OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+      |        AND l_shipdate >= TIMESTAMP '1996-01-01'
+      |        AND l_shipdate < TIMESTAMP '1998-01-01') v
+      |GROUP BY supp_nation, cust_nation, l_year""".stripMargin
+
+  def sqlTpchQ7: Q = (s, dir) => {
+    registerSqlViews(s, dir); s.sql(fillNames(tpchQ7Sql, sparkViews))
+  }
+
+  /** Q8 national market share: conditional-sum ratio over a two-level
+    * aggregate; the region→nation chain prunes the customer side before
+    * the fact join. */
+  private[queries] val tpchQ8Sql: String =
+    """SELECT o_year, round(CAST(sum(CASE WHEN nation = 'NATION_5' THEN volume ELSE 0 END) AS DOUBLE)
+      |         / CAST(sum(volume) AS DOUBLE), 4) AS mkt_share
+      |FROM (SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+      |        CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) AS volume,
+      |        n2.n_name AS nation
+      |      FROM {part}, {supplier}, {lineitem}, {orders}, {customer},
+      |           {nation} n1, {nation} n2, {region}
+      |      WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+      |        AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+      |        AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+      |        AND r_name = 'ASIA' AND s_nationkey = n2.n_nationkey
+      |        AND o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+      |        AND p_type = 'PROMO') t
+      |GROUP BY o_year""".stripMargin
+
+  def sqlTpchQ8: Q = (s, dir) => {
+    registerSqlViews(s, dir); s.sql(fillNames(tpchQ8Sql, sparkViews))
+  }
+
+  /** Q9 product-type profit (adapted: profit = discounted revenue; the
+    * reference corpus has no partsupp cost side). The p_name LIKE filter
+    * pushes into the part scan, which then broadcasts. */
+  private[queries] val tpchQ9Sql: String =
+    """SELECT nation, o_year, CAST(sum(amount) AS DOUBLE) AS sum_profit
+      |FROM (SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+      |        CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) AS amount
+      |      FROM {part}, {supplier}, {lineitem}, {orders}, {nation}
+      |      WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+      |        AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+      |        AND p_name LIKE '%gear%') t
+      |GROUP BY nation, o_year""".stripMargin
+
+  def sqlTpchQ9: Q = (s, dir) => {
+    registerSqlViews(s, dir); s.sql(fillNames(tpchQ9Sql, sparkViews))
+  }
+
+  /** Q14 promo revenue share: one fact⋈dim join, conditional aggregate,
+    * tight shipdate range pushed to the lineitem scan. */
+  private[queries] val tpchQ14Sql: String =
+    """SELECT round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+      |          THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+      |          ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+      |        / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE),
+      |        2) AS promo_revenue,
+      |        count(*) AS n_rows
+      |FROM {lineitem}, {part}
+      |WHERE l_partkey = p_partkey
+      |  AND l_shipdate >= TIMESTAMP '1997-01-01'
+      |  AND l_shipdate < TIMESTAMP '1997-02-01'""".stripMargin
+
+  def sqlTpchQ14: Q = (s, dir) => {
+    registerSqlViews(s, dir); s.sql(fillNames(tpchQ14Sql, sparkViews))
+  }
+
+  /** Q16 supplier-part relationship (adapted: lineitem IS the
+    * part-supplier relation; the complaint filter becomes a supplier-name
+    * pattern). The NOT IN subquery must plan as an anti join against the
+    * tiny excluded-supplier list, never a per-row re-execution; the
+    * count(DISTINCT) re-shuffles on the full group key. */
+  private[queries] val tpchQ16Sql: String =
+    """SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM {part}, {lineitem}
+      |WHERE p_partkey = l_partkey
+      |  AND p_brand <> 'Brand#3' AND p_type <> 'PROMO'
+      |  AND p_size IN (1, 14, 23, 45, 9, 19, 36, 49)
+      |  AND l_suppkey NOT IN (SELECT s_suppkey FROM {supplier}
+      |                        WHERE s_name LIKE '%000000001%')
+      |GROUP BY p_brand, p_type, p_size""".stripMargin
+
+  def sqlTpchQ16: Q = (s, dir) => {
+    registerSqlViews(s, dir); s.sql(fillNames(tpchQ16Sql, sparkViews))
   }
 
   /** h13_custdist — TPC-H Q13 shape through the raw SQL surface: the
@@ -721,6 +855,11 @@ object OlapQueries {
     "sql_tpch_q11" -> sqlTpchQ11,
     "sql_tpch_q19" -> sqlTpchQ19,
     "sql_tpch_q20" -> sqlTpchQ20,
+    "sql_tpch_q7" -> sqlTpchQ7,
+    "sql_tpch_q8" -> sqlTpchQ8,
+    "sql_tpch_q9" -> sqlTpchQ9,
+    "sql_tpch_q14" -> sqlTpchQ14,
+    "sql_tpch_q16" -> sqlTpchQ16,
     "j11_skew_salted" -> j11SkewSalted,
     "o2_window_rank" -> o2WindowRank,
     "o3_running_total" -> o3RunningTotal,
@@ -757,6 +896,11 @@ object OlapQueries {
         |GROUP BY s_name
         |ORDER BY numwait DESC, s_name
         |LIMIT 100""".stripMargin,
+    "sql_tpch_q7" -> fillNames(tpchQ7Sql, duckNames),
+    "sql_tpch_q8" -> fillNames(tpchQ8Sql, duckNames),
+    "sql_tpch_q9" -> fillNames(tpchQ9Sql, duckNames),
+    "sql_tpch_q14" -> fillNames(tpchQ14Sql, duckNames),
+    "sql_tpch_q16" -> fillNames(tpchQ16Sql, duckNames),
     "sql_tpch_q2" ->
       """SELECT p_brand, p_partkey, l_suppkey, l_extendedprice AS min_price
         |FROM part, lineitem

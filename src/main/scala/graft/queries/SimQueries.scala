@@ -88,7 +88,7 @@ object SimQueries {
   private def planeLit(j: Int): String = planes(j).mkString("array(", ", ", ")")
 
   /** LSH signature column: bit j = (v · w_j) > 0. */
-  private def lshSig: Column = {
+  private[queries] def lshSig: Column = {
     val bits = (0 until LshPlanes).map { j =>
       when(dotc(col("embedding"), expr(planeLit(j))) > 0d, 1L << j).otherwise(0L)
     }
@@ -262,7 +262,7 @@ object SimQueries {
 
   private def duckPlaneLit(j: Int): String = planes(j).mkString("[", ", ", "]")
 
-  private val duckSig: String = (0 until LshPlanes).map { j =>
+  private[queries] val duckSig: String = (0 until LshPlanes).map { j =>
     s"(CASE WHEN list_sum(list_transform(generate_series(1, 64), i -> embedding[i]::DOUBLE * (${duckPlaneLit(j)})[i])) > 0 THEN ${1L << j} ELSE 0 END)"
   }.mkString(" + ")
 
