@@ -39,10 +39,15 @@ object StudyRunner {
     * [[StudyResult.missingOutputs]] and warns, for studies that
     * legitimately carry a subset of the global data types.
     */
+  /** `partedSink = true` writes the clinical outputs as distributed cbio
+    * dataset directories (one part per partition, header per part) —
+    * the 100× mode; default keeps the reference's single-file surface.
+    */
   def run(spark: SparkSession, storeRoot: String, in: StudyInputs,
           dataset: String, studyId: String, outDir: String,
           outputFolderId: String, versionComment: String,
-          strictUpload: Boolean = false): StudyResult = {
+          strictUpload: Boolean = false,
+          partedSink: Boolean = false): StudyResult = {
     def fetch(id: String): DataFrame =
       spark.read.format("synapse").option("store", storeRoot).load(id)
 
@@ -56,7 +61,8 @@ object StudyRunner {
       broadcast(fetch(in.oncotreeNamesId)), Seq("ONCOTREE_CODE"), "left")
     val (patient, sample) = ClinicalPipeline.splitPatientSample(enriched, attrMapping)
     val clinicalChecks = ClinicalPipeline.exportDataset(
-      patient, sample, dataset, fetch(in.attrMetaId), studyId, outDir)
+      patient, sample, dataset, fetch(in.attrMetaId), studyId, outDir,
+      partedSink = partedSink)
     Tsv.writeMetaFile(s"$outDir/meta_clinical_patient.txt", Seq(
       "cancer_study_identifier" -> studyId,
       "genetic_alteration_type" -> "CLINICAL",

@@ -63,6 +63,28 @@ object StreamQueries {
           .cast("double").as("sum_value"))
   }
 
+  /** ev_left_interval — the batch face of the stream-stream LEFT OUTER
+    * interval join ([[EventStreams.clickPurchaseLeftJoin]]): every click
+    * emits, converting or not — the funnel-with-dropoffs shape the inner
+    * join cannot express. Per user: clicks, converted clicks (≥1
+    * purchase in the preceding hour), and summed purchase value, with
+    * the click fan-out de-duplicated by counting distinct click ids. On
+    * a stream the unmatched rows release when the watermark passes
+    * click_ts; on batch the same plan is a plain left join.
+    */
+  def evLeftInterval: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+    val purchases = ev.filter(col("event_type") === "purchase")
+    EventStreams.clickPurchaseLeftJoin(clicks, purchases)
+      .groupBy(col("user_id"))
+      .agg(countDistinct(col("click_id")).as("n_clicks"),
+        countDistinct(when(col("purchase_ts").isNotNull, col("click_id")))
+          .as("n_converted"),
+        coalesce(sum(col("purchase_value").cast("decimal(18,2)")),
+          lit(0).cast("decimal(18,2)")).cast("double").as("sum_value"))
+  }
+
   /** ev_asof — as-of join: each click picks up the most recent purchase
     * value at-or-before it, per user ([[graft.operators.AsofJoin]]: one
     * shuffle + one sort, no range cross product). The right side is
@@ -165,6 +187,7 @@ object StreamQueries {
     "ev_json" -> evJson,
     "ev_json_agg" -> evJsonAgg,
     "ev_interval_join" -> evIntervalJoin,
+    "ev_left_interval" -> evLeftInterval,
     "ev_asof" -> evAsof)
 
   val oracle: Map[String, String] = Map(
@@ -240,6 +263,15 @@ object StreamQueries {
         | sum(p.value::DECIMAL(18,2))::DOUBLE AS sum_value
         | FROM (SELECT user_id, ts FROM events WHERE event_type = 'click') c
         | JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+        |   ON c.user_id = p.user_id
+        |  AND p.ts >= c.ts - INTERVAL 1 HOUR AND p.ts <= c.ts
+        | GROUP BY 1""".stripMargin,
+    "ev_left_interval" ->
+      """SELECT c.user_id, count(DISTINCT c.event_id) AS n_clicks,
+        | count(DISTINCT CASE WHEN p.ts IS NOT NULL THEN c.event_id END) AS n_converted,
+        | coalesce(sum(p.value::DECIMAL(18,2)), 0::DECIMAL(18,2))::DOUBLE AS sum_value
+        | FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+        | LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
         |   ON c.user_id = p.user_id
         |  AND p.ts >= c.ts - INTERVAL 1 HOUR AND p.ts <= c.ts
         | GROUP BY 1""".stripMargin,

@@ -92,6 +92,32 @@ object EventStreams {
       .select(col("click_id"), col("user_id"), col("purchase_ts"), col("purchase_value"))
   }
 
+  /** Stream-stream LEFT OUTER interval join: like [[clickPurchaseJoin]]
+    * but clicks with no purchase in the window must still emit (with
+    * null purchase columns). The outer row can only be emitted once the
+    * watermark proves no matching purchase can still arrive — Spark
+    * holds the unmatched left row in state until
+    * `watermark > click_ts + interval`, then releases it with nulls.
+    * This is the state-machine surface a funnel-with-dropoffs needs:
+    * the inner join silently drops the non-converting majority. Both
+    * sides MUST carry the watermark; on batch frames the same function
+    * is the plain left join (the oracle path).
+    */
+  def clickPurchaseLeftJoin(clicks: DataFrame, purchases: DataFrame,
+                            watermark: Option[String] = None): DataFrame = {
+    def wm(df: DataFrame) = watermark.map(df.withWatermark("ts", _)).getOrElse(df)
+    val c = wm(clicks).select(col("event_id").as("click_id"),
+      col("user_id"), col("ts").as("click_ts"))
+    val p = wm(purchases).select(col("user_id").as("p_user_id"),
+      col("ts").as("purchase_ts"), col("value").as("purchase_value"))
+    c.join(p,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("click_ts") - expr("INTERVAL 1 HOUR") &&
+        col("purchase_ts") <= col("click_ts"),
+      "left_outer")
+      .select(col("click_id"), col("user_id"), col("purchase_ts"), col("purchase_value"))
+  }
+
   /** Stream-static enrichment — the most common production streaming
     * join: each micro-batch of the stream left-joins a static dimension
     * (user → tier, device → model, code → name). Stateless: no

@@ -120,6 +120,46 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream LEFT OUTER interval join: unmatched click emits nulls after watermark") {
+    implicit val sq = spark.sqlContext
+    def mkEv(id: Long, min: Long, user: Long, tpe: String, v: Double) =
+      Event(id, new java.sql.Timestamp(min * 60000L), user, tpe, v)
+    val clicks = Seq(mkEv(1, 10, 1, "click", 0), mkEv(2, 70, 1, "click", 0),
+      mkEv(3, 200, 1, "click", 0))
+    val purchases = Seq(mkEv(10, 5, 1, "purchase", 9.5),
+      mkEv(11, 65, 1, "purchase", 3.25), mkEv(12, 190, 2, "purchase", 7.0))
+    // batch oracle: the non-converting click@200 must appear with null
+    val batch = EventStreams.clickPurchaseLeftJoin(clicks.toDF(), purchases.toDF())
+      .select($"click_id", $"purchase_value").as[(Long, Option[Double])]
+      .collect().toSet
+    assert(batch == Set((1L, Some(9.5)), (2L, Some(3.25)), (3L, None)))
+
+    val cMem = MemoryStream[Event]; val pMem = MemoryStream[Event]
+    val q = EventStreams.clickPurchaseLeftJoin(cMem.toDF(), pMem.toDF(), Some("10 minutes"))
+      .writeStream.format("memory").queryName("ss_left_join")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      cMem.addData(clicks: _*); pMem.addData(purchases: _*)
+      q.processAllAvailable()
+      // the unmatched click@200 CANNOT have emitted yet: a purchase at
+      // minute <= 200 could still arrive (watermark holds the state open)
+      val early = spark.table("ss_left_join")
+        .select($"click_id", $"purchase_value").as[(Long, Option[Double])]
+        .collect().toSet
+      assert(!early.contains((3L, None)),
+        s"outer row released before the watermark proved no match: $early")
+      // advance both watermarks far past click@200 + interval + delay:
+      // the outer row must now release with null purchase columns
+      cMem.addData(mkEv(4, 600, 9, "click", 0))
+      pMem.addData(mkEv(13, 600, 9, "purchase", 1.0))
+      q.processAllAvailable()
+      val late = spark.table("ss_left_join")
+        .select($"click_id", $"purchase_value").as[(Long, Option[Double])]
+        .collect().toSet
+      assert(batch.subsetOf(late), s"expected $batch within $late")
+    } finally q.stop()
+  }
+
   test("file-source stream with checkpoint matches the batch result") {
     // readStream over a file directory — the production triad
     // (source dir → transform → sink + checkpoint) rather than
