@@ -77,7 +77,15 @@ object Plans {
     "td_decontaminate" ->
       "native might_contain over the benchmark sketch filters training grams INSIDE the scan stage, BEFORE the shuffle; the exact LeftSemi above removes bloom false positives",
     "ev_funnel" ->
-      "one exchange on user_id; the view→click→purchase pattern scan is a codegen'd higher-order aggregate over each user's sorted event array — no per-stage self-joins")
+      "one exchange on user_id; the view→click→purchase pattern scan is a codegen'd higher-order aggregate over each user's sorted event array — no per-stage self-joins",
+    "sql_tpch_q7" ->
+      "both nation dims + supplier + customer broadcast; the only real shuffle is orders⋈lineitem on orderkey; the disjunctive nation-pair predicate stays a residual, money sums accumulate in exact DECIMAL",
+    "sql_tpch_q16" ->
+      "NOT IN planned as an anti join against the excluded-supplier list (no nested loop); count(DISTINCT) re-shuffles once on the full group key",
+    "dd_embed_neardup_lsh" ->
+      "banded LSH: explode to (label, band, bandValue) buckets, equi-join on the bucket key — candidate dot products ≈ bands·N²/(2·buckets) vs the label-blocked N²/2; exact cosine verify above, distinct after the cheap filter",
+    "ev_left_interval" ->
+      "left-outer range-bounded equi-join on user_id — one exchange per side; on the stream the same plan holds unmatched clicks in state until the watermark passes click_ts")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

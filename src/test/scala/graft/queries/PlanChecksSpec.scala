@@ -117,6 +117,22 @@ class PlanChecksSpec extends AnyFunSuite {
       s"f9_chunks should materialize over the PrefixSum RDD:\n${plan.take(600)}")
   }
 
+  ptest("Q16's NOT IN plans as an anti join, never a nested loop") { sfDir =>
+    val plan = planString(OlapQueries.sqlTpchQ16(spark, sfDir))
+    assert(plan.contains("LeftAnti"),
+      s"NOT IN must decorrelate to an anti join:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"no nested-loop join may remain:\n$plan")
+  }
+
+  ptest("Q7 broadcasts every dimension; no dim side shuffles") { sfDir =>
+    val plan = planString(OlapQueries.sqlTpchQ7(spark, sfDir))
+    // supplier, customer, and both nation aliases broadcast; the single
+    // hash-exchange pair left is orders⋈lineitem on orderkey
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).size
+    assert(broadcasts >= 4, s"expected >=4 broadcast joins, got $broadcasts:\n$plan")
+  }
+
   ptest("ev_tumbling keeps partial aggregation before its single shuffle") { sfDir =>
     val plan = planString(StreamQueries.evTumbling(spark, sfDir))
     // map-side combine: a partial_* aggregate below the exchange
