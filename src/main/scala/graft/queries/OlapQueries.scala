@@ -111,6 +111,28 @@ object OlapQueries {
         bround(element_at(col("qs"), 3), 6).as("q3_qty"),
         bround(col("p90"), 6).as("p90_price"))
 
+  /** a14_approx_percentiles — the sketch twin of [[a12Percentiles]]:
+    * `approx_percentile` (Greenwald–Khanna/KLL-style mergeable quantile
+    * summary) at accuracy 10000, i.e. a guaranteed rank error ≤ 1/10000
+    * of the group size. At 100 TB this is the quantile you actually run:
+    * the exact percentile's value→count map grows with distinct values,
+    * while the sketch is fixed-size and merges associatively across
+    * partitions. No DuckDB oracle (its approx_quantile is a different
+    * t-digest sketch); OlapQueriesSpec bounds every approximate value by
+    * the rank-error guarantee against the exact a12 result instead.
+    */
+  def a14ApproxPercentiles: Q = (s, dir) =>
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        expr("approx_percentile(l_quantity, array(0.25D, 0.5D, 0.75D), 10000)").as("qs"),
+        expr("approx_percentile(l_extendedprice, 0.9, 10000)").as("p90"))
+      .select(col("l_returnflag"), col("n"),
+        element_at(col("qs"), 1).as("q1_qty"),
+        element_at(col("qs"), 2).as("median_qty"),
+        element_at(col("qs"), 3).as("q3_qty"),
+        bround(col("p90"), 6).as("p90_price"))
+
   /** p8_pivot — long→wide reshape: order counts per (priority × status).
     * Pivot values are DECLARED (not discovered) so the plan is a single
     * groupBy with one conditional aggregate per cell — no extra pass to
@@ -866,6 +888,7 @@ object OlapQueries {
     "a10_rollup" -> a10Rollup,
     "a11_cube" -> a11Cube,
     "a12_percentiles" -> a12Percentiles,
+    "a14_approx_percentiles" -> a14ApproxPercentiles,
     "p8_pivot" -> p8Pivot,
     "p9_unpivot" -> p9Unpivot,
     "h3_shipping_priority" -> h3ShippingPriority,

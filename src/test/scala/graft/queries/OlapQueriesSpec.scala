@@ -85,6 +85,27 @@ class OlapQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("a14: approx percentiles honor the rank-error guarantee against exact a12") {
+    // accuracy 10000 -> rank error <= n/10000 (< 1 position at sf0.001
+    // group sizes): quantities are integral with a dense 1..50 support,
+    // so the sketch may land at most one order statistic away (+-1.0);
+    // the p90 price neighbor gap is bounded well under 0.5% relative.
+    val exact = OlapQueries.a12Percentiles(spark, sf001).collect()
+      .map(r => r.getAs[String]("l_returnflag") ->
+        (r.getAs[Double]("q1_qty"), r.getAs[Double]("median_qty"),
+          r.getAs[Double]("q3_qty"), r.getAs[Double]("p90_price"))).toMap
+    val approx = OlapQueries.a14ApproxPercentiles(spark, sf001).collect()
+    assert(approx.nonEmpty)
+    approx.foreach { r =>
+      val (eq1, emed, eq3, ep90) = exact(r.getAs[String]("l_returnflag"))
+      assert(math.abs(r.getAs[Double]("q1_qty") - eq1) <= 1.0)
+      assert(math.abs(r.getAs[Double]("median_qty") - emed) <= 1.0)
+      assert(math.abs(r.getAs[Double]("q3_qty") - eq3) <= 1.0)
+      assert(math.abs(r.getAs[Double]("p90_price") - ep90) <= 0.005 * ep90,
+        s"p90 ${r.getAs[Double]("p90_price")} vs exact $ep90")
+    }
+  }
+
   test("p8 pivot: cells partition the row count; absent cells are 0 not null") {
     val rows = OlapQueries.p8Pivot(spark, sf001).collect()
     val total = rows.map(r => r.getAs[Long]("n_O") + r.getAs[Long]("n_F") +
