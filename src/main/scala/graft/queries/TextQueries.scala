@@ -382,8 +382,12 @@ object TextQueries {
     // past a hard-coded capacity
     val bench = grams.filter(col("is_bench")).select(col("gram")).distinct().persist()
     val benchGrams = bench.count()
+    // empty benchmark -> nothing can be contaminated; also guards
+    // stat.bloomFilter, which NPEs on an empty build side
+    if (benchGrams == 0L)
+      return docs.select(col("doc_id")).filter(lit(false)).distinct()
     val bloom = bench.select(xxhash64(col("gram")).as("h"))
-      .stat.bloomFilter("h", math.max(benchGrams, 1L), 0.03)
+      .stat.bloomFilter("h", benchGrams, 0.03)
     val bytes = { val b = new java.io.ByteArrayOutputStream(); bloom.writeTo(b); b.toByteArray }
     import org.apache.spark.sql.graftbridge.Bridge
     val mightContain = Bridge.column(

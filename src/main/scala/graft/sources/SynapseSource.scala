@@ -70,8 +70,14 @@ object SynapseStore {
       val taken = hfs.exists(claim) || hfs.exists(new Path(entityDir, s"v$n"))
       if (!taken) {
         try {
-          val out = hfs.create(claim, false)
-          out.close()
+          // On file:// go through java.nio: Files.createFile is a real
+          // O_CREAT|O_EXCL, while RawLocalFileSystem.create(overwrite =
+          // false) is a non-atomic exists-then-open. On HDFS-like
+          // filesystems create(false) is atomic at the namenode.
+          val uri = hfs.makeQualified(claim).toUri
+          if (uri.getScheme == "file")
+            java.nio.file.Files.createFile(java.nio.file.Paths.get(uri.getPath))
+          else hfs.create(claim, false).close()
           return n
         } catch {
           case _: org.apache.hadoop.fs.FileAlreadyExistsException => n += 1

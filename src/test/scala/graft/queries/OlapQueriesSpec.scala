@@ -397,6 +397,19 @@ class OlapQueriesSpec extends AnyFunSuite {
       s"semi-join build must read the persisted bench grams:\n$plan")
   }
 
+  test("decontaminate: empty benchmark side yields no flags and no crash") {
+    import graft.SparkTestBase.spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // zero bench docs -> bloom sized from max(count, 1), semi-join over an
+    // empty build side -> empty output (nothing can be contaminated)
+    val docs = Seq(
+      (1L, "alpha bravo charlie delta echo foxtrot golf hotel india"),
+      (2L, "nine ten eleven twelve thirteen fourteen fifteen sixteen seventeen"))
+      .toDF("doc_id", "text")
+    val out = TextQueries.decontaminate(docs, 8, col("doc_id") < 0)
+    assert(out.count() == 0)
+  }
+
   test("dd_lev_pairs: verification only runs on the candidate list") {
     val cand = DedupQueries.ddSimhashPairs(spark, sf001).count()
     val rows = DedupQueries.ddLevPairs(spark, sf001).collect()

@@ -144,6 +144,16 @@ class PortalRulesSpec extends AnyFunSuite {
     assert(rep("maf_ncbi_build_consistent") == ((1L, false)))
   }
 
+  test("empty directory: structural rules all pass vacuously, no data rules emitted") {
+    val dir = Files.createTempDirectory("portal-empty").toString
+    val rep = reportMap(dir)
+    // nothing to violate (and nothing pretending data rules ran)
+    assert(rep.keySet == Set("portal_meta_files_resolve",
+      "portal_study_id_consistent", "portal_data_files_have_meta",
+      "portal_clinical_header_block", "portal_case_list_fields"), rep.keySet)
+    rep.values.foreach { case (v, ok) => assert(ok && v == 0L) }
+  }
+
   test("sample referencing an absent patient trips containment + dup check") {
     val dir = healthyPackage()
     val sample = Seq(("s1", "p1", "Melanoma"), ("s1", "p1", "Melanoma"),
