@@ -749,7 +749,15 @@ object OlapQueries {
     // build and probe hash identically; the literal ships with the task
     // binary like the old closure did — nothing to destroy() across
     // bench reps.
-    val bloom = urgent.stat.bloomFilter("o_orderkey", math.max(urgentKeys, 1L), 0.03)
+    // empty build side -> the semi-join below returns nothing anyway;
+    // also guards stat.bloomFilter's NPE on an empty frame
+    if (urgentKeys == 0L) {
+      Tables.lineitem(s, dir)
+        .select(col("l_returnflag"), col("l_extendedprice")).filter(lit(false))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), bround(sum(col("l_extendedprice")), 2).as("sum_price"))
+    } else {
+    val bloom = urgent.stat.bloomFilter("o_orderkey", urgentKeys, 0.03)
     val bytes = { val b = new java.io.ByteArrayOutputStream(); bloom.writeTo(b); b.toByteArray }
     val mightContain = Bridge.column(
       org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
@@ -763,6 +771,7 @@ object OlapQueries {
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n"),
         bround(sum(col("l_extendedprice")), 2).as("sum_price"))
+    }
   }
 
   /** j9_range_join — point-in-interval join through the

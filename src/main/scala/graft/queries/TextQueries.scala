@@ -356,6 +356,29 @@ object TextQueries {
         count(lit(1)).as("n_dups"))
   }
 
+  /** td_pipeline — the stages composed as ONE release pass, the way a
+    * real corpus release runs them: quality/langid clean + keep-first
+    * exact dedup ([[tdCleanCorpus]]) → benchmark decontamination
+    * ([[decontaminate]], bloom-prefiltered) → per-source release
+    * manifest (docs + whitespace tokens). Everything between the two
+    * corpus scans (clean's and decontaminate's) is id-level anti/semi
+    * joins — no stage rereads text it doesn't need, and each stage keeps
+    * its own scale shape (map-side filters before the dedup shuffle,
+    * sketch probe inside the gram scan).
+    */
+  def tdPipeline: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val survivors = tdCleanCorpus(s, dir).select(col("doc_id"))
+    val flagged = decontaminate(docs, 8, col("doc_id") % 23 === 0)
+    val release = survivors
+      .join(flagged, Seq("doc_id"), "left_anti")
+      .filter(pmod(col("doc_id"), lit(23)) =!= 0) // the benchmark itself never ships
+    docs.join(release, Seq("doc_id"), "left_semi")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(wsTokens(col("text")).cast("long")).as("n_tokens"))
+  }
+
   /** Benchmark decontamination core: training docs sharing any word
     * `n`-gram with the benchmark subset (`benchPred`). The scale path is
     * the runtime-filter pattern: a Bloom sketch of the benchmark's gram
@@ -447,7 +470,8 @@ object TextQueries {
     "td_stratified_sample" -> tdStratifiedSample,
     "td_pack" -> tdPack,
     "ta_unigram_lp" -> taUnigramLp,
-    "td_clean_corpus" -> tdCleanCorpus)
+    "td_clean_corpus" -> tdCleanCorpus,
+    "td_pipeline" -> tdPipeline)
 
   private val duckLangScores = langStopwords.map { case (l, words) =>
     s"len(regexp_extract_all(lower(text), '\\b(?:$words)\\b')) AS s_$l"
@@ -670,5 +694,43 @@ object TextQueries {
         |              WHEN s_de >= s_fr THEN 'de' ELSE 'fr' END) = lang)
         |SELECT fp_long, min(doc_id) AS doc_id, min(lang) AS lang,
         |  count(*) AS n_dups
-        |FROM kept GROUP BY 1""".stripMargin)
+        |FROM kept GROUP BY 1""".stripMargin,
+    "td_pipeline" ->
+      s"""WITH scored AS (
+        |  SELECT doc_id, lang, text,
+        |    len(regexp_extract_all(text, '\\S+')) AS n_tok,
+        |    len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS n_punct,
+        |    len(regexp_extract_all(text, '[a-zA-Z]')) AS n_alpha,
+        |    $duckLangScores
+        |  FROM documents),
+        |kept AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')), 1, 15))::BIGINT AS fp_long
+        |  FROM scored
+        |  WHERE n_tok BETWEEN 5 AND 10000
+        |    AND n_punct * 5 < length(text)
+        |    AND n_alpha * 2 > length(text)
+        |    AND (CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+        |              WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+        |              WHEN s_de >= s_fr THEN 'de' ELSE 'fr' END) = lang),
+        |survivors AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY fp_long),
+        |toks AS (
+        |  SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, array_to_string(t[i:i+7], ' ') AS gram
+        |  FROM toks, UNNEST(range(1, len(t) - 6)) AS u(i)
+        |  WHERE len(t) >= 8),
+        |bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 23 = 0),
+        |flagged AS (
+        |  SELECT DISTINCT g.doc_id FROM grams g JOIN bench b USING (gram)
+        |  WHERE g.doc_id % 23 <> 0),
+        |release AS (
+        |  SELECT s.doc_id FROM survivors s
+        |  WHERE s.doc_id % 23 <> 0
+        |    AND s.doc_id NOT IN (SELECT doc_id FROM flagged))
+        |SELECT d.source, count(*) AS n_docs,
+        |  CAST(sum(len(regexp_extract_all(d.text, '\\S+'))) AS BIGINT) AS n_tokens
+        |FROM documents d JOIN release USING (doc_id)
+        |GROUP BY 1""".stripMargin)
 }
