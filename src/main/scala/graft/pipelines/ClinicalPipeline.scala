@@ -201,12 +201,19 @@ object ClinicalPipeline {
     * insert_clinical_metadata.py subprocess; `clinical.py:550-620`).
     * Missing attributes fall back to the column name / STRING / 1.
     */
-  def cbioHeaderBlock(columns: Seq[String], attrMeta: DataFrame): Seq[String] = {
-    val meta = attrMeta
+  /** attrMeta as a driver-side map: header facts per normalized column
+    * (shared by the single-file and parted header paths so they cannot
+    * diverge).
+    */
+  private def attrMetaMap(attrMeta: DataFrame): Map[String, (String, String, String, String)] =
+    attrMeta
       .select("NORMALIZED_COLUMN_HEADER", "DISPLAY_NAME", "DESCRIPTION", "DATA_TYPE", "PRIORITY")
       .collect()
       .map(r => r.getString(0) -> (r.getString(1), r.getString(2), r.getString(3), r.getString(4)))
       .toMap
+
+  def cbioHeaderBlock(columns: Seq[String], attrMeta: DataFrame): Seq[String] = {
+    val meta = attrMetaMap(attrMeta)
     def line(f: ((String, String, String, String)) => String, dflt: String => String) =
       "#" + columns.map(c => meta.get(c).map(f).getOrElse(dflt(c))).mkString("\t")
     Seq(
@@ -216,30 +223,28 @@ object ClinicalPipeline {
       line(_._4, _ => "1"))
   }
 
-  /** The attrMeta header facts as column metadata + NUMBER typing, so the
-    * distributed cbio sink reproduces the same 4-line header the
-    * single-file path writes ([[cbioHeaderBlock]]): displayName /
-    * description / priority ride `StructField.metadata`; NUMBER-declared
-    * string columns are cast to double so the sink's type-derived
-    * datatype line matches the declaration.
+  /** The attrMeta header facts as column metadata, so the distributed
+    * cbio sink reproduces EXACTLY the 4-line header the single-file path
+    * writes ([[cbioHeaderBlock]]): displayName / description / priority /
+    * dataType all ride `StructField.metadata` — the sink's headerBlock
+    * honors an explicit `dataType` over its Spark-type derivation, so a
+    * STRING-declared attribute that was inferred numeric on read still
+    * publishes STRING, and a NUMBER-declared string column keeps its
+    * declaration WITHOUT a value-nulling cast (cell values serialize
+    * identically to the single-file path).
     */
   def withCbioMetadata(df: DataFrame, attrMeta: DataFrame): DataFrame = {
-    val meta = attrMeta
-      .select("NORMALIZED_COLUMN_HEADER", "DISPLAY_NAME", "DESCRIPTION", "DATA_TYPE", "PRIORITY")
-      .collect()
-      .map(r => r.getString(0) -> (r.getString(1), r.getString(2), r.getString(3), r.getString(4)))
-      .toMap
+    val meta = attrMetaMap(attrMeta)
     val cols = df.schema.fields.map { f =>
       meta.get(f.name) match {
         case Some((display, desc, dtype, prio)) =>
           val mb = new org.apache.spark.sql.types.MetadataBuilder()
             .putString("displayName", Option(display).getOrElse(f.name))
             .putString("description", Option(desc).getOrElse(f.name))
+            .putString("dataType", Option(dtype).getOrElse("STRING"))
             .putString("priority", Option(prio).getOrElse("1"))
             .build()
-          val c = if (dtype == "NUMBER" && f.dataType == org.apache.spark.sql.types.StringType)
-            col(f.name).cast("double") else col(f.name)
-          c.as(f.name, mb)
+          col(f.name).as(f.name, mb)
         case None => col(f.name)
       }
     }

@@ -97,9 +97,9 @@ object DedupQueries {
     // reuse it instead of re-deriving the signatures per plan branch. At
     // cluster scale this is the checkpointed signature table of an LSH
     // index build.
-    val sig = minhashSigs(s, dir)
-      .withColumn("shd", array_distinct(col("shingles"))).drop("shingles")
-      .persist()
+    val sig = FrameCache.cached(s"dd_minhash_sig:$dir")(
+      minhashSigs(s, dir)
+        .withColumn("shd", array_distinct(col("shingles"))).drop("shingles"))
     val bandStructs = (0 until B).map { b =>
       val rows = (0 until R).map(r => col(s"sig_${b * R + r}"))
       struct(lit(b).as("band"), md5(concat_ws(",", rows: _*)).as("bh"))
@@ -148,7 +148,7 @@ object DedupQueries {
     */
   def ddSimhashPairs: Q = (s, dir) => {
     // One simhash pass, reused by both sides of the banded self-join.
-    val sh = ddSimhash(s, dir).persist()
+    val sh = FrameCache.cached(s"dd_simhash:$dir")(ddSimhash(s, dir))
     val bands = (0 until 4).map { i =>
       struct(lit(i).as("band"),
         shiftright(col("simhash"), i * 15).bitwiseAND(lit(32767L)).as("bv"))

@@ -402,8 +402,14 @@ object TextQueries {
     // per side, not twice (two full corpus passes at 100 TB otherwise);
     // the count that materializes the cache also sizes the Bloom, so the
     // sketch keeps its fpp at any scale instead of degrading toward 1
-    // past a hard-coded capacity
-    val bench = grams.filter(col("is_bench")).select(col("gram")).distinct().persist()
+    // past a hard-coded capacity. Cached by input identity: repeat
+    // invocations (bench reps, td_pipeline) reuse ONE persisted entry
+    // instead of leaking one per call.
+    val cacheKey = "decontaminate:" +
+      docs.queryExecution.analyzed.semanticHash() + ":" + n + ":" +
+      org.apache.spark.sql.graftbridge.Bridge.expression(benchPred).semanticHash()
+    val bench = FrameCache.cached(cacheKey)(
+      grams.filter(col("is_bench")).select(col("gram")).distinct())
     val benchGrams = bench.count()
     // empty benchmark -> nothing can be contaminated; also guards
     // stat.bloomFilter, which NPEs on an empty build side

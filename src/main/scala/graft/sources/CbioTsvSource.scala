@@ -592,10 +592,15 @@ private[sources] object CbioWriteSupport {
     }
     val display = schema.fields.map(f => meta(f, "displayName", f.name))
     val desc = schema.fields.map(f => meta(f, "description", f.name))
-    val dtype = schema.fields.map(_.dataType match {
+    // an explicit "dataType" metadata wins over the Spark-type derivation:
+    // a STRING-declared attribute whose values happen to be numeric (and
+    // was inferred numeric on read) must still publish STRING, and a
+    // NUMBER-declared string column keeps its declaration without a
+    // value-nulling cast — header parity with the attrMeta contract
+    val dtype = schema.fields.map(f => meta(f, "dataType", f.dataType match {
       case _: NumericType => "NUMBER"
       case _              => "STRING"
-    })
+    }))
     val prio = schema.fields.map(f => meta(f, "priority", "1"))
     Seq(display, desc, dtype, prio).map(_.mkString("#", "\t", ""))
   }

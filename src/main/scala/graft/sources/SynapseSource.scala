@@ -130,7 +130,8 @@ object SynapseStore {
     commitVersionDir(hfs, entityDir, next, tmp =>
       df.write.format("cbio").option("versionComment", versionComment)
         .mode("overwrite").save(tmp.toString))
-    writeEntityMeta(hfs, rootP, id, name, parentId, next)
+    writeEntityMeta(hfs, rootP, id, name, parentId,
+      latestVersion(root, id).getOrElse(next))
     id
   }
 
@@ -161,7 +162,12 @@ object SynapseStore {
       try sOut.write(sidecar.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally sOut.close()
     })
-    writeEntityMeta(hfs, rootP, id, name, parentId, next)
+    // re-list after commit: a concurrent racer may have committed a HIGHER
+    // version between our claim and now — meta.json's "latest" must never
+    // regress for external readers of the entity contract (internal reads
+    // derive latest from the v-dir listing regardless)
+    writeEntityMeta(hfs, rootP, id, name, parentId,
+      latestVersion(root, id).getOrElse(next))
     id
   }
 

@@ -181,8 +181,17 @@ object PortalRules {
         finally s.close()
       }
 
+    // only the header block + column line are needed — stream the first
+    // few lines instead of Files.readAllLines (a parted clinical output's
+    // part files are DATA files; loading them whole would put the corpus
+    // on the driver)
+    def headLines(p: Path, n: Int): Seq[String] = {
+      val r = Files.newBufferedReader(p)
+      try Iterator.continually(r.readLine()).takeWhile(_ != null).take(n).toList
+      finally r.close()
+    }
     val headerViolations = listFiles(root, "data_clinical_").flatMap(clinicalParts).map { p =>
-      val lines = Files.readAllLines(p).asScala.toSeq
+      val lines = headLines(p, 6)
       val block = lines.takeWhile(_.startsWith("#"))
       val columnLine = lines.drop(block.size).headOption.getOrElse("")
       val nCols = columnLine.split("\t", -1).length

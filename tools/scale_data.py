@@ -7,7 +7,7 @@ Usage: python3 tools/scale_data.py <src_sf_dir> <dst_dir> <factor>
 Replica i shifts every surrogate key by i * (max_key + 1), so per-key
 densities, join fan-outs and value distributions match the source scale
 point while row counts grow `factor`x. Text/embedding payloads are
-perturbed per replica (word rotation / vector roll) so the dedup and
+perturbed per replica (word-level mutation / vector roll) so the dedup and
 similarity operators see a genuinely larger corpus, not `factor` exact
 copies of every document (which would explode near-dup pair counts
 quadratically and misrepresent scaling). region/nation are dimension
@@ -23,22 +23,32 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 
-def offset_cols(table, cols, i, offsets):
+def offset_cols(table, offsets, i):
     arrays = []
     for name in table.schema.names:
         col = table.column(name)
-        if name in cols and i > 0:
+        if name in offsets and i > 0:
             col = pc.add(col, offsets[name] * i)
         arrays.append(col)
     return pa.table(arrays, schema=table.schema)
 
 
-def replicate(src, dst, name, key_cols, factor, perturb=None):
+def key_space(src, name, col):
+    """Stride for an entity's surrogate keys, from the entity's OWN
+    table: a foreign key must shift by the REFERENCED dimension's key
+    space, not its own max — offsetting o_custkey by max(o_custkey)+1
+    silently breaks referential integrity whenever the highest custkey
+    placed no orders (dense synthetic data hides this; real TPC-H has a
+    third of customers orderless)."""
+    t = pq.read_table(f"{src}/{name}.parquet", columns=[col])
+    return pc.max(t.column(col)).as_py() + 1
+
+
+def replicate(src, dst, name, offsets, factor, perturb=None):
     t = pq.read_table(f"{src}/{name}.parquet")
-    offsets = {c: pc.max(t.column(c)).as_py() + 1 for c in key_cols}
     parts = []
     for i in range(factor):
-        r = offset_cols(t, key_cols, i, offsets)
+        r = offset_cols(t, offsets, i)
         if perturb is not None and i > 0:
             r = perturb(r, i)
         parts.append(r)
@@ -95,14 +105,26 @@ def main():
     for dim in ("region", "nation"):
         shutil.copyfile(f"{src}/{dim}.parquet", f"{dst}/{dim}.parquet")
         print(f"{dim}: copied (fixed dimension)")
-    replicate(src, dst, "customer", ["c_custkey"], factor)
-    replicate(src, dst, "supplier", ["s_suppkey"], factor)
-    replicate(src, dst, "part", ["p_partkey"], factor)
-    replicate(src, dst, "orders", ["o_orderkey", "o_custkey"], factor)
-    replicate(src, dst, "lineitem", ["l_orderkey", "l_partkey", "l_suppkey"], factor)
-    replicate(src, dst, "events", ["event_id", "user_id"], factor)
-    replicate(src, dst, "documents", ["doc_id"], factor, perturb=mutate_text)
-    replicate(src, dst, "embeddings", ["vec_id"], factor, perturb=roll_embeddings)
+    custk = key_space(src, "customer", "c_custkey")
+    suppk = key_space(src, "supplier", "s_suppkey")
+    partk = key_space(src, "part", "p_partkey")
+    orderk = key_space(src, "orders", "o_orderkey")
+    replicate(src, dst, "customer", {"c_custkey": custk}, factor)
+    replicate(src, dst, "supplier", {"s_suppkey": suppk}, factor)
+    replicate(src, dst, "part", {"p_partkey": partk}, factor)
+    replicate(src, dst, "orders",
+              {"o_orderkey": orderk, "o_custkey": custk}, factor)
+    replicate(src, dst, "lineitem",
+              {"l_orderkey": orderk, "l_partkey": partk, "l_suppkey": suppk}, factor)
+    replicate(src, dst, "events",
+              {"event_id": key_space(src, "events", "event_id"),
+               "user_id": key_space(src, "events", "user_id")}, factor)
+    replicate(src, dst, "documents",
+              {"doc_id": key_space(src, "documents", "doc_id")}, factor,
+              perturb=mutate_text)
+    replicate(src, dst, "embeddings",
+              {"vec_id": key_space(src, "embeddings", "vec_id")}, factor,
+              perturb=roll_embeddings)
 
 
 if __name__ == "__main__":
