@@ -347,11 +347,18 @@ object DedupQueries {
         (col("lev") =!= lit(-1)).as("is_dup")) // lev ≤ 24 of 120 chars
   }
 
-  /** dd_embed_neardup — embedding-cosine near-dup with `label` as the
-    * blocking key (stand-in for an LSH/IVF bucket at scale): pairs with
-    * cos ≥ 0.35, compared as dot² ≥ t²·‖a‖²·‖b‖² to avoid sqrt — ids
-    * only in the output, so float-rounding differences can't flip rows
-    * away from the oracle except exactly at the threshold.
+  /** Fixed-block embedding-cosine near-dup — SPEC FIXTURE ONLY (not in
+    * [[queries]]): blocks the pair join on `label`, a FIXED-cardinality
+    * key, so its work grows quadratically with rows-per-label (measured
+    * 94× wall at 10× data, BENCH_NOTES r6). It is kept as the EXACT
+    * recall baseline the banded-LSH path is verified against in
+    * DedupQueriesSpec — within a block the quadratic join has perfect
+    * recall, which is precisely what makes it useful as a test oracle
+    * and disqualifying as a committed query. The canonical near-dup
+    * entry is [[ddEmbedNeardupLsh]]. Pairs with cos ≥ 0.35, compared as
+    * dot² ≥ t²·‖a‖²·‖b‖² to avoid sqrt — ids only in the output, so
+    * float-rounding differences can't flip rows except exactly at the
+    * threshold.
     */
   def ddEmbedNeardup: Q = (s, dir) => {
     val t2 = 0.35 * 0.35
@@ -387,9 +394,18 @@ object DedupQueries {
     * de-duplicated after the cheap filter, so no embedding-array
     * distinct ever shuffles.
     */
-  def ddEmbedNeardupLsh: Q = (s, dir) => {
-    val t2 = 0.35 * 0.35
-    val e = Tables.embeddings(s, dir)
+  def ddEmbedNeardupLsh: Q = (s, dir) =>
+    embedNeardupLshPairs(Tables.embeddings(s, dir), 0.35)
+
+  /** Banded-LSH candidate generation + exact cosine verify over any
+    * frame with (vec_id, label, embedding) — the reusable core of
+    * [[ddEmbedNeardupLsh]], parameterized on the cosine threshold so
+    * DedupQueriesSpec can lock the production-threshold (cos ≥ 0.8)
+    * recall claim on seeded near-dup pairs.
+    */
+  private[queries] def embedNeardupLshPairs(emb: DataFrame, threshold: Double): DataFrame = {
+    val t2 = threshold * threshold
+    val e = emb
       .withColumn("nrm", graft.functions.VecExprs.dot(col("embedding"), col("embedding")))
       .withColumn("sig", SimQueries.lshSig)
     val bandCols = (0 until 2).map(b => struct(lit(b).as("band"),
@@ -459,7 +475,6 @@ object DedupQueries {
     "dd_jaccard_ngram" -> ddJaccardNgram,
     "dd_lev_pairs" -> ddLevPairs,
     "dd_containment" -> ddContainment,
-    "dd_embed_neardup" -> ddEmbedNeardup,
     "dd_embed_neardup_lsh" -> ddEmbedNeardupLsh)
 
   // ---- DuckDB oracles ------------------------------------------------
@@ -652,19 +667,6 @@ object DedupQueries {
         |FROM g a JOIN g b ON a.doc_id < b.doc_id
         |WHERE 10 * len(list_intersect(a.grams, b.grams)) >=
         |  7 * (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))""".stripMargin,
-    "dd_embed_neardup" ->
-      """WITH n AS (
-        |  SELECT vec_id, label, embedding,
-        |    list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)) AS nrm
-        |  FROM embeddings),
-        |p AS (
-        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
-        |    list_sum(list_transform(generate_series(1, 64),
-        |      i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) AS dot,
-        |    a.nrm AS na, b.nrm AS nb
-        |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id)
-        |SELECT vec_a, vec_b, label FROM p
-        |WHERE dot > 0 AND dot * dot >= 0.1225 * na * nb""".stripMargin,
     "dd_embed_neardup_lsh" ->
       s"""WITH n AS (
         |  SELECT vec_id, label, embedding,

@@ -67,6 +67,88 @@ class DedupQueriesSpec extends AnyFunSuite {
     }
   }
 
+  // ---- embedding near-dup: fixed-block fixture + LSH recall ----------
+
+  /** Sequential-double dot, the same left-to-right order VecExprs.dot
+    * compiles, so the in-spec oracle is bit-identical to the plan.
+    */
+  private def dotSeq(a: Array[Float], b: Array[Float]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+    s
+  }
+
+  /** Exact within-label cos ≥ t pairs, brute force. */
+  private def exactPairs(rows: Seq[(Long, Int, Array[Float])], t: Double): Set[(Long, Long)] = {
+    val t2 = t * t
+    val byLabel = rows.groupBy(_._2)
+    byLabel.values.flatMap { g =>
+      for {
+        (ia, la, ea) <- g; (ib, lb, eb) <- g
+        if ia < ib
+        dot = dotSeq(ea, eb)
+        if dot > 0 && dot * dot >= t2 * dotSeq(ea, ea) * dotSeq(eb, eb)
+      } yield (ia, ib)
+    }.toSet
+  }
+
+  test("fixed-block near-dup (spec fixture): matches the brute-force oracle at sf0.001") {
+    // The demoted-from-queries quadratic form: its perfect within-block
+    // recall is exactly why it lives here as the oracle, not in
+    // SparkEntry.queries (94x wall at 10x data, BENCH_NOTES r6).
+    import graft.SparkTestBase.sf001
+    val rows = graft.Tables.embeddings(spark, sf001)
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).toArray)).toSeq
+    val expectedPairs = exactPairs(rows, 0.35)
+    val got = DedupQueries.ddEmbedNeardup(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expectedPairs)
+    assert(got.nonEmpty, "sf0.001 must contain at least one near-dup pair")
+  }
+
+  test("banded-LSH candidates are a subset of the exact pair set") {
+    import graft.SparkTestBase.sf001
+    val exact = DedupQueries.ddEmbedNeardup(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = DedupQueries.ddEmbedNeardupLsh(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact), "exact verify must keep LSH from inventing pairs")
+  }
+
+  test("banded-LSH recall >= 75% on seeded cos-0.9 pairs at the production threshold 0.8") {
+    // The docstring claim (DedupQueries.embedNeardupLshPairs): at
+    // near-dup thresholds the 2-band x 3-plane config holds >= 75%
+    // recall. Seed 200 deterministic pairs at cos = 0.9 exactly:
+    // twin = cos(theta) * v_hat + sin(theta) * u_perp_hat. Analytic
+    // expectation with these planes: p = 1 - acos(.9)/pi = .856 per
+    // plane, 1 - (1 - p^3)^2 = .86 per pair.
+    val rnd = new scala.util.Random(42)
+    def gauss(): Array[Double] = Array.fill(64)(rnd.nextGaussian())
+    def norm(v: Array[Double]) = math.sqrt(v.map(x => x * x).sum)
+    val cosT = 0.9; val sinT = math.sqrt(1 - cosT * cosT)
+    val rows = (0 until 200).flatMap { i =>
+      val v = gauss()
+      val vn = norm(v); val vh = v.map(_ / vn)
+      val u = gauss()
+      val proj = u.zip(vh).map { case (x, h) => x * h }.sum
+      val up = u.zip(vh).map { case (x, h) => x - proj * h }
+      val un = norm(up); val uh = up.map(_ / un)
+      val twin = vh.zip(uh).map { case (a, b) => cosT * a + sinT * b }
+      Seq((2L * i, i % 4, v.map(_.toFloat)),
+        (2L * i + 1, i % 4, twin.map(_.toFloat)))
+    }
+    val df = rows.toDF("vec_id", "label", "embedding")
+    val truePairs = exactPairs(rows, 0.8)
+    assert(truePairs.size >= 200, "every seeded twin must be a true pair")
+    val got = DedupQueries.embedNeardupLshPairs(df, 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.subsetOf(truePairs))
+    val recall = got.size.toDouble / truePairs.size
+    info(f"banded-LSH recall at cos>=0.8: ${got.size}/${truePairs.size} = $recall%.3f")
+    assert(recall >= 0.75, f"recall $recall%.3f below the documented 75%% floor")
+  }
+
   test("distributed path converges on a chain with diameter > 30") {
     // chain 0-1-2-...-40: plain min-label propagation needs ~40 rounds —
     // the old fixed 30-round cap silently split this into two clusters;
