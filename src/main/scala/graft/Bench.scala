@@ -21,6 +21,9 @@ object Bench {
     // (e.g. SPARK_GRAFT_ONLY=dd_minhash_pairs,sim_ivf_topk).
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty) // blank value == unset
+    only.foreach(_.diff(SparkEntry.queries.keySet).foreach(n =>
+      System.err.println(s"[bench] SPARK_GRAFT_ONLY entry matches no query: $n")))
     val selected = only match {
       case Some(names) => SparkEntry.queries.view.filterKeys(names).toMap
       case None        => SparkEntry.queries
@@ -66,6 +69,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    graft.queries.FrameCache.clear()
     spark.stop()
   }
 }

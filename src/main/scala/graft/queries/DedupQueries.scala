@@ -97,7 +97,7 @@ object DedupQueries {
     // reuse it instead of re-deriving the signatures per plan branch. At
     // cluster scale this is the checkpointed signature table of an LSH
     // index build.
-    val sig = FrameCache.cached(s"dd_minhash_sig:$dir")(
+    val sig = FrameCache.cached(s, s"dd_minhash_sig:$dir")(
       minhashSigs(s, dir)
         .withColumn("shd", array_distinct(col("shingles"))).drop("shingles"))
     val bandStructs = (0 until B).map { b =>
@@ -148,7 +148,7 @@ object DedupQueries {
     */
   def ddSimhashPairs: Q = (s, dir) => {
     // One simhash pass, reused by both sides of the banded self-join.
-    val sh = FrameCache.cached(s"dd_simhash:$dir")(ddSimhash(s, dir))
+    val sh = FrameCache.cached(s, s"dd_simhash:$dir")(ddSimhash(s, dir))
     val bands = (0 until 4).map { i =>
       struct(lit(i).as("band"),
         shiftright(col("simhash"), i * 15).bitwiseAND(lit(32767L)).as("bv"))

@@ -2,7 +2,7 @@ package graft.queries
 
 import java.util.concurrent.ConcurrentHashMap
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Session-scoped cache for persisted build-side frames (LSH signature
   * tables, benchmark gram sets, runtime-filter build sides). A bare
@@ -13,20 +13,44 @@ import org.apache.spark.sql.DataFrame
   * composed td_pipeline calling a stage a second time) hit the already
   * materialized frame, which is the semantics a real index/sketch build
   * has: one per dataset, not one per query run.
+  *
+  * Entries are additionally keyed by the OWNING SESSION's identity: a
+  * frame persisted under session A must never be returned to a query
+  * running under session B (a stopped-and-recreated session would
+  * otherwise fail with "SparkContext was shut down"). Entries whose
+  * session has since stopped are evicted on the next access, so a JVM
+  * that cycles sessions (tests, notebooks) cannot grow the cache
+  * unboundedly across dead sessions.
   */
-private[queries] object FrameCache {
+private[graft] object FrameCache {
 
   private val frames = new ConcurrentHashMap[String, DataFrame]()
 
-  /** The persisted frame for `key`, building (and persisting) it on
-    * first use. The build must be a pure function of the key.
-    */
-  def cached(key: String)(build: => DataFrame): DataFrame =
-    frames.computeIfAbsent(key, _ => build.persist())
+  private def sessionKey(s: SparkSession): String =
+    s"${s.sparkContext.applicationId}#${System.identityHashCode(s)}"
 
-  /** Drop every cached frame (test isolation). */
+  /** Drop entries owned by a session whose context has stopped — their
+    * cached blocks are already gone with the executor; unpersist on a
+    * dead context is a no-op at best, so just drop the references.
+    */
+  private def evictStopped(): Unit =
+    frames.entrySet().removeIf(e => e.getValue.sparkSession.sparkContext.isStopped)
+
+  /** The persisted frame for `key` under session `s`, building (and
+    * persisting) it on first use. The build must be a pure function of
+    * the key for a fixed session.
+    */
+  def cached(s: SparkSession, key: String)(build: => DataFrame): DataFrame = {
+    evictStopped()
+    frames.computeIfAbsent(s"${sessionKey(s)}:$key", _ => build.persist())
+  }
+
+  /** Drop every cached frame (test isolation, driver shutdown). */
   def clear(): Unit = {
-    frames.values.forEach(df => { df.unpersist(); () })
+    frames.values.forEach { df =>
+      if (!df.sparkSession.sparkContext.isStopped) df.unpersist()
+      ()
+    }
     frames.clear()
   }
 }

@@ -735,7 +735,7 @@ object OlapQueries {
     // fpp holds at any scale instead of degrading past a fixed capacity.
     // FrameCache-keyed by input dir: bench reps reuse one entry instead
     // of leaking a persisted copy per invocation.
-    val urgent = FrameCache.cached(s"j8_urgent:$dir")(
+    val urgent = FrameCache.cached(s, s"j8_urgent:$dir")(
       Tables.orders(s, dir)
         .filter(col("o_orderpriority") === "1-URGENT")
         .select(col("o_orderkey")))

@@ -408,7 +408,7 @@ object TextQueries {
     val cacheKey = "decontaminate:" +
       docs.queryExecution.analyzed.semanticHash() + ":" + n + ":" +
       org.apache.spark.sql.graftbridge.Bridge.expression(benchPred).semanticHash()
-    val bench = FrameCache.cached(cacheKey)(
+    val bench = FrameCache.cached(docs.sparkSession, cacheKey)(
       grams.filter(col("is_bench")).select(col("gram")).distinct())
     val benchGrams = bench.count()
     // empty benchmark -> nothing can be contaminated; also guards

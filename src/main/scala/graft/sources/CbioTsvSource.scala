@@ -479,10 +479,18 @@ private[sources] class CbioBatchWrite(path: String, schema: StructType, queryId:
       if (!hfs.rename(new Path(staged), target))
         throw new java.io.IOException(s"cbio commit: rename $staged -> $target failed")
     }
-    if (truncateFirst)
+    if (truncateFirst) {
+      // delete only files NOT named by this commit's exact part pattern
+      // (substring matching could both spare and destroy the wrong files
+      // if one queryId were a prefix of another). Concurrent overwrites
+      // of one dataset path remain unsupported: two committers would
+      // each delete the other's freshly renamed parts — use the
+      // SynapseStore claim-file path for contended writes.
+      val ownPart = raw"part-\d{5}-${java.util.regex.Pattern.quote(queryId)}\.cbio\.txt".r
       CbioTsvSource.listDataFiles(hfs, dir)
-        .filterNot(_.getName.contains(queryId))
+        .filterNot(f => ownPart.matches(f.getName))
         .foreach(hfs.delete(_, false))
+    }
     dropStaging(hfs, dir) // failed/speculative attempts' leftovers
     val files = CbioTsvSource.listDataFiles(hfs, dir).map(_.getName)
     val json =

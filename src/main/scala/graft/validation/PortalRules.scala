@@ -91,8 +91,10 @@ object PortalRules {
         violation(col("Tumor_Sample_Barcode").isNull ||
           col("Tumor_Sample_Barcode") === ""))
     if (cols("NCBI_Build"))
+      // clamped at 0: an empty MAF (or one whose builds are all null —
+      // countDistinct ignores nulls) is vacuously consistent, not -1
       b += Rules.Rule("maf_ncbi_build_consistent",
-        countDistinct(col("NCBI_Build")) - lit(1L))
+        greatest(countDistinct(col("NCBI_Build")) - lit(1L), lit(0L)))
     b.result()
   }
 
@@ -342,6 +344,6 @@ object PortalRules {
       |  UNION ALL SELECT 'maf_barcode_present',
       |    (SELECT sum(CASE WHEN barcode IS NULL OR barcode = '' THEN 1 ELSE 0 END) FROM maf)
       |  UNION ALL SELECT 'maf_ncbi_build_consistent',
-      |    (SELECT count(DISTINCT build) - 1 FROM maf))
+      |    (SELECT greatest(count(DISTINCT build) - 1, 0) FROM maf))
       |SELECT rule, CAST(value AS BIGINT) AS value, value = 0 AS passed FROM r""".stripMargin
 }

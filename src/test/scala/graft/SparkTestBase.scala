@@ -17,6 +17,11 @@ object SparkTestBase {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    // Test-run teardown: drop FrameCache's persisted frames with the
+    // session (suites share one session, so per-suite clears would
+    // defeat the cache; end-of-JVM is the right boundary).
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      graft.queries.FrameCache.clear()))
     s
   }
 

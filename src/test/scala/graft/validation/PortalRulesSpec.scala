@@ -144,6 +144,20 @@ class PortalRulesSpec extends AnyFunSuite {
     assert(rep("maf_ncbi_build_consistent") == ((1L, false)))
   }
 
+  test("all-null NCBI_Build is vacuously consistent (clamped at 0, not -1)") {
+    // countDistinct ignores nulls: without the greatest(...,0) clamp the
+    // rule reports -1 and Rules.evaluate marks the package failed.
+    val dir = healthyPackage()
+    val maf = Seq(("s1", "7", 100L, 101L, "A", "T", "Somatic"),
+      ("s2", "8", 5L, 6L, "AT", "-", "LOH"))
+      .toDF("Tumor_Sample_Barcode", "Chromosome", "Start_Position",
+        "End_Position", "Reference_Allele", "Tumor_Seq_Allele2",
+        "Mutation_Status")
+      .withColumn("NCBI_Build", org.apache.spark.sql.functions.lit(null: String))
+    Tsv.writeTsvFile(maf, s"$dir/data_mutations.txt")
+    assert(reportMap(dir)("maf_ncbi_build_consistent") == ((0L, true)))
+  }
+
   test("empty directory: structural rules all pass vacuously, no data rules emitted") {
     val dir = Files.createTempDirectory("portal-empty").toString
     val rep = reportMap(dir)

@@ -18,6 +18,8 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
 def main():
     sf_dir, oracle_dir = sys.argv[1], sys.argv[2]
     reps = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+    if reps < 1:
+        sys.exit(f"reps must be >= 1, got {reps}")
     with open(f"{oracle_dir}/oracle_sql.json") as f:
         oracles = json.load(f)
     con = duckdb.connect()
@@ -33,11 +35,13 @@ def main():
                 con.sql(sql).fetchall()
             except Exception as e:
                 print(f"[duck_bench] {name} FAILED: {e}", file=sys.stderr)
-                best = -1.0
+                best = -1.0  # any failed rep marks the query failed
                 break
             dt = time.monotonic() - t0
             best = dt if best is None else min(best, dt)
         times[name] = round(best, 4)
+        if best < 0:
+            times[name] = -1.0
     ok = {k: v for k, v in times.items() if v >= 0}
     print(json.dumps({"total": round(sum(ok.values()), 2),
                       "n": len(ok), "queries": times}))
