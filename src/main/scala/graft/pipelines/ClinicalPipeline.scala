@@ -6,6 +6,7 @@ import org.apache.spark.sql.types.StringType
 
 import graft.functions.Fns
 import graft.sources.{Layout, Tsv}
+import graft.validation.Rules
 
 /** The reference's clinical export pipeline (`clinical.py main()`,
   * SURVEY §3.1) as a composable library: one lazy DataFrame chain for
@@ -55,6 +56,24 @@ object ClinicalPipeline {
     val neoOnly = neo.select("SAMPLE_ID")
       .join(clinical.select("SAMPLE_ID"), Seq("SAMPLE_ID"), "left_anti").count()
     (joined, neoOnly)
+  }
+
+  /** [[mergeNeoantigen]], observed form: the V16 neo-only count rides the
+    * joined frame's FIRST MATERIALIZATION as an `observe` metric — zero
+    * extra pass, same pattern as V2/V5/V6 in [[exportDataset]] — instead
+    * of the eager anti-join job. A clinical-side tag column marks which
+    * outer-join rows came from neo alone (its null count equals the
+    * anti-join's row count); the tag is projected away before return,
+    * the CollectMetrics node survives downstream projections.
+    */
+  def mergeNeoantigenObserved(clinical: DataFrame, neo: DataFrame)
+      : (DataFrame, org.apache.spark.sql.Observation, Seq[Rules.Rule]) = {
+    val joined = clinical.withColumn("__clin", lit(1L))
+      .join(neo, Seq("SAMPLE_ID"), "outer")
+    val rules = Seq(Rules.Rule("neo_only_samples",
+      sum(when(col("__clin").isNull, 1L).otherwise(0L))))
+    val (obsDf, obs) = Rules.observed(joined, "graft_v16_neo_merge", rules)
+    (obsDf.drop("__clin"), obs, rules)
   }
 
   /** P7 — bulk rename driven by the attribute mapping control table
@@ -125,6 +144,25 @@ object ClinicalPipeline {
     (out, neoOnly)
   }
 
+  /** [[preprocess]] with V16 deferred: the neo-only count is an observe
+    * metric collected by whatever action first materializes the chain
+    * (in [[graft.pipelines.StudyRunner]], the export write itself) — no
+    * eager anti-join job on the driver's critical path.
+    */
+  def preprocessObserved(clinical: DataFrame, oncotree: DataFrame, neo: DataFrame,
+                         attrMapping: DataFrame)
+      : (DataFrame, org.apache.spark.sql.Observation, Seq[Rules.Rule]) = {
+    val (merged, obs, rules) =
+      mergeNeoantigenObserved(remapToPaperIds(joinOncotree(clinical, oncotree)), neo)
+    val out = normalizeCase(
+      Fns.stripSuffixesFromStringColumns(
+        transformSurvival(
+          filterNonAnalysisSamples(
+            renameToNormalizedHeaders(merged, attrMapping)))),
+      attrMapping)
+    (out, obs, rules)
+  }
+
   /** J2 + V14/V15 — optional lens join: mapping key cast-normalized to
     * string; returns frame + null-display-name count (0 = pass)
     * (reference `clinical.py:199-262`).
@@ -136,6 +174,23 @@ object ClinicalPipeline {
     val joined = df.join(mapping, Seq("SAMPLE_ID"), "left")
     val nulls = joined.filter(col("SAMPLE_DISPLAY_NAME").isNull).count()
     (joined, nulls)
+  }
+
+  /** [[addLensDisplayName]], observed form: the V15 null-display-name
+    * count rides the joined frame's first materialization instead of a
+    * separate `count()` job — the zero-extra-pass pattern of
+    * [[exportDataset]]'s V2/V5/V6.
+    */
+  def addLensDisplayNameObserved(df: DataFrame, lens: DataFrame)
+      : (DataFrame, org.apache.spark.sql.Observation, Seq[Rules.Rule]) = {
+    val mapping = broadcast(lens
+      .select(col("study_sample_name").cast(StringType).as("SAMPLE_ID"),
+        col("lens_id").as("SAMPLE_DISPLAY_NAME")))
+    val joined = df.join(mapping, Seq("SAMPLE_ID"), "left")
+    val rules = Seq(Rules.Rule("lens_display_name_nulls",
+      sum(when(col("SAMPLE_DISPLAY_NAME").isNull, 1L).otherwise(0L))))
+    val (obsDf, obs) = Rules.observed(joined, "graft_v15_lens_join", rules)
+    (obsDf, obs, rules)
   }
 
   /** P6 + A6 — attribute-type-driven split into patient/sample frames

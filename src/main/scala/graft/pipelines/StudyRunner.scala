@@ -53,16 +53,22 @@ object StudyRunner {
 
     // --- §3.1 clinical main: preprocess -> enrich -> split -> export
     val attrMapping = fetch(in.attrMappingId)
-    val (pre, _) = ClinicalPipeline.preprocess(
+    // V16 rides the export write as an observe metric (zero extra pass);
+    // read back below once the clinical export has materialized the plan
+    val (pre, neoObs, neoRules) = ClinicalPipeline.preprocessObserved(
       fetch(in.clinicalId), fetch(in.oncotreeId), fetch(in.neoId), attrMapping)
     // J4: oncotree code -> cancer-type names via broadcast lookup (the
     // reference shells out to a converter tool here, clinical.py:477-496)
     val enriched = pre.join(
       broadcast(fetch(in.oncotreeNamesId)), Seq("ONCOTREE_CODE"), "left")
     val (patient, sample) = ClinicalPipeline.splitPatientSample(enriched, attrMapping)
-    val clinicalChecks = ClinicalPipeline.exportDataset(
+    val exportChecks = ClinicalPipeline.exportDataset(
       patient, sample, dataset, fetch(in.attrMetaId), studyId, outDir,
       partedSink = partedSink)
+    // the export writes above materialized the observed chain — the V16
+    // metric is ready without any extra job
+    val clinicalChecks =
+      exportChecks ++ graft.validation.Rules.observedRows(neoObs, neoRules)
     Tsv.writeMetaFile(s"$outDir/meta_clinical_patient.txt", Seq(
       "cancer_study_identifier" -> studyId,
       "genetic_alteration_type" -> "CLINICAL",

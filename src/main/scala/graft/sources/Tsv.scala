@@ -48,6 +48,26 @@ object Tsv {
     }
   }
 
+  /** [[read]] over many files in ONE distributed scan. Only safe when
+    * every file carries the SAME header (multi-file CSV binds each file
+    * to the first file's header positionally) — callers group by header
+    * first (see MafPipeline.mergeByHeader).
+    */
+  def readMany(spark: SparkSession, paths: Seq[String],
+               comment: Option[Char] = None,
+               inferSchema: Boolean = true,
+               multiLine: Boolean = false): DataFrame = {
+    var r = spark.read
+      .option("sep", "\t")
+      .option("header", "true")
+      .option("nullValue", "")
+      .option("multiLine", multiLine.toString)
+      .option("escape", "\"")
+      .option("inferSchema", inferSchema.toString)
+    comment.foreach(c => r = r.option("comment", c.toString))
+    r.csv(paths: _*)
+  }
+
   /** Format one column to its TSV string per the reference's serialization:
     * doubles/floats via `%.12g`, everything else via cast-to-string; null →
     * empty string (pandas `to_csv` NaN rendering). Values containing the
@@ -98,7 +118,11 @@ object Tsv {
     headerBlock.foreach { h => sb.append(h).append('\n') }
     sb.append(headerLine(df)).append('\n')
     Files.write(target, sb.toString.getBytes(StandardCharsets.UTF_8))
-    Files.write(target, Files.readAllBytes(part), StandardOpenOption.APPEND)
+    // stream the part file into place — never the whole file through a
+    // driver-side byte array (use partedSink/writeTsvDir for outputs too
+    // big for a single coalesced file at all)
+    val out = Files.newOutputStream(target, StandardOpenOption.APPEND)
+    try Files.copy(part, out) finally out.close()
     deleteRecursively(tmp)
   }
 

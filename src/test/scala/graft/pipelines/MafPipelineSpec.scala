@@ -102,8 +102,16 @@ class MafPipelineSpec extends AnyFunSuite {
     Files.writeString(Paths.get(s"$tmp/b.maf"),
       "#version 1\nChromosome\tHugo_Symbol\tExtra_Col\nchr12\tKRAS\tx\n")
     Files.writeString(Paths.get(s"$tmp/ignore.txt"), "not\ta\tmaf\n")
+    // same header as a.maf → one census group, one distributed scan for both
+    Files.writeString(Paths.get(s"$tmp/c.maf"),
+      "#version 1\nHugo_Symbol\tChromosome\tt_ref_count\nBRAF\tchr7\t4\n")
+    // header-less files (empty / all-comment) contribute nothing, like
+    // pandas' EmptyDataError path
+    Files.writeString(Paths.get(s"$tmp/empty.maf"), "")
+    Files.writeString(Paths.get(s"$tmp/comments.maf"), "#only\n#comments\n")
     val merged = MafPipeline.readAndMergeMafs(spark, tmp).get
-    assert(merged.count() == 2)
+    assert(merged.count() == 3)
+    assert(merged.filter(col("Hugo_Symbol") === "BRAF").count() == 1)
     val byGene = merged.collect().map(r =>
       r.getAs[String]("Hugo_Symbol") ->
         (r.getAs[String]("Chromosome"), Option(r.getAs[Any]("t_ref_count")),

@@ -52,6 +52,34 @@ class RulesSpec extends AnyFunSuite {
     assert(ok.getBoolean(2))
   }
 
+  test("V15/V16 observed forms: same values as the eager forms, zero extra job") {
+    import graft.pipelines.ClinicalPipeline
+    val clinical = Seq(("s1", "p1"), ("s2", "p2")).toDF("SAMPLE_ID", "PATIENT_ID")
+    val neo = Seq(("s2", 7L), ("s9", 3L), ("s10", 1L)).toDF("SAMPLE_ID", "NEO_COUNT")
+    val lens = Seq(("s1", "lens-1")).toDF("study_sample_name", "lens_id")
+
+    // eager baselines
+    val (_, neoOnlyEager) = ClinicalPipeline.mergeNeoantigen(clinical, neo)
+    val (_, lensNullsEager) = ClinicalPipeline.addLensDisplayName(clinical, lens)
+    assert(neoOnlyEager == 2L && lensNullsEager == 1L)
+
+    val tracker = spark.sparkContext.statusTracker
+    def jobs = tracker.getJobIdsForGroup(null).length
+
+    val (merged, nObs, nRules) = ClinicalPipeline.mergeNeoantigenObserved(clinical, neo)
+    merged.count() // plain action; V16 metric rides it
+    val afterNeoAction = jobs
+    assert(Rules.observedRows(nObs, nRules).head._2 == neoOnlyEager)
+    assert(jobs == afterNeoAction, "reading the metric must not launch a job")
+    assert(!merged.columns.contains("__clin"), "tag column must not leak")
+
+    val (lensed, lObs, lRules) = ClinicalPipeline.addLensDisplayNameObserved(clinical, lens)
+    lensed.count()
+    val afterLensAction = jobs
+    assert(Rules.observedRows(lObs, lRules).head._2 == lensNullsEager)
+    assert(jobs == afterLensAction, "reading the metric must not launch a job")
+  }
+
   test("observed rules ride the materializing action — no extra scan, same values") {
     val orders = graft.Tables.orders(spark, graft.SparkTestBase.sf001)
     val rules = Seq(Rules.rowCount("orders"), Rules.noNulls("o_orderkey"),
