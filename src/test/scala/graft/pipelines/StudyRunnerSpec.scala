@@ -74,6 +74,58 @@ class StudyRunnerSpec extends AnyFunSuite {
       annotationsId = put(annotations, "annotations.txt", "synInputs"))
   }
 
+  test("CLI mains mirror the reference's four argparse surfaces end-to-end") {
+    val root = Files.createTempDirectory("cli-store").toString
+    val outDir = Files.createTempDirectory("cli-out").toString
+    val in = seedInputs(root)
+
+    graft.cli.ClinicalCli.main(Array(
+      "--dataset", "DsA",
+      "--input_df_synid", in.clinicalId,
+      "--cli_to_cbio_mapping_synid", in.attrMappingId,
+      "--cli_to_oncotree_mapping_synid", in.oncotreeId,
+      "--neoantigen_data_synid", in.neoId,
+      "--oncotree_names_synid", in.oncotreeNamesId,
+      "--attr_meta_synid", in.attrMetaId,
+      "--store_root", root, "--out_dir", outDir, "--study_id", "iatlas",
+      "--clear_workspace"))
+    val dsDir = s"$outDir/DsA"
+    assert(Files.exists(Paths.get(dsDir, "data_clinical_sample.txt")))
+    assert(Files.exists(Paths.get(dsDir, "data_clinical_patient.txt")))
+
+    graft.cli.MafCli.main(Array(
+      "--dataset", "DsA",
+      "--input_folder_synid", in.mafFolderId,
+      "--annotations_synid", in.annotationsId,
+      "--max_rows", "40000", "--study_id", "iatlas_dsa",
+      "--store_root", root, "--out_dir", dsDir))
+    assert(Files.exists(Paths.get(dsDir, "data_mutations.txt")))
+
+    graft.cli.LoadCli.main(Array(
+      "--dataset", "DsA", "--create_case_lists",
+      "--study_dir", dsDir, "--study_id", "iatlas_dsa"))
+    assert(Files.exists(Paths.get(dsDir, "case_lists/cases_all.txt")))
+    assert(Files.exists(Paths.get(dsDir, "case_lists/cases_sequenced.txt")))
+
+    // validate: non-strict prints; strict throws only when rules fail —
+    // this freshly exported package must NOT trip the portal rules
+    graft.cli.ValidateCli.main(Array(
+      "--dataset", "DsA", "--study_dir", dsDir,
+      "--neoantigen_data_synid", in.neoId, "--store_root", root))
+
+    graft.cli.LoadCli.main(Array(
+      "--dataset", "DsA", "--upload",
+      "--output_folder_synid", "synCliOut",
+      "--version_comment", "cli upload",
+      "--study_dir", dsDir, "--study_id", "iatlas_dsa", "--store_root", root))
+    val stored = SynapseStore.getChildren(root, "synCliOut").map(_._2)
+    assert(stored.contains("data_clinical_sample.txt"), stored.toString)
+    assert(stored.contains("data_mutations.txt"))
+
+    // the shared test session must survive all four mains
+    assert(!spark.sparkContext.isStopped)
+  }
+
   test("full lifecycle: fetch -> pipelines -> validate -> versioned upload") {
     val root = Files.createTempDirectory("study-run").toString
     val outDir = Files.createTempDirectory("study-out").toString
