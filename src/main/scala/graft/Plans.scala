@@ -82,6 +82,8 @@ object Plans {
       "both nation dims + supplier + customer broadcast; the only real shuffle is orders⋈lineitem on orderkey; the disjunctive nation-pair predicate stays a residual, money sums accumulate in exact DECIMAL",
     "sql_tpch_q16" ->
       "NOT IN planned as an anti join against the excluded-supplier list (no nested loop); count(DISTINCT) re-shuffles once on the full group key",
+    "sql_tpch_q12" ->
+      "returnflag IN-list + ship-date window pushed into the lineitem scan (PushedFilters); one orderkey shuffle join, the priority split is a single conditional aggregate — no second pass",
     "dd_embed_neardup_lsh" ->
       "banded LSH: explode to (label, band, bandValue) buckets, equi-join on the bucket key — candidate dot products ≈ bands·N²/(2·buckets) vs the label-blocked N²/2; exact cosine verify above, distinct after the cheap filter",
     "ev_left_interval" ->

@@ -426,6 +426,31 @@ object OlapQueries {
     registerSqlViews(s, dir); s.sql(fillNames(tpchQ7Sql, sparkViews))
   }
 
+  /** Q12 shipmode priority split, the last of the 22 TPC-H shapes
+    * (adapted: no l_shipmode/l_commitdate in this schema, so the mode
+    * stand-in is l_returnflag and "late" is shipped >30 days after the
+    * order date). One orderkey shuffle join, conditional two-way counts
+    * in a single aggregate — the filter on the fact side reaches the
+    * scan before the join.
+    */
+  private[queries] val tpchQ12Sql: String =
+    """SELECT l_returnflag,
+      |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |               THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+      |               THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+      |FROM {orders}, {lineitem}
+      |WHERE o_orderkey = l_orderkey
+      |  AND l_returnflag IN ('A', 'R')
+      |  AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+      |  AND l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate <  TIMESTAMP '1997-01-01'
+      |GROUP BY l_returnflag""".stripMargin
+
+  def sqlTpchQ12: Q = (s, dir) => {
+    registerSqlViews(s, dir); s.sql(fillNames(tpchQ12Sql, sparkViews))
+  }
+
   /** Q8 national market share: conditional-sum ratio over a two-level
     * aggregate; the region→nation chain prunes the customer side before
     * the fact join. */
@@ -891,6 +916,7 @@ object OlapQueries {
     "sql_tpch_q7" -> sqlTpchQ7,
     "sql_tpch_q8" -> sqlTpchQ8,
     "sql_tpch_q9" -> sqlTpchQ9,
+    "sql_tpch_q12" -> sqlTpchQ12,
     "sql_tpch_q14" -> sqlTpchQ14,
     "sql_tpch_q16" -> sqlTpchQ16,
     "j11_skew_salted" -> j11SkewSalted,
@@ -933,6 +959,7 @@ object OlapQueries {
     "sql_tpch_q7" -> fillNames(tpchQ7Sql, duckNames),
     "sql_tpch_q8" -> fillNames(tpchQ8Sql, duckNames),
     "sql_tpch_q9" -> fillNames(tpchQ9Sql, duckNames),
+    "sql_tpch_q12" -> fillNames(tpchQ12Sql, duckNames),
     "sql_tpch_q14" -> fillNames(tpchQ14Sql, duckNames),
     "sql_tpch_q16" -> fillNames(tpchQ16Sql, duckNames),
     "sql_tpch_q2" ->

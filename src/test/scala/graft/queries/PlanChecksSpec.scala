@@ -125,6 +125,14 @@ class PlanChecksSpec extends AnyFunSuite {
       s"no nested-loop join may remain:\n$plan")
   }
 
+  ptest("Q12's returnflag + ship-window filters reach the lineitem scan") { sfDir =>
+    val plan = planString(OlapQueries.sqlTpchQ12(spark, sfDir))
+    // the In/range predicates must be pushed, not evaluated post-join
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("In(l_returnflag") && plan.contains("GreaterThanOrEqual(l_shipdate"),
+      s"expected pushed lineitem filters, got:\n$plan")
+  }
+
   ptest("Q7 broadcasts every dimension; no dim side shuffles") { sfDir =>
     val plan = planString(OlapQueries.sqlTpchQ7(spark, sfDir))
     // supplier, customer, and both nation aliases broadcast; the single
