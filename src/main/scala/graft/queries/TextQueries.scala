@@ -237,6 +237,53 @@ object TextQueries {
         min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
   }
 
+  /** ta_quality_model — model-based quality filtering (the fastText /
+    * DCLM-classifier stage of a training pipeline, reduced to a linear
+    * model whose weights are literals): logit = w·features over the
+    * stopword/punctuation/alpha ratios. Map-only, codegen'd, zero
+    * shuffles — the score is one projection over the scan, which is
+    * exactly the shape a learned-classifier filter has at 100 TB (the
+    * model is broadcast weights, never a join). All feature arithmetic
+    * is per-row IEEE double with a pinned evaluation order, so the two
+    * engines agree bit-for-bit and the keep threshold cannot flip.
+    */
+  def taQualityModel: Q = (s, dir) => {
+    val nTok = wsTokens(col("text")).cast("double")
+    val nStop = TextExprs.wordSetCount(col("text"),
+      Seq("the", "and", "of", "to", "in", "a", "is")).cast("double")
+    val nPunct = TextExprs.punctCount(col("text")).cast("double")
+    val nAlpha = TextExprs.alphaCount(col("text")).cast("double")
+    val nChars = length(col("text")).cast("double")
+    val logit = lit(-1.5) +
+      lit(4.0) * (nStop / greatest(nTok, lit(1.0))) -
+      lit(6.0) * (nPunct / greatest(nChars, lit(1.0))) +
+      lit(2.5) * (nAlpha / greatest(nChars, lit(1.0)))
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      bround(logit, 6).as("quality_logit"),
+      (logit > 0d).as("keep"))
+  }
+
+  /** td_shuffle — deterministic epoch shuffle: every document's global
+    * training-order position for a seed, as rank over md5(seed:doc_id).
+    * The rank comes from [[graft.operators.PrefixSum]] (range exchange +
+    * per-partition windows + broadcast offsets), NOT a partitionless
+    * `row_number() OVER (ORDER BY ...)` — the single-task global sort
+    * that dies at 100 TB. Re-keying with a different seed reshuffles
+    * every epoch with no state; md5 keys are collision-free per doc so
+    * the order is total without a tie-break.
+    */
+  def tdShuffle: Q = (s, dir) => {
+    val seed = 7
+    val keyed = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        md5(concat_ws(":", lit(seed), col("doc_id"))).as("sk"),
+        lit(1L).as("__one"))
+    graft.operators.PrefixSum
+      .withRunningSum(keyed, "sk", "__one", "pos")
+      .select(col("doc_id"), col("pos"))
+  }
+
   /** ta_unigram_lp — unigram language-model scoring (the CCNet-style
     * quality filter proxy: docs whose tokens are improbable under the
     * corpus unigram distribution are gibberish/noise candidates). Corpus
@@ -476,6 +523,8 @@ object TextQueries {
     "td_stratified_sample" -> tdStratifiedSample,
     "td_pack" -> tdPack,
     "ta_unigram_lp" -> taUnigramLp,
+    "ta_quality_model" -> taQualityModel,
+    "td_shuffle" -> tdShuffle,
     "td_clean_corpus" -> tdCleanCorpus,
     "td_pipeline" -> tdPipeline)
 
@@ -546,6 +595,27 @@ object TextQueries {
         |  AND len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) * 5 < length(text)
         |  AND len(regexp_extract_all(text, '[a-zA-Z]')) * 2 > length(text)) AS is_quality
         | FROM documents""".stripMargin,
+    "ta_quality_model" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    len(regexp_extract_all(text, '\S+'))::DOUBLE AS n_tok,
+        |    len(regexp_extract_all(lower(text), '\b(?:the|and|of|to|in|a|is)\b'))::DOUBLE AS n_stop,
+        |    len(regexp_extract_all(text, '[^a-zA-Z0-9\s]'))::DOUBLE AS n_punct,
+        |    len(regexp_extract_all(text, '[a-zA-Z]'))::DOUBLE AS n_alpha,
+        |    length(text)::DOUBLE AS n_chars
+        |  FROM documents)
+        |SELECT doc_id,
+        |  round(-1.5 + 4.0 * (n_stop / greatest(n_tok, 1.0))
+        |      - 6.0 * (n_punct / greatest(n_chars, 1.0))
+        |      + 2.5 * (n_alpha / greatest(n_chars, 1.0)), 6) AS quality_logit,
+        |  (-1.5 + 4.0 * (n_stop / greatest(n_tok, 1.0))
+        |      - 6.0 * (n_punct / greatest(n_chars, 1.0))
+        |      + 2.5 * (n_alpha / greatest(n_chars, 1.0))) > 0 AS keep
+        |FROM f""".stripMargin,
+    "td_shuffle" ->
+      """SELECT doc_id,
+        |  row_number() OVER (ORDER BY md5(concat(7, ':', doc_id))) AS pos
+        |FROM documents""".stripMargin,
     "ta_fingerprint" ->
       """SELECT doc_id,
         | md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
