@@ -33,7 +33,14 @@ object DedupQueries {
 
   /** documents + `toks` (normalized tokens) + `shingles` (3-token). */
   private[queries] def shingled(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+    shingledFrame(Tables.documents(s, dir))
+
+  /** Shingling over any (doc_id, text) frame — streaming-safe (pure
+    * per-row projection), shared by the batch queries and the
+    * incremental-ingest stream face.
+    */
+  private[graft] def shingledFrame(docs: DataFrame): DataFrame =
+    docs
       .withColumn("toks", split(lower(trim(col("text"))), "\\s+"))
       .withColumn("shingles",
         when(size(col("toks")) >= 3,
@@ -45,11 +52,28 @@ object DedupQueries {
     * values to `array_min(transform(shingles, md5...))` per seed, K× fewer
     * array walks and no interpreted lambdas).
     */
-  private[queries] def minhashSigs(s: SparkSession, dir: String): DataFrame = {
-    val withSig = shingled(s, dir)
+  private[queries] def minhashSigs(s: SparkSession, dir: String): DataFrame =
+    minhashSigsFrame(Tables.documents(s, dir))
+
+  private[graft] def minhashSigsFrame(docs: DataFrame): DataFrame = {
+    val withSig = shingledFrame(docs)
       .withColumn("sigs", SketchExprs.minhashSigs(col("shingles"), K))
     val sigCols = (0 until K).map(k => col("sigs").getItem(k).as(s"sig_$k"))
     withSig.select(col("doc_id") +: col("shingles") +: sigCols: _*)
+  }
+
+  /** (doc_id, shd, band, bh) band-bucket rows from a signature frame —
+    * the LSH index's posting key. Streaming-safe (explode projection).
+    */
+  private[graft] def bandedFrame(sig: DataFrame): DataFrame = {
+    val bandStructs = (0 until B).map { b =>
+      val rows = (0 until R).map(r => col(s"sig_${b * R + r}"))
+      struct(lit(b).as("band"), md5(concat_ws(",", rows: _*)).as("bh"))
+    }
+    sig.select(col("doc_id"), col("shd"),
+        explode(array(bandStructs: _*)).as("bd"))
+      .select(col("doc_id"), col("shd"),
+        col("bd.band").as("band"), col("bd.bh").as("bh"))
   }
 
   /** dd_exact — exact dedup by content hash: one row per distinct
@@ -116,6 +140,50 @@ object DedupQueries {
     pairs
       .join(sh.withColumnsRenamed(Map("doc_id" -> "doc_a", "sh" -> "sh_a")), Seq("doc_a"))
       .join(sh.withColumnsRenamed(Map("doc_id" -> "doc_b", "sh" -> "sh_b")), Seq("doc_b"))
+  }
+
+  /** dd_incremental — continuous-ingest dedup, the shape a corpus
+    * pipeline runs every batch: ARRIVING documents (odd ids here) are
+    * checked against the INDEXED corpus (even ids) through the MinHash
+    * band table — arrivals never join each other, and the index is the
+    * persisted signature/band table an LSH index maintains, so per-batch
+    * cost is |batch| × bucket-hit-rate, independent of corpus size.
+    * Verification is exact Jaccard ≥ 1/2 on the distinct candidate
+    * pairs; every arrival reports its dup count, first duplicate match,
+    * and a novelty flag (left join — silence is "novel", not absence).
+    * The streaming face runs this same function per micro-batch via
+    * foreachBatch against the static index (StreamingDedupSpec).
+    */
+  def ddIncremental: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    incrementalDedup(docs.filter(col("doc_id") % 2 === 0),
+      docs.filter(col("doc_id") % 2 === 1))
+  }
+
+  private[graft] def incrementalDedup(indexDocs: DataFrame,
+                                      arrivals: DataFrame): DataFrame = {
+    def sigs(d: DataFrame) = minhashSigsFrame(d)
+      .withColumn("shd", array_distinct(col("shingles"))).drop("shingles")
+    val idxSig = sigs(indexDocs)
+    val arrSig = sigs(arrivals)
+    val idxBands = bandedFrame(idxSig)
+      .select(col("doc_id").as("match_id"), col("band"), col("bh"))
+    val arrBands = bandedFrame(arrSig)
+      .select(col("doc_id"), col("band"), col("bh"))
+    val cand = arrBands.join(idxBands, Seq("band", "bh"))
+      .select(col("doc_id"), col("match_id")).distinct()
+    val ver = cand
+      .join(arrSig.select(col("doc_id"), col("shd").as("sa")), Seq("doc_id"))
+      .join(idxSig.select(col("doc_id").as("match_id"), col("shd").as("sb")), Seq("match_id"))
+      .withColumn("n_inter", size(array_intersect(col("sa"), col("sb"))))
+      .filter(col("n_inter") * 2 >= size(col("sa")) + size(col("sb")) - col("n_inter"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_dups"), min(col("match_id")).as("first_match"))
+    arrivals.select(col("doc_id")).join(ver, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+        col("first_match"),
+        col("n_dups").isNull.as("is_novel"))
   }
 
   /** dd_containment — ASYMMETRIC overlap on the LSH candidates: containment
@@ -475,6 +543,7 @@ object DedupQueries {
     "dd_jaccard_ngram" -> ddJaccardNgram,
     "dd_lev_pairs" -> ddLevPairs,
     "dd_containment" -> ddContainment,
+    "dd_incremental" -> ddIncremental,
     "dd_embed_neardup_lsh" -> ddEmbedNeardupLsh)
 
   // ---- DuckDB oracles ------------------------------------------------
@@ -667,6 +736,32 @@ object DedupQueries {
         |FROM g a JOIN g b ON a.doc_id < b.doc_id
         |WHERE 10 * len(list_intersect(a.grams, b.grams)) >=
         |  7 * (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))""".stripMargin,
+    "dd_incremental" ->
+      s"""$duckShingles,
+        |sig AS (
+        |  SELECT doc_id, shingles, $duckSigSelect
+        |  FROM sh),
+        |bands AS (
+        |  SELECT doc_id, list_distinct(shingles) AS shd, $duckBandSelect
+        |  FROM sig),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS match_id
+        |  FROM bands a JOIN bands b
+        |    ON a.doc_id % 2 = 1 AND b.doc_id % 2 = 0 AND ($duckBandOr)),
+        |ver AS (
+        |  SELECT c.doc_id, count(*) AS n_dups, min(c.match_id) AS first_match
+        |  FROM cand c
+        |  JOIN bands x ON x.doc_id = c.doc_id
+        |  JOIN bands y ON y.doc_id = c.match_id
+        |  WHERE 2 * len(list_intersect(x.shd, y.shd)) >=
+        |    len(x.shd) + len(y.shd) - len(list_intersect(x.shd, y.shd))
+        |  GROUP BY c.doc_id)
+        |SELECT s.doc_id,
+        |  CAST(coalesce(v.n_dups, 0) AS BIGINT) AS n_dups,
+        |  v.first_match,
+        |  v.n_dups IS NULL AS is_novel
+        |FROM sig s LEFT JOIN ver v ON s.doc_id = v.doc_id
+        |WHERE s.doc_id % 2 = 1""".stripMargin,
     "dd_embed_neardup_lsh" ->
       s"""WITH n AS (
         |  SELECT vec_id, label, embedding,
