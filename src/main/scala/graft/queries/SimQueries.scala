@@ -246,8 +246,97 @@ object SimQueries {
         array_max(col("q")).as("q_max"))
   }
 
+  // ---- Product quantization -----------------------------------------
+
+  /** PQ geometry: 64 dims = 8 subspaces × 8 dims, 16 codewords per
+    * subspace → an 8-byte code per vector (16× smaller than float32,
+    * the memory-bound ANN scale path: the ADC scan touches codes, never
+    * the original embeddings).
+    */
+  val PqSubspaces = 8
+  val PqSubDim = 8
+  val PqCodewords = 16
+
+  /** The PQ codebook, collected driver-side: codeword j of subspace s is
+    * the s-th 8-dim slice of vector j (j < 16) — deterministic init, the
+    * same "offline training stands in for k-means" convention as the IVF
+    * centroid table. Returned as subspace → codeword → dims doubles.
+    */
+  private def collectCodebook(s: SparkSession, dir: String): Seq[Seq[Seq[Double]]] = {
+    val rows = graft.Tables.embeddings(s, dir)
+      .filter(col("vec_id") < PqCodewords)
+      .select(col("vec_id"), col("embedding"))
+      .collect().sortBy(_.getLong(0))
+      .map(_.getSeq[Float](1).map(_.toDouble))
+    (0 until PqSubspaces).map(sp =>
+      rows.toSeq.map(v => v.slice(sp * PqSubDim, (sp + 1) * PqSubDim).toSeq))
+  }
+
+  /** Squared L2 between a vector slice and a literal codeword, as the
+    * same left-associated 8-term sum the oracle's `list_sum` computes —
+    * bit-identical doubles, so encode/ADC ties can't flip between
+    * engines.
+    */
+  private def subDist(vec: Column, sp: Int, cw: Seq[Double]): Column =
+    (0 until PqSubDim).map { i =>
+      val d = vec.getItem(sp * PqSubDim + i).cast("double") - lit(cw(i))
+      d * d
+    }.reduce(_ + _)
+
+  /** Per-subspace code: argmin over the 16 codeword distances via
+    * array_min on (d, j) structs (lexicographic struct order = min
+    * distance, ties to the smallest code). Pure codegen, zero shuffle.
+    */
+  private def encodeCol(cb: Seq[Seq[Seq[Double]]], sp: Int): Column =
+    array_min(array(cb(sp).zipWithIndex.map { case (cw, j) =>
+      struct(subDist(col("embedding"), sp, cw).as("d"), lit(j).as("j"))
+    }: _*)).getField("j")
+
+  /** sim_pq_encode — the stored PQ code table (vec_id, code_0..7): one
+    * map-only pass, the artifact a production pipeline writes once and
+    * every ADC query scans instead of the raw vectors.
+    */
+  def simPqEncode: Q = (s, dir) => {
+    val cb = collectCodebook(s, dir)
+    graft.Tables.embeddings(s, dir).select(
+      col("vec_id") +:
+        (0 until PqSubspaces).map(sp => encodeCol(cb, sp).as(s"code_$sp")): _*)
+  }
+
+  /** sim_pq_topk — asymmetric-distance (ADC) top-k: the query keeps its
+    * exact subvectors, each candidate contributes only its 8 codes; the
+    * approximate distance is Σ_s ‖q_s − codebook[s][code_s]‖². The
+    * codebook rides the plan as a broadcast literal (element_at by the
+    * code column), queries broadcast against the code scan, and the only
+    * shuffle is the per-query top-k window — the classic PQ trade: 16×
+    * less candidate data at recall set by codebook quality.
+    */
+  def simPqTopk: Q = (s, dir) => {
+    val cb = collectCodebook(s, dir)
+    val codes = simPqEncode(s, dir).withColumnRenamed("vec_id", "neighbor_id")
+    val q = graft.Tables.embeddings(s, dir)
+      .filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("eq"))
+    val dist = (0 until PqSubspaces).map { sp =>
+      val cwArr = element_at(typedLit(cb(sp)), col(s"code_$sp") + 1)
+      (0 until PqSubDim).map { i =>
+        val d = col("eq").getItem(sp * PqSubDim + i).cast("double") - cwArr.getItem(i)
+        d * d
+      }.reduce(_ + _)
+    }.reduce(_ + _)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist").asc, col("neighbor_id").asc)
+    codes.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .withColumn("dist", dist)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+
   val queries: Map[String, Q] = Map(
     "sim_quantize" -> simQuantize,
+    "sim_pq_encode" -> simPqEncode,
+    "sim_pq_topk" -> simPqTopk,
     "sim_topk_brute" -> simTopkBrute,
     "sim_lsh_sig" -> simLshSig,
     "sim_lsh_topk" -> simLshTopk,
@@ -266,7 +355,54 @@ object SimQueries {
     s"(CASE WHEN list_sum(list_transform(generate_series(1, 64), i -> embedding[i]::DOUBLE * (${duckPlaneLit(j)})[i])) > 0 THEN ${1L << j} ELSE 0 END)"
   }.mkString(" + ")
 
+  /** Shared PQ CTEs: codebook from vec_id < 16, per-vector codes. */
+  private val duckPqCodes: String =
+    """WITH cb AS (
+      |  SELECT s.s AS s, c.vec_id::INT AS j,
+      |    list_transform(generate_series(1, 8), i -> c.embedding[s.s * 8 + i]::DOUBLE) AS cw
+      |  FROM (SELECT unnest(generate_series(0, 7)) AS s) s,
+      |       (SELECT * FROM embeddings WHERE vec_id < 16) c),
+      |cbl AS (
+      |  SELECT s, list(cw ORDER BY j) AS cws FROM cb GROUP BY s),
+      |sub AS (
+      |  SELECT e.vec_id, cbl.s,
+      |    list_transform(generate_series(1, 8), i -> e.embedding[cbl.s * 8 + i]::DOUBLE) AS sv,
+      |    cbl.cws
+      |  FROM embeddings e, cbl),
+      |enc AS (
+      |  SELECT vec_id, s,
+      |    list_min(list_transform(generate_series(1, 16), j ->
+      |      {'d': list_sum(list_transform(generate_series(1, 8),
+      |              i -> (sv[i] - cws[j][i]) * (sv[i] - cws[j][i]))),
+      |       'j': j - 1}))['j'] AS code
+      |  FROM sub),
+      |codes AS (
+      |  SELECT vec_id, list(code ORDER BY s) AS cs FROM enc GROUP BY vec_id)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "sim_pq_encode" ->
+      s"""$duckPqCodes
+        |SELECT vec_id,
+        |  ${(0 until PqSubspaces).map(sp => s"CAST(cs[${sp + 1}] AS INT) AS code_$sp").mkString(", ")}
+        |FROM codes""".stripMargin,
+    "sim_pq_topk" ->
+      s"""$duckPqCodes,
+        |adc AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_sum(list_transform(generate_series(0, 7), s ->
+        |      list_sum(list_transform(generate_series(1, 8), i ->
+        |        (qs.svs[s + 1][i] - cbx.cwss[s + 1][c.cs[s + 1] + 1][i]) *
+        |        (qs.svs[s + 1][i] - cbx.cwss[s + 1][c.cs[s + 1] + 1][i]))))) AS dist
+        |  FROM (SELECT vec_id FROM embeddings WHERE vec_id < 10) q
+        |  JOIN (SELECT vec_id, list_transform(generate_series(0, 7), s ->
+        |          list_transform(generate_series(1, 8), i -> embedding[s * 8 + i]::DOUBLE)) AS svs
+        |        FROM embeddings) qs ON qs.vec_id = q.vec_id
+        |  CROSS JOIN (SELECT list(cws ORDER BY s) AS cwss FROM cbl) cbx
+        |  JOIN codes c ON c.vec_id <> q.vec_id)
+        |SELECT query_id, neighbor_id, rank FROM (
+        |  SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rank
+        |  FROM adc) WHERE rank <= 5""".stripMargin,
     "sim_quantize" ->
       """WITH m AS (
         |  SELECT max(list_max(list_transform(embedding, x -> abs(x::DOUBLE)))) AS maxabs

@@ -125,6 +125,12 @@ class PlanChecksSpec extends AnyFunSuite {
       s"no nested-loop join may remain:\n$plan")
   }
 
+  ptest("sim_pq_encode is map-only: no exchange in the code-table plan") { sfDir =>
+    val plan = executedPlan(SimQueries.simPqEncode(spark, sfDir))
+    val shuffles = plan.collect { case e: ShuffleExchangeExec => e }
+    assert(shuffles.isEmpty, s"PQ encoding must not shuffle:\n$plan")
+  }
+
   ptest("Q12's returnflag + ship-window filters reach the lineitem scan") { sfDir =>
     val plan = planString(OlapQueries.sqlTpchQ12(spark, sfDir))
     // the In/range predicates must be pushed, not evaluated post-join
