@@ -237,6 +237,27 @@ object TextQueries {
         min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
   }
 
+  /** ta_heavy_hitters — per-source frequent tokens via the SpaceSaving
+    * sketch aggregate ([[graft.functions.SpaceSavingAgg]]): 16 bounded
+    * counters per group combined map-side, so the shuffle carries one
+    * small buffer per (partition, source) instead of the token stream —
+    * the sketch twin of the exact `ta_vocab` the way `a2_approx_distinct`
+    * twins `a2_count_distinct`. Approximate (merge-order dependent), so
+    * no oracle by declaration; TextExprsSpec asserts the SpaceSaving
+    * guarantees against exact counts instead.
+    */
+  def taHeavyHitters: Q = (s, dir) => {
+    val toks = Tables.documents(s, dir)
+      .select(col("source"),
+        explode(filter(split(lower(trim(col("text"))), "\\s+"),
+          t => length(t) > 0)).as("tok"))
+    toks.groupBy(col("source"))
+      .agg(graft.functions.SpaceSavingAgg.spaceSaving(col("tok"), 16).as("hh"))
+      .select(col("source"), posexplode(col("hh")))
+      .select(col("source"), (col("pos") + 1).as("pos"),
+        col("col.item").as("item"), col("col.est").as("est"), col("col.err").as("err"))
+  }
+
   /** ta_quality_model — model-based quality filtering (the fastText /
     * DCLM-classifier stage of a training pipeline, reduced to a linear
     * model whose weights are literals): logit = w·features over the
@@ -524,6 +545,7 @@ object TextQueries {
     "td_pack" -> tdPack,
     "ta_unigram_lp" -> taUnigramLp,
     "ta_quality_model" -> taQualityModel,
+    "ta_heavy_hitters" -> taHeavyHitters,
     "td_shuffle" -> tdShuffle,
     "td_clean_corpus" -> tdCleanCorpus,
     "td_pipeline" -> tdPipeline)
