@@ -272,35 +272,28 @@ object SimQueries {
       rows.toSeq.map(v => v.slice(sp * PqSubDim, (sp + 1) * PqSubDim).toSeq))
   }
 
-  /** Squared L2 between a vector slice and a literal codeword, as the
-    * same left-associated 8-term sum the oracle's `list_sum` computes —
-    * bit-identical doubles, so encode/ADC ties can't flip between
-    * engines.
+  /** Codebook flattened for the compiled kernels:
+    * row (sp * codewords + j) = codeword j of subspace sp.
     */
-  private def subDist(vec: Column, sp: Int, cw: Seq[Double]): Column =
-    (0 until PqSubDim).map { i =>
-      val d = vec.getItem(sp * PqSubDim + i).cast("double") - lit(cw(i))
-      d * d
-    }.reduce(_ + _)
-
-  /** Per-subspace code: argmin over the 16 codeword distances via
-    * array_min on (d, j) structs (lexicographic struct order = min
-    * distance, ties to the smallest code). Pure codegen, zero shuffle.
-    */
-  private def encodeCol(cb: Seq[Seq[Seq[Double]]], sp: Int): Column =
-    array_min(array(cb(sp).zipWithIndex.map { case (cw, j) =>
-      struct(subDist(col("embedding"), sp, cw).as("d"), lit(j).as("j"))
-    }: _*)).getField("j")
+  private def flatCodebook(cb: Seq[Seq[Seq[Double]]]): Array[Array[Double]] =
+    cb.flatten.map(_.toArray).toArray
 
   /** sim_pq_encode — the stored PQ code table (vec_id, code_0..7): one
     * map-only pass, the artifact a production pipeline writes once and
-    * every ADC query scans instead of the raw vectors.
+    * every ADC query scans instead of the raw vectors. Encoding runs in
+    * the compiled [[graft.functions.PqExprs.encode]] kernel (one loop,
+    * codebook as a reference object) — the Column-tree argmin form it
+    * replaced built ~1000 expression nodes per row; sums and the
+    * smallest-code tie break are bit-identical to the oracle.
     */
   def simPqEncode: Q = (s, dir) => {
-    val cb = collectCodebook(s, dir)
-    graft.Tables.embeddings(s, dir).select(
-      col("vec_id") +:
-        (0 until PqSubspaces).map(sp => encodeCol(cb, sp).as(s"code_$sp")): _*)
+    val cb = flatCodebook(collectCodebook(s, dir))
+    val codes = graft.functions.PqExprs.encode(
+      col("embedding"), cb, PqSubspaces, PqCodewords, PqSubDim)
+    graft.Tables.embeddings(s, dir)
+      .withColumn("codes", codes)
+      .select(col("vec_id") +:
+        (0 until PqSubspaces).map(sp => col("codes").getItem(sp).as(s"code_$sp")): _*)
   }
 
   /** sim_pq_topk — asymmetric-distance (ADC) top-k: the query keeps its
@@ -312,22 +305,19 @@ object SimQueries {
     * less candidate data at recall set by codebook quality.
     */
   def simPqTopk: Q = (s, dir) => {
-    val cb = collectCodebook(s, dir)
-    val codes = simPqEncode(s, dir).withColumnRenamed("vec_id", "neighbor_id")
+    val cb = flatCodebook(collectCodebook(s, dir))
+    val codes = graft.Tables.embeddings(s, dir)
+      .select(col("vec_id").as("neighbor_id"),
+        graft.functions.PqExprs.encode(
+          col("embedding"), cb, PqSubspaces, PqCodewords, PqSubDim).as("codes"))
     val q = graft.Tables.embeddings(s, dir)
       .filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("embedding").as("eq"))
-    val dist = (0 until PqSubspaces).map { sp =>
-      val cwArr = element_at(typedLit(cb(sp)), col(s"code_$sp") + 1)
-      (0 until PqSubDim).map { i =>
-        val d = col("eq").getItem(sp * PqSubDim + i).cast("double") - cwArr.getItem(i)
-        d * d
-      }.reduce(_ + _)
-    }.reduce(_ + _)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("dist").asc, col("neighbor_id").asc)
     codes.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
-      .withColumn("dist", dist)
+      .withColumn("dist", graft.functions.PqExprs.adc(
+        col("eq"), col("codes"), cb, PqSubspaces, PqCodewords, PqSubDim))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= TopK)
       .select(col("query_id"), col("neighbor_id"), col("rank"))
