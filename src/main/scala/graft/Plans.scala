@@ -85,7 +85,7 @@ object Plans {
     "sql_tpch_q12" ->
       "returnflag IN-list + ship-date window pushed into the lineitem scan (PushedFilters); one orderkey shuffle join, the priority split is a single conditional aggregate — no second pass",
     "dd_embed_neardup_lsh" ->
-      "banded LSH: explode to (label, band, bandValue) buckets, equi-join on the bucket key — candidate dot products ≈ bands·N²/(2·buckets) vs the label-blocked N²/2; exact cosine verify above, distinct after the cheap filter",
+      "banded LSH: explode to (label, band, bandValue) buckets, equi-join on the bucket key — buckets-per-band scales with corpus size (planes ladder), pinning bucket occupancy so verify work stays ≈ linear; exact cosine verify above, distinct after the cheap filter",
     "ev_left_interval" ->
       "left-outer range-bounded equi-join on user_id — one exchange per side; on the stream the same plan holds unmatched clicks in state until the watermark passes click_ts")
 

@@ -445,18 +445,31 @@ object DedupQueries {
 
   /** dd_embed_neardup_lsh — the SCALED-BLOCKING twin of
     * [[ddEmbedNeardup]]: same cos ≥ 0.35 predicate, but candidates are
-    * generated by banded-OR hyperplane LSH (2 bands × 3 planes from the
-    * [[SimQueries.lshSig]] signature) within each label, then verified
-    * exactly. A pair is a candidate if ANY band agrees. The honest
-    * asymptotics: banding divides the label-blocked quadratic by
-    * buckets-per-band (8 here → candidate dot products ≈ bands·N²/2·8 =
-    * N²/8 vs N²/2), and the PLANE COUNT is the scale knob — log₂(planes
-    * per band) must grow with log N to keep pairs-per-bucket constant.
+    * generated by banded-OR hyperplane LSH (2 bands × p planes from the
+    * [[SimQueries.lshSigBits]] plane pool) within each label, then
+    * verified exactly. A pair is a candidate if ANY band agrees.
+    *
+    * p is the scale knob the round-6 docstring named, now actually
+    * turned: log₂(planes per band) must grow with log N to keep
+    * pairs-per-bucket constant, so p climbs an integer threshold ladder
+    * on the corpus size — p = 3 + #{k ≤ 4 : N > 1000·2^k}, i.e. 3
+    * planes (8 buckets/band) through N = 1000, one more plane per
+    * doubling, capped at 8 (256 buckets/band) from N > 16000. Candidate
+    * dot products stay ≈ bands·N·occupancy/2 with occupancy pinned,
+    * instead of N²/16 with fixed buckets (which measured 34× wall at
+    * 10× rows before the ladder). The ladder is integer-only and
+    * mirrored verbatim in the DuckDB oracle, and the plane pool is
+    * prefix-stable, so at the sf0.01 correctness gate (N = 500 → p = 3)
+    * results are bit-identical to the fixed-3-plane form. At 100 TB the
+    * cap moves up with [[SimQueries.MaxPlanes]]; nothing else changes.
+    *
     * The recall trade is explicit: at this LOW threshold (cos 0.35,
     * planes agree with p≈0.61) two 3-plane bands recover ~40% of true
     * pairs (9 of 26 at sf0.01) — low-similarity LSH prunes OR recalls,
     * never both; production indexes run near-dup thresholds (cos ≥ 0.8,
-    * p≈0.8/plane) where the same banding holds ~75-95% recall.
+    * p≈0.8/plane) where the same banding holds ~75-95% recall, and
+    * each extra plane trades ~p_plane× recall per band for 2× fewer
+    * verifies — the standard LSH tuning dial, here tied to N.
     * Verification runs on the candidate multiset (a pair agreeing in
     * both bands is verified twice, bounded ≤ bands×) and the output is
     * de-duplicated after the cheap filter, so no embedding-array
@@ -464,6 +477,14 @@ object DedupQueries {
     */
   def ddEmbedNeardupLsh: Q = (s, dir) =>
     embedNeardupLshPairs(Tables.embeddings(s, dir), 0.35)
+
+  /** The planes-per-band ladder: one plane per corpus-size doubling
+    * past 1000 vectors, floor 3, cap 8 (2 bands × 8 = the
+    * [[SimQueries.MaxPlanes]] pool). Integer-only so the DuckDB oracle
+    * can mirror it without a float boundary.
+    */
+  private[queries] def lshPlanesPerBand(n: Long): Int =
+    3 + Seq(1000L, 2000L, 4000L, 8000L, 16000L).count(n > _)
 
   /** Banded-LSH candidate generation + exact cosine verify over any
     * frame with (vec_id, label, embedding) — the reusable core of
@@ -473,11 +494,14 @@ object DedupQueries {
     */
   private[queries] def embedNeardupLshPairs(emb: DataFrame, threshold: Double): DataFrame = {
     val t2 = threshold * threshold
+    // index-sizing parameter: one tiny count job before the plan is
+    // built, the same way an IVF index picks its cell count
+    val p = lshPlanesPerBand(emb.count())
     val e = emb
       .withColumn("nrm", graft.functions.VecExprs.dot(col("embedding"), col("embedding")))
-      .withColumn("sig", SimQueries.lshSig)
+      .withColumn("sig", SimQueries.lshSigBits(2 * p))
     val bandCols = (0 until 2).map(b => struct(lit(b).as("band"),
-      shiftright(col("sig"), 3 * b).bitwiseAND(lit(7L)).as("bv")))
+      shiftright(col("sig"), p * b).bitwiseAND(lit((1L << p) - 1)).as("bv")))
     val banded = e
       .select(col("vec_id"), col("label"), col("embedding"), col("nrm"),
         explode(array(bandCols: _*)).as("bb"))
@@ -763,14 +787,20 @@ object DedupQueries {
         |FROM sig s LEFT JOIN ver v ON s.doc_id = v.doc_id
         |WHERE s.doc_id % 2 = 1""".stripMargin,
     "dd_embed_neardup_lsh" ->
-      s"""WITH n AS (
+      s"""WITH prm AS (
+        |  SELECT 3 + (count(*) > 1000)::INT + (count(*) > 2000)::INT
+        |           + (count(*) > 4000)::INT + (count(*) > 8000)::INT
+        |           + (count(*) > 16000)::INT AS p
+        |  FROM embeddings),
+        |n AS (
         |  SELECT vec_id, label, embedding,
         |    list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)) AS nrm,
-        |    (${SimQueries.duckSig}) AS sig
+        |    (${SimQueries.duckSigBits(16)}) AS sig
         |  FROM embeddings),
         |banded AS (
-        |  SELECT vec_id, label, embedding, nrm, band, (sig >> (3 * band)) & 7 AS bv
-        |  FROM n, (SELECT unnest([0, 1]) AS band) bands),
+        |  SELECT vec_id, label, embedding, nrm, band,
+        |    (sig >> (prm.p * band)) & ((1 << prm.p) - 1) AS bv
+        |  FROM n, (SELECT unnest([0, 1]) AS band) bands, prm),
         |cand AS (
         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
         |    list_sum(list_transform(generate_series(1, 64),

@@ -812,6 +812,16 @@ object OlapQueries {
     * can fall in any user's window): a genuine m×n range join, not one an
     * equi key could express.
     *
+    * The interval side is the FIXED pilot cohort (`user_id < 150` — all
+    * users at the sf0.01 correctness gate), not every user: with both
+    * sides growing ∝ SF over the generator's fixed 30-day span, the
+    * all-users join's OUTPUT is Θ(events·users·len/span) — quadratic in
+    * SF for any engine, an output lower bound no plan can beat. Bounding
+    * the interval side keeps the query linear in events and the exploded
+    * interval table broadcast-sized (≤ 150×7 rows), which is exactly how
+    * a production point-in-interval probe is shaped: events stream past
+    * a bounded window table.
+    *
     * The rule arrives with the session — every entry point (Verify,
     * Bench, SparkTestBase) builds with
     * `spark.sql.extensions=graft.GraftExtensions`, the cluster
@@ -824,7 +834,8 @@ object OlapQueries {
   def j9RangeJoin: Q = (s, dir) => {
     val ev = Tables.events(s, dir)
       .select(col("user_id"), unix_millis(col("ts")).as("ts_ms"), col("value"))
-    val iv = ev.groupBy(col("user_id").as("iv_user"))
+    val iv = ev.filter(col("user_id") < 150)
+      .groupBy(col("user_id").as("iv_user"))
       .agg(min(col("ts_ms")).as("lo"))
       .select(col("iv_user"), col("lo"), (col("lo") + lit(21600000L)).as("hi"))
     ev.join(iv, col("ts_ms") >= col("lo") && col("ts_ms") <= col("hi"))
@@ -1037,7 +1048,8 @@ object OlapQueries {
     "j9_range_join" ->
       """WITH ev AS (SELECT user_id, epoch_ms(ts) AS ts_ms, value FROM events),
         |iv AS (SELECT user_id AS iv_user, min(ts_ms) AS lo,
-        |         min(ts_ms) + 21600000 AS hi FROM ev GROUP BY 1)
+        |         min(ts_ms) + 21600000 AS hi FROM ev
+        |       WHERE user_id < 150 GROUP BY 1)
         |SELECT iv_user, count(*) AS n_in_window,
         |       round(sum(value), 4) AS sum_value
         |FROM ev JOIN iv ON ts_ms >= lo AND ts_ms <= hi

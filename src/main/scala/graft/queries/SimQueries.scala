@@ -33,12 +33,21 @@ object SimQueries {
   val LshPlanes = 6
   val LshTopK = 3
 
+  /** The full deterministic plane pool: the ANN index uses the first
+    * [[LshPlanes]]; the embedding near-dup's ADAPTIVE banding
+    * ([[DedupQueries.embedNeardupLshPairs]]) draws up to 2 bands × 8
+    * planes from the same pool, so a bigger corpus gets finer buckets
+    * without changing any small-N semantics (plane j is the same
+    * vector at every pool size).
+    */
+  val MaxPlanes = 16
+
   /** Deterministic ±1 hyperplane weights from md5 parity — computed once
     * driver-side and embedded as literals in both engines' plans.
     */
   lazy val planes: Seq[Array[Int]] = {
     val md = MessageDigest.getInstance("MD5")
-    (0 until LshPlanes).map { j =>
+    (0 until MaxPlanes).map { j =>
       (0 until 64).map { i =>
         val h = md.digest(s"plane:$j:$i".getBytes("UTF-8"))
         if ((h(0) & 1) == 1) 1 else -1
@@ -88,8 +97,16 @@ object SimQueries {
   private def planeLit(j: Int): String = planes(j).mkString("array(", ", ", ")")
 
   /** LSH signature column: bit j = (v · w_j) > 0. */
-  private[queries] def lshSig: Column = {
-    val bits = (0 until LshPlanes).map { j =>
+  private[queries] def lshSig: Column = lshSigBits(LshPlanes)
+
+  /** Signature over the first `n` planes of the pool (bit j from plane
+    * j) — prefix-stable: `lshSigBits(m)` masked to its low bits equals
+    * `lshSigBits(n)` for n ≤ m, which is what lets the adaptive bander
+    * widen with corpus size without perturbing small-N results.
+    */
+  private[queries] def lshSigBits(n: Int): Column = {
+    require(n <= MaxPlanes, s"plane pool has $MaxPlanes planes, asked for $n")
+    val bits = (0 until n).map { j =>
       when(dotc(col("embedding"), expr(planeLit(j))) > 0d, 1L << j).otherwise(0L)
     }
     bits.reduce(_ + _)
@@ -341,7 +358,11 @@ object SimQueries {
 
   private def duckPlaneLit(j: Int): String = planes(j).mkString("[", ", ", "]")
 
-  private[queries] val duckSig: String = (0 until LshPlanes).map { j =>
+  private[queries] val duckSig: String = duckSigBits(LshPlanes)
+
+  /** DuckDB mirror of [[lshSigBits]] — same planes, same prefix
+    * stability. */
+  private[queries] def duckSigBits(n: Int): String = (0 until n).map { j =>
     s"(CASE WHEN list_sum(list_transform(generate_series(1, 64), i -> embedding[i]::DOUBLE * (${duckPlaneLit(j)})[i])) > 0 THEN ${1L << j} ELSE 0 END)"
   }.mkString(" + ")
 

@@ -2,11 +2,15 @@
 """Time every DuckDB oracle SQL on the same parquet (driver-side tooling,
 the single-node throughput proxy BENCH_NOTES compares against).
 
-Usage: python3 tools/duck_bench.py <sf_dir> <verify_out_dir_with_oracle_sql.json> [reps]
+Usage: python3 tools/duck_bench.py <sf_dir> <verify_out_dir_with_oracle_sql.json> [reps] [timeout_sec]
 Prints one JSON line: {"total": s, "queries": {name: min_sec}}.
+A query that exceeds timeout_sec (default: none) is interrupted and
+reported as -2.0; its timeout floor is added to "timed_out_floor_sec"
+so the total comparison stays honest (the engine needed AT LEAST that).
 """
 import json
 import sys
+import threading
 import time
 
 import duckdb
@@ -20,6 +24,7 @@ def main():
     reps = int(sys.argv[3]) if len(sys.argv) > 3 else 3
     if reps < 1:
         sys.exit(f"reps must be >= 1, got {reps}")
+    timeout = float(sys.argv[4]) if len(sys.argv) > 4 else None
     with open(f"{oracle_dir}/oracle_sql.json") as f:
         oracles = json.load(f)
     con = duckdb.connect()
@@ -27,24 +32,42 @@ def main():
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     times = {}
+    timed_out_floor = 0.0
     for name, sql in sorted(oracles.items()):
         best = None
         for _ in range(reps):
+            timer = None
+            if timeout is not None:
+                timer = threading.Timer(timeout, con.interrupt)
+                timer.start()
             t0 = time.monotonic()
             try:
                 con.sql(sql).fetchall()
             except Exception as e:
-                print(f"[duck_bench] {name} FAILED: {e}", file=sys.stderr)
-                best = -1.0  # any failed rep marks the query failed
+                dt = time.monotonic() - t0
+                if timeout is not None and dt >= timeout:
+                    print(f"[duck_bench] {name} TIMEOUT after {dt:.1f}s",
+                          file=sys.stderr)
+                    best = -2.0
+                    timed_out_floor += timeout
+                else:
+                    print(f"[duck_bench] {name} FAILED: {e}", file=sys.stderr)
+                    best = -1.0  # any failed rep marks the query failed
                 break
+            finally:
+                if timer is not None:
+                    timer.cancel()
             dt = time.monotonic() - t0
             best = dt if best is None else min(best, dt)
         times[name] = round(best, 4)
         if best < 0:
-            times[name] = -1.0
+            times[name] = best
     ok = {k: v for k, v in times.items() if v >= 0}
-    print(json.dumps({"total": round(sum(ok.values()), 2),
-                      "n": len(ok), "queries": times}))
+    out = {"total": round(sum(ok.values()), 2), "n": len(ok),
+           "queries": times}
+    if timed_out_floor > 0:
+        out["timed_out_floor_sec"] = round(timed_out_floor, 1)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
