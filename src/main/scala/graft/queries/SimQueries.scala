@@ -340,8 +340,42 @@ object SimQueries {
       .select(col("query_id"), col("neighbor_id"), col("rank"))
   }
 
+  /** sim_ivfpq_topk — the production ANN stack composed: IVF coarse
+    * quantization prunes the candidate set to the query's centroid cell
+    * (nprobe=1), PQ asymmetric distance ranks within it. This is the
+    * FAISS IVFPQ shape — the index every billion-vector deployment
+    * actually runs — built entirely from the two pieces already proven
+    * separately: [[nearestCentroid]] (zero-shuffle map-side assignment)
+    * and the compiled [[graft.functions.PqExprs]] encode/ADC kernels.
+    * The scan side touches only (bucket, 8-byte code) per candidate —
+    * 16× less data than raw float32 — and cost scales with bucket size,
+    * not corpus size; the only shuffle is the per-query top-k window.
+    * Recall stacks multiplicatively (coarse-cell recall × codebook
+    * quality), the documented trade of both layers.
+    */
+  def simIvfpqTopk: Q = (s, dir) => {
+    val cents = collectCentroids(s, dir)
+    val cb = flatCodebook(collectCodebook(s, dir))
+    val v = vectors(s, dir).withColumn("bucket", nearestCentroid(cents))
+    val codes = v.select(col("vec_id").as("neighbor_id"), col("bucket"),
+      graft.functions.PqExprs.encode(
+        col("embedding"), cb, PqSubspaces, PqCodewords, PqSubDim).as("codes"))
+    val q = v.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("eq"), col("bucket"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist").asc, col("neighbor_id").asc)
+    codes.join(broadcast(q), Seq("bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("dist", graft.functions.PqExprs.adc(
+        col("eq"), col("codes"), cb, PqSubspaces, PqCodewords, PqSubDim))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= LshTopK)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+
   val queries: Map[String, Q] = Map(
     "sim_quantize" -> simQuantize,
+    "sim_ivfpq_topk" -> simIvfpqTopk,
     "sim_pq_encode" -> simPqEncode,
     "sim_pq_topk" -> simPqTopk,
     "sim_topk_brute" -> simTopkBrute,
@@ -511,6 +545,41 @@ object SimQueries {
         |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
         |  FROM scored)
         |WHERE rank <= $LshTopK""".stripMargin,
+    "sim_ivfpq_topk" ->
+      s"""$duckPqCodes,
+        |v AS (
+        |  SELECT vec_id, label, embedding, ${duckDot("embedding", "embedding")} AS nrm
+        |  FROM embeddings),
+        |cent AS (
+        |  SELECT label AS c_label, embedding AS ce, nrm AS cn FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY label ORDER BY vec_id) AS rn FROM v)
+        |  WHERE rn = 1),
+        |assigned AS (
+        |  SELECT vec_id, c_label AS bucket FROM (
+        |    SELECT v.vec_id, cent.c_label,
+        |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |        (${duckDot("v.embedding", "cent.ce")}) * abs(${duckDot("v.embedding", "cent.ce")}) / cent.cn DESC,
+        |        cent.c_label) AS rn
+        |    FROM v CROSS JOIN cent)
+        |  WHERE rn = 1),
+        |q AS (SELECT vec_id AS query_id, bucket FROM assigned WHERE vec_id < 10),
+        |adc AS (
+        |  SELECT q.query_id, c.vec_id AS neighbor_id,
+        |    list_sum(list_transform(generate_series(0, 7), s ->
+        |      list_sum(list_transform(generate_series(1, 8), i ->
+        |        (qs.svs[s + 1][i] - cbx.cwss[s + 1][c.cs[s + 1] + 1][i]) *
+        |        (qs.svs[s + 1][i] - cbx.cwss[s + 1][c.cs[s + 1] + 1][i]))))) AS dist
+        |  FROM q
+        |  JOIN (SELECT vec_id, list_transform(generate_series(0, 7), s ->
+        |          list_transform(generate_series(1, 8), i -> embedding[s * 8 + i]::DOUBLE)) AS svs
+        |        FROM embeddings) qs ON qs.vec_id = q.query_id
+        |  CROSS JOIN (SELECT list(cws ORDER BY s) AS cwss FROM cbl) cbx
+        |  JOIN codes c ON c.vec_id <> q.query_id
+        |  JOIN assigned a ON a.vec_id = c.vec_id AND a.bucket = q.bucket)
+        |SELECT query_id, neighbor_id, rank FROM (
+        |  SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rank
+        |  FROM adc) WHERE rank <= $LshTopK""".stripMargin,
     "sim_ivf_assign" ->
       s"""WITH v AS (
         |  SELECT vec_id, label, embedding, ${duckDot("embedding", "embedding")} AS nrm

@@ -149,6 +149,36 @@ class DedupQueriesSpec extends AnyFunSuite {
     assert(recall >= 0.75, f"recall $recall%.3f below the documented 75%% floor")
   }
 
+  test("planes-per-band ladder: floor 3, +1 per doubling past 1000, cap 8") {
+    // The scale knob behind dd_embed_neardup_lsh: integer thresholds so
+    // the DuckDB oracle mirrors every boundary exactly. The boundary
+    // semantics are strict-greater: N = 1000 still runs 3 planes.
+    val expect = Seq(1L -> 3, 500L -> 3, 1000L -> 3, 1001L -> 4,
+      2000L -> 4, 2001L -> 5, 4000L -> 5, 4001L -> 6, 8000L -> 6,
+      8001L -> 7, 16000L -> 7, 16001L -> 8, 1000000L -> 8)
+    expect.foreach { case (n, p) =>
+      assert(DedupQueries.lshPlanesPerBand(n) == p, s"N=$n")
+    }
+    // the cap must fit the prefix-stable plane pool: 2 bands x 8 planes
+    assert(2 * 8 <= graft.queries.SimQueries.MaxPlanes)
+  }
+
+  test("adaptive banding (N > 1000 -> p = 4) still verifies exactly: subset of brute force") {
+    // Exercises the ladder's wide branch end-to-end: at N = 1200 the
+    // bander runs 2 bands x 4 planes (16 buckets/band), and the exact
+    // cosine verify must still keep every reported pair a true pair.
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 1200).map { i =>
+      (i.toLong, i % 3, Array.fill(64)(rnd.nextGaussian().toFloat))
+    }
+    val df = rows.toDF("vec_id", "label", "embedding")
+    val got = DedupQueries.embedNeardupLshPairs(df, 0.2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.subsetOf(exactPairs(rows, 0.2)),
+      "the wide-branch bander must not invent pairs")
+    assert(got.nonEmpty, "threshold 0.2 on random gaussians must yield candidates")
+  }
+
   test("incremental dedup stream face: per-micro-batch lookups equal the batch run") {
     // The continuous-ingest idiom: arrivals stream in, each micro-batch
     // runs incrementalDedup against the STATIC index (foreachBatch) —

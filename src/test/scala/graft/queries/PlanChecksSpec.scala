@@ -131,6 +131,18 @@ class PlanChecksSpec extends AnyFunSuite {
     assert(shuffles.isEmpty, s"PQ encoding must not shuffle:\n$plan")
   }
 
+  ptest("sim_ivfpq_topk: bucket-pruned broadcast probe, no nested loop, one window shuffle") { sfDir =>
+    val df = SimQueries.simIvfpqTopk(spark, sfDir)
+    val plan = planString(df)
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("bucket"),
+      s"candidates must join the broadcast query set on the IVF bucket key:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"IVF pruning must keep the ADC scan off the cross product:\n$plan")
+    val shuffles = executedPlan(df).collect { case e: ShuffleExchangeExec => e }
+    assert(shuffles.size <= 1,
+      s"only the per-query top-k window may shuffle, found ${shuffles.size}:\n$plan")
+  }
+
   ptest("Q12's returnflag + ship-window filters reach the lineitem scan") { sfDir =>
     val plan = planString(OlapQueries.sqlTpchQ12(spark, sfDir))
     // the In/range predicates must be pushed, not evaluated post-join
