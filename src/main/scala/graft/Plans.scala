@@ -86,6 +86,8 @@ object Plans {
       "returnflag IN-list + ship-date window pushed into the lineitem scan (PushedFilters); one orderkey shuffle join, the priority split is a single conditional aggregate — no second pass",
     "dd_embed_neardup_lsh" ->
       "banded LSH: explode to (label, band, bandValue) buckets, equi-join on the bucket key — buckets-per-band scales with corpus size (planes ladder), pinning bucket occupancy so verify work stays ≈ linear; exact cosine verify above, distinct after the cheap filter",
+    "sim_ivfpq_topk" ->
+      "IVF coarse cell prunes candidates map-side (zero-shuffle centroid assignment), compiled PQ ADC ranks 8-byte codes within the cell; broadcast bucket join, the only exchange is the per-query top-k window",
     "ev_left_interval" ->
       "left-outer range-bounded equi-join on user_id — one exchange per side; on the stream the same plan holds unmatched clicks in state until the watermark passes click_ts")
 
@@ -94,6 +96,11 @@ object Plans {
     val out = if (args.length > 1) args(1) else "PLANS.md"
     val spark = SparkSession.builder()
       .master("local[4]")
+      // the cluster deployment model: graft's optimizer rules arrive
+      // with the session, same as Verify/Bench/SparkTestBase — without
+      // this the j9 audit prints the un-rewritten nested-loop plan and
+      // contradicts its own Expected line
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
