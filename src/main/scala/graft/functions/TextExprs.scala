@@ -48,6 +48,42 @@ object TextOps {
     n
   }
 
+  /** One-pass per-document repetition stats over an (already
+    * lowercased) text: `[n_tok, n_distinct_tok, max_tok_freq,
+    * n_distinct_bigrams]`. Tokens are the maximal non-`\s` byte runs —
+    * exactly `filter(split(s, "\s+"), length > 0)` — interned into an
+    * id map as they stream by; bigram distinctness is EXACT, counted as
+    * a set of packed (prev_id << 32 | id) longs rather than hashed
+    * strings, so two different bigrams can never collide. Replaces an
+    * explode → two aggregates → join pipeline (three shuffles of
+    * token-scale data) with zero shuffles.
+    */
+  def tokenRepStats(s: UTF8String): Array[Int] = {
+    val bytes = s.getBytes
+    val ids = new java.util.HashMap[UTF8String, Array[Int]]()
+    val bigrams = new java.util.HashSet[Long]()
+    var nTok = 0; var maxFreq = 0; var prevId = -1
+    var i = 0; var start = -1
+    while (i <= bytes.length) {
+      val ws = i == bytes.length ||
+        (!isCont(bytes(i)) && isWs(bytes(i)))
+      if (!ws && start < 0) start = i
+      else if (ws && start >= 0) {
+        val tok = UTF8String.fromBytes(bytes, start, i - start)
+        var e = ids.get(tok)
+        if (e == null) { e = Array(0, ids.size()); ids.put(tok, e) }
+        e(0) += 1
+        if (e(0) > maxFreq) maxFreq = e(0)
+        if (nTok > 0) bigrams.add((prevId.toLong << 32) | e(1).toLong)
+        prevId = e(1)
+        nTok += 1
+        start = -1
+      }
+      i += 1
+    }
+    Array(nTok, ids.size(), maxFreq, bigrams.size())
+  }
+
   /** mode 0: `[a-zA-Z]` count; mode 1: `[^a-zA-Z0-9\s]` count (each
     * non-ASCII code point counts once).
     */
@@ -248,6 +284,34 @@ case class WordSetCount(child: Expression, words: Seq[String]) extends UnaryExpr
     copy(child = newChild)
 }
 
+/** `token_rep_stats(string)` → array<int>:
+  * [n_tok, n_distinct_tok, max_tok_freq, n_distinct_bigrams] in one
+  * byte-scan (see [[TextOps.tokenRepStats]]).
+  */
+case class TokenRepStats(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "token_rep_stats"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"token_rep_stats expects string, got $t")
+  }
+
+  override protected def nullSafeEval(s: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      TextOps.tokenRepStats(s.asInstanceOf[UTF8String]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.TextOps.tokenRepStats($c))")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** `winnow_fingerprints(string)` → array<long>: distinct MOSS-style
   * winnowing fingerprints (rolling K-gram hash + sliding-window min) of
   * the input, ascending.
@@ -288,4 +352,6 @@ object TextExprs {
     Bridge.column(AsciiClassCount(Bridge.expression(c), 1))
   def wordSetCount(c: Column, words: Seq[String]): Column =
     Bridge.column(WordSetCount(Bridge.expression(c), words))
+  def tokenRepStats(c: Column): Column =
+    Bridge.column(TokenRepStats(Bridge.expression(c)))
 }

@@ -339,33 +339,29 @@ object TextQueries {
     * shows up as a dominant token or repeated n-grams long before any
     * model sees it. All-integer outputs; the flag uses integer
     * cross-multiplication (top token > 20% of tokens, or > 25% of bigrams
-    * duplicated). Token stats go through explode → two-level aggregate —
-    * the shuffle key is (doc_id, token), bounded and combine-friendly;
-    * bigram distincts stay per-row (array HOFs, zero shuffle).
+    * duplicated). Every stat is per-document, so the whole query is ONE
+    * zero-shuffle scan: the compiled [[TextExprs.tokenRepStats]] kernel
+    * streams each doc's bytes once, interning tokens into an id map and
+    * counting exact distinct bigrams as packed id pairs — replacing the
+    * explode → two-level aggregate → join form that shuffled
+    * token-scale data three times (4.2 s → map-only at sf1). Docs with
+    * zero tokens drop, mirroring the oracle's inner join against the
+    * per-token aggregate.
     */
   def taRepetition: Q = (s, dir) => {
-    val toksCol = filter(split(lower(trim(col("text"))), "\\s+"),
-      t => length(t) > 0)
-    val base = Tables.documents(s, dir).select(col("doc_id"), toksCol.as("toks"))
-    val bigrams = when(size(col("toks")) < 2, array().cast("array<string>"))
-      .otherwise(zip_with(
-        slice(col("toks"), lit(1), size(col("toks")) - 1),
-        slice(col("toks"), lit(2), size(col("toks")) - 1),
-        (a, b) => concat(a, lit(" "), b)))
-    val perRow = base.select(col("doc_id"),
-      size(col("toks")).as("n_tok"),
-      size(bigrams).as("n_bigrams"),
-      size(array_distinct(bigrams)).as("n_distinct_bigrams"))
-    val word = base.select(col("doc_id"), explode(col("toks")).as("tok"))
-      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id"))
-      .agg(max(col("c")).as("max_tok_freq"), count(lit(1)).as("n_distinct_tok"))
-    perRow.join(word, "doc_id")
-      .select(col("doc_id"), col("n_tok"), col("n_distinct_tok"),
-        col("max_tok_freq"), col("n_bigrams"), col("n_distinct_bigrams"),
-        (col("max_tok_freq") * 5 > col("n_tok") ||
+    val st = TextExprs.tokenRepStats(lower(trim(col("text"))))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), st.as("st"))
+      .select(col("doc_id"),
+        col("st").getItem(0).as("n_tok"),
+        col("st").getItem(1).cast("long").as("n_distinct_tok"),
+        col("st").getItem(2).cast("long").as("max_tok_freq"),
+        greatest(col("st").getItem(0) - 1, lit(0)).as("n_bigrams"),
+        col("st").getItem(3).as("n_distinct_bigrams"))
+      .filter(col("n_tok") >= 1)
+      .withColumn("is_repetitive",
+        col("max_tok_freq") * 5 > col("n_tok") ||
           (col("n_bigrams") - col("n_distinct_bigrams")) * 4 > col("n_bigrams"))
-          .as("is_repetitive"))
   }
 
   /** ta_tfidf — top-3 characteristic terms per document by tf-idf: the

@@ -57,6 +57,32 @@ class TextExprsSpec extends AnyFunSuite {
     }
   }
 
+  test("tokenRepStats == the explode/HOF formulation it replaced") {
+    // the reference semantics, spelled in built-ins: tokens are
+    // filter(split(s, "\s+"), length > 0); bigrams are exact strings
+    val df = (cases ++ Seq("a a a a a b", "ab ab cd cd ab cd",
+      "é é é x", "one two one two one")).toDF("t")
+      .withColumn("toks", filter(split($"t", "\\s+"), x => length(x) > 0))
+    val bigrams = when(size($"toks") < 2, array().cast("array<string>"))
+      .otherwise(zip_with(
+        slice($"toks", lit(1), size($"toks") - 1),
+        slice($"toks", lit(2), size($"toks") - 1),
+        (a, b) => concat(a, lit(" "), b)))
+    val both = df.select($"t",
+      TextExprs.tokenRepStats($"t").as("st"),
+      size($"toks").as("e_ntok"),
+      size(array_distinct($"toks")).as("e_dtok"),
+      coalesce(array_max(transform(array_distinct($"toks"),
+        u => aggregate($"toks", lit(0), (acc, x) =>
+          acc + when(x === u, 1).otherwise(0)))), lit(0)).as("e_maxfreq"),
+      size(array_distinct(bigrams)).as("e_dbig"))
+    val bad = both.filter(
+      $"st".getItem(0) =!= $"e_ntok" || $"st".getItem(1) =!= $"e_dtok" ||
+        $"st".getItem(2) =!= $"e_maxfreq" || $"st".getItem(3) =!= $"e_dbig")
+      .collect()
+    assert(bad.isEmpty, s"mismatch on: ${bad.map(_.getString(0)).toSeq}")
+  }
+
   test("wordSetCount == regexp_count(lower, \\b(?:...)\\b)") {
     val words = Seq("the", "and", "of", "to", "in")
     val df = cases.toDF("t")
