@@ -84,6 +84,46 @@ object TextOps {
     Array(nTok, ids.size(), maxFreq, bigrams.size())
   }
 
+  /** xxhash64 (seed 42 — Spark's `xxhash64`) of every word n-gram of an
+    * ALREADY whitespace-normalized string (single spaces, the
+    * `regexp_replace(\s+ → ' ')` form), without materializing a single
+    * gram string: tokens of a normalized string are separated by
+    * exactly one space, so gram i IS the byte range
+    * [start(tok_i), end(tok_{i+n-1})) and hashes in place. Token
+    * boundaries replicate `split(s, " ")` EXACTLY — empty tokens from
+    * leading/trailing/lone spaces participate in grams just like the
+    * string form (`concat_ws` keeps their separators), which
+    * WordGramHashesSpec pins against `xxhash64(concat_ws(...))`.
+    * Returns empty when the string has fewer than n tokens.
+    */
+  def wordGramHashes(s: UTF8String, n: Int): Array[Long] = {
+    val bytes = s.getBytes
+    var starts = new Array[Int](16)
+    var nt = 0
+    def addStart(x: Int): Unit = {
+      if (nt == starts.length) starts = java.util.Arrays.copyOf(starts, nt * 2)
+      starts(nt) = x; nt += 1
+    }
+    addStart(0)
+    var i = 0
+    while (i < bytes.length) {
+      if (bytes(i) == ' ') addStart(i + 1)
+      i += 1
+    }
+    if (nt < n) return Array.emptyLongArray
+    val out = new Array[Long](nt - n + 1)
+    var g = 0
+    while (g <= nt - n) {
+      val from = starts(g)
+      val until = if (g + n < nt) starts(g + n) - 1 else bytes.length
+      out(g) = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+        bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + from,
+        until - from, 42L)
+      g += 1
+    }
+    out
+  }
+
   /** mode 0: `[a-zA-Z]` count; mode 1: `[^a-zA-Z0-9\s]` count (each
     * non-ASCII code point counts once).
     */
@@ -312,6 +352,35 @@ case class TokenRepStats(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `word_gram_hashes(string, n)` → array<long>: xxhash64 of each word
+  * n-gram of a whitespace-normalized string, hashed in place (see
+  * [[TextOps.wordGramHashes]]).
+  */
+case class WordGramHashes(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType,
+      containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "word_gram_hashes"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"word_gram_hashes expects string, got $t")
+  }
+
+  override protected def nullSafeEval(s: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      TextOps.wordGramHashes(s.asInstanceOf[UTF8String], n))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.TextOps.wordGramHashes($c, $n))")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** `winnow_fingerprints(string)` → array<long>: distinct MOSS-style
   * winnowing fingerprints (rolling K-gram hash + sliding-window min) of
   * the input, ascending.
@@ -354,4 +423,6 @@ object TextExprs {
     Bridge.column(WordSetCount(Bridge.expression(c), words))
   def tokenRepStats(c: Column): Column =
     Bridge.column(TokenRepStats(Bridge.expression(c)))
+  def wordGramHashes(c: Column, n: Int): Column =
+    Bridge.column(WordGramHashes(Bridge.expression(c), n))
 }

@@ -45,6 +45,19 @@ private[graft] object FrameCache {
     frames.computeIfAbsent(s"${sessionKey(s)}:$key", _ => build.persist())
   }
 
+  /** Driver-side byte artifacts derived from a cached frame (Bloom
+    * sketch serializations). Unlike frames these hold no session
+    * resources — they are pure data keyed by input identity — but they
+    * follow the same lifecycle so `clear()` bounds them identically.
+    * Keyed WITHOUT the session: the bytes are a function of the data
+    * alone, so a recreated session over the same input reuses them.
+    */
+  private val bytesCache = new ConcurrentHashMap[String, Array[Byte]]()
+
+  /** The serialized sketch for `key`, building it on first use. */
+  def cachedBytes(key: String)(build: => Array[Byte]): Array[Byte] =
+    bytesCache.computeIfAbsent(key, _ => build)
+
   /** Drop every cached frame (test isolation, driver shutdown). */
   def clear(): Unit = {
     frames.values.forEach { df =>
@@ -52,5 +65,6 @@ private[graft] object FrameCache {
       ()
     }
     frames.clear()
+    bytesCache.clear()
   }
 }

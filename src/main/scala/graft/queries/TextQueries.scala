@@ -462,45 +462,68 @@ object TextQueries {
     * sliver at 100 TB, where benchmark ≪ corpus — reach the exact
     * semi-join that removes Bloom false positives. Without the sketch,
     * every training gram would shuffle.
+    *
+    * The training-side probe pass never builds a gram STRING: grams of
+    * whitespace-normalized text are substrings, so the compiled
+    * [[TextExprs.wordGramHashes]] kernel hashes each gram's byte range
+    * in place — bit-identical to `xxhash64(concat_ws(' ', slice(...)))`
+    * (WordGramHashesSpec), which is exactly what the Bloom was built
+    * over. Only the candidate docs that survive the sketch (bench-sized
+    * plus the 3% fpp sliver) re-derive real gram strings for the exact
+    * semi-join, turning the dominant corpus-wide cost from
+    * allocate-and-concat into hash-in-place.
     */
   def decontaminate(docs: DataFrame, n: Int, benchPred: Column): DataFrame = {
     val toks = split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ")
-    val grams = docs
-      .select(col("doc_id"), benchPred.as("is_bench"), toks.as("toks"))
+    def gramsOf(d: DataFrame): DataFrame = d
+      .select(col("doc_id"), toks.as("toks"))
       .withColumn("gram",
         explode(when(size(col("toks")) >= n, expr(
           s"transform(sequence(0, size(toks) - $n), i -> concat_ws(' ', slice(toks, i + 1, $n)))"))
           .otherwise(array().cast("array<string>"))))
-      .select(col("doc_id"), col("is_bench"), col("gram"))
+      .select(col("doc_id"), col("gram"))
     // the benchmark gram frame feeds BOTH the Bloom sketch and the exact
-    // semi-join build — persist it so `docs` is tokenized+exploded once
-    // per side, not twice (two full corpus passes at 100 TB otherwise);
-    // the count that materializes the cache also sizes the Bloom, so the
-    // sketch keeps its fpp at any scale instead of degrading toward 1
-    // past a hard-coded capacity. Cached by input identity: repeat
-    // invocations (bench reps, td_pipeline) reuse ONE persisted entry
-    // instead of leaking one per call.
+    // semi-join build — persist it so the benchmark side is tokenized
+    // once, not twice; the count that materializes the cache also sizes
+    // the Bloom, so the sketch keeps its fpp at any scale instead of
+    // degrading toward 1 past a hard-coded capacity. Cached by input
+    // identity: repeat invocations (bench reps, td_pipeline) reuse ONE
+    // persisted entry instead of leaking one per call.
     val cacheKey = "decontaminate:" +
       docs.queryExecution.analyzed.semanticHash() + ":" + n + ":" +
       org.apache.spark.sql.graftbridge.Bridge.expression(benchPred).semanticHash()
     val bench = FrameCache.cached(docs.sparkSession, cacheKey)(
-      grams.filter(col("is_bench")).select(col("gram")).distinct())
+      gramsOf(docs.filter(benchPred)).select(col("gram")).distinct())
     val benchGrams = bench.count()
     // empty benchmark -> nothing can be contaminated; also guards
     // stat.bloomFilter, which NPEs on an empty build side
     if (benchGrams == 0L)
       return docs.select(col("doc_id")).filter(lit(false)).distinct()
-    val bloom = bench.select(xxhash64(col("gram")).as("h"))
-      .stat.bloomFilter("h", benchGrams, 0.03)
-    val bytes = { val b = new java.io.ByteArrayOutputStream(); bloom.writeTo(b); b.toByteArray }
+    // the serialized sketch is the other half of the one-time index
+    // build: without caching it, every invocation re-aggregates the
+    // benchmark grams to the driver just to rebuild identical bytes
+    val bytes = FrameCache.cachedBytes(cacheKey) {
+      val bloom = bench.select(xxhash64(col("gram")).as("h"))
+        .stat.bloomFilter("h", benchGrams, 0.03)
+      val b = new java.io.ByteArrayOutputStream(); bloom.writeTo(b); b.toByteArray
+    }
     import org.apache.spark.sql.graftbridge.Bridge
-    val mightContain = Bridge.column(
+    def mightContain(h: Column): Column = Bridge.column(
       org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
         org.apache.spark.sql.catalyst.expressions.Literal(bytes,
           org.apache.spark.sql.types.BinaryType),
-        Bridge.expression(xxhash64(col("gram")))))
-    grams.filter(!col("is_bench"))
-      .filter(mightContain)
+        Bridge.expression(h)))
+    // full-corpus pass: hash-in-place gram probe folded into an
+    // `exists` over the hash array — one boolean per DOC, so the probe
+    // stage has no explode, no per-gram rows, and no distinct shuffle
+    val norm = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+    val candidates = docs.filter(!benchPred)
+      .filter(exists(TextExprs.wordGramHashes(norm, n), mightContain))
+      .select(col("doc_id"))
+    // exact verify: gram strings re-derived ONLY for the candidate docs
+    // (the semi-join sits BELOW the explode, so non-candidates never
+    // tokenize into strings at all)
+    gramsOf(docs.filter(!benchPred).join(candidates, Seq("doc_id"), "left_semi"))
       .join(bench, Seq("gram"), "left_semi")
       .select(col("doc_id")).distinct()
   }

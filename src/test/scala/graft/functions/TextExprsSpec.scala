@@ -83,6 +83,27 @@ class TextExprsSpec extends AnyFunSuite {
     assert(bad.isEmpty, s"mismatch on: ${bad.map(_.getString(0)).toSeq}")
   }
 
+  test("wordGramHashes == xxhash64(concat_ws of split-by-space grams), empties included") {
+    // the kernel runs on ALREADY-normalized text but must replicate
+    // split(s, " ") exactly — including empty tokens from leading /
+    // trailing / lone spaces, which concat_ws keeps as separators
+    val texts = Seq("", " ", "a", "a b", "a b c", "a b c d",
+      " a b c", "a b c ", "  ", "é ü ö x", "one two three four five",
+      "x " + ("y " * 10).trim)
+    for (n <- Seq(2, 3, 8)) {
+      val df = texts.toDF("t")
+        .withColumn("toks", split($"t", " "))
+        .withColumn("expect",
+          when(size($"toks") >= n, expr(
+            s"transform(sequence(0, size(toks) - $n), i -> xxhash64(concat_ws(' ', slice(toks, i + 1, $n))))"))
+            .otherwise(array().cast("array<bigint>")))
+        .withColumn("got", TextExprs.wordGramHashes($"t", n))
+      val bad = df.filter(not($"got" <=> $"expect")).collect()
+      assert(bad.isEmpty,
+        s"n=$n mismatch on: ${bad.map(_.getString(0)).toSeq}")
+    }
+  }
+
   test("wordSetCount == regexp_count(lower, \\b(?:...)\\b)") {
     val words = Seq("the", "and", "of", "to", "in")
     val df = cases.toDF("t")
