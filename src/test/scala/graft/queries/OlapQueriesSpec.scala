@@ -384,15 +384,22 @@ class OlapQueriesSpec extends AnyFunSuite {
     val out = TextQueries.decontaminate(docs, 8, col("doc_id") % 23 === 0)
     assert(out.as[Long].collect().toSet == Set(1L),
       "exactly the verbatim-overlap doc is contaminated")
-    // scale shape: the native bloom probe runs before the exact semi join,
-    // inside codegen (no UDF), FPs removed by LeftSemi
-    val plan = planString(out)
-    assert(plan.contains("might_contain"), plan.linesIterator.take(10).mkString("\n"))
+    // scale shape, asserted on the PARQUET-backed query: the seeded
+    // local frame above collapses through ConvertToLocalRelation (the
+    // optimizer evaluates the probe at plan time), so the plan markers
+    // only exist against a real scan. The hash-in-place bloom probe
+    // (word_gram_hashes inside exists) runs before the exact semi join,
+    // no UDF anywhere, FPs removed by LeftSemi
+    val plan = planString(TextQueries.tdDecontaminate(
+      graft.SparkTestBase.spark, graft.SparkTestBase.sf001))
+    assert(plan.contains("might_contain") && plan.contains("exists") &&
+      plan.contains("word_gram_hashes"),
+      plan.linesIterator.take(10).mkString("\n"))
     assert(plan.contains("LeftSemi"))
     assert(!plan.toLowerCase.contains("batchevalpython") && !plan.contains("UDF"))
-    // single-scan shape: the persisted bench gram frame feeds the exact
-    // semi-join from the cache — the corpus is tokenized+exploded once
-    // per side, not re-derived for the join build
+    // the persisted bench gram frame feeds the exact semi-join from the
+    // cache — the benchmark side is tokenized once, not re-derived for
+    // the join build
     assert(plan.contains("InMemoryTableScan"),
       s"semi-join build must read the persisted bench grams:\n$plan")
   }
