@@ -108,6 +108,44 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("token-rep-stats property: kernel equals driver-side token accounting on generated text") {
+    // includes multi-space runs, leading/trailing whitespace, repeats
+    val messy: Gen[String] = Gen.listOf(Gen.frequency(
+      6 -> word, 2 -> Gen.const(""), 1 -> Gen.oneOf("é", "ü"),
+      2 -> Gen.const("rep")))
+      .map(_.mkString(" ")).map(s => "  " + s + " ")
+    samples(messy, 40).foreach { raw =>
+      val s = raw.toLowerCase
+      val got = TextOps.tokenRepStats(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s)).toSeq
+      val toks = s.split("\\s+", -1).filter(_.nonEmpty).toSeq
+      val freq = toks.groupBy(identity).view.mapValues(_.size)
+      val bigrams = if (toks.size < 2) Seq.empty
+        else toks.sliding(2).map(_.mkString(" ")).toSeq
+      val expected = Seq(toks.size, freq.size,
+        if (freq.isEmpty) 0 else freq.values.max, bigrams.distinct.size)
+      assert(got == expected, s"mismatch on '$s': $got != $expected")
+    }
+  }
+
+  test("word-gram-hashes property: count and distinctness match the string grams") {
+    // kernel runs on normalized text (single spaces); grams with n > 1
+    // are distinct exactly when their string forms are
+    val norm: Gen[String] =
+      Gen.listOf(Gen.frequency(5 -> word, 1 -> Gen.const("dup")))
+        .map(_.mkString(" "))
+    for (n <- Seq(2, 3)) samples(norm, 30).foreach { s =>
+      val got = TextOps.wordGramHashes(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s), n).toSeq
+      val toks = s.split(" ", -1).toSeq
+      val grams = if (toks.size < n) Seq.empty
+        else toks.sliding(n).map(_.mkString(" ")).toSeq
+      assert(got.size == grams.size, s"count mismatch on '$s' n=$n")
+      assert(got.distinct.size == grams.distinct.size,
+        s"hash distinctness must mirror gram distinctness on '$s' n=$n")
+    }
+  }
+
   test("minhash property: signature k is the min of the seed-k shingle hashes") {
     samples(Gen.nonEmptyListOf(word), 8).foreach { shingles =>
       val df = Seq(shingles).toDF("sh")
