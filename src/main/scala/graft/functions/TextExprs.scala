@@ -124,6 +124,32 @@ object TextOps {
     out
   }
 
+  /** BPE-ish token count == `regexp_count(s, "[a-z]+|[0-9]+|[^a-z0-9\s]")`
+    * on an already-lowercased string: one count per lowercase-alpha run,
+    * per digit run, and per OTHER non-whitespace code point (non-ASCII
+    * counts once per code point — lead byte, continuations skipped).
+    * Alternation order matters in the regex (runs beat single chars);
+    * the scan reproduces it by consuming maximal runs first.
+    */
+  def bpeTokenCount(s: UTF8String): Int = {
+    val bytes = s.getBytes
+    var n = 0; var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i)
+      if (b >= 'a' && b <= 'z') {
+        n += 1
+        while (i < bytes.length && bytes(i) >= 'a' && bytes(i) <= 'z') i += 1
+      } else if (isDigit(b)) {
+        n += 1
+        while (i < bytes.length && isDigit(bytes(i))) i += 1
+      } else {
+        if (!isCont(b) && !isWs(b)) n += 1
+        i += 1
+      }
+    }
+    n
+  }
+
   /** mode 0: `[a-zA-Z]` count; mode 1: `[^a-zA-Z0-9\s]` count (each
     * non-ASCII code point counts once).
     */
@@ -324,6 +350,29 @@ case class WordSetCount(child: Expression, words: Seq[String]) extends UnaryExpr
     copy(child = newChild)
 }
 
+/** `bpe_token_count(string)` → int (see [[TextOps.bpeTokenCount]];
+  * expects already-lowercased input).
+  */
+case class BpeTokenCount(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "bpe_token_count"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"bpe_token_count expects string, got $t")
+  }
+
+  override protected def nullSafeEval(s: Any): Any =
+    TextOps.bpeTokenCount(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextOps.bpeTokenCount($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** `token_rep_stats(string)` → array<int>:
   * [n_tok, n_distinct_tok, max_tok_freq, n_distinct_bigrams] in one
   * byte-scan (see [[TextOps.tokenRepStats]]).
@@ -425,4 +474,6 @@ object TextExprs {
     Bridge.column(TokenRepStats(Bridge.expression(c)))
   def wordGramHashes(c: Column, n: Int): Column =
     Bridge.column(WordGramHashes(Bridge.expression(c), n))
+  def bpeTokenCount(c: Column): Column =
+    Bridge.column(BpeTokenCount(Bridge.expression(c)))
 }

@@ -33,14 +33,17 @@ object TextQueries {
     "de" -> "der|die|und|ist|nicht",
     "fr" -> "le|et|les|des|une")
 
-  /** ta_tokens — token counting: whitespace tokens + BPE-ish regex tokens
+  /** ta_tokens — token counting: whitespace tokens + BPE-ish tokens
     * (letter runs / digit runs / single punctuation) + char length.
+    * The BPE count runs in the compiled [[TextExprs.bpeTokenCount]]
+    * byte-scan (== `regexp_count(lower(s), "[a-z]+|[0-9]+|[^a-z0-9\s]")`,
+    * TextExprsSpec) — the last hot-path regex in the text family.
     */
   def taTokens: Q = (s, dir) => {
     Tables.documents(s, dir).select(
       col("doc_id"),
       wsTokens(col("text")).as("n_ws_tokens"),
-      regexp_count(lower(col("text")), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]")).as("n_bpe_tokens"),
+      TextExprs.bpeTokenCount(lower(col("text"))).as("n_bpe_tokens"),
       length(col("text")).as("n_chars_txt"))
   }
 

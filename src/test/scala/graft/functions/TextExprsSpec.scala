@@ -57,6 +57,14 @@ class TextExprsSpec extends AnyFunSuite {
     }
   }
 
+  test("bpeTokenCount == regexp_count([a-z]+|[0-9]+|[^a-z0-9\\s]) on lowered text") {
+    val df = (cases ++ Seq("a1b2", "...", "é12é", "x9 9x", "ab12cd ef")).toDF("t")
+    val bad = df.filter(
+      TextExprs.bpeTokenCount(lower($"t")) =!=
+        regexp_count(lower($"t"), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"))).collect()
+    assert(bad.isEmpty, s"mismatch on: ${bad.map(_.getString(0)).toSeq}")
+  }
+
   test("tokenRepStats == the explode/HOF formulation it replaced") {
     // the reference semantics, spelled in built-ins: tokens are
     // filter(split(s, "\s+"), length > 0); bigrams are exact strings
