@@ -514,9 +514,10 @@ object DedupQueries {
     */
   private[queries] def embedNeardupLshPairs(emb: DataFrame, threshold: Double): DataFrame = {
     val t2 = threshold * threshold
-    // index-sizing parameter: one tiny count job before the plan is
-    // built, the same way an IVF index picks its cell count
-    val p = lshPlanesPerBand(emb.count())
+    // index-sizing parameter, computed once per (session, input) like
+    // every other index artifact — not one count job per invocation
+    val p = lshPlanesPerBand(FrameCache.cachedCount(emb.sparkSession,
+      "embedLshN:" + emb.queryExecution.analyzed.semanticHash())(emb.count()))
     val e = emb
       .withColumn("nrm", graft.functions.VecExprs.dot(col("embedding"), col("embedding")))
       .withColumn("sig", SimQueries.lshSigBits(2 * p))

@@ -45,18 +45,27 @@ private[graft] object FrameCache {
     frames.computeIfAbsent(s"${sessionKey(s)}:$key", _ => build.persist())
   }
 
-  /** Driver-side byte artifacts derived from a cached frame (Bloom
-    * sketch serializations). Unlike frames these hold no session
-    * resources — they are pure data keyed by input identity — but they
-    * follow the same lifecycle so `clear()` bounds them identically.
-    * Keyed WITHOUT the session: the bytes are a function of the data
-    * alone, so a recreated session over the same input reuses them.
+  /** Driver-side artifacts derived from a cached frame (Bloom sketch
+    * serializations, index-sizing counts). They hold no session
+    * resources, but they are keyed by the SESSION like the frames:
+    * the key is plan identity (path + predicate hash), not data
+    * content, so a dataset rewritten at the same path between sessions
+    * must rebuild its artifacts with the session rather than serve a
+    * stale sketch. `clear()` bounds both caches identically.
     */
   private val bytesCache = new ConcurrentHashMap[String, Array[Byte]]()
+  private val countCache = new ConcurrentHashMap[String, java.lang.Long]()
 
-  /** The serialized sketch for `key`, building it on first use. */
-  def cachedBytes(key: String)(build: => Array[Byte]): Array[Byte] =
-    bytesCache.computeIfAbsent(key, _ => build)
+  /** The serialized sketch for `key` under session `s`, building it on
+    * first use. */
+  def cachedBytes(s: SparkSession, key: String)(build: => Array[Byte]): Array[Byte] =
+    bytesCache.computeIfAbsent(s"${sessionKey(s)}:$key", _ => build)
+
+  /** An index-sizing count for `key` under session `s` (e.g. the corpus
+    * cardinality an adaptive banding ladder derives its knob from),
+    * computed once instead of one count job per invocation. */
+  def cachedCount(s: SparkSession, key: String)(build: => Long): Long =
+    countCache.computeIfAbsent(s"${sessionKey(s)}:$key", _ => build)
 
   /** Drop every cached frame (test isolation, driver shutdown). */
   def clear(): Unit = {
@@ -66,5 +75,6 @@ private[graft] object FrameCache {
     }
     frames.clear()
     bytesCache.clear()
+    countCache.clear()
   }
 }

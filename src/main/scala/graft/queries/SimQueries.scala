@@ -424,6 +424,41 @@ object SimQueries {
       |codes AS (
       |  SELECT vec_id, list(code ORDER BY s) AS cs FROM enc GROUP BY vec_id)""".stripMargin
 
+  /** Shared IVF CTE bodies (no leading WITH): the normed-vector table,
+    * the per-vector centroid ranking, and the nearest-cell assignment.
+    * Every IVF-family oracle interpolates THESE strings — a change to
+    * the tie-break or scoring cannot silently diverge between oracles.
+    */
+  private val duckVCent: String =
+    s"""v AS (
+      |  SELECT vec_id, label, embedding, ${duckDot("embedding", "embedding")} AS nrm
+      |  FROM embeddings),
+      |cent AS (
+      |  SELECT label AS c_label, embedding AS ce, nrm AS cn FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY label ORDER BY vec_id) AS rn FROM v)
+      |  WHERE rn = 1)""".stripMargin
+
+  private val duckRanked: String =
+    s"""ranked AS (
+      |  SELECT v.vec_id, v.embedding, v.nrm, cent.c_label,
+      |    row_number() OVER (PARTITION BY v.vec_id ORDER BY
+      |      (${duckDot("v.embedding", "cent.ce")}) * abs(${duckDot("v.embedding", "cent.ce")}) / cent.cn DESC,
+      |      cent.c_label) AS rn
+      |  FROM v CROSS JOIN cent)""".stripMargin
+
+  private val duckAssigned: String =
+    """assigned AS (
+      |  SELECT vec_id, embedding, nrm, c_label AS bucket FROM ranked WHERE rn = 1)""".stripMargin
+
+  /** The ADC distance select-expression over query subvectors `qs.svs`,
+    * flat codebook `cbx.cwss`, and a codes row aliased `c` — shared by
+    * the PQ and IVF-PQ oracles. */
+  private val duckAdcDist: String =
+    """list_sum(list_transform(generate_series(0, 7), s ->
+      |      list_sum(list_transform(generate_series(1, 8), i ->
+      |        (qs.svs[s + 1][i] - cbx.cwss[s + 1][c.cs[s + 1] + 1][i]) *
+      |        (qs.svs[s + 1][i] - cbx.cwss[s + 1][c.cs[s + 1] + 1][i])))))""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "sim_pq_encode" ->
       s"""$duckPqCodes
@@ -434,10 +469,7 @@ object SimQueries {
       s"""$duckPqCodes,
         |adc AS (
         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-        |    list_sum(list_transform(generate_series(0, 7), s ->
-        |      list_sum(list_transform(generate_series(1, 8), i ->
-        |        (qs.svs[s + 1][i] - cbx.cwss[s + 1][c.cs[s + 1] + 1][i]) *
-        |        (qs.svs[s + 1][i] - cbx.cwss[s + 1][c.cs[s + 1] + 1][i]))))) AS dist
+        |    $duckAdcDist AS dist
         |  FROM (SELECT vec_id FROM embeddings WHERE vec_id < 10) q
         |  JOIN (SELECT vec_id, list_transform(generate_series(0, 7), s ->
         |          list_transform(generate_series(1, 8), i -> embedding[s * 8 + i]::DOUBLE)) AS svs
@@ -492,21 +524,9 @@ object SimQueries {
         |  FROM scored)
         |WHERE rank <= $LshTopK""".stripMargin,
     "sim_ivf_topk" ->
-      s"""WITH v AS (
-        |  SELECT vec_id, label, embedding, ${duckDot("embedding", "embedding")} AS nrm
-        |  FROM embeddings),
-        |cent AS (
-        |  SELECT label AS c_label, embedding AS ce, nrm AS cn FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY label ORDER BY vec_id) AS rn FROM v)
-        |  WHERE rn = 1),
-        |assigned AS (
-        |  SELECT vec_id, embedding, nrm, c_label AS bucket FROM (
-        |    SELECT v.vec_id, v.embedding, v.nrm, cent.c_label,
-        |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
-        |        (${duckDot("v.embedding", "cent.ce")}) * abs(${duckDot("v.embedding", "cent.ce")}) / cent.cn DESC,
-        |        cent.c_label) AS rn
-        |    FROM v CROSS JOIN cent)
-        |  WHERE rn = 1),
+      s"""WITH $duckVCent,
+        |$duckRanked,
+        |$duckAssigned,
         |q AS (SELECT vec_id AS query_id, embedding AS eq, bucket FROM assigned WHERE vec_id < 10),
         |scored AS (
         |  SELECT q.query_id, c.vec_id AS neighbor_id,
@@ -518,21 +538,9 @@ object SimQueries {
         |  FROM scored)
         |WHERE rank <= $LshTopK""".stripMargin,
     "sim_ivf_probe2" ->
-      s"""WITH v AS (
-        |  SELECT vec_id, label, embedding, ${duckDot("embedding", "embedding")} AS nrm
-        |  FROM embeddings),
-        |cent AS (
-        |  SELECT label AS c_label, embedding AS ce, nrm AS cn FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY label ORDER BY vec_id) AS rn FROM v)
-        |  WHERE rn = 1),
-        |ranked AS (
-        |  SELECT v.vec_id, v.embedding, v.nrm, cent.c_label,
-        |    row_number() OVER (PARTITION BY v.vec_id ORDER BY
-        |      (${duckDot("v.embedding", "cent.ce")}) * abs(${duckDot("v.embedding", "cent.ce")}) / cent.cn DESC,
-        |      cent.c_label) AS rn
-        |  FROM v CROSS JOIN cent),
-        |assigned AS (
-        |  SELECT vec_id, embedding, nrm, c_label AS bucket FROM ranked WHERE rn = 1),
+      s"""WITH $duckVCent,
+        |$duckRanked,
+        |$duckAssigned,
         |probes AS (
         |  SELECT vec_id AS query_id, embedding AS eq, c_label AS bucket
         |  FROM ranked WHERE rn <= 2 AND vec_id < 10),
@@ -547,28 +555,13 @@ object SimQueries {
         |WHERE rank <= $LshTopK""".stripMargin,
     "sim_ivfpq_topk" ->
       s"""$duckPqCodes,
-        |v AS (
-        |  SELECT vec_id, label, embedding, ${duckDot("embedding", "embedding")} AS nrm
-        |  FROM embeddings),
-        |cent AS (
-        |  SELECT label AS c_label, embedding AS ce, nrm AS cn FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY label ORDER BY vec_id) AS rn FROM v)
-        |  WHERE rn = 1),
-        |assigned AS (
-        |  SELECT vec_id, c_label AS bucket FROM (
-        |    SELECT v.vec_id, cent.c_label,
-        |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
-        |        (${duckDot("v.embedding", "cent.ce")}) * abs(${duckDot("v.embedding", "cent.ce")}) / cent.cn DESC,
-        |        cent.c_label) AS rn
-        |    FROM v CROSS JOIN cent)
-        |  WHERE rn = 1),
+        |$duckVCent,
+        |$duckRanked,
+        |$duckAssigned,
         |q AS (SELECT vec_id AS query_id, bucket FROM assigned WHERE vec_id < 10),
         |adc AS (
         |  SELECT q.query_id, c.vec_id AS neighbor_id,
-        |    list_sum(list_transform(generate_series(0, 7), s ->
-        |      list_sum(list_transform(generate_series(1, 8), i ->
-        |        (qs.svs[s + 1][i] - cbx.cwss[s + 1][c.cs[s + 1] + 1][i]) *
-        |        (qs.svs[s + 1][i] - cbx.cwss[s + 1][c.cs[s + 1] + 1][i]))))) AS dist
+        |    $duckAdcDist AS dist
         |  FROM q
         |  JOIN (SELECT vec_id, list_transform(generate_series(0, 7), s ->
         |          list_transform(generate_series(1, 8), i -> embedding[s * 8 + i]::DOUBLE)) AS svs
@@ -581,21 +574,10 @@ object SimQueries {
         |    row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rank
         |  FROM adc) WHERE rank <= $LshTopK""".stripMargin,
     "sim_ivf_assign" ->
-      s"""WITH v AS (
-        |  SELECT vec_id, label, embedding, ${duckDot("embedding", "embedding")} AS nrm
-        |  FROM embeddings),
-        |cent AS (
-        |  SELECT label AS c_label, embedding AS ce, nrm AS cn FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY label ORDER BY vec_id) AS rn FROM v)
-        |  WHERE rn = 1),
-        |scored AS (
-        |  SELECT v.vec_id, v.label, cent.c_label,
-        |    (${duckDot("v.embedding", "cent.ce")}) * abs(${duckDot("v.embedding", "cent.ce")}) / cent.cn AS score
-        |  FROM v CROSS JOIN cent)
-        |SELECT vec_id, label, c_label AS assigned_label,
-        |  label = c_label AS assigned_own_label
-        |FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, c_label) AS rn
-        |  FROM scored)
-        |WHERE rn = 1""".stripMargin)
+      s"""WITH $duckVCent,
+        |$duckRanked
+        |SELECT r.vec_id, v.label, r.c_label AS assigned_label,
+        |  v.label = r.c_label AS assigned_own_label
+        |FROM ranked r JOIN v ON v.vec_id = r.vec_id
+        |WHERE r.rn = 1""".stripMargin)
 }

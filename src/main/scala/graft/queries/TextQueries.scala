@@ -374,12 +374,15 @@ object TextQueries {
     * aggregate (doc_id partitioning satisfies its clustered
     * distribution, so it plans a complete aggregate with no exchange)
     * and the per-doc ranking window alike. Document frequency shuffles
-    * only the bare token column of the tf frame and joins back as a
-    * broadcast (the vocabulary is heavy-tailed and orders of magnitude
-    * smaller than the corpus; at true 100 TB vocab scale the broadcast
-    * degrades to the shuffle join Catalyst picks anyway). This replaced
-    * a 3-shuffle plan — (doc,tok) agg, tok join, doc window — that
-    * re-shuffled token-scale data twice; measured 6.5 s → ~3 s at sf1.
+    * only the bare token column of the tf frame and joins back UNHINTED:
+    * the vocabulary is heavy-tailed and orders of magnitude smaller than
+    * the corpus, so the planner broadcasts it below the threshold (the
+    * plan at bench scale), and past the broadcast limit it genuinely
+    * falls back to a shuffle join — a forced broadcast() hint would
+    * instead die at the size limit, so the hint is deliberately absent.
+    * This replaced a 3-shuffle plan — (doc,tok) agg, tok join, doc
+    * window — that re-shuffled token-scale data twice; 6.5 s → ~2.3 s
+    * at sf1.
     * Ranking is integer-deterministic — (tf desc, df asc, tok asc) — so
     * float idf noise can never reorder rows; the tfidf score itself is
     * informational output, rounded to 4.
@@ -397,7 +400,7 @@ object TextQueries {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id"))
       .orderBy(col("tf").desc, col("df").asc, col("tok").asc)
-    tf.join(broadcast(dfreq), "tok")
+    tf.join(dfreq, "tok")
       .crossJoin(broadcast(nDocs))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
@@ -505,7 +508,7 @@ object TextQueries {
     // the serialized sketch is the other half of the one-time index
     // build: without caching it, every invocation re-aggregates the
     // benchmark grams to the driver just to rebuild identical bytes
-    val bytes = FrameCache.cachedBytes(cacheKey) {
+    val bytes = FrameCache.cachedBytes(docs.sparkSession, cacheKey) {
       val bloom = bench.select(xxhash64(col("gram")).as("h"))
         .stat.bloomFilter("h", benchGrams, 0.03)
       val b = new java.io.ByteArrayOutputStream(); bloom.writeTo(b); b.toByteArray
