@@ -19,15 +19,7 @@ object Bench {
     }
     // Optional comma-separated query filter for local iteration
     // (e.g. SPARK_GRAFT_ONLY=dd_minhash_pairs,sim_ivf_topk).
-    val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
-      .filter(_.nonEmpty) // blank value == unset
-    only.foreach(_.diff(SparkEntry.queries.keySet).foreach(n =>
-      System.err.println(s"[bench] SPARK_GRAFT_ONLY entry matches no query: $n")))
-    val selected = only match {
-      case Some(names) => SparkEntry.queries.view.filterKeys(names).toMap
-      case None        => SparkEntry.queries
-    }
+    val selected = SparkEntry.selectedQueries("bench")
     // Per-plan untimed warmup (JMH-style): run every query once before
     // timing so whole-stage codegen + JIT compile outside the measured
     // window — the timed pass then reports steady-state engine

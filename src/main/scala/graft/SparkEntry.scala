@@ -26,6 +26,25 @@ object SparkEntry {
       graft.queries.MultimodalQueries.queries ++
       graft.queries.OlapQueries.queries
 
+  /** The query map filtered by the `SPARK_GRAFT_ONLY` env var (comma
+    * separated, trimmed; a blank value means unset). Shared by the
+    * Bench and Verify mains so the parse/blank-guard/unknown-name
+    * warning cannot drift between the two entry points again — an
+    * allowlisted name matching no registered query is reported to
+    * stderr under `tag`, never silently ignored.
+    */
+  def selectedQueries(tag: String): Map[String, (SparkSession, String) => DataFrame] = {
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty) // blank value == unset
+    only.foreach(_.diff(queries.keySet).foreach(n =>
+      System.err.println(s"[$tag] SPARK_GRAFT_ONLY entry matches no query: $n")))
+    only match {
+      case Some(names) => queries.view.filterKeys(names).toMap
+      case None        => queries
+    }
+  }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → rows-only check.
     */

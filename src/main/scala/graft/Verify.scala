@@ -17,16 +17,9 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // comma-separated allowlist for local single-query iteration; the
-    // driver leaves it unset and dumps everything. A blank value counts
-    // as unset (Set("") would silently filter out EVERY query), and a
-    // name matching no registered query is reported, not swallowed.
-    val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-      .filter(_.nonEmpty)
-    only.foreach(_.diff(SparkEntry.queries.keySet).foreach(n =>
-      System.err.println(s"[verify] SPARK_GRAFT_ONLY entry matches no query: $n")))
-    SparkEntry.queries
-      .filter { case (name, _) => only.forall(_.contains(name)) }
+    // driver leaves it unset and dumps everything (parse semantics in
+    // SparkEntry.selectedQueries, shared with Bench).
+    SparkEntry.selectedQueries("verify")
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

@@ -130,16 +130,10 @@ object ClinicalCli {
       val dsStudyId = s"${studyId}_${ds.toLowerCase}"
       val checks = ClinicalPipeline.exportDataset(
         patient, sample, ds, attrMeta, dsStudyId, s"$outDir/$ds")
-      Tsv.writeMetaFile(s"$outDir/$ds/meta_clinical_patient.txt", Seq(
-        "cancer_study_identifier" -> dsStudyId,
-        "genetic_alteration_type" -> "CLINICAL",
-        "datatype" -> "PATIENT_ATTRIBUTES",
-        "data_filename" -> "data_clinical_patient.txt"))
-      Tsv.writeMetaFile(s"$outDir/$ds/meta_clinical_sample.txt", Seq(
-        "cancer_study_identifier" -> dsStudyId,
-        "genetic_alteration_type" -> "CLINICAL",
-        "datatype" -> "SAMPLE_ATTRIBUTES",
-        "data_filename" -> "data_clinical_sample.txt"))
+      // per-dataset package dir: each dataset is its own study package,
+      // metas sit next to their data files like StudyRunner's single-
+      // dataset package at outDir
+      ClinicalPipeline.writeClinicalMetas(s"$outDir/$ds", dsStudyId)
       printChecks(s"clinical:$ds", checks)
     }
     // V15/V16 metrics were collected by the export writes — no extra job
@@ -178,16 +172,23 @@ object MafCli {
         spark, storeRoot, one(args, "input_folder_synid"))
       .getOrElse(sys.error(s"no .maf children under ${one(args, "input_folder_synid")}"))
     val chunked = MafPipeline.assignChunks(maf, "Tumor_Sample_Barcode", maxRows)
+    // persist before the fan-out: three actions read this frame (the
+    // output write, the failure count, the failure report) and each
+    // would otherwise re-run the whole merge + annotation DAG — on a
+    // 10k-file study folder that triples the dominant I/O
     val (annotated, _) = MafPipeline.annotate(
       chunked, fetch(spark, storeRoot, one(args, "annotations_synid")))
-    MafPipeline.writeOutputs(
-      MafPipeline.postprocess(annotated).drop("chunk"), studyId, outDir)
-    val failed = annotated.filter(col("Annotation_Status") === "FAILED")
-      .select((MafPipeline.VariantKey ++ Seq("Tumor_Sample_Barcode", "chunk")).map(col): _*)
-    val nErr = failed.count()
-    if (nErr > 0)
-      Tsv.writeTsvFile(failed, s"$outDir/failed_annotations.txt")
-    println(s"[maf] wrote $outDir/data_mutations.txt; failed_annotations=$nErr")
+    annotated.persist()
+    try {
+      MafPipeline.writeOutputs(
+        MafPipeline.postprocess(annotated).drop("chunk"), studyId, outDir)
+      val failed = annotated.filter(col("Annotation_Status") === "FAILED")
+        .select((MafPipeline.VariantKey ++ Seq("Tumor_Sample_Barcode", "chunk")).map(col): _*)
+      val nErr = failed.count()
+      if (nErr > 0)
+        Tsv.writeTsvFile(failed, s"$outDir/failed_annotations.txt")
+      println(s"[maf] wrote $outDir/data_mutations.txt; failed_annotations=$nErr")
+    } finally annotated.unpersist()
     }
   }
 }
@@ -226,14 +227,15 @@ object ValidateCli {
   * Reference flags kept: `--dataset`, `--output_folder_synid`,
   * `--create_case_lists`, `--upload`, `--version_comment`. Added:
   * `--store_root`, `--study_dir` (where the export wrote),
-  * `--study_id`.
+  * `--study_id`, `--strict` (a missing required output fails the
+  * upload instead of only warning, StudyRunner's strictUpload).
   */
 object LoadCli {
   import CliUtil._
 
   def main(argv: Array[String]): Unit = {
     val args = parse(argv.toSeq,
-      boolFlags = Set("create_case_lists", "upload"))
+      boolFlags = Set("create_case_lists", "upload", "strict"))
     val dir = one(args, "study_dir")
     val studyId = args.get("study_id").map(_.head)
       .getOrElse("iatlas_" + args.get("dataset").map(_.head).getOrElse("study"))
@@ -250,6 +252,17 @@ object LoadCli {
       val comment = args.get("version_comment").map(_.head).getOrElse("")
       val caseLists = Option(Paths.get(dir, "case_lists").toFile.listFiles())
         .map(_.toSeq.map(f => s"case_lists/${f.getName}")).getOrElse(Seq.empty)
+      // mirror StudyRunner's missing-output guard: an absent required
+      // file is never skipped silently — warn always, fail under
+      // --strict — or an incomplete package lands in the store with
+      // exit code 0
+      val missing = Schemas.RequiredOutputFiles
+        .filterNot(f => Files.exists(Paths.get(dir, f)))
+      if (missing.nonEmpty) {
+        val msg = s"[load] required outputs absent from $dir: ${missing.mkString(", ")}"
+        if (args.contains("strict")) sys.error(msg)
+        System.err.println(msg)
+      }
       val stored = (Schemas.RequiredOutputFiles ++ caseLists)
         .filter(f => Files.exists(Paths.get(dir, f)))
         .map { f =>

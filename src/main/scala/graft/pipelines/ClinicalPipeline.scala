@@ -317,6 +317,25 @@ object ClinicalPipeline {
     * `format("cbio")` / [[graft.sources.Tsv.read]]. The default keeps the
     * reference's single-file parity surface for small per-study outputs.
     */
+  /** The two clinical meta files every study package carries, written
+    * next to their data files — ONE definition shared by StudyRunner and
+    * ClinicalCli so the key-value contract cannot drift between the
+    * lifecycle runner and the CLI (meta_clinical_{patient,sample}.txt,
+    * cBioPortal's `meta_*` ingestion descriptors).
+    */
+  def writeClinicalMetas(outDir: String, studyId: String): Unit = {
+    graft.sources.Tsv.writeMetaFile(s"$outDir/meta_clinical_patient.txt", Seq(
+      "cancer_study_identifier" -> studyId,
+      "genetic_alteration_type" -> "CLINICAL",
+      "datatype" -> "PATIENT_ATTRIBUTES",
+      "data_filename" -> "data_clinical_patient.txt"))
+    graft.sources.Tsv.writeMetaFile(s"$outDir/meta_clinical_sample.txt", Seq(
+      "cancer_study_identifier" -> studyId,
+      "genetic_alteration_type" -> "CLINICAL",
+      "datatype" -> "SAMPLE_ATTRIBUTES",
+      "data_filename" -> "data_clinical_sample.txt"))
+  }
+
   def exportDataset(patient: DataFrame, sample: DataFrame, dataset: String,
                     attrMeta: DataFrame, studyId: String, outDir: String,
                     partedSink: Boolean = false): Seq[(String, Long, Boolean)] = {

@@ -69,16 +69,7 @@ object StudyRunner {
     // metric is ready without any extra job
     val clinicalChecks =
       exportChecks ++ graft.validation.Rules.observedRows(neoObs, neoRules)
-    Tsv.writeMetaFile(s"$outDir/meta_clinical_patient.txt", Seq(
-      "cancer_study_identifier" -> studyId,
-      "genetic_alteration_type" -> "CLINICAL",
-      "datatype" -> "PATIENT_ATTRIBUTES",
-      "data_filename" -> "data_clinical_patient.txt"))
-    Tsv.writeMetaFile(s"$outDir/meta_clinical_sample.txt", Seq(
-      "cancer_study_identifier" -> studyId,
-      "genetic_alteration_type" -> "CLINICAL",
-      "datatype" -> "SAMPLE_ATTRIBUTES",
-      "data_filename" -> "data_clinical_sample.txt"))
+    ClinicalPipeline.writeClinicalMetas(outDir, studyId)
 
     // --- §3.2 maf main: folder merge -> annotate -> postprocess -> write
     val maf = MafPipeline.readAndMergeMafsFromStore(spark, storeRoot, in.mafFolderId)

@@ -114,10 +114,6 @@ object DedupQueries {
       .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_union"),
         (col("n_inter") * 2 >= col("n_union")).as("jacc_ge_half"))
 
-  /** LSH candidate pairs carrying both distinct-shingle sets — the shared
-    * recall stage behind Jaccard (dd_minhash_pairs) and containment
-    * (dd_containment) verification.
-    */
   /** The persisted signature table of the LSH index (sig columns +
     * distinct shingle sets): shingling + K md5 min-hashes is the
     * expensive map work, so it materializes ONCE per corpus — the bucket
@@ -131,15 +127,13 @@ object DedupQueries {
       minhashSigs(s, dir)
         .withColumn("shd", array_distinct(col("shingles"))).drop("shingles"))
 
+  /** LSH candidate pairs carrying both distinct-shingle sets — the shared
+    * recall stage behind Jaccard (dd_minhash_pairs) and containment
+    * (dd_containment) verification.
+    */
   private def candidatePairsWithSets(s: SparkSession, dir: String): DataFrame = {
     val sig = cachedSigs(s, dir)
-    val bandStructs = (0 until B).map { b =>
-      val rows = (0 until R).map(r => col(s"sig_${b * R + r}"))
-      struct(lit(b).as("band"), md5(concat_ws(",", rows: _*)).as("bh"))
-    }
-    val buckets = sig
-      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bd"))
-      .select(col("doc_id"), col("bd.band").as("band"), col("bd.bh").as("bh"))
+    val buckets = bandedFrame(sig).drop("shd")
     val pairs = buckets.as("a").join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") < col("b.doc_id"))

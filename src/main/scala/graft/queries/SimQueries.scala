@@ -285,6 +285,11 @@ object SimQueries {
       .select(col("vec_id"), col("embedding"))
       .collect().sortBy(_.getLong(0))
       .map(_.getSeq[Float](1).map(_.toDouble))
+    // fail fast: the flat codebook is indexed cb(sp * codewords + j) —
+    // with fewer rows the blocks misalign and encode would silently
+    // read another subspace's codewords before finally overrunning
+    require(rows.length == PqCodewords,
+      s"PQ codebook needs vec_id 0..${PqCodewords - 1}; found ${rows.length} vectors")
     (0 until PqSubspaces).map(sp =>
       rows.toSeq.map(v => v.slice(sp * PqSubDim, (sp + 1) * PqSubDim).toSeq))
   }

@@ -269,7 +269,11 @@ object TextQueries {
     * exactly the shape a learned-classifier filter has at 100 TB (the
     * model is broadcast weights, never a join). All feature arithmetic
     * is per-row IEEE double with a pinned evaluation order, so the two
-    * engines agree bit-for-bit and the keep threshold cannot flip.
+    * engines agree bit-for-bit and the keep threshold cannot flip. The
+    * bias (-2.4) is calibrated so the filter actually discriminates on
+    * the committed corpora (~22% kept at sf0.001/0.01/0.1) with the
+    * nearest logit >= 1.8e-4 from the boundary at every scale — a
+    * vacuously-true keep would leave the threshold property untested.
     */
   def taQualityModel: Q = (s, dir) => {
     val nTok = wsTokens(col("text")).cast("double")
@@ -278,7 +282,7 @@ object TextQueries {
     val nPunct = TextExprs.punctCount(col("text")).cast("double")
     val nAlpha = TextExprs.alphaCount(col("text")).cast("double")
     val nChars = length(col("text")).cast("double")
-    val logit = lit(-1.5) +
+    val logit = lit(-2.4) +
       lit(4.0) * (nStop / greatest(nTok, lit(1.0))) -
       lit(6.0) * (nPunct / greatest(nChars, lit(1.0))) +
       lit(2.5) * (nAlpha / greatest(nChars, lit(1.0)))
@@ -663,10 +667,10 @@ object TextQueries {
         |    length(text)::DOUBLE AS n_chars
         |  FROM documents)
         |SELECT doc_id,
-        |  round(-1.5 + 4.0 * (n_stop / greatest(n_tok, 1.0))
+        |  round(-2.4 + 4.0 * (n_stop / greatest(n_tok, 1.0))
         |      - 6.0 * (n_punct / greatest(n_chars, 1.0))
         |      + 2.5 * (n_alpha / greatest(n_chars, 1.0)), 6) AS quality_logit,
-        |  (-1.5 + 4.0 * (n_stop / greatest(n_tok, 1.0))
+        |  (-2.4 + 4.0 * (n_stop / greatest(n_tok, 1.0))
         |      - 6.0 * (n_punct / greatest(n_chars, 1.0))
         |      + 2.5 * (n_alpha / greatest(n_chars, 1.0))) > 0 AS keep
         |FROM f""".stripMargin,

@@ -486,7 +486,10 @@ private[sources] class CbioBatchWrite(path: String, schema: StructType, queryId:
       // of one dataset path remain unsupported: two committers would
       // each delete the other's freshly renamed parts — use the
       // SynapseStore claim-file path for contended writes.
-      val ownPart = raw"part-\d{5}-${java.util.regex.Pattern.quote(queryId)}\.cbio\.txt".r
+      // \d{5,}: f"part-$pid%05d" widens past 5 digits at partitionId
+      // >= 100000 — an exact {5} would fail to match the committer's
+      // OWN freshly renamed parts there and delete them
+      val ownPart = raw"part-\d{5,}-${java.util.regex.Pattern.quote(queryId)}\.cbio\.txt".r
       CbioTsvSource.listDataFiles(hfs, dir)
         .filterNot(f => ownPart.matches(f.getName))
         .foreach(hfs.delete(_, false))
