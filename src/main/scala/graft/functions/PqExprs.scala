@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -22,6 +23,10 @@ object PqOps {
   /** codebook: (subspace * codewords + j) → the codeword's dims. */
   def encode(v: ArrayData, cb: Array[Array[Double]],
              subspaces: Int, codewords: Int, subDim: Int): ArrayData = {
+    if (v.numElements() < subspaces * subDim) {
+      throw new IllegalArgumentException(
+        s"pq_encode: embedding has ${v.numElements()} dims, codebook needs ${subspaces * subDim}")
+    }
     val out = new Array[Int](subspaces)
     var sp = 0
     while (sp < subspaces) {
@@ -52,6 +57,11 @@ object PqOps {
     */
   def adc(q: ArrayData, codes: ArrayData, cb: Array[Array[Double]],
           subspaces: Int, codewords: Int, subDim: Int): Double = {
+    if (q.numElements() < subspaces * subDim || codes.numElements() < subspaces) {
+      throw new IllegalArgumentException(
+        s"pq_adc: query has ${q.numElements()} dims (needs ${subspaces * subDim}), " +
+          s"codes has ${codes.numElements()} entries (needs $subspaces)")
+    }
     var total = 0.0d
     var sp = 0
     while (sp < subspaces) {
@@ -79,6 +89,13 @@ case class PqEncode(child: Expression, codebook: Array[Array[Double]],
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "pq_encode"
 
+  // getFloat on an array<double> would silently mis-read 4 of each
+  // element's 8 bytes — reject anything but array<float> at analysis time.
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"pq_encode expects array<float>, got $t")
+  }
+
   override protected def nullSafeEval(v: Any): Any =
     PqOps.encode(v.asInstanceOf[ArrayData], codebook, subspaces, codewords, subDim)
 
@@ -100,6 +117,12 @@ case class PqAdc(left: Expression, right: Expression, codebook: Array[Array[Doub
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "pq_adc"
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(FloatType, _), ArrayType(IntegerType, _)) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"pq_adc expects (array<float>, array<int>), got $l / $r")
+  }
 
   override protected def nullSafeEval(q: Any, codes: Any): Any =
     PqOps.adc(q.asInstanceOf[ArrayData], codes.asInstanceOf[ArrayData],

@@ -26,15 +26,41 @@ private[graft] object FrameCache {
 
   private val frames = new ConcurrentHashMap[String, DataFrame]()
 
+  /** Session → its key prefix. The prefix embeds a monotonic counter
+    * rather than `identityHashCode`: a hash could recur on a new session
+    * object after the old one is GC'd, silently serving frame/sketch
+    * entries across session generations. The registry holds a strong
+    * reference only until the session stops — `evictStopped` drops the
+    * mapping together with every cache entry under its prefix.
+    */
+  private val sessionPrefixes = new ConcurrentHashMap[SparkSession, String]()
+  private val nextSessionId = new java.util.concurrent.atomic.AtomicLong(0L)
+
   private def sessionKey(s: SparkSession): String =
-    s"${s.sparkContext.applicationId}#${System.identityHashCode(s)}"
+    sessionPrefixes.computeIfAbsent(
+      s,
+      sess => s"${sess.sparkContext.applicationId}#${nextSessionId.incrementAndGet()}")
 
   /** Drop entries owned by a session whose context has stopped — their
     * cached blocks are already gone with the executor; unpersist on a
-    * dead context is a no-op at best, so just drop the references.
+    * dead context is a no-op at best, so just drop the references. All
+    * three maps are pruned by the dead session's key prefix, so a JVM
+    * that cycles sessions cannot accumulate serialized sketches or
+    * counts any more than it can frames.
     */
-  private def evictStopped(): Unit =
-    frames.entrySet().removeIf(e => e.getValue.sparkSession.sparkContext.isStopped)
+  private def evictStopped(): Unit = {
+    val it = sessionPrefixes.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey.sparkContext.isStopped) {
+        val prefix = e.getValue + ":"
+        frames.keySet.removeIf(_.startsWith(prefix))
+        bytesCache.keySet.removeIf(_.startsWith(prefix))
+        countCache.keySet.removeIf(_.startsWith(prefix))
+        it.remove()
+      }
+    }
+  }
 
   /** The persisted frame for `key` under session `s`, building (and
     * persisting) it on first use. The build must be a pure function of
@@ -58,14 +84,18 @@ private[graft] object FrameCache {
 
   /** The serialized sketch for `key` under session `s`, building it on
     * first use. */
-  def cachedBytes(s: SparkSession, key: String)(build: => Array[Byte]): Array[Byte] =
+  def cachedBytes(s: SparkSession, key: String)(build: => Array[Byte]): Array[Byte] = {
+    evictStopped()
     bytesCache.computeIfAbsent(s"${sessionKey(s)}:$key", _ => build)
+  }
 
   /** An index-sizing count for `key` under session `s` (e.g. the corpus
     * cardinality an adaptive banding ladder derives its knob from),
     * computed once instead of one count job per invocation. */
-  def cachedCount(s: SparkSession, key: String)(build: => Long): Long =
+  def cachedCount(s: SparkSession, key: String)(build: => Long): Long = {
+    evictStopped()
     countCache.computeIfAbsent(s"${sessionKey(s)}:$key", _ => build)
+  }
 
   /** Drop every cached frame (test isolation, driver shutdown). */
   def clear(): Unit = {
@@ -76,5 +106,6 @@ private[graft] object FrameCache {
     frames.clear()
     bytesCache.clear()
     countCache.clear()
+    sessionPrefixes.clear()
   }
 }

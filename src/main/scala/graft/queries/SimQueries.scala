@@ -484,7 +484,7 @@ object SimQueries {
         |SELECT query_id, neighbor_id, rank FROM (
         |  SELECT query_id, neighbor_id,
         |    row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rank
-        |  FROM adc) WHERE rank <= 5""".stripMargin,
+        |  FROM adc) WHERE rank <= $TopK""".stripMargin,
     "sim_quantize" ->
       """WITH m AS (
         |  SELECT max(list_max(list_transform(embedding, x -> abs(x::DOUBLE)))) AS maxabs

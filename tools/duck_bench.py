@@ -19,6 +19,14 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
 
+def connect(sf_dir):
+    con = duckdb.connect()
+    con.execute("SET threads TO 32")
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
 def main():
     sf_dir, oracle_dir = sys.argv[1], sys.argv[2]
     reps = int(sys.argv[3]) if len(sys.argv) > 3 else 3
@@ -27,21 +35,33 @@ def main():
     timeout = float(sys.argv[4]) if len(sys.argv) > 4 else None
     with open(f"{oracle_dir}/oracle_sql.json") as f:
         oracles = json.load(f)
-    con = duckdb.connect()
-    con.execute("SET threads TO 32")
-    for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    con = connect(sf_dir)
     times = {}
     timed_out_floor = 0.0
     for name, sql in sorted(oracles.items()):
         best = None
         timed_out = False
+        failed = False
         for _ in range(reps):
+            # The timer callback re-checks `done` under the lock before
+            # interrupting, so a rep that finishes just as the timer
+            # fires is not misclassified; if the callback nonetheless
+            # fired without the rep seeing an InterruptException, the
+            # interrupt is pending on an idle connection and would hit
+            # the NEXT rep/query — reopen the connection to discard it.
             timer = None
+            lock = threading.Lock()
+            state = {"done": False, "fired": False}
             if timeout is not None:
-                timer = threading.Timer(timeout, con.interrupt)
+                def fire(st=state, lk=lock, c=con):
+                    with lk:
+                        if not st["done"]:
+                            st["fired"] = True
+                            c.interrupt()
+                timer = threading.Timer(timeout, fire)
                 timer.start()
             t0 = time.monotonic()
+            interrupted = False
             try:
                 con.sql(sql).fetchall()
             except duckdb.InterruptException:
@@ -51,15 +71,21 @@ def main():
                 dt = time.monotonic() - t0
                 print(f"[duck_bench] {name} TIMEOUT after {dt:.1f}s",
                       file=sys.stderr)
+                interrupted = True
                 timed_out = True
-                break
             except Exception as e:
                 print(f"[duck_bench] {name} FAILED: {e}", file=sys.stderr)
                 best = -1.0  # a genuinely failed rep marks the query failed
-                break
+                failed = True
             finally:
+                with lock:
+                    state["done"] = True
                 if timer is not None:
                     timer.cancel()
+            if state["fired"] and not interrupted:
+                con = connect(sf_dir)
+            if timed_out or failed:
+                break
             dt = time.monotonic() - t0
             best = dt if best is None else min(best, dt)
         if timed_out and (best is None or best < 0):
