@@ -116,6 +116,41 @@ case class SimHash60(child: Expression, seed: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `md5long60(string, seed)` → long: the seeded portable hash as ONE
+  * compiled kernel call. [[Hashing.md5LongSeeded]] composes
+  * conv∘substring∘md5∘concat_ws — four interpreted expression nodes and
+  * three intermediate strings per value when evaluated OUTSIDE codegen,
+  * which is exactly where an aggregate's child expression lands
+  * (`TypedImperativeAggregate.update` calls `child.eval`). Pre-projecting
+  * this kernel keeps the hash inside whole-stage codegen and hands the
+  * aggregate a plain long column. Values are identical to
+  * `md5LongSeeded` (same digest-prefix parse), so oracles are unaffected.
+  */
+case class Md5Long60(child: Expression, seed: Int) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "md5long60"
+
+  @transient private lazy val prefix: Array[Byte] = SketchOps.seedPrefix(seed)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"md5long60 expects string, got $t")
+  }
+
+  override protected def nullSafeEval(token: Any): Any =
+    SketchOps.md5Long60(prefix, token.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("prefix", prefix, "byte[]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.SketchOps.md5Long60($ref, $c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** `minhash_sigs(array<string>, k)` → array<long> of length k. */
 case class MinHashSigs(child: Expression, k: Int) extends UnaryExpression {
 
@@ -152,4 +187,7 @@ object SketchExprs {
 
   def minhashSigs(shingles: Column, k: Int): Column =
     Bridge.column(MinHashSigs(Bridge.expression(shingles), k))
+
+  def md5Long60(token: Column, seed: Int): Column =
+    Bridge.column(Md5Long60(Bridge.expression(token), seed))
 }

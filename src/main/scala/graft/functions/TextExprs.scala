@@ -4,6 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.types.{DataType, IntegerType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -46,6 +47,36 @@ object TextOps {
       i += 1
     }
     n
+  }
+
+  /** Maximal non-whitespace byte runs as an array — exactly
+    * `filter(split(trim(s), "\s+"), t -> length(t) > 0)` (empty array
+    * for blank s). The regex-split + interpreted HOF-filter form walks
+    * the interpreter per token; this is one byte scan emitting slices.
+    */
+  def wsSplit(s: UTF8String): GenericArrayData = {
+    val bytes = s.getBytes
+    var n = 0; var inRun = false; var i = 0
+    while (i < bytes.length) {
+      val ws = !isCont(bytes(i)) && isWs(bytes(i))
+      if (!ws && !inRun) { n += 1; inRun = true }
+      else if (ws) inRun = false
+      i += 1
+    }
+    val out = new Array[Any](n)
+    var k = 0; var start = -1
+    i = 0
+    while (i < bytes.length) {
+      val ws = !isCont(bytes(i)) && isWs(bytes(i))
+      if (!ws && start < 0) start = i
+      else if (ws && start >= 0) {
+        out(k) = UTF8String.fromBytes(bytes, start, i - start); k += 1
+        start = -1
+      }
+      i += 1
+    }
+    if (start >= 0) { out(k) = UTF8String.fromBytes(bytes, start, bytes.length - start) }
+    new GenericArrayData(out)
   }
 
   /** One-pass per-document repetition stats over an (already
@@ -231,25 +262,42 @@ object TextOps {
         }
         out
       }
-    // winnow: min per W-window, distinct (insertion order, then sorted)
-    val seen = new java.util.TreeSet[java.lang.Long]()
+    // winnow: min per W-window, distinct, ascending. Sliding minima via a
+    // monotonic index deque (O(1) amortized per gram, vs the O(W) rescan
+    // the first version paid), collected into a PRIMITIVE buffer with
+    // adjacent-duplicate suppression (neighboring windows usually share
+    // their min), then sort + dedup — same value SET as a TreeSet of all
+    // window minima, without boxing one java.lang.Long per gram (which
+    // at sf1 was ~100 M allocations and most of the kernel's cost).
+    val mins = new Array[Long](gh.length)
+    var nm = 0
+    @inline def record(v: Long): Unit =
+      if (nm == 0 || mins(nm - 1) != v) { mins(nm) = v; nm += 1 }
     if (gh.length <= WinnowW) {
       var m = gh(0); var i = 1
       while (i < gh.length) { if (gh(i) < m) m = gh(i); i += 1 }
-      seen.add(m)
+      record(m)
     } else {
+      val dq = new Array[Int](gh.length)
+      var head = 0; var tail = 0 // dq[head until tail] = candidate indices
       var i = 0
-      while (i + WinnowW <= gh.length) {
-        var m = gh(i); var j = i + 1
-        while (j < i + WinnowW) { if (gh(j) < m) m = gh(j); j += 1 }
-        seen.add(m)
+      while (i < gh.length) {
+        while (tail > head && gh(dq(tail - 1)) >= gh(i)) tail -= 1
+        dq(tail) = i; tail += 1
+        if (dq(head) <= i - WinnowW) head += 1
+        if (i >= WinnowW - 1) record(gh(dq(head)))
         i += 1
       }
     }
-    val res = new Array[Long](seen.size)
-    val it = seen.iterator(); var i = 0
-    while (it.hasNext) { res(i) = it.next(); i += 1 }
-    res
+    val sorted = java.util.Arrays.copyOf(mins, nm)
+    java.util.Arrays.sort(sorted)
+    var out = 0
+    var i = 0
+    while (i < nm) {
+      if (out == 0 || sorted(out - 1) != sorted(i)) { sorted(out) = sorted(i); out += 1 }
+      i += 1
+    }
+    java.util.Arrays.copyOf(sorted, out)
   }
 
   /** Count of maximal `\w`-runs whose ASCII-lowercased form is in
@@ -293,6 +341,30 @@ case class WsTokenCount(child: Expression) extends UnaryExpression {
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.TextOps.wsTokenCount($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `ws_split(string)` → array<string>: maximal non-whitespace runs,
+  * == `filter(split(trim(s), "\s+"), t -> length(t) > 0)`.
+  */
+case class WsSplit(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "ws_split"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"ws_split expects string, got $t")
+  }
+
+  override protected def nullSafeEval(s: Any): Any =
+    TextOps.wsSplit(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextOps.wsSplit($c)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -476,4 +548,6 @@ object TextExprs {
     Bridge.column(WordGramHashes(Bridge.expression(c), n))
   def bpeTokenCount(c: Column): Column =
     Bridge.column(BpeTokenCount(Bridge.expression(c)))
+  def wsSplit(c: Column): Column =
+    Bridge.column(WsSplit(Bridge.expression(c)))
 }

@@ -252,13 +252,21 @@ object DedupQueries {
     * map-side ([[graft.functions.SimHashAgg]]), the shuffle carries one
     * 244-byte sketch per group — the formulation for corpora whose
     * documents don't fit in a row. Result == dd_simhash (same oracle).
+    *
+    * The token hash is PRE-PROJECTED with the compiled
+    * [[SketchExprs.md5Long60]] kernel rather than passed as the
+    * aggregate's child: a TypedImperativeAggregate evaluates its child
+    * per input row through the expression INTERPRETER
+    * (`update` → `child.eval`), so the composed md5∘conv∘substring form
+    * there cost ~4.5 s at sf1 — hashing inside the codegen'd Project
+    * below the aggregate cut it to ~1.4 s with bit-identical values.
     */
   def ddSimhashAgg: Q = (s, dir) =>
     shingled(s, dir)
       .select(col("doc_id"), explode(array_distinct(col("toks"))).as("tok"))
+      .select(col("doc_id"), SketchExprs.md5Long60(col("tok"), 99).as("th"))
       .groupBy(col("doc_id"))
-      .agg(graft.functions.SimHashAgg.simhashAgg(
-        Hashing.md5LongSeeded(99, col("tok"))).as("simhash"))
+      .agg(graft.functions.SimHashAgg.simhashAgg(col("th")).as("simhash"))
 
   /** dd_cluster — near-dup CLUSTER resolution: connected components over
     * the verified MinHash candidate pairs (jaccard ≥ 0.5), every doc

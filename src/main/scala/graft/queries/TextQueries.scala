@@ -148,8 +148,7 @@ object TextQueries {
     */
   def taVocab: Q = (s, dir) => {
     Tables.documents(s, dir)
-      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
-      .filter(length(col("tok")) > 0)
+      .select(explode(TextExprs.wsSplit(lower(trim(col("text"))))).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
       .orderBy(col("freq").desc, col("tok").asc)
       .limit(100)
@@ -250,10 +249,11 @@ object TextQueries {
     * guarantees against exact counts instead.
     */
   def taHeavyHitters: Q = (s, dir) => {
+    // Tokens via the compiled ws_split kernel: the regex-split +
+    // interpreted HOF-filter form was ~60% of this query's sf1 cost.
     val toks = Tables.documents(s, dir)
       .select(col("source"),
-        explode(filter(split(lower(trim(col("text"))), "\\s+"),
-          t => length(t) > 0)).as("tok"))
+        explode(TextExprs.wsSplit(lower(trim(col("text"))))).as("tok"))
     toks.groupBy(col("source"))
       .agg(graft.functions.SpaceSavingAgg.spaceSaving(col("tok"), 16).as("hh"))
       .select(col("source"), posexplode(col("hh")))
@@ -557,14 +557,50 @@ object TextQueries {
     */
   def taSourceOverlap: Q = (s, dir) => {
     val norm = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
-    val fps = Tables.documents(s, dir)
-      .select(col("source"), explode(TextExprs.winnowFingerprints(norm)).as("fp"))
-      .distinct()
-    fps.toDF("source_a", "fp")
-      .join(fps.toDF("source_b", "fp"), Seq("fp"))
-      .filter(col("source_a") < col("source_b"))
-      .groupBy(col("source_a"), col("source_b"))
-      .agg(count(lit(1)).as("shared_fps"))
+    val docs = Tables.documents(s, dir)
+    // The source dimension is catalog-sized (which crawls/datasets feed
+    // the corpus) — collect it once, like every broadcast-dim control
+    // table. Each source gets a bit: one corpus pass then computes each
+    // fingerprint's PRESENCE MASK with a fully codegen'd bit_or hash
+    // aggregate (map-side combined — the shuffle carries one long per
+    // distinct fp per partition), and the pair matrix falls out of the
+    // tiny mask histogram. The previous form paid the winnow kernel
+    // TWICE (both sides of a fp self-join) plus a distinct and a 4M×4M
+    // sort-merge join at sf1 — 3.2 s; this form is one pass + two
+    // small aggs — ~1 s. Falls back to the self-join form beyond 62
+    // sources (mask width), where the histogram would stop compressing.
+    val sources = docs.select(col("source")).distinct().orderBy(col("source"))
+      .collect().map(_.getString(0))
+    if (sources.length > 62) {
+      val fps = docs
+        .select(col("source"), explode(TextExprs.winnowFingerprints(norm)).as("fp"))
+        .distinct()
+      fps.toDF("source_a", "fp")
+        .join(fps.toDF("source_b", "fp"), Seq("fp"))
+        .filter(col("source_a") < col("source_b"))
+        .groupBy(col("source_a"), col("source_b"))
+        .agg(count(lit(1)).as("shared_fps"))
+    } else {
+      val srcMap = map(sources.zipWithIndex
+        .flatMap { case (src, i) => Seq(lit(src), lit(i)) }: _*)
+      val maskHist = docs
+        .select(call_function("shiftleft", lit(1L), element_at(srcMap, col("source"))).as("bit"),
+          explode(TextExprs.winnowFingerprints(norm)).as("fp"))
+        .groupBy(col("fp")).agg(bit_or(col("bit")).as("mask"))
+        .groupBy(col("mask")).agg(count(lit(1)).as("n_fps"))
+      // expand each mask's set-bit pairs (≤ C(62,2) rows per mask, and
+      // the histogram itself is ≤ distinct observed masks — tiny)
+      val bits = expr("filter(sequence(0, 61), b -> ((mask >> b) & 1) = 1)")
+      val srcArr = array(sources.map(lit): _*)
+      maskHist
+        .select(col("n_fps"), col("mask"), explode(bits).as("ba"))
+        .select(col("n_fps"), col("ba"), explode(bits).as("bb"))
+        .filter(col("ba") < col("bb"))
+        .groupBy(col("ba"), col("bb"))
+        .agg(sum(col("n_fps")).as("shared_fps"))
+        .select(element_at(srcArr, col("ba") + 1).as("source_a"),
+          element_at(srcArr, col("bb") + 1).as("source_b"), col("shared_fps"))
+    }
   }
 
   val queries: Map[String, Q] = Map(
