@@ -1,8 +1,9 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.graftbridge.Bridge
@@ -77,6 +78,161 @@ object TextOps {
     }
     if (start >= 0) { out(k) = UTF8String.fromBytes(bytes, start, bytes.length - start) }
     new GenericArrayData(out)
+  }
+
+  // ---- PII redaction kernel (td_redact) -------------------------------
+  //
+  // Exact emulation of the three-pass regex cascade
+  //   1. [a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}  -> <EMAIL>
+  //   2. \+?[0-9]{1,3}[- .][0-9]{3}[- .][0-9]{3,4}[- .]?[0-9]{0,4} -> <PHONE>
+  //   3. [0-9]{9,}                                       -> <NUM>
+  // as hand matchers over raw bytes (all classes are ASCII; UTF-8
+  // continuation bytes are ≥ 0x80 and match no class, so byte scanning
+  // is exact). Each pass preserves java.util.regex/RE2 leftmost-first,
+  // non-overlapping semantics, including the places backtracking can and
+  // cannot change the outcome:
+  //  - email local/domain runs are maximal (their classes exclude '@'
+  //    and '.', the anchors that follow, so shrinking never helps) and a
+  //    failed attempt anywhere in a local run fails for every later
+  //    start inside the same run — the scanner may skip to the run end;
+  //  - the domain backtracks only over WHICH dot starts the TLD: the
+  //    largest split point whose dot is followed by ≥ 2 letters wins;
+  //  - phone digit groups are bounded by separators ({1,3} and {3}
+  //    cannot end inside a digit run), the {3,4} group prefers 4, and
+  //    the trailing [- .]?[0-9]{0,4} is pure greed with nothing after
+  //    it, so it never backtracks.
+  // PiiRedactSpec pins equivalence against the regexp_replace cascade on
+  // the real corpus plus adversarial generated strings.
+
+  private val EmailTok = "<EMAIL>".getBytes
+  private val PhoneTok = "<PHONE>".getBytes
+  private val NumTok = "<NUM>".getBytes
+
+  @inline private def isLocal(b: Byte): Boolean =
+    isAlpha(b) || isDigit(b) || b == '.' || b == '_' || b == '%' || b == '+' || b == '-'
+  @inline private def isDomain(b: Byte): Boolean =
+    isAlpha(b) || isDigit(b) || b == '.' || b == '-'
+  @inline private def isSep(b: Byte): Boolean =
+    b == '-' || b == ' ' || b == '.'
+
+  /** End offset of an email match starting exactly at `i` given the
+    * local run ends at `le`, or -1. */
+  private def tryEmail(b: Array[Byte], le: Int): Int = {
+    val n = b.length
+    if (le >= n || b(le) != '@') return -1
+    val ds = le + 1
+    var de = ds
+    while (de < n && isDomain(b(de))) de += 1
+    if (de == ds) return -1
+    // largest dot split with >= 2 letters after it; domain part before
+    // the dot must be nonempty (k >= ds + 1)
+    var k = de - 1
+    while (k >= ds + 1) {
+      if (b(k) == '.') {
+        var lr = k + 1
+        while (lr < n && isAlpha(b(lr))) lr += 1
+        if (lr - (k + 1) >= 2) return lr
+      }
+      k -= 1
+    }
+    -1
+  }
+
+  /** End offset of a phone match starting exactly at `i`, or -1. */
+  private def tryPhone(b: Array[Byte], i: Int): Int = {
+    val n = b.length
+    var j = i
+    if (j < n && b(j) == '+') j += 1
+    var d1 = j
+    while (d1 < n && isDigit(b(d1))) d1 += 1
+    val len1 = d1 - j
+    if (len1 < 1 || len1 > 3) return -1
+    if (d1 >= n || !isSep(b(d1))) return -1
+    val g2 = d1 + 1
+    var d2 = g2
+    while (d2 < n && isDigit(b(d2))) d2 += 1
+    if (d2 - g2 != 3) return -1 // {3} then separator: a 4th digit kills it
+    val p2 = g2 + 3
+    if (p2 >= n || !isSep(b(p2))) return -1
+    val g3 = p2 + 1
+    var d3 = g3
+    while (d3 < n && isDigit(b(d3))) d3 += 1
+    val len3 = d3 - g3
+    if (len3 < 3) return -1
+    var p = g3 + (if (len3 >= 4) 4 else 3)
+    if (p < n && isSep(b(p))) p += 1 // greedy optional separator
+    var t = 0
+    while (p < n && t < 4 && isDigit(b(p))) { p += 1; t += 1 }
+    p
+  }
+
+  /** Pass 1: email replace + count. Returns the rewritten bytes (the
+    * input array itself when no match) and the match count packed as
+    * (bytes, count). */
+  private def emailPass(b: Array[Byte]): (Array[Byte], Int) = {
+    val n = b.length
+    var out: java.io.ByteArrayOutputStream = null
+    var count = 0
+    var copied = 0
+    var i = 0
+    while (i < n) {
+      if (isLocal(b(i))) {
+        var le = i
+        while (le < n && isLocal(b(le))) le += 1
+        val end = tryEmail(b, le)
+        if (end >= 0) {
+          if (out == null) out = new java.io.ByteArrayOutputStream(n + 16)
+          out.write(b, copied, i - copied)
+          out.write(EmailTok, 0, EmailTok.length)
+          count += 1
+          copied = end
+          i = end
+        } else i = le // every start inside this local run fails identically
+      } else i += 1
+    }
+    if (out == null) (b, 0)
+    else { out.write(b, copied, n - copied); (out.toByteArray, count) }
+  }
+
+  /** Pass 2/3 driver: generic scan with a per-position matcher. */
+  private def replacePass(b: Array[Byte], tok: Array[Byte],
+                          canStart: Byte => Boolean,
+                          matcher: (Array[Byte], Int) => Int): Array[Byte] = {
+    val n = b.length
+    var out: java.io.ByteArrayOutputStream = null
+    var copied = 0
+    var i = 0
+    while (i < n) {
+      var matched = -1
+      if (canStart(b(i))) matched = matcher(b, i)
+      if (matched >= 0) {
+        if (out == null) out = new java.io.ByteArrayOutputStream(n + 16)
+        out.write(b, copied, i - copied)
+        out.write(tok, 0, tok.length)
+        copied = matched
+        i = matched
+      } else i += 1
+    }
+    if (out == null) b
+    else { out.write(b, copied, n - copied); out.toByteArray }
+  }
+
+  private def tryNum(b: Array[Byte], i: Int): Int = {
+    var j = i
+    while (j < b.length && isDigit(b(j))) j += 1
+    if (j - i >= 9) j else -1
+  }
+
+  /** The full redaction cascade: (n_emails, redacted text) in one call —
+    * three byte-array passes, no regex engine, no intermediate
+    * UTF8String/String round trips.
+    */
+  def piiRedact(s: UTF8String): InternalRow = {
+    val (afterEmail, nEmails) = emailPass(s.getBytes)
+    val afterPhone = replacePass(afterEmail, PhoneTok,
+      b => b == '+' || isDigit(b), tryPhone)
+    val afterNum = replacePass(afterPhone, NumTok, isDigit, tryNum)
+    new GenericInternalRow(Array[Any](nEmails, UTF8String.fromBytes(afterNum)))
   }
 
   /** One-pass per-document repetition stats over an (already
@@ -370,6 +526,36 @@ case class WsSplit(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `pii_redact(string)` → struct<n_emails int, clean_text string>: the
+  * email/phone/digit-run redaction cascade plus the email count in one
+  * compiled call — see the kernel notes on [[TextOps.piiRedact]].
+  */
+case class PiiRedact(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = PiiRedact.resultType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "pii_redact"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"pii_redact expects string, got $t")
+  }
+
+  override protected def nullSafeEval(s: Any): Any =
+    TextOps.piiRedact(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextOps.piiRedact($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object PiiRedact {
+  val resultType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("n_emails", IntegerType, nullable = false),
+    org.apache.spark.sql.types.StructField("clean_text", StringType, nullable = false)))
+}
+
 /** `ascii_class_count(string, mode)` → int. */
 case class AsciiClassCount(child: Expression, mode: Int) extends UnaryExpression {
   override def dataType: DataType = IntegerType
@@ -550,4 +736,6 @@ object TextExprs {
     Bridge.column(BpeTokenCount(Bridge.expression(c)))
   def wsSplit(c: Column): Column =
     Bridge.column(WsSplit(Bridge.expression(c)))
+  def piiRedact(c: Column): Column =
+    Bridge.column(PiiRedact(Bridge.expression(c)))
 }
