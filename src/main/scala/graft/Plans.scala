@@ -89,7 +89,15 @@ object Plans {
     "sim_ivfpq_topk" ->
       "IVF coarse cell prunes candidates map-side (zero-shuffle centroid assignment), compiled PQ ADC ranks 8-byte codes within the cell; broadcast bucket join, the only exchange is the per-query top-k window",
     "ev_left_interval" ->
-      "left-outer range-bounded equi-join on user_id — one exchange per side; on the stream the same plan holds unmatched clicks in state until the watermark passes click_ts")
+      "left-outer range-bounded equi-join on user_id — one exchange per side; on the stream the same plan holds unmatched clicks in state until the watermark passes click_ts",
+    "ta_source_overlap" ->
+      "ONE winnow pass: codegen'd bit_or presence-mask aggregate on fp (map-side combined), tiny mask histogram, pair expansion by set-bit explode — no fp self-join, no distinct, no object aggregate",
+    "td_redact" ->
+      "map-only single Project: the compiled pii_redact kernel emits redacted text AND the email count in one call — zero exchanges, scan throughput",
+    "dd_simhash_agg" ->
+      "compiled md5long60 hash in the codegen'd Project BELOW the ObjectHashAggregate (a TypedImperativeAggregate evaluates its child interpreted — the hash must not live there); shuffle carries one 244-byte sketch per doc",
+    "ta_heavy_hitters_exact" ->
+      "two-pass exact heavy hitters: sketch pass (ObjectHashAggregate, bounded buffers) then the token stream re-scanned against the BROADCAST candidate list — both passes combine map-side; no token-scale shuffle beyond the sketch's own")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -259,6 +259,41 @@ object TextQueries {
         col("col.item").as("item"), col("col.est").as("est"), col("col.err").as("err"))
   }
 
+  /** ta_heavy_hitters_exact — the DETERMINISTIC face of the sketch: the
+    * classic two-pass exact heavy-hitters. Pass 1 runs the SpaceSaving
+    * sketch per source; its guarantee (every item with true count >
+    * n/capacity is reported) makes the ≤16-per-source candidate list a
+    * SUPERSET of the true heavy-hitter set regardless of merge order.
+    * Pass 2 rescans the token stream against the broadcast candidate
+    * table and keeps candidates whose EXACT count clears the n/16
+    * threshold — the output is the unique truth set with exact counts,
+    * so it is DuckDB-oracle-able where the sketch face (est/err,
+    * merge-order-dependent) is spec-bounded only. At 100 TB: pass 2 is
+    * a broadcast hash join of the token stream against ≤ cap×|sources|
+    * rows plus one combine-heavy count — no new shuffle shape beyond
+    * the sketch pass itself. Capacity 64 (threshold 1/64 of the source's
+    * stream): the corpus' flat synthetic vocabulary tops out near a 4.6%
+    * token share, so the sketch face's 1/16 would certify an empty set —
+    * true but vacuous; 1/64 exercises the threshold against real data.
+    */
+  def taHeavyHittersExact: Q = (s, dir) => {
+    val cap = 64
+    val toks = Tables.documents(s, dir)
+      .select(col("source"),
+        explode(TextExprs.wsSplit(lower(trim(col("text"))))).as("tok"))
+    val cands = toks.groupBy(col("source"))
+      .agg(graft.functions.SpaceSavingAgg.spaceSaving(col("tok"), cap).as("hh"))
+      .select(col("source"), explode(col("hh")).as("e"))
+      .select(col("source"), col("e.item").as("tok"))
+    val totals = toks.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    toks.join(broadcast(cands), Seq("source", "tok"))
+      .groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+      .join(broadcast(totals), Seq("source"))
+      .filter(col("cnt") * cap > col("n"))
+      .select(col("source"), col("tok").as("item"), col("cnt"))
+  }
+
   /** ta_quality_model — model-based quality filtering (the fastText /
     * DCLM-classifier stage of a training pipeline, reduced to a linear
     * model whose weights are literals): logit = w·features over the
@@ -620,6 +655,7 @@ object TextQueries {
     "ta_unigram_lp" -> taUnigramLp,
     "ta_quality_model" -> taQualityModel,
     "ta_heavy_hitters" -> taHeavyHitters,
+    "ta_heavy_hitters_exact" -> taHeavyHittersExact,
     "td_shuffle" -> tdShuffle,
     "td_clean_corpus" -> tdCleanCorpus,
     "td_pipeline" -> tdPipeline)
@@ -731,6 +767,17 @@ object TextQueries {
         |  FROM documents)
         | WHERE length(tok) > 0
         | GROUP BY 1 ORDER BY freq DESC, tok ASC LIMIT 100""".stripMargin,
+    "ta_heavy_hitters_exact" ->
+      """WITH toks AS (
+        |  SELECT source, tok FROM (
+        |    SELECT source, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |    FROM documents)
+        |  WHERE length(tok) > 0),
+        |tot AS (SELECT source, count(*) AS n FROM toks GROUP BY source),
+        |cnt AS (SELECT source, tok, count(*) AS cnt FROM toks GROUP BY source, tok)
+        |SELECT c.source, c.tok AS item, c.cnt
+        |FROM cnt c JOIN tot t ON c.source = t.source
+        |WHERE c.cnt * 64 > t.n""".stripMargin,
     "ta_repetition" ->
       """WITH toks AS (
         |  SELECT doc_id,

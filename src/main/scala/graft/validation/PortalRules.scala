@@ -53,6 +53,18 @@ object PortalRules {
     "cancer_study_identifier", "stable_id", "case_list_name",
     "case_list_description", "case_list_ids")
 
+  /** Keys validateData recognizes in `meta_*.txt` files (the union over
+    * study/clinical/profile meta kinds); anything else draws its
+    * "unrecognized field" warning.
+    */
+  val KnownMetaKeys: Set[String] = Set(
+    "cancer_study_identifier", "genetic_alteration_type", "datatype",
+    "data_filename", "stable_id", "profile_name", "profile_description",
+    "show_profile_in_analysis_tab", "reference_genome_id", "type_of_cancer",
+    "name", "description", "citation", "pmid", "groups", "short_name",
+    "add_global_case_list", "swissprot_identifier",
+    "variant_classification_filter", "namespaces", "reference_genome")
+
   /** `chr17`/`chrX`/`chrm` → `17`/`X`/`M T`-normalized form. */
   def normChromosome(c: Column): Column =
     when(upper(regexp_replace(c, "(?i)^chr", "")) === "M", lit("MT"))
@@ -148,6 +160,15 @@ object PortalRules {
     *  - `portal_case_list_fields` — each `cases_*.txt` under `case_lists/`
     *    defines the 5 required keys and its `stable_id` is prefixed by the
     *    study id.
+    *  - `portal_clinical_no_dup_attrs` — no clinical file declares the
+    *    same attribute column twice (validateData's duplicate-attribute
+    *    error: a repeated PATIENT_ID/ATTR header silently shadows data).
+    *  - `portal_case_list_stable_id_unique` — no two case lists share a
+    *    `stable_id` (the importer keys lists by it; a collision
+    *    overwrites one list).
+    *  - `portal_meta_unknown_keys` — meta files carry only keys
+    *    validateData recognizes ([[KnownMetaKeys]]) — its
+    *    "unrecognized field" warning tier.
     */
   def structuralReport(dir: String): Seq[(String, Long, Boolean)] = {
     val root = Paths.get(dir)
@@ -214,12 +235,32 @@ object PortalRules {
         !kv.get("stable_id").exists(_.startsWith(studyId))
     }.toLong
 
+    // duplicate attribute columns in any clinical column line (each part
+    // of a parted dataset repeats the header and is checked on its own)
+    val dupAttrViolations = listFiles(root, "data_clinical_")
+      .flatMap(clinicalParts).map { p =>
+        val lines = headLines(p, 6)
+        val block = lines.takeWhile(_.startsWith("#"))
+        val cols = lines.drop(block.size).headOption.getOrElse("")
+          .split("\t", -1).toSeq
+        (cols.size - cols.distinct.size).toLong
+      }.sum
+
+    val stableIds = caseLists.flatMap(_._2.get("stable_id"))
+    val stableIdCollisions = (stableIds.size - stableIds.distinct.size).toLong
+
+    val unknownMetaKeys = metas
+      .map(_._2.keysIterator.count(k => !KnownMetaKeys(k)).toLong).sum
+
     Seq(
       ("portal_meta_files_resolve", metaResolve, metaResolve == 0L),
       ("portal_study_id_consistent", idConsistent, idConsistent == 0L),
       ("portal_data_files_have_meta", dataOrphans, dataOrphans == 0L),
       ("portal_clinical_header_block", headerViolations, headerViolations == 0L),
-      ("portal_case_list_fields", caseListViolations, caseListViolations == 0L))
+      ("portal_case_list_fields", caseListViolations, caseListViolations == 0L),
+      ("portal_clinical_no_dup_attrs", dupAttrViolations, dupAttrViolations == 0L),
+      ("portal_case_list_stable_id_unique", stableIdCollisions, stableIdCollisions == 0L),
+      ("portal_meta_unknown_keys", unknownMetaKeys, unknownMetaKeys == 0L))
   }
 
   // ---------------------------------------------------------------------
@@ -316,6 +357,9 @@ object PortalRules {
       |  UNION ALL SELECT 'portal_data_files_have_meta', 0
       |  UNION ALL SELECT 'portal_clinical_header_block', 0
       |  UNION ALL SELECT 'portal_case_list_fields', 0
+      |  UNION ALL SELECT 'portal_clinical_no_dup_attrs', 0
+      |  UNION ALL SELECT 'portal_case_list_stable_id_unique', 0
+      |  UNION ALL SELECT 'portal_meta_unknown_keys', 0
       |  UNION ALL SELECT 'sample_patient_in_patients',
       |    (SELECT count(*) FROM samples
       |      WHERE patient_id NOT IN (SELECT patient_id FROM patients))

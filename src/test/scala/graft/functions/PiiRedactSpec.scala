@@ -31,7 +31,7 @@ class PiiRedactSpec extends AnyFunSuite {
     (row.getInt(0), row.getUTF8String(1).toString)
   }
 
-  test("kernel == regex cascade on every sf0.01 document") {
+  test("kernel == regex cascade on every sf0.001 document") {
     val texts = graft.Tables.documents(spark, sf001)
       .select(col("text")).collect().map(_.getString(0))
     assert(texts.nonEmpty)
@@ -74,7 +74,7 @@ class PiiRedactSpec extends AnyFunSuite {
     }
   }
 
-  test("td_redact query matches the regex formulation on sf0.01") {
+  test("td_redact query matches the regex formulation on sf0.001") {
     val viaKernel = graft.queries.TextQueries.tdRedact(spark, sf001)
     val viaRegex = graft.Tables.documents(spark, sf001).select(
       col("doc_id"),

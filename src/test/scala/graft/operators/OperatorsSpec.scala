@@ -106,6 +106,59 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  // ---- AQE interplay -------------------------------------------------
+  // Manual skew remedies (salting; pinned partitioning) must COMPOSE with
+  // AQE, not fight it: salting pre-spreads the hot key so AQE's skew-join
+  // split finds nothing left to split, and the (key, salt) shuffle key
+  // must survive adaptive re-planning. These cases run the same shapes
+  // with AQE fully on (skew-join forced) and fully off and require
+  // identical results + the salt still in the shuffle key.
+
+  private def withConfs(pairs: (String, String)*)(f: => Unit): Unit = {
+    val saved = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try f
+    finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
+  test("AQE skew-join forced vs AQE off: salted join results identical, salt kept") {
+    import graft.SparkTestBase.sf01
+    def run(): Array[(String, Long, Long)] =
+      graft.queries.OlapQueries.j11SkewSalted(spark, sf01)
+        .as[(String, Long, Long)].collect().sortBy(_._1)
+    var aqeOff: Array[(String, Long, Long)] = null
+    withConfs("spark.sql.adaptive.enabled" -> "false") { aqeOff = run() }
+    withConfs(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true") {
+      val df = graft.queries.OlapQueries.j11SkewSalted(spark, sf01)
+      val aqeOn = df.as[(String, Long, Long)].collect().sortBy(_._1)
+      assert(aqeOn.sameElements(aqeOff), "AQE skew-join changed salted-join results")
+      // the executed (adaptively re-planned) plan still shuffles on the salt
+      val executed = df.queryExecution.executedPlan.toString
+      assert(executed.contains("__salt"),
+        s"adaptive re-plan dropped the salt from the shuffle key:\n$executed")
+    }
+  }
+
+  test("AQE partition coalescing vs off: pinned-partitioning verify stage identical") {
+    import graft.SparkTestBase.sf001
+    def run(): Seq[String] =
+      graft.queries.DedupQueries.ddLevPairs(spark, sf001)
+        .collect().map(_.mkString("|")).sorted.toSeq
+    var off: Seq[String] = Nil
+    withConfs("spark.sql.adaptive.enabled" -> "false") { off = run() }
+    withConfs(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "true") {
+      assert(run() == off, "AQE coalescing changed dd_lev_pairs results")
+    }
+  }
+
   test("PrefixSum: two-pass distributed running sum == global-window running sum") {
     // ids deliberately shuffled + gappy; weights include zeros
     val rows = Seq(7L, 3L, 11L, 1L, 9L, 5L, 2L, 20L, 15L, 8L)

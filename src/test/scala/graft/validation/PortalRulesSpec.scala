@@ -164,8 +164,52 @@ class PortalRulesSpec extends AnyFunSuite {
     // nothing to violate (and nothing pretending data rules ran)
     assert(rep.keySet == Set("portal_meta_files_resolve",
       "portal_study_id_consistent", "portal_data_files_have_meta",
-      "portal_clinical_header_block", "portal_case_list_fields"), rep.keySet)
+      "portal_clinical_header_block", "portal_case_list_fields",
+      "portal_clinical_no_dup_attrs", "portal_case_list_stable_id_unique",
+      "portal_meta_unknown_keys"), rep.keySet)
     rep.values.foreach { case (v, ok) => assert(ok && v == 0L) }
+  }
+
+  test("duplicated attribute column trips portal_clinical_no_dup_attrs only") {
+    val dir = healthyPackage()
+    // well-formed 4-line header block, but ATTR is declared twice
+    write(Paths.get(s"$dir/data_clinical_dup.txt"),
+      "#A\tB\tB\n#a\tb\tb\n#STRING\tSTRING\tSTRING\n#1\t1\t1\n" +
+        "SAMPLE_ID\tATTR\tATTR\ns1\tx\ty\n")
+    Tsv.writeMetaFile(s"$dir/meta_clinical_dup.txt", Seq(
+      "cancer_study_identifier" -> "study1", "datatype" -> "SAMPLE_ATTRIBUTES",
+      "data_filename" -> "data_clinical_dup.txt"))
+    val rep = reportMap(dir)
+    assert(rep("portal_clinical_no_dup_attrs") == ((1L, false)))
+    assert(rep("portal_clinical_header_block")._2, "header block itself is well-formed")
+    assert(rep("portal_meta_unknown_keys")._2)
+  }
+
+  test("case-list stable_id collision trips portal_case_list_stable_id_unique only") {
+    val dir = healthyPackage()
+    def list(name: String): String =
+      s"""cancer_study_identifier: study1
+         |stable_id: study1_shared
+         |case_list_name: $name
+         |case_list_description: seeded collision
+         |case_list_ids: s1\ts2""".stripMargin
+    write(Paths.get(s"$dir/case_lists/cases_custom1.txt"), list("c1"))
+    write(Paths.get(s"$dir/case_lists/cases_custom2.txt"), list("c2"))
+    val rep = reportMap(dir)
+    assert(rep("portal_case_list_stable_id_unique") == ((1L, false)))
+    assert(rep("portal_case_list_fields")._2, "both lists are individually valid")
+    assert(rep("case_list_ids_in_samples")._2, "ids resolve to clinical samples")
+  }
+
+  test("unrecognized meta key trips portal_meta_unknown_keys only") {
+    val dir = healthyPackage()
+    Tsv.writeMetaFile(s"$dir/meta_clinical_flavored.txt", Seq(
+      "cancer_study_identifier" -> "study1", "datatype" -> "SAMPLE_ATTRIBUTES",
+      "data_filename" -> "data_clinical_sample.txt",
+      "flavor" -> "unrecognized-by-validateData"))
+    val rep = reportMap(dir)
+    assert(rep("portal_meta_unknown_keys") == ((1L, false)))
+    assert(rep("portal_meta_files_resolve")._2, "the meta still resolves")
   }
 
   test("sample referencing an absent patient trips containment + dup check") {
