@@ -57,12 +57,15 @@ case class SpaceSavingAgg(
 
   override def createAggregationBuffer(): State = new State(capacity)
 
-  /** Index of `item` in the buffer, or -1. Linear byte-compare scan —
-    * capacity is sketch-small by definition. */
-  private def indexOf(buf: State, item: UTF8String): Int = {
+  /** Index of `item` in the buffer, or -1. Linear scan over the stored
+    * 32-bit hashes first (capacity is sketch-small, so this is ~16 int
+    * compares); the byte-compare runs only on a hash match — without the
+    * prefilter the scan byte-compared every slot per token, which was
+    * the aggregate's dominant cost once tokenization left the profile. */
+  private def indexOf(buf: State, item: UTF8String, h: Int): Int = {
     var i = 0
     while (i < buf.size) {
-      if (buf.items(i).equals(item)) return i
+      if (buf.hashes(i) == h && buf.items(i).equals(item)) return i
       i += 1
     }
     -1
@@ -96,12 +99,14 @@ case class SpaceSavingAgg(
     * reused row buffer.
     */
   private def offer(buf: State, item: UTF8String, cnt: Long, err: Long): Unit = {
-    val i = indexOf(buf, item)
+    val h = item.hashCode()
+    val i = indexOf(buf, item, h)
     if (i >= 0) {
       buf.counts(i) += cnt
       buf.errs(i) += err
     } else if (buf.size < capacity) {
       buf.items(buf.size) = item.clone()
+      buf.hashes(buf.size) = h
       buf.counts(buf.size) = cnt
       buf.errs(buf.size) = err
       buf.size += 1
@@ -109,6 +114,7 @@ case class SpaceSavingAgg(
       val m = minIndex(buf)
       val mCnt = buf.counts(m)
       buf.items(m) = item.clone()
+      buf.hashes(m) = h
       buf.counts(m) = mCnt + cnt
       buf.errs(m) = mCnt + err
     }
@@ -137,7 +143,7 @@ case class SpaceSavingAgg(
     val merged = scala.collection.mutable.ArrayBuffer.empty[(UTF8String, Long, Long)]
     var i = 0
     while (i < buf.size) {
-      val j = indexOf(other, buf.items(i))
+      val j = indexOf(other, buf.items(i), buf.items(i).hashCode())
       if (j >= 0)
         merged += ((buf.items(i), buf.counts(i) + other.counts(j),
           buf.errs(i) + other.errs(j)))
@@ -149,7 +155,7 @@ case class SpaceSavingAgg(
     }
     var j = 0
     while (j < other.size) {
-      if (indexOf(buf, other.items(j)) < 0)
+      if (indexOf(buf, other.items(j), other.items(j).hashCode()) < 0)
         merged += ((other.items(j), other.counts(j) + mb, other.errs(j) + mb))
       j += 1
     }
@@ -162,6 +168,7 @@ case class SpaceSavingAgg(
     while (k < keep.size) {
       val (it, c, e) = keep(k)
       buf.items(k) = it
+      buf.hashes(k) = it.hashCode()
       buf.counts(k) = c
       buf.errs(k) = e
       k += 1
@@ -205,6 +212,7 @@ case class SpaceSavingAgg(
       val len = bb.getInt()
       val b = new Array[Byte](len); bb.get(b)
       st.items(i) = UTF8String.fromBytes(b)
+      st.hashes(i) = st.items(i).hashCode()
       st.counts(i) = bb.getLong()
       st.errs(i) = bb.getLong()
       i += 1
@@ -227,6 +235,7 @@ object SpaceSavingAgg {
     * plus the stream length `n`. Zero allocation per update once full. */
   final class State(capacity: Int) {
     val items = new Array[UTF8String](capacity)
+    val hashes = new Array[Int](capacity) // 32-bit prefilter for the scan
     val counts = new Array[Long](capacity)
     val errs = new Array[Long](capacity)
     var size: Int = 0

@@ -146,9 +146,23 @@ object TextQueries {
     * the shuffle carries one row per (partition, distinct token), not per
     * token occurrence.
     */
+  /** The exploded (doc_id, source, tok) whitespace-token stream,
+    * persisted ONCE per corpus (FrameCache) — the in-memory stand-in for
+    * the tokenized corpus table a production pipeline materializes on
+    * disk next to the raw text. The token family (vocab, both
+    * heavy-hitter faces, unigram LM scoring) reads this one table
+    * instead of re-tokenizing text per query — and per PASS: the
+    * two-pass exact heavy hitters and the two-sided unigram join each
+    * read it twice. Same pattern (and same justification) as the dedup
+    * family's shared signature table [[DedupQueries.cachedSigs]].
+    */
+  private def cachedToks(s: SparkSession, dir: String): DataFrame =
+    FrameCache.cached(s, s"ta_tokens_stream:$dir")(
+      Tables.documents(s, dir).select(col("doc_id"), col("source"),
+        explode(TextExprs.wsSplit(lower(trim(col("text"))))).as("tok")))
+
   def taVocab: Q = (s, dir) => {
-    Tables.documents(s, dir)
-      .select(explode(TextExprs.wsSplit(lower(trim(col("text"))))).as("tok"))
+    cachedToks(s, dir)
       .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
       .orderBy(col("freq").desc, col("tok").asc)
       .limit(100)
@@ -227,8 +241,7 @@ object TextQueries {
     val target = 512
     val toks = Tables.documents(s, dir)
       .select(col("doc_id"),
-        size(filter(split(trim(col("text")), "\\s+"), t => length(t) > 0))
-          .cast("long").as("n_tokens"))
+        TextExprs.wsTokenCount(col("text")).cast("long").as("n_tokens"))
     graft.operators.PrefixSum
       .withRunningSum(toks, "doc_id", "n_tokens", "cum_tokens")
       .withColumn("bin", floor((col("cum_tokens") - col("n_tokens")) / target))
@@ -247,11 +260,7 @@ object TextQueries {
     * guarantees against exact counts instead.
     */
   def taHeavyHitters: Q = (s, dir) => {
-    // Tokens via the compiled ws_split kernel: the regex-split +
-    // interpreted HOF-filter form was ~60% of this query's sf1 cost.
-    val toks = Tables.documents(s, dir)
-      .select(col("source"),
-        explode(TextExprs.wsSplit(lower(trim(col("text"))))).as("tok"))
+    val toks = cachedToks(s, dir).select(col("source"), col("tok"))
     toks.groupBy(col("source"))
       .agg(graft.functions.SpaceSavingAgg.spaceSaving(col("tok"), 16).as("hh"))
       .select(col("source"), posexplode(col("hh")))
@@ -278,18 +287,18 @@ object TextQueries {
     */
   def taHeavyHittersExact: Q = (s, dir) => {
     val cap = 64
-    val toks = Tables.documents(s, dir)
-      .select(col("source"),
-        explode(TextExprs.wsSplit(lower(trim(col("text"))))).as("tok"))
+    val toks = cachedToks(s, dir).select(col("source"), col("tok"))
+    // the per-source stream length rides in the SAME aggregate as the
+    // sketch (count next to spaceSaving), so pass 1 is one tokenize scan
+    // and pass 2 (below) the only other — not a third totals scan
     val cands = toks.groupBy(col("source"))
-      .agg(graft.functions.SpaceSavingAgg.spaceSaving(col("tok"), cap).as("hh"))
-      .select(col("source"), explode(col("hh")).as("e"))
-      .select(col("source"), col("e.item").as("tok"))
-    val totals = toks.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      .agg(graft.functions.SpaceSavingAgg.spaceSaving(col("tok"), cap).as("hh"),
+        count(lit(1)).as("n"))
+      .select(col("source"), col("n"), explode(col("hh")).as("e"))
+      .select(col("source"), col("n"), col("e.item").as("tok"))
     toks.join(broadcast(cands), Seq("source", "tok"))
       .groupBy(col("source"), col("tok"))
-      .agg(count(lit(1)).as("cnt"))
-      .join(broadcast(totals), Seq("source"))
+      .agg(count(lit(1)).as("cnt"), max(col("n")).as("n"))
       .filter(col("cnt") * cap > col("n"))
       .select(col("source"), col("tok").as("item"), col("cnt"))
   }
@@ -354,10 +363,7 @@ object TextQueries {
     * vocabulary size — at web scale it stays an equi-join on token.
     */
   def taUnigramLp: Q = (s, dir) => {
-    val toks = Tables.documents(s, dir)
-      .select(col("doc_id"),
-        explode(filter(split(lower(trim(col("text"))), "\\s+"),
-          t => length(t) > 0)).as("tok"))
+    val toks = cachedToks(s, dir).select(col("doc_id"), col("tok"))
     val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
     // total as a LAZY 1-row cross join (the oracle's `tot` CTE shape):
     // an eager .head() here would run the whole tokenize+aggregate once
