@@ -27,16 +27,20 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
-// Bench protocol pinning: a FIXED heap (-Xms == -Xmx, no adaptive
-// resizing mid-run) and an explicitly chosen GC with a fixed G1 region
-// size. Session-to-session bench spread was 10-15% with the JVM free to
-// grow the heap and pick ergonomics-driven GC settings per machine
-// state; pinning removes those two variables from every timed fork
-// (BENCH_NOTES "Bench protocol" section records the measured effect).
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+)
+// Bench protocol pinning, RUN scope only (Bench/Verify go through
+// runMain; tests keep a lazy heap so they start fast and run on small
+// machines): a FIXED heap (-Xms == -Xmx, no adaptive resizing mid-run),
+// an explicitly chosen GC with a fixed G1 region size, and pre-touched
+// pages. Session-to-session bench spread was 10-15% with the JVM free
+// to grow the heap and pick ergonomics-driven settings per machine
+// state; pinning removes those variables from every timed fork
+// (BENCH_NOTES "Bench protocol" section records the measured effect).
+run / javaOptions ++= Seq(
   s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
   "-XX:+UseG1GC",
   "-XX:G1HeapRegionSize=16m",

@@ -35,11 +35,10 @@ object TextOps {
     isAlpha(b) || isDigit(b) || b == '_'
   @inline private def isCont(b: Byte): Boolean = (b & 0xc0) == 0x80
 
-  /** Count of maximal non-whitespace runs == `size(split(trim(s), "\s+"))`
-    * for non-blank s, and 0 for blank (the `wsTokens` special case).
-    */
-  def wsTokenCount(s: UTF8String): Int = {
-    val bytes = s.getBytes
+  /** Count of maximal non-whitespace byte runs — the one scanner behind
+    * both `ws_token_count` and `ws_split`'s sizing pass, so the two can
+    * never disagree on what a token is. */
+  private def tokenRunCount(bytes: Array[Byte]): Int = {
     var n = 0; var inRun = false; var i = 0
     while (i < bytes.length) {
       val ws = !isCont(bytes(i)) && isWs(bytes(i))
@@ -50,6 +49,11 @@ object TextOps {
     n
   }
 
+  /** Count of maximal non-whitespace runs == `size(split(trim(s), "\s+"))`
+    * for non-blank s, and 0 for blank (the `wsTokens` special case).
+    */
+  def wsTokenCount(s: UTF8String): Int = tokenRunCount(s.getBytes)
+
   /** Maximal non-whitespace byte runs as an array — exactly
     * `filter(split(trim(s), "\s+"), t -> length(t) > 0)` (empty array
     * for blank s). The regex-split + interpreted HOF-filter form walks
@@ -57,16 +61,10 @@ object TextOps {
     */
   def wsSplit(s: UTF8String): GenericArrayData = {
     val bytes = s.getBytes
-    var n = 0; var inRun = false; var i = 0
-    while (i < bytes.length) {
-      val ws = !isCont(bytes(i)) && isWs(bytes(i))
-      if (!ws && !inRun) { n += 1; inRun = true }
-      else if (ws) inRun = false
-      i += 1
-    }
+    val n = tokenRunCount(bytes)
     val out = new Array[Any](n)
     var k = 0; var start = -1
-    i = 0
+    var i = 0
     while (i < bytes.length) {
       val ws = !isCont(bytes(i)) && isWs(bytes(i))
       if (!ws && start < 0) start = i

@@ -213,38 +213,36 @@ object PortalRules {
       try Iterator.continually(r.readLine()).takeWhile(_ != null).take(n).toList
       finally r.close()
     }
-    val headerViolations = listFiles(root, "data_clinical_").flatMap(clinicalParts).map { p =>
-      val lines = headLines(p, 6)
-      val block = lines.takeWhile(_.startsWith("#"))
-      val columnLine = lines.drop(block.size).headOption.getOrElse("")
-      val nCols = columnLine.split("\t", -1).length
-      if (block.size != 4) 1L
-      else {
-        val counts = block.map(_.stripPrefix("#").split("\t", -1).length)
-        val datatypes = block(2).stripPrefix("#").split("\t", -1)
-        val priorities = block(3).stripPrefix("#").split("\t", -1)
-        val bad = counts.exists(_ != nCols) ||
-          datatypes.exists(d => !ValidHeaderDatatypes(d)) ||
-          priorities.exists(pr => scala.util.Try(pr.trim.toInt).isFailure)
-        if (bad) 1L else 0L
-      }
-    }.sum
-
-    val caseListViolations = caseLists.count { case (_, kv) =>
-      CaseListRequiredKeys.exists(k => !kv.contains(k)) ||
-        !kv.get("stable_id").exists(_.startsWith(studyId))
-    }.toLong
-
-    // duplicate attribute columns in any clinical column line (each part
-    // of a parted dataset repeats the header and is checked on its own)
-    val dupAttrViolations = listFiles(root, "data_clinical_")
+    // ONE read of each clinical part's header region yields both the
+    // header-block shape check and the duplicate-attribute-column count
+    // (each part of a parted dataset repeats the header and is checked
+    // on its own)
+    val clinicalHeaderStats = listFiles(root, "data_clinical_")
       .flatMap(clinicalParts).map { p =>
         val lines = headLines(p, 6)
         val block = lines.takeWhile(_.startsWith("#"))
         val cols = lines.drop(block.size).headOption.getOrElse("")
           .split("\t", -1).toSeq
-        (cols.size - cols.distinct.size).toLong
-      }.sum
+        val headerBad =
+          if (block.size != 4) 1L
+          else {
+            val counts = block.map(_.stripPrefix("#").split("\t", -1).length)
+            val datatypes = block(2).stripPrefix("#").split("\t", -1)
+            val priorities = block(3).stripPrefix("#").split("\t", -1)
+            val bad = counts.exists(_ != cols.length) ||
+              datatypes.exists(d => !ValidHeaderDatatypes(d)) ||
+              priorities.exists(pr => scala.util.Try(pr.trim.toInt).isFailure)
+            if (bad) 1L else 0L
+          }
+        (headerBad, (cols.size - cols.distinct.size).toLong)
+      }
+    val headerViolations = clinicalHeaderStats.map(_._1).sum
+    val dupAttrViolations = clinicalHeaderStats.map(_._2).sum
+
+    val caseListViolations = caseLists.count { case (_, kv) =>
+      CaseListRequiredKeys.exists(k => !kv.contains(k)) ||
+        !kv.get("stable_id").exists(_.startsWith(studyId))
+    }.toLong
 
     val stableIds = caseLists.flatMap(_._2.get("stable_id"))
     val stableIdCollisions = (stableIds.size - stableIds.distinct.size).toLong

@@ -5,8 +5,8 @@ import org.apache.spark.sql.functions._
 
 /** Scale proof for dd_incremental's per-batch-cost claim (test scope,
   * never shipped): one FIXED 500-doc arrival batch checked against the
-  * persisted LSH signature index of sf0.1 (50 k docs) and of sf1
-  * (500 k docs). If per-batch cost is independent of corpus size (the
+  * persisted LSH signature index of sf0.1 (5 000 docs) and of sf1
+  * (50 000 docs). If per-batch cost is independent of corpus size (the
   * COVERAGE.md claim), the two timings are ~flat while the index is 10×.
   * Run: sbt "Test/runMain graft.IncrementalScale"
   */

@@ -135,11 +135,16 @@ class OperatorsSpec extends AnyFunSuite {
       "spark.sql.adaptive.enabled" -> "true",
       "spark.sql.adaptive.skewJoin.enabled" -> "true",
       "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true") {
-      val df = graft.queries.OlapQueries.j11SkewSalted(spark, sf01)
-      val aqeOn = df.as[(String, Long, Long)].collect().sortBy(_._1)
+      // assert on the Dataset that was ACTUALLY executed: .as[...] makes
+      // a new QueryExecution, and an un-executed AdaptiveSparkPlanExec
+      // prints its initial plan — which would contain __salt trivially
+      val ds = graft.queries.OlapQueries.j11SkewSalted(spark, sf01)
+        .as[(String, Long, Long)]
+      val aqeOn = ds.collect().sortBy(_._1)
       assert(aqeOn.sameElements(aqeOff), "AQE skew-join changed salted-join results")
-      // the executed (adaptively re-planned) plan still shuffles on the salt
-      val executed = df.queryExecution.executedPlan.toString
+      val executed = ds.queryExecution.executedPlan.toString
+      assert(executed.contains("isFinalPlan=true"),
+        s"expected a finalized adaptive plan:\n$executed")
       assert(executed.contains("__salt"),
         s"adaptive re-plan dropped the salt from the shuffle key:\n$executed")
     }
