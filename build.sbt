@@ -32,17 +32,24 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
-// Bench protocol pinning, RUN scope only (Bench/Verify go through
-// runMain; tests keep a lazy heap so they start fast and run on small
-// machines): a FIXED heap (-Xms == -Xmx, no adaptive resizing mid-run),
-// an explicitly chosen GC with a fixed G1 region size, and pre-touched
-// pages. Session-to-session bench spread was 10-15% with the JVM free
-// to grow the heap and pick ergonomics-driven settings per machine
-// state; pinning removes those variables from every timed fork
-// (BENCH_NOTES "Bench protocol" section records the measured effect).
-run / javaOptions ++= Seq(
+// Bench protocol pinning, Compile/run scope only (Bench/Verify go
+// through the default `runMain`): a FIXED heap (-Xms == -Xmx, no
+// adaptive resizing mid-run), an explicitly chosen GC with a fixed G1
+// region size, and pre-touched pages. Session-to-session bench spread
+// was 10-15% with the JVM free to grow the heap and pick
+// ergonomics-driven settings per machine state; pinning removes those
+// variables from every timed fork (BENCH_NOTES "Bench protocol"
+// records the measured effect). Scoped to Compile/run deliberately:
+// a bare `run / javaOptions` is also what `Test/runMain` delegates to,
+// and test-scope forks (including the scratch mains) should keep the
+// lazy heap so they start fast and run on small machines.
+Compile / run / javaOptions ++= Seq(
   s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
   "-XX:+UseG1GC",
   "-XX:G1HeapRegionSize=16m",
   "-XX:+AlwaysPreTouch",
 )
+// Test extends Compile in sbt's configuration delegation, so without
+// this explicit override Test/runMain would inherit the pinned flags
+// anyway — pin Test/run back to the plain (lazy-heap) options.
+Test / run / javaOptions := (Test / javaOptions).value

@@ -80,13 +80,16 @@ object JsonOps {
     }
   }
 
-  /** Parse an integer literal in b[from, until); null unless the whole
-    * span is an optionally-signed digit run that fits an Int. */
-  private def parseInt(b: Array[Byte], from: Int, until: Int): Any = {
+  /** Parse the digits of b[from, until) (sign already consumed) into a
+    * boxed Int, or null on any non-digit / overflow. `strictJson`
+    * additionally rejects leading zeros ("007"), which Jackson refuses
+    * in BARE number literals but Spark's string cast accepts in QUOTED
+    * values. */
+  private def parseDigits(b: Array[Byte], from: Int, until: Int,
+                          neg: Boolean, strictJson: Boolean): Any = {
+    if (from >= until) return null
+    if (strictJson && b(from) == '0' && until - from > 1) return null
     var i = from
-    var neg = false
-    if (i < until && b(i) == '-') { neg = true; i += 1 }
-    if (i >= until) return null
     var v = 0L
     while (i < until) {
       if (!isDigit(b(i))) return null
@@ -97,6 +100,31 @@ object JsonOps {
     val signed = if (neg) -v else v
     if (signed < Int.MinValue || signed > Int.MaxValue) null
     else java.lang.Integer.valueOf(signed.toInt)
+  }
+
+  /** Bare JSON integer literal: -?(0|[1-9][0-9]*), Jackson's grammar. */
+  private def parseBareInt(b: Array[Byte], from: Int, until: Int): Any = {
+    var i = from
+    var neg = false
+    if (i < until && b(i) == '-') { neg = true; i += 1 }
+    parseDigits(b, i, until, neg, strictJson = true)
+  }
+
+  /** Quoted value through Spark's string→int cast semantics: ASCII
+    * whitespace trimmed, optional '+'/'-', leading zeros allowed. */
+  private def parseQuotedInt(b: Array[Byte], from0: Int, until0: Int): Any = {
+    var from = from0
+    var until = until0
+    // Spark's cast trims via UTF8String.trimAll: every ASCII control or
+    // space (<= 0x20), wider than JSON's structural whitespace
+    while (from < until && b(from) >= 0 && b(from) <= ' ') from += 1
+    while (until > from && b(until - 1) >= 0 && b(until - 1) <= ' ') until -= 1
+    var neg = false
+    if (from < until && (b(from) == '-' || b(from) == '+')) {
+      neg = b(from) == '-'
+      from += 1
+    }
+    parseDigits(b, from, until, neg, strictJson = false)
   }
 
   /** The top-level value of `key` as an Int (boxed) or null. */
@@ -130,19 +158,18 @@ object JsonOps {
         if (i < b.length && b(i) == '"') {
           val end = skipString(b, i)
           if (end < 0) return null
-          return parseInt(b, i + 1, end - 1)
+          return parseQuotedInt(b, i + 1, end - 1)
         }
         val end = skipValue(b, i)
         if (end < 0) return null
-        return parseInt(b, i, end)
+        return parseBareInt(b, i, end)
       }
       val end = skipValue(b, i)
       if (end < 0) return null
       i = end
       while (i < b.length && isWs(b(i))) i += 1
       if (i < b.length && b(i) == ',') i += 1
-      else if (i < b.length && b(i) == '}') return null // key absent
-      else if (i >= b.length) return null
+      else return null // '}' (key absent), EOF, or a missing comma — all NULL
     }
     null
   }

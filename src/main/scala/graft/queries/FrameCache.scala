@@ -57,6 +57,7 @@ private[graft] object FrameCache {
         frames.keySet.removeIf(_.startsWith(prefix))
         bytesCache.keySet.removeIf(_.startsWith(prefix))
         countCache.keySet.removeIf(_.startsWith(prefix))
+        stringsCache.keySet.removeIf(_.startsWith(prefix))
         it.remove()
       }
     }
@@ -89,6 +90,19 @@ private[graft] object FrameCache {
     bytesCache.computeIfAbsent(s"${sessionKey(s)}:$key", _ => build)
   }
 
+  private val stringsCache = new ConcurrentHashMap[String, Array[String]]()
+
+  /** A collected control-table column for `key` under session `s` (e.g.
+    * the source catalog a bitmask plan is keyed by), computed once
+    * instead of one collect job per query construction. Typed — never
+    * packed through a separator-joined string, which cannot round-trip
+    * null or empty elements. Callers must not mutate the returned
+    * array. */
+  def cachedStrings(s: SparkSession, key: String)(build: => Array[String]): Array[String] = {
+    evictStopped()
+    stringsCache.computeIfAbsent(s"${sessionKey(s)}:$key", _ => build)
+  }
+
   /** An index-sizing count for `key` under session `s` (e.g. the corpus
     * cardinality an adaptive banding ladder derives its knob from),
     * computed once instead of one count job per invocation. */
@@ -106,6 +120,7 @@ private[graft] object FrameCache {
     frames.clear()
     bytesCache.clear()
     countCache.clear()
+    stringsCache.clear()
     sessionPrefixes.clear()
   }
 }

@@ -619,16 +619,13 @@ object TextQueries {
     // sources (mask width), where the histogram would stop compressing.
     // cached like every other driver-side control artifact: building
     // this query a second time (bench reps, plan sweeps) must not rerun
-    // the source-catalog job
-    val sources: Array[String] = {
-      val bytes = FrameCache.cachedBytes(s, s"ta_sources:$dir") {
+    // the source-catalog job. Typed cache — null/empty source names
+    // round-trip exactly as the uncached collect would produce them.
+    val sources: Array[String] =
+      FrameCache.cachedStrings(s, s"ta_sources:$dir") {
         docs.select(col("source")).distinct().orderBy(col("source"))
-          .collect().map(_.getString(0)).mkString("\u0000")
-          .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          .collect().map(_.getString(0))
       }
-      val str = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
-      if (str.isEmpty) Array.empty[String] else str.split("\u0000")
-    }
     if (sources.length > 62) {
       val fps = docs
         .select(col("source"), explode(TextExprs.winnowFingerprints(norm)).as("fp"))

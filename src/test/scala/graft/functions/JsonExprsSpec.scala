@@ -49,7 +49,14 @@ class JsonExprsSpec extends AnyFunSuite {
       """{"k": null}""", """{"k": []}""", """{"k": {}}""",
       """{"k": 2147483647}""", """{"k": -2147483648}""", """{"k": 2147483648}""",
       """{"k": "abc"}""", """{}""", """[1,2]""", """not json""", """""",
-      """{"a\"k\":1": 9, "k": 4}""", """  {"k":7}  """)
+      """{"a\"k\":1": 9, "k": 4}""", """  {"k":7}  """,
+      // cast-semantics edges for QUOTED values (trim + sign + zeros)
+      """{"k": " 42"}""", """{"k": "+42"}""", """{"k": "42 "}""",
+      "{\"k\": \"\t42\"}", """{"k": "007"}""", """{"k": "-0"}""",
+      // Jackson's bare-number grammar: leading zeros are malformed
+      """{"k": 007}""", """{"k": 0}""", """{"k": -0}""",
+      // malformed structure BEFORE the key must stay NULL
+      """{"a":1 "k":2}""", """{"a":1,,"k":2}""", """{"a" 1, "k": 2}""")
     val expected = jackson(cases)
     cases.zip(expected).foreach { case (p, e) =>
       assert(Option(kernel(p)).map(_.asInstanceOf[Int]) == e, s"mismatch on: $p")
