@@ -97,7 +97,9 @@ object Plans {
     "dd_simhash_agg" ->
       "compiled md5long60 hash in the codegen'd Project BELOW the ObjectHashAggregate (a TypedImperativeAggregate evaluates its child interpreted — the hash must not live there); shuffle carries one 244-byte sketch per doc",
     "ta_heavy_hitters_exact" ->
-      "two-pass exact heavy hitters: sketch pass (ObjectHashAggregate, bounded buffers) then the token stream re-scanned against the BROADCAST candidate list — both passes combine map-side; no token-scale shuffle beyond the sketch's own")
+      "two-pass exact heavy hitters: sketch pass (ObjectHashAggregate, bounded buffers) then the token stream re-scanned against the BROADCAST candidate list — both passes combine map-side; no token-scale shuffle beyond the sketch's own",
+    "ev_json" ->
+      "map-only Project: the compiled json_int_key byte scan replaces get_json_object's per-row Jackson parse — zero exchanges, the extraction rides the scan")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
