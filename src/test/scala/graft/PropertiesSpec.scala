@@ -6,7 +6,7 @@ import org.scalacheck.rng.Seed
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.SparkTestBase.spark
-import graft.functions.{Fns, Hashing, SketchExprs, TextOps}
+import graft.functions.{Fns, Hashing, SketchExprs, TextExprs, TextOps}
 import graft.operators.SkewJoin
 
 /** Property-based checks over generated inputs (seeded ScalaCheck sweeps,
@@ -81,6 +81,44 @@ class PropertiesSpec extends AnyFunSuite {
             case other => fail(s"row $id num presence mismatch: $other")
           }
         }
+    }
+  }
+
+  test("ws_split property: equals filter(split(trim(s), \\s+)) on generated text") {
+    // the compiled tokenizer must agree with the regex form it replaced
+    // everywhere, not just on the corpus the ta_vocab oracle covers —
+    // whitespace varieties (tab/LF/CR/FF/VT), runs, unicode, blanks
+    val piece: Gen[String] = Gen.frequency(
+      6 -> Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString.take(6)),
+      3 -> Gen.oneOf(" ", "\t", "\n", "\r", "\f", "", "  ", " \t\n"),
+      1 -> Gen.oneOf("é…", "日本", "😀", ""))
+    val textGen = Gen.listOf(piece).map(_.mkString)
+    val texts = samples(textGen, 400)
+    val df = texts.toDF("t")
+    val viaKernel = df.select(TextExprs.wsSplit(col("t")).as("a"))
+      .collect().map(_.getSeq[String](0))
+    val viaRegex = df.select(
+      filter(split(trim(col("t")), "\\s+"), x => length(x) > 0).as("a"))
+      .collect().map(_.getSeq[String](0))
+    viaKernel.zip(viaRegex).zip(texts).foreach { case ((k, r), t) =>
+      assert(k == r, s"ws_split mismatch on: '${t.replace("\n", "\\n")}'")
+    }
+  }
+
+  test("md5long60 property: equals the composed md5LongSeeded on generated strings") {
+    val strGen = Gen.listOf(Gen.frequency(
+      8 -> Gen.asciiPrintableChar.map(_.toString),
+      1 -> Gen.oneOf("é", "…", "😀", ":"),
+      1 -> Gen.const(""))).map(_.mkString)
+    val rows = samples(strGen, 300)
+    val df = rows.toDF("t")
+    Seq(0, 7, 99).foreach { seed =>
+      val both = df.select(
+        SketchExprs.md5Long60(col("t"), seed).as("k"),
+        Hashing.md5LongSeeded(seed, col("t")).as("c")).collect()
+      both.zip(rows).foreach { case (r, t) =>
+        assert(r.getLong(0) == r.getLong(1), s"md5long60($seed) mismatch on: '$t'")
+      }
     }
   }
 
