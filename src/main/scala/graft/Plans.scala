@@ -99,7 +99,15 @@ object Plans {
     "ta_heavy_hitters_exact" ->
       "two-pass exact heavy hitters: sketch pass (ObjectHashAggregate, bounded buffers) then the token stream re-scanned against the BROADCAST candidate list — both passes combine map-side; no token-scale shuffle beyond the sketch's own",
     "ev_json" ->
-      "map-only Project: the compiled json_int_key byte scan replaces get_json_object's per-row Jackson parse — zero exchanges, the extraction rides the scan")
+      "map-only Project: the compiled json_int_key byte scan replaces get_json_object's per-row Jackson parse — zero exchanges, the extraction rides the scan",
+    "dd_substring" ->
+      "gram hashing, never a suffix array: ONE corpus scan, one Generate over the gram projection, dup grams marked by count-over-window on the gram-hash shuffle (no aggregate-plus-self-join, no second scan), per-doc island window bounded by document length — no corpus-position global sort",
+    "sim_kmeans" ->
+      "each Lloyd round: map-only assignment (centroid literals in a codegen'd array_max fold — no join, no shuffle) + one bounded aggregation (posexplode, groupBy(cid, dim) partial-aggregates map-side: the shuffle carries k×dim rows per map partition, never a row per vector)",
+    "td_domain_mix" ->
+      "ONE corpus aggregation (compiled token-count sum, map-side combined); the normalizing windows run over the already-aggregated k-domain frame — the single-partition window is k rows, not the corpus",
+    "ta_kl_drift" ->
+      "the token stream shuffles by token ONCE per aggregate (top-V via TakeOrdered, cell counts after a BROADCAST membership join); the only keyless join is the k-source × (V+1)-cell smoothing grid, bounded by KlTopV")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -578,8 +578,64 @@ object DedupQueries {
           .as("text"))
   }
 
+  /** Width (in words) of the exact-substring gram, and the minimum
+    * corpus frequency that makes a gram "duplicated".
+    */
+  val SubGram = 5
+
+  /** dd_substring — exact repeated-substring span detection (the
+    * suffix-array dedup of Lee et al., "Deduplicating Training Data
+    * Makes Language Models Better", recast for a distributed engine as
+    * rolling word-gram frequency + per-document interval merge): every
+    * maximal span whose [[SubGram]]-word grams ALL occur ≥2 times in the
+    * corpus is reported as (doc, span_start, span_end, n_dup_grams) in
+    * word offsets — the spans a substring-level dedup pass would cut.
+    *
+    * Scale design (the reason this is not a suffix array): a distributed
+    * suffix array needs a global sort of every corpus position; gram
+    * hashing needs only (1) a zero-shuffle posexplode of hashed grams,
+    * (2) ONE shuffle on the 60-bit gram hash where `count over
+    * (partition by gh)` marks duplicated grams — the dd_para_dedup
+    * trick: an aggregate-plus-self-join would re-scan and re-hash the
+    * whole corpus for the frequency table — and (3) a per-document
+    * window to merge gram hits into maximal spans, partitioned by
+    * doc_id and therefore bounded by document length, never corpus
+    * size. At 100 TB the dup-gram marker is the natural Bloom-filter
+    * candidate (the td_decontaminate pattern) but stays exact here
+    * because the output is itself exact.
+    */
+  def ddSubstring: Q = (s, dir) => substringSpans(Tables.documents(s, dir))
+
+  /** The span detector over any (doc_id, text) frame — see
+    * [[ddSubstring]] for semantics and the scale argument.
+    */
+  private[graft] def substringSpans(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = docs
+      .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("toks"))
+      .filter(size(col("toks")) >= SubGram)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, size(toks) - $SubGram), i -> concat_ws(' ', slice(toks, i + 1, $SubGram)))")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), Hashing.md5Long(col("col")).as("gh"))
+    val hits = grams
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("gh"))))
+      .filter(col("n") >= 2)
+      .select(col("doc_id"), col("pos"))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    hits
+      .withColumn("prev", lag(col("pos"), 1).over(byDoc))
+      .withColumn("brk", when(col("prev").isNull || col("pos") - col("prev") > SubGram, 1).otherwise(0))
+      .withColumn("island", sum(col("brk")).over(byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + SubGram).as("span_end"),
+        count(lit(1)).as("n_dup_grams"))
+      .select(col("doc_id"), col("span_start"), col("span_end"), col("n_dup_grams"))
+  }
+
   val queries: Map[String, Q] = Map(
     "dd_para_dedup" -> ddParaDedup,
+    "dd_substring" -> ddSubstring,
     "dd_exact" -> ddExact,
     "dd_minhash_sig" -> ddMinhashSig,
     "dd_minhash_pairs" -> ddMinhashPairs,
@@ -651,6 +707,32 @@ object DedupQueries {
         |SELECT doc_id, count(*) AS n_keep,
         |       string_agg(para, ' ' ORDER BY cid) AS text
         |FROM kept GROUP BY doc_id""".stripMargin,
+    "dd_substring" ->
+      s"""WITH docs AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+        |  FROM documents),
+        |gs AS (
+        |  SELECT doc_id, toks, unnest(generate_series(1, len(toks) - ${SubGram - 1})) AS i
+        |  FROM docs WHERE len(toks) >= $SubGram),
+        |grams AS (
+        |  SELECT doc_id, i - 1 AS pos,
+        |    ('0x' || substr(md5(array_to_string(toks[i:i+${SubGram - 1}], ' ')), 1, 15))::BIGINT AS gh
+        |  FROM gs),
+        |dup AS (SELECT gh FROM grams GROUP BY gh HAVING count(*) >= 2),
+        |hits AS (SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (gh)),
+        |brk AS (
+        |  SELECT doc_id, pos,
+        |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > $SubGram
+        |         OR lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+        |    THEN 1 ELSE 0 END AS b
+        |  FROM hits),
+        |isl AS (
+        |  SELECT doc_id, pos,
+        |    sum(b) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM brk)
+        |SELECT doc_id, min(pos) AS span_start, max(pos) + $SubGram AS span_end,
+        |       count(*) AS n_dup_grams
+        |FROM isl GROUP BY doc_id, island""".stripMargin,
     "dd_exact" ->
       """SELECT ('0x' || substr(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), 1, 15))::BIGINT AS fp_long,
         | min(doc_id) AS keep_id, count(*) AS n_docs,

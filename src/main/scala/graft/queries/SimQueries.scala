@@ -378,7 +378,82 @@ object SimQueries {
       .select(col("query_id"), col("neighbor_id"), col("rank"))
   }
 
+  /** k-means: cluster count, Lloyd assignment rounds (centroids update
+    * after every round but the last), and the decimal grid the updated
+    * centroids are snapped to. The snap is load-bearing for determinism:
+    * a mean of doubles depends on reduction order (Spark merges partition
+    * partials in arrival order, DuckDB sums sequentially), so raw means
+    * differ across engines — and across RUNS — by ~1e-13. Rounding to
+    * 1e-6 absorbs that, making every subsequent assignment bit-stable.
+    */
+  val KmK = 8
+  val KmRounds = 3
+  val KmSnap = 6
+
+  /** Nearest-centroid by squared L2 as a zero-shuffle codegen fold:
+    * argmin ‖e−c‖² = argmax (2·e·c − ‖c‖²) since ‖e‖² is constant per
+    * row — same `array_max` over (score, -cid) structs as the IVF
+    * assignment ([[nearestCentroid]]), ties to the smallest cid. The
+    * oracle computes the identical 2·dot−‖c‖² score, never the expanded
+    * subtraction, so float rounding matches term for term.
+    */
+  private[queries] def kmNearest(cents: Seq[(Int, Seq[Double])]): Column = {
+    val scored = cents.map { case (cid, c) =>
+      val cn2 = c.foldLeft(0.0d)((a, x) => a + x * x) // left-to-right, = duckDot(c,c)
+      struct((lit(2.0) * dotc(col("embedding"), typedLit(c)) - lit(cn2)).as("s"),
+        lit(-cid).as("nc"))
+    }
+    -array_max(array(scored: _*)).getField("nc")
+  }
+
+  /** One Lloyd update: assign (map-only fold) → per-cluster elementwise
+    * mean. posexplode + groupBy(cid, dim) keeps the mean distributed
+    * with map-side partial aggregation — the shuffle carries
+    * k × dim partial rows PER MAP PARTITION, never a row per vector —
+    * then k rows of (dim, mean) reassemble into centroid arrays on the
+    * driver (k × dim doubles: the classic "centroids fit anywhere"
+    * invariant that makes Lloyd a fixpoint of tiny collect jobs). An
+    * emptied cluster simply vanishes from the aggregate — in both
+    * engines — so the fold narrows instead of diverging.
+    */
+  private[queries] def kmUpdate(v: DataFrame, cents: Seq[(Int, Seq[Double])]): Seq[(Int, Seq[Double])] =
+    v.select(kmNearest(cents).as("cid"), posexplode(col("embedding")))
+      .groupBy(col("cid"), col("pos"))
+      .agg(avg(col("col")).as("m"))
+      .groupBy(col("cid"))
+      .agg(expr(s"transform(array_sort(collect_list(struct(pos, m))), x -> round(x.m, $KmSnap))").as("c"))
+      .collect().toSeq
+      .map(r => (r.getInt(0), r.getSeq[Double](1)))
+      .sortBy(_._1)
+
+  /** sim_kmeans — distributed Lloyd k-means over the embedding column,
+    * the training loop that PRODUCES the coarse quantizer the IVF family
+    * consumes (sim_ivf_* take centroids as given; this is where they
+    * come from). Deterministic init (the [[KmK]] lowest vec_ids),
+    * [[KmRounds]] assignment rounds with snap-to-grid mean updates in
+    * between, output = the final round's assignment.
+    *
+    * Scale: each round is one map-only assignment pass (centroid
+    * literals compiled into the plan — no join, no shuffle) plus one
+    * bounded-key aggregation whose shuffle is k × dim rows per map
+    * partition; driver state is k × dim doubles per round. At 100 TB
+    * this is exactly the minibatch-free Lloyd you'd run on a cluster:
+    * rounds × (scan + tiny shuffle), nothing resident but the data.
+    */
+  def simKmeans: Q = (s, dir) => {
+    val v = FrameCache.cached(s, s"sim_kmeans_vecs:$dir")(
+      graft.Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")))
+    val init = v.filter(col("vec_id") < KmK)
+      .select(col("vec_id"), col("embedding"))
+      .collect().toSeq
+      .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).map(_.toDouble)))
+      .sortBy(_._1)
+    val cents = (1 until KmRounds).foldLeft(init)((c, _) => kmUpdate(v, c))
+    v.select(col("vec_id"), kmNearest(cents).as("cluster"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "sim_kmeans" -> simKmeans,
     "sim_quantize" -> simQuantize,
     "sim_ivfpq_topk" -> simIvfpqTopk,
     "sim_pq_encode" -> simPqEncode,
@@ -464,7 +539,41 @@ object SimQueries {
       |        (qs.svs[s + 1][i] - cbx.cwss[s + 1][c.cs[s + 1] + 1][i]) *
       |        (qs.svs[s + 1][i] - cbx.cwss[s + 1][c.cs[s + 1] + 1][i])))))""".stripMargin
 
+  /** k-means oracle pieces: score identical to [[kmNearest]]
+    * (2·dot − ‖c‖², both sums sequential doubles), assignment via
+    * row_number (score desc, cid asc), update via round(avg, snap).
+    */
+  private def duckKmAssign(prev: String, out: String): String =
+    s"""$out AS (
+      |  SELECT vec_id, e, cid FROM (
+      |    SELECT v.vec_id, v.e, c.cid,
+      |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+      |        2 * (${duckDot("v.e", "c.c")}) - (${duckDot("c.c", "c.c")}) DESC,
+      |        c.cid ASC) AS rn
+      |    FROM kv v CROSS JOIN $prev c) WHERE rn = 1)""".stripMargin
+
+  private def duckKmUpdate(prev: String, out: String): String =
+    s"""$out AS (
+      |  SELECT cid, list(m ORDER BY i) AS c FROM (
+      |    SELECT cid, i, round(avg(e[i]), $KmSnap) AS m
+      |    FROM $prev, (SELECT unnest(generate_series(1, 64)) AS i) dims
+      |    GROUP BY cid, i) GROUP BY cid)""".stripMargin
+
+  private val duckKmeans: String = {
+    val steps = (1 until KmRounds).flatMap(r => Seq(
+      duckKmAssign(if (r == 1) "c0" else s"c${r - 1}", s"a$r"),
+      duckKmUpdate(s"a$r", s"c$r"))) :+
+      duckKmAssign(s"c${KmRounds - 1}", s"a$KmRounds")
+    s"""WITH kv AS (
+      |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+      |  FROM embeddings),
+      |c0 AS (SELECT CAST(vec_id AS INT) AS cid, e AS c FROM kv WHERE vec_id < $KmK),
+      |${steps.mkString(",\n")}
+      |SELECT vec_id, cid AS cluster FROM a$KmRounds""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "sim_kmeans" -> duckKmeans,
     "sim_pq_encode" ->
       s"""$duckPqCodes
         |SELECT vec_id,

@@ -658,8 +658,83 @@ object TextQueries {
     }
   }
 
+  /** Mixture temperature for td_domain_mix (the multilingual-sampling /
+    * DoReMi-style α: raw token share p^α, renormalized — α<1 upsamples
+    * small domains).
+    */
+  val MixAlpha = 0.3
+
+  /** td_domain_mix — per-source corpus shares and temperature-scaled
+    * sampling weights: the mixture table a training run reads to decide
+    * how often to draw from each domain. One aggregation over the corpus
+    * (map-side combined count + compiled token-count sum), then the
+    * normalizations run as windows over the already-aggregated
+    * k-domain frame — the "empty partition" window is deliberate and
+    * safe: by then the frame has one row per domain, not per document.
+    */
+  def tdDomainMix: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy()
+    Tables.documents(s, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(wsTokens(col("text")).cast("long")).as("n_tokens"))
+      .withColumn("p_tok", col("n_tokens").cast("double") / sum(col("n_tokens")).over(w).cast("double"))
+      .withColumn("sa", pow(col("p_tok"), MixAlpha))
+      .withColumn("mix_weight", round(col("sa") / sum(col("sa")).over(w), 6))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(col("p_tok"), 6).as("p_tok"), col("mix_weight"))
+  }
+
+  /** Cell budget for ta_kl_drift: drift is measured over the top-V
+    * corpus tokens plus one lumped OTHER cell, the standard bounded-
+    * vocabulary drift monitor (an unbounded per-token KL would need a
+    * dense source × vocabulary grid — unbounded at corpus scale).
+    */
+  val KlTopV = 200
+
+  /** ta_kl_drift — per-source distribution drift: add-one-smoothed KL
+    * divergence D(P_source ‖ P_corpus) over the top-[[KlTopV]]-token
+    * cells (+ OTHER), the monitor that catches a domain whose token
+    * distribution has shifted from the corpus mix (contamination, crawl
+    * rot, template floods).
+    *
+    * Scale: the only corpus-sized work is the shared token stream and
+    * two bounded aggregations over it (top-V via agg + TakeOrdered;
+    * per-(source, cell) counts after a BROADCAST membership join against
+    * the V-token list — the stream never shuffles by token twice). The
+    * smoothing grid is k_sources × (V+1) rows; every window below runs
+    * on that tiny frame.
+    */
+  def taKlDrift: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val toks = cachedToks(s, dir).select(col("source"), col("tok"))
+    val top = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok").asc).limit(KlTopV)
+      .select(col("tok"), lit(1).as("hit"))
+    val cells = toks.join(broadcast(top), Seq("tok"), "left")
+      .select(col("source"),
+        when(col("hit").isNotNull, col("tok")).otherwise(lit("__other__")).as("cell"))
+    val srcCell = cells.groupBy(col("source"), col("cell")).agg(count(lit(1)).as("c"))
+    val corpCell = cells.groupBy(col("cell")).agg(count(lit(1)).as("c_all"))
+    val srcTot = srcCell.groupBy(col("source")).agg(sum(col("c")).as("n_s"))
+    val ws = Window.partitionBy(col("source"))
+    val pS = (col("c") + 1).cast("double") / (col("n_s") + col("v_cells")).cast("double")
+    val pC = (col("c_all") + 1).cast("double") / (col("n_all") + col("v_cells")).cast("double")
+    srcTot.crossJoin(broadcast(corpCell))
+      .join(srcCell, Seq("source", "cell"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+      .withColumn("v_cells", count(lit(1)).over(ws))
+      .withColumn("n_all", sum(col("c_all")).over(ws))
+      .withColumn("term", pS * log(pS / pC))
+      .groupBy(col("source"))
+      .agg(max(col("n_s")).as("n_toks"), round(sum(col("term")), 6).as("kl_vs_corpus"))
+  }
+
   val queries: Map[String, Q] = Map(
     "ta_tokens" -> taTokens,
+    "td_domain_mix" -> tdDomainMix,
+    "ta_kl_drift" -> taKlDrift,
     "ta_source_overlap" -> taSourceOverlap,
     "td_decontaminate" -> tdDecontaminate,
     "ta_langid" -> taLangid,
@@ -724,6 +799,51 @@ object TextQueries {
         |bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 23 = 0)
         |SELECT DISTINCT g.doc_id FROM grams g JOIN bench b USING (gram)
         |WHERE g.doc_id % 23 <> 0""".stripMargin,
+    "td_domain_mix" ->
+      s"""WITH per AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    sum(len(regexp_extract_all(text, '\\S+'))) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |p AS (
+        |  SELECT source, n_docs, n_tokens,
+        |    n_tokens::DOUBLE / (sum(n_tokens) OVER ())::DOUBLE AS p_tok
+        |  FROM per),
+        |pw AS (SELECT *, power(p_tok, $MixAlpha) AS sa FROM p)
+        |SELECT source, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  round(p_tok, 6) AS p_tok,
+        |  round(sa / sum(sa) OVER (), 6) AS mix_weight
+        |FROM pw""".stripMargin,
+    "ta_kl_drift" ->
+      s"""WITH tf AS (
+        |  SELECT source, tok FROM (
+        |    SELECT source, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+        |    FROM documents)
+        |  WHERE length(tok) > 0),
+        |top AS (SELECT tok FROM (
+        |  SELECT tok, count(*) AS cnt FROM tf GROUP BY tok
+        |  ORDER BY cnt DESC, tok ASC LIMIT $KlTopV)),
+        |cells AS (
+        |  SELECT tf.source,
+        |    CASE WHEN top.tok IS NOT NULL THEN tf.tok ELSE '__other__' END AS cell
+        |  FROM tf LEFT JOIN top ON tf.tok = top.tok),
+        |src_cell AS (SELECT source, cell, count(*) AS c FROM cells GROUP BY 1, 2),
+        |corp_cell AS (SELECT cell, count(*) AS c_all FROM cells GROUP BY 1),
+        |src_tot AS (SELECT source, sum(c) AS n_s FROM src_cell GROUP BY 1),
+        |j AS (
+        |  SELECT g.source, g.n_s, g.cell, g.c_all, coalesce(sc.c, 0) AS c
+        |  FROM (SELECT s.source, s.n_s, cc.cell, cc.c_all
+        |        FROM src_tot s CROSS JOIN corp_cell cc) g
+        |  LEFT JOIN src_cell sc ON g.source = sc.source AND g.cell = sc.cell),
+        |s2 AS (
+        |  SELECT source, n_s, c, c_all,
+        |    count(*) OVER (PARTITION BY source) AS v_cells,
+        |    sum(c_all) OVER (PARTITION BY source) AS n_all
+        |  FROM j)
+        |SELECT source, CAST(max(n_s) AS BIGINT) AS n_toks,
+        |  round(sum(((c + 1)::DOUBLE / (n_s + v_cells)::DOUBLE)
+        |          * ln(((c + 1)::DOUBLE / (n_s + v_cells)::DOUBLE)
+        |              / ((c_all + 1)::DOUBLE / (n_all + v_cells)::DOUBLE))), 6) AS kl_vs_corpus
+        |FROM s2 GROUP BY source""".stripMargin,
     "ta_tokens" ->
       """SELECT doc_id,
         | len(regexp_extract_all(text, '\S+')) AS n_ws_tokens,
