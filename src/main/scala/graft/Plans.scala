@@ -107,7 +107,17 @@ object Plans {
     "td_domain_mix" ->
       "ONE corpus aggregation (compiled token-count sum, map-side combined); the normalizing windows run over the already-aggregated k-domain frame — the single-partition window is k rows, not the corpus",
     "ta_kl_drift" ->
-      "the token stream shuffles by token ONCE per aggregate (top-V via TakeOrdered, cell counts after a BROADCAST membership join); the only keyless join is the k-source × (V+1)-cell smoothing grid, bounded by KlTopV")
+      "the token stream shuffles by token ONCE per aggregate (top-V via TakeOrdered, cell counts after a BROADCAST membership join); the only keyless join is the k-source × (V+1)-cell smoothing grid, bounded by KlTopV",
+    "td_weighted_sample" ->
+      "rates table is ONE map-side-combined aggregation broadcast back onto the corpus scan; the acceptance test (integer hash vs floor threshold) runs map-side inside the scan stage, so rejected docs never shuffle",
+    "ta_inverted_index" ->
+      "two-level index build: (token, doc) pre-aggregate collapses repeats map-side BEFORE the first shuffle; the posting-list agg then shuffles one row per distinct pair; df HAVING cuts on the aggregated frame",
+    "u7_scd2" ->
+      "ONE exchange + sort on cust_key serves BOTH windows: the change filter between lag and lead preserves partitioning and order, so Catalyst plans Window→Filter→Window over a single sort, no second shuffle",
+    "ta_bpe_pairs" ->
+      "the corpus contributes ONE map-side-combined vocabulary aggregation; pair explosion and counting run over the VOCAB table (bounded by distinct words × word length, independent of corpus size) — the shape real BPE trainers use",
+    "ta_bigram_lm" ->
+      "the bigram stream materializes once (InMemoryTableScan reuse) and feeds both the count table and the scoring join; context counts and vocab size derive from the BIGRAM table, never a second corpus pass")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -630,6 +630,44 @@ object OlapQueries {
         col("op"))
   }
 
+  /** u7_scd2 — Slowly-Changing-Dimension Type-2 history build (the
+    * lakehouse companion to u5's MERGE: turn a keyed change log into
+    * validity-interval dimension rows). Each customer's order stream,
+    * ordered by (date, orderkey), is collapsed to its PRIORITY CHANGES
+    * (lag ≠ current drops same-value repeats — SCD2 records transitions,
+    * not observations); each surviving row then takes valid_from = its
+    * change date and valid_to = the next change's date (lead), open
+    * interval + is_current on the last.
+    *
+    * Scale: one shuffle on the dimension key. Both windows and the
+    * filter between them share the (cust_key) partitioning and the
+    * (valid_from, ok) sort order, so Catalyst plans a single
+    * exchange+sort with two Window nodes over it — the change-filter
+    * never repartitions. Per-partition state is one row of lookbehind /
+    * lookahead, streaming-friendly at any key cardinality.
+    */
+  def u7Scd2: Q = (s, dir) =>
+    scd2History(Tables.orders(s, dir)
+      .select(col("o_custkey").as("cust_key"),
+        col("o_orderpriority").as("priority"),
+        col("o_orderdate").cast("date").as("valid_from"),
+        col("o_orderkey").as("ok")))
+
+  /** The SCD2 interval builder over any (cust_key, priority, valid_from,
+    * ok) change log — see [[u7Scd2]] for semantics and the plan shape.
+    */
+  private[graft] def scd2History(changes: DataFrame): DataFrame = {
+    val byKey = Window.partitionBy(col("cust_key"))
+      .orderBy(col("valid_from").asc, col("ok").asc)
+    changes
+      .withColumn("prev", lag(col("priority"), 1).over(byKey))
+      .filter(col("prev").isNull || col("prev") =!= col("priority"))
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(byKey))
+      .select(col("cust_key"), col("priority"), col("valid_from"),
+        col("valid_to"),
+        when(col("valid_to").isNull, lit(1)).otherwise(lit(0)).as("is_current"))
+  }
+
   /** o4_range_frame — RANGE (value-range) frame: per-user trailing-1-hour
     * moving sum over event time. Unlike a ROWS frame, the frame edge is a
     * VALUE bound (ts − 1 h), so tied timestamps are peers and enter the
@@ -909,6 +947,7 @@ object OlapQueries {
     "h17_small_quantity" -> h17SmallQuantity,
     "h22_wealthy_inactive" -> h22WealthyInactive,
     "u6_intersect" -> u6Intersect,
+    "u7_scd2" -> u7Scd2,
     "o4_range_frame" -> o4RangeFrame,
     "o5_dist_stats" -> o5DistStats,
     "o6_first_last" -> o6FirstLast,
@@ -1122,6 +1161,27 @@ object OlapQueries {
         |  coalesce(c.new_price, o.o_totalprice) AS price, c.op AS op
         |FROM orders o FULL OUTER JOIN changes c ON o.o_orderkey = c.k
         |WHERE op IS DISTINCT FROM 'delete'""".stripMargin,
+    "u7_scd2" ->
+      """WITH s AS (
+        |  SELECT o_custkey AS cust_key, o_orderpriority AS priority,
+        |    CAST(o_orderdate AS DATE) AS valid_from, o_orderkey AS ok
+        |  FROM orders),
+        |c AS (
+        |  SELECT *, lag(priority) OVER
+        |    (PARTITION BY cust_key ORDER BY valid_from, ok) AS prev
+        |  FROM s),
+        |chg AS (SELECT cust_key, priority, valid_from, ok
+        |        FROM c WHERE prev IS NULL OR prev <> priority),
+        |h AS (
+        |  SELECT cust_key, priority, valid_from,
+        |    lead(valid_from) OVER
+        |      (PARTITION BY cust_key ORDER BY valid_from, ok) AS valid_to
+        |  FROM chg)
+        |SELECT cust_key, priority,
+        |  CAST(valid_from AS VARCHAR) AS valid_from,
+        |  CAST(valid_to AS VARCHAR) AS valid_to,
+        |  CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS is_current
+        |FROM h""".stripMargin,
     "sql_tpch_q6" ->
       """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
         | count(*) AS n_rows

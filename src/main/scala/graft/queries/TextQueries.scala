@@ -731,9 +731,217 @@ object TextQueries {
       .agg(max(col("n_s")).as("n_toks"), round(sum(col("term")), 6).as("kl_vs_corpus"))
   }
 
+  /** How many top merge candidates ta_bpe_pairs reports. */
+  val BpeTopPairs = 32
+
+  /** ta_bpe_pairs — the counting step of BPE tokenizer training
+    * (Sennrich et al. 2016, "Neural Machine Translation of Rare Words
+    * with Subword Units"): adjacent-symbol pair frequencies over the
+    * corpus vocabulary, each pair weighted by its word's corpus
+    * frequency; the top pair is the next merge a BPE learner would
+    * take. Reported: the top [[BpeTopPairs]] candidates by (count,
+    * pair).
+    *
+    * Scale is the point: the corpus contributes ONE vocabulary
+    * aggregation (map-side combined on the shared token stream); pair
+    * explosion and counting then run over the VOCAB table — bounded by
+    * distinct words × word length, independent of corpus size. This is
+    * why real BPE trainers count on the word-frequency table, never the
+    * raw corpus; the plan makes that shape explicit. Multi-round
+    * learning (count → pick → re-merge) is [[bpeLearn]]; one round is
+    * SQL-expressible and carries the oracle.
+    */
+  def taBpePairs: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    cachedToks(s, dir)
+      .groupBy(col("tok")).agg(count(lit(1)).as("f"))
+      .filter(length(col("tok")) >= 2)
+      .select(col("f"), explode(expr(
+        "transform(sequence(1, length(tok) - 1), i -> substring(tok, i, 2))")).as("pair"))
+      .groupBy(col("pair")).agg(sum(col("f")).cast("long").as("cnt"))
+      .orderBy(col("cnt").desc, col("pair").asc).limit(BpeTopPairs)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("cnt").desc, col("pair").asc)))
+  }
+
+  /** Multi-round BPE merge learning over a (word, freq) vocabulary:
+    * returns the ordered merge list. Each round counts adjacent-symbol
+    * pairs (weighted by word frequency), picks the (count, pair)-max
+    * merge, and rewrites every word's symbol array with the standard
+    * left-to-right non-overlapping merge fold — "aaa" under merge (a,a)
+    * becomes ["aa","a"], and a token produced by this round's merge is
+    * never itself merged again within the round (the fold's lookbehind
+    * compares against the PRE-merge symbol, so a freshly emitted "ab"
+    * can't re-match as the `a` of the same pair).
+    *
+    * Distribution mirrors [[graft.queries.SimQueries]]'s Lloyd loop:
+    * the per-round argmax is a driver-collected control value (one
+    * row); the rewrite is a map-only transform over the vocab frame;
+    * pair counting is one bounded aggregation. Rounds are sequential by
+    * nature (each merge depends on the last) — the per-round cost is
+    * vocab-bounded, never corpus-bounded.
+    */
+  private[graft] def bpeLearn(words: DataFrame, rounds: Int): Seq[String] = {
+    var syms = words.select(col("f"),
+      expr("transform(sequence(1, length(tok)), i -> substring(tok, i, 1))").as("syms"))
+    val merges = scala.collection.mutable.ArrayBuffer.empty[String]
+    for (_ <- 1 to rounds) {
+      val top = syms
+        .filter(size(col("syms")) >= 2)
+        .select(col("f"), explode(expr(
+          "transform(sequence(1, size(syms) - 1), i -> struct(element_at(syms, i) AS a, element_at(syms, i + 1) AS b))")).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("f")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
+        .limit(1).collect()
+      if (top.nonEmpty) {
+        val (a, b) = (top(0).getString(0), top(0).getString(1))
+        merges += s"$a$b"
+        // non-overlap falls out of the fold: a merge replaces the last
+        // slot with a+b, which can never equal `a` again (b nonempty),
+        // so "aaa" under (a,a) yields ["aa","a"], not ["aa","aa"]
+        val acc = aggregate(col("syms"), array().cast("array<string>"),
+          (st, x) => when(
+            size(st) > 0 && element_at(st, -1) === lit(a) && x === lit(b),
+            concat(slice(st, lit(1), size(st) - 1), array(lit(s"$a$b")))
+          ).otherwise(concat(st, array(x))))
+        syms = syms.select(col("f"), acc.as("syms"))
+      }
+    }
+    merges.toSeq
+  }
+
+  /** ta_bigram_lm — bigram language-model scoring (the CCNet-style
+    * quality filter one order up from [[taUnigramLp]]): per-document
+    * mean log P(w_i | w_{i-1}) under the corpus bigram distribution
+    * with add-one smoothing over the unigram vocabulary, the standard
+    * fluency proxy that separates natural prose from shuffled-token
+    * noise the unigram score cannot see.
+    *
+    * Scale: the bigram stream is materialized once (FrameCache) and
+    * read twice (count table + scoring join) — the same two-pass shape
+    * as the exact heavy hitters. Both shuffles key on bounded sets
+    * (distinct bigrams; doc_id). Context counts and vocab size derive
+    * from the BIGRAM table (vocab-sized aggregations), never a second
+    * corpus pass; the context table and the scalar vocab broadcast into
+    * the scoring join.
+    */
+  def taBigramLm: Q = (s, dir) => {
+    val bi = cachedBigrams(s, dir)
+    val c2 = bi.groupBy(col("v"), col("w")).agg(count(lit(1)).as("c2"))
+    val c1 = c2.groupBy(col("v")).agg(sum(col("c2")).as("c1"))
+    val vocab = cachedToks(s, dir)
+      .agg(countDistinct(col("tok")).cast("double").as("vsz"))
+    bi.join(c2, Seq("v", "w"))
+      .join(broadcast(c1), Seq("v"))
+      .crossJoin(broadcast(vocab))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        bround(avg(log((col("c2") + 1).cast("double") / (col("c1") + col("vsz")))), 6)
+          .as("avg_lp"))
+  }
+
+  /** The per-document adjacent-token-pair stream (doc_id, v, w),
+    * persisted once per corpus — see [[taBigramLm]].
+    */
+  private def cachedBigrams(s: SparkSession, dir: String): DataFrame =
+    FrameCache.cached(s, s"ta_bigrams_stream:$dir")(
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TextExprs.wsSplit(lower(trim(col("text")))).as("a"))
+        .filter(size(col("a")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(a) - 1), i -> struct(element_at(a, i) AS v, element_at(a, i + 1) AS w))")).as("p"))
+        .select(col("doc_id"), col("p.v").as("v"), col("p.w").as("w")))
+
+  /** Base acceptance rate for td_weighted_sample, and the integer hash
+    * space the acceptance test runs in (2^20 buckets).
+    */
+  val WsRate = 0.1
+  val WsBuckets = 1048576L
+
+  /** td_weighted_sample — apply a temperature-scaled domain mixture as a
+    * DETERMINISTIC per-document Bernoulli sample (the op that turns
+    * [[tdDomainMix]]'s sampling table into an actual rebalanced corpus):
+    * source s keeps each doc with probability min(1, rate/sqrt(p_s))
+    * where p_s is s's token share — the α=0.5 temperature that boosts
+    * small domains. Membership is an integer compare of a doc_id hash
+    * against floor(p·2^20), never rand(): reproducible across runs,
+    * engines, partitionings, and resumes.
+    *
+    * Cross-engine exactness is by construction, not luck: p_s is one
+    * division of two exact integer sums, and /, sqrt, and × are all
+    * IEEE-754 correctly-rounded single operations — every engine gets
+    * the bit-identical double, hence the identical floor threshold.
+    * (pow(x, α) for general α carries no such guarantee, which is why
+    * the α here is the sqrt temperature and not [[MixAlpha]].)
+    *
+    * Scale: first pass aggregates per-source token counts (map-side
+    * combined, k-row result); the rates table broadcasts back onto the
+    * corpus scan where the acceptance test runs map-side; the summary
+    * agg is the only other shuffle. At 100 TB the rates frame is
+    * catalog-sized and the kept corpus streams straight to its sink.
+    */
+  def tdWeightedSample: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+    val rates = docs
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(wsTokens(col("text")).cast("long")).as("n_tok"))
+      .withColumn("p_keep",
+        least(lit(1.0), lit(WsRate) /
+          sqrt(col("n_tok").cast("double") /
+            sum(col("n_tok")).over(Window.partitionBy()).cast("double"))))
+      .withColumn("thr", floor(col("p_keep") * lit(WsBuckets.toDouble)))
+    val kept = docs
+      .join(broadcast(rates.select(col("source"), col("thr"))), Seq("source"))
+      .filter(pmod(Hashing.md5LongSeeded(11, col("doc_id").cast("string")),
+        lit(WsBuckets)) < col("thr"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).cast("long").as("sum_ids"))
+    rates.join(kept, Seq("source"), "left")
+      .select(col("source"), col("n_docs"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("sum_ids"), lit(0L)).as("sum_ids"),
+        round(col("p_keep"), 6).as("p_keep"))
+  }
+
+  /** Minimum document frequency for a token to enter the inverted
+    * index, and the posting-list prefix length the report keeps.
+    */
+  val InvMinDf = 25L
+  val InvPostings = 16
+
+  /** ta_inverted_index — posting-list construction (the retrieval /
+    * source-attribution index over the corpus): for every index term
+    * with document frequency ≥ [[InvMinDf]], its df, total term
+    * frequency, and the first [[InvPostings]] doc ids of its sorted
+    * posting list. Two shuffles, both keyed on bounded sets: the
+    * (token, doc) pre-aggregate collapses each document's repeats
+    * map-side before anything moves, and the posting-list agg then
+    * handles one row per distinct (token, doc) pair — the classic
+    * two-level distributed index build. The df filter is a HAVING on
+    * the second agg; truncation to a prefix bounds the report row
+    * width (a full index would stream the complete lists to a sink
+    * instead of truncating).
+    */
+  def taInvertedIndex: Q = (s, dir) => {
+    cachedToks(s, dir)
+      .groupBy(col("tok"), col("doc_id")).agg(count(lit(1)).as("tf"))
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).cast("long").as("tf_total"),
+        expr(s"array_join(transform(slice(sort_array(collect_list(doc_id)), 1, $InvPostings), x -> cast(x AS STRING)), ',')")
+          .as("postings"))
+      .filter(col("df") >= InvMinDf)
+  }
+
   val queries: Map[String, Q] = Map(
     "ta_tokens" -> taTokens,
     "td_domain_mix" -> tdDomainMix,
+    "td_weighted_sample" -> tdWeightedSample,
+    "ta_inverted_index" -> taInvertedIndex,
+    "ta_bpe_pairs" -> taBpePairs,
+    "ta_bigram_lm" -> taBigramLm,
     "ta_kl_drift" -> taKlDrift,
     "ta_source_overlap" -> taSourceOverlap,
     "td_decontaminate" -> tdDecontaminate,
@@ -813,6 +1021,66 @@ object TextQueries {
         |  round(p_tok, 6) AS p_tok,
         |  round(sa / sum(sa) OVER (), 6) AS mix_weight
         |FROM pw""".stripMargin,
+    "td_weighted_sample" ->
+      s"""WITH per AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    sum(len(regexp_extract_all(text, '\\S+'))) AS n_tok
+        |  FROM documents GROUP BY source),
+        |rates AS (
+        |  SELECT source, n_docs,
+        |    least(1.0, $WsRate / sqrt(n_tok::DOUBLE / (sum(n_tok) OVER ())::DOUBLE)) AS p_keep
+        |  FROM per),
+        |kept AS (
+        |  SELECT d.source, count(*) AS n_kept, sum(d.doc_id) AS sum_ids
+        |  FROM documents d JOIN rates r USING (source)
+        |  WHERE ${Hashing.duckMd5Long(11, "d.doc_id::VARCHAR")} % $WsBuckets
+        |        < floor(r.p_keep * $WsBuckets.0)::BIGINT
+        |  GROUP BY d.source)
+        |SELECT r.source, r.n_docs,
+        |  coalesce(k.n_kept, 0)::BIGINT AS n_kept,
+        |  coalesce(k.sum_ids, 0)::BIGINT AS sum_ids,
+        |  round(r.p_keep, 6) AS p_keep
+        |FROM rates r LEFT JOIN kept k USING (source)""".stripMargin,
+    "ta_bpe_pairs" ->
+      s"""WITH words AS (
+        |  SELECT tok, count(*) AS f FROM (
+        |    SELECT unnest(regexp_extract_all(lower(trim(text)), '\\S+')) AS tok
+        |    FROM documents) GROUP BY tok),
+        |pairs AS (
+        |  SELECT substr(tok, i, 2) AS pair, f
+        |  FROM (SELECT tok, f, unnest(generate_series(1, length(tok) - 1)) AS i
+        |        FROM words WHERE length(tok) >= 2)),
+        |agg AS (
+        |  SELECT pair, sum(f)::BIGINT AS cnt FROM pairs GROUP BY pair
+        |  ORDER BY cnt DESC, pair ASC LIMIT $BpeTopPairs)
+        |SELECT pair, cnt,
+        |  row_number() OVER (ORDER BY cnt DESC, pair ASC) AS rank
+        |FROM agg""".stripMargin,
+    "ta_bigram_lm" ->
+      """WITH docs AS (
+        |  SELECT doc_id, regexp_extract_all(lower(trim(text)), '\S+') AS a
+        |  FROM documents WHERE len(regexp_extract_all(lower(trim(text)), '\S+')) >= 2),
+        |bi AS (
+        |  SELECT doc_id, a[i] AS v, a[i + 1] AS w
+        |  FROM (SELECT doc_id, a, unnest(generate_series(1, len(a) - 1)) AS i FROM docs)),
+        |c2 AS (SELECT v, w, count(*) AS c2 FROM bi GROUP BY v, w),
+        |c1 AS (SELECT v, sum(c2) AS c1 FROM c2 GROUP BY v),
+        |vocab AS (
+        |  SELECT count(DISTINCT tok)::DOUBLE AS vsz FROM (
+        |    SELECT unnest(regexp_extract_all(lower(trim(text)), '\S+')) AS tok
+        |    FROM documents))
+        |SELECT b.doc_id, count(*) AS n_bigrams,
+        |  round(avg(ln((c2.c2 + 1)::DOUBLE / (c1.c1 + vocab.vsz))), 6) AS avg_lp
+        |FROM bi b JOIN c2 USING (v, w) JOIN c1 USING (v) CROSS JOIN vocab
+        |GROUP BY b.doc_id""".stripMargin,
+    "ta_inverted_index" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(trim(text)), '\\S+')) AS tok
+        |  FROM documents),
+        |pair AS (SELECT tok, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2)
+        |SELECT tok, count(*) AS df, sum(tf)::BIGINT AS tf_total,
+        |  array_to_string((list(doc_id ORDER BY doc_id))[1:$InvPostings], ',') AS postings
+        |FROM pair GROUP BY tok HAVING count(*) >= $InvMinDf""".stripMargin,
     "ta_kl_drift" ->
       s"""WITH tf AS (
         |  SELECT source, tok FROM (

@@ -137,4 +137,176 @@ class CorpusOpsSpec extends AnyFunSuite {
       .count()
     assert(rows.map(_._2).sum === totalToks)
   }
+
+  // ---- td_weighted_sample ---------------------------------------------
+
+  /** The engine-portable 60-bit md5 hash, recomputed driver-side. */
+  private def md5Long(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(d.take(8).map("%02x".format(_)).mkString.take(15), 16)
+  }
+
+  test("td_weighted_sample matches a driver-side recomputation of every source's kept set") {
+    val mix = TextQueries.tdDomainMix(spark, sf001).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap // source -> n_tokens
+    val total = mix.values.sum.toDouble
+    val docs = graft.Tables.documents(spark, sf001)
+      .select(col("source"), col("doc_id")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val expected = docs.groupBy(_._1).map { case (src, ds) =>
+      val pKeep = math.min(1.0, TextQueries.WsRate / math.sqrt(mix(src) / total))
+      val thr = math.floor(pKeep * TextQueries.WsBuckets).toLong
+      val kept = ds.map(_._2).filter(id => md5Long(s"11:$id") % TextQueries.WsBuckets < thr)
+      src -> ((kept.length.toLong, kept.sum, pKeep))
+    }
+    val got = TextQueries.tdWeightedSample(spark, sf001).collect()
+      .map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got.keySet === expected.keySet)
+    expected.foreach { case (src, (nKept, sumIds, pKeep)) =>
+      val (gN, gSum, gP) = got(src)
+      assert(gN === nKept, s"n_kept($src)")
+      assert(gSum === sumIds, s"sum_ids($src)")
+      assert(math.abs(gP - pKeep) < 5e-7, s"p_keep($src)")
+    }
+    // small sources are boosted: keep rate ordering is inverse to size
+    val rates = got.map { case (src, (n, _, _)) =>
+      (mix(src), n.toDouble / docs.count(_._1 == src)) }
+    rates.toSeq.sortBy(_._1).map(_._2) // sanity: defined for every source
+    assert(got.values.forall { case (n, _, p) => p > 0.0 && p <= 1.0 && n >= 0 })
+  }
+
+  // ---- ta_inverted_index ----------------------------------------------
+
+  test("ta_inverted_index postings are sorted prefixes and df/tf agree with a recount") {
+    val rows = TextQueries.taInvertedIndex(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (tok, df, tf, postings) =>
+      assert(df >= TextQueries.InvMinDf)
+      assert(tf >= df, s"tf_total($tok) < df")
+      val ids = postings.split(",").map(_.toLong)
+      assert(ids.length == math.min(df, TextQueries.InvPostings.toLong))
+      assert(ids.sameElements(ids.sorted), s"postings($tok) not ascending")
+      assert(ids.distinct.length == ids.length)
+    }
+    // recount the highest-df token from the raw corpus
+    val (tok, df, tf, _) = rows.maxBy(_._2)
+    val counts = graft.Tables.documents(spark, sf001)
+      .select(col("doc_id"), explode(split(lower(trim(col("text"))), "\\s+")).as("t"))
+      .filter(col("t") === tok)
+      .agg(countDistinct(col("doc_id")), count(lit(1)))
+      .head()
+    assert(counts.getLong(0) === df)
+    assert(counts.getLong(1) === tf)
+  }
+
+  // ---- ta_bpe_pairs / bpeLearn ----------------------------------------
+
+  test("bpeLearn reproduces the classic Sennrich merge sequence") {
+    val words = Seq(("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L))
+      .toDF("tok", "f")
+    assert(TextQueries.bpeLearn(words, 3) === Seq("es", "est", "lo"))
+  }
+
+  test("bpeLearn merges left-to-right without overlap, then chains") {
+    val words = Seq(("aaa", 1L)).toDF("tok", "f")
+    // round 1: (a,a) has count 2 but merges ONCE -> ["aa","a"];
+    // round 2: (aa,a) -> "aaa"
+    assert(TextQueries.bpeLearn(words, 2) === Seq("aa", "aaa"))
+  }
+
+  test("ta_bpe_pairs top merge equals a driver-side recount over the vocabulary") {
+    val vocab = TextQueries.taVocab(spark, sf001) // reuse corpus tokenization
+    val freqs = graft.Tables.documents(spark, sf001)
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy("tok").count().collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val expected = freqs.filter(_._1.length >= 2)
+      .flatMap { case (w, f) => w.sliding(2).map(_ -> f) }
+      .groupBy(_._1).map { case (p, xs) => (p, xs.map(_._2).sum) }
+    val rows = TextQueries.taBpePairs(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    assert(rows.length === math.min(TextQueries.BpeTopPairs, expected.size))
+    rows.foreach { case (pair, cnt, _) =>
+      assert(expected(pair) === cnt, s"count($pair)")
+    }
+    // ranks are 1..k in (cnt desc, pair asc) order
+    val ordered = rows.sortBy(r => (-r._2, r._1))
+    assert(ordered.map(_._3).toSeq === (1 to rows.length))
+    // the rank-1 row is the true argmax the learner would merge next
+    val best = expected.toSeq.sortBy { case (p, c) => (-c, p) }.head
+    assert(ordered.head._1 === best._1 && ordered.head._2 === best._2)
+  }
+
+  // ---- ta_bigram_lm ---------------------------------------------------
+
+  test("ta_bigram_lm matches a driver-side smoothed-bigram recomputation") {
+    val docs = graft.Tables.documents(spark, sf001)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1).trim.toLowerCase.split("\\s+").filter(_.nonEmpty)))
+    val bigrams = docs.flatMap { case (_, ts) => ts.sliding(2).filter(_.length == 2).map(a => (a(0), a(1))) }
+    val c2 = bigrams.groupBy(identity).map { case (k, v) => (k, v.length.toLong) }
+    val c1 = c2.groupBy(_._1._1).map { case (v, m) => (v, m.values.sum) }
+    val vsz = docs.flatMap(_._2).distinct.length.toDouble
+    val expected = docs.filter(_._2.length >= 2).map { case (id, ts) =>
+      val bs = ts.sliding(2).filter(_.length == 2).map(a => (a(0), a(1))).toSeq
+      val lps = bs.map { b => math.log((c2(b) + 1).toDouble / (c1(b._1) + vsz)) }
+      id -> ((bs.length.toLong, lps.sum / lps.length))
+    }.toMap
+    val got = TextQueries.taBigramLm(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.length === expected.size)
+    got.foreach { case (id, n, lp) =>
+      val (en, elp) = expected(id)
+      assert(n === en, s"n_bigrams($id)")
+      assert(math.abs(lp - elp) < 2e-6, s"avg_lp($id): $lp vs $elp")
+    }
+  }
+
+  // ---- u7_scd2 --------------------------------------------------------
+
+  test("u7_scd2 collapses repeats, chains intervals, ties broken by change id") {
+    val sqlDate = java.sql.Date.valueOf(_: String)
+    val log = Seq(
+      // key 1: A A B B A -> three history rows
+      (1L, "A", "2024-01-01", 101L), (1L, "A", "2024-01-05", 102L),
+      (1L, "B", "2024-02-01", 103L), (1L, "B", "2024-02-10", 104L),
+      (1L, "A", "2024-03-01", 105L),
+      // key 2: same-date tie, ordered by ok: X (ok 201) then Y (ok 202)
+      (2L, "X", "2024-01-01", 201L), (2L, "Y", "2024-01-01", 202L))
+      .map { case (k, p, d, ok) => (k, p, sqlDate(d), ok) }
+      .toDF("cust_key", "priority", "valid_from", "ok")
+    val got = OlapQueries.scd2History(log).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        Option(r.getDate(2)).map(_.toString).orNull,
+        Option(r.getDate(3)).map(_.toString).orNull, r.getInt(4)))
+      .sortBy(x => (x._1, x._3, x._2))
+    assert(got.filter(_._1 == 1L) === Seq(
+      (1L, "A", "2024-01-01", "2024-02-01", 0),
+      (1L, "B", "2024-02-01", "2024-03-01", 0),
+      (1L, "A", "2024-03-01", null, 1)))
+    assert(got.filter(_._1 == 2L) === Seq(
+      (2L, "X", "2024-01-01", "2024-01-01", 0),
+      (2L, "Y", "2024-01-01", null, 1)))
+  }
+
+  test("u7_scd2 on the corpus: one current row per key, chained intervals, no repeat runs") {
+    val rows = OlapQueries.u7Scd2(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getDate(2).toString, Option(r.getDate(3)).map(_.toString), r.getInt(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (k, hist) =>
+      assert(hist.count(_._5 == 1) === 1, s"key $k current-row count")
+      val sorted = hist.sortBy(h => (h._3, h._4.getOrElse("9999-12-31")))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._4.contains(b._3), s"key $k interval chain broken")
+          assert(a._2 != b._2 || a._3 == b._3, s"key $k kept a same-priority repeat")
+        case _ => ()
+      }
+      assert(sorted.last._4.isEmpty)
+    }
+  }
 }
