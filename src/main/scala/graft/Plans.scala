@@ -117,7 +117,11 @@ object Plans {
     "ta_bpe_pairs" ->
       "the corpus contributes ONE map-side-combined vocabulary aggregation; pair explosion and counting run over the VOCAB table (bounded by distinct words × word length, independent of corpus size) — the shape real BPE trainers use",
     "ta_bigram_lm" ->
-      "the bigram stream materializes once (InMemoryTableScan reuse) and feeds both the count table and the scoring join; context counts and vocab size derive from the BIGRAM table, never a second corpus pass")
+      "the bigram stream materializes once (InMemoryTableScan reuse) and feeds both the count table and the scoring join; context counts and vocab size derive from the BIGRAM table, never a second corpus pass",
+    "sim_inertia" ->
+      "map-only until the k-row aggregate: centroid literals ride the same codegen'd argmax fold as sim_kmeans, and the inertia sum is INTEGER floor(d2*1e6) — order-independent, so map-side combine cannot drift the result",
+    "ev_rate_limit" ->
+      "one exchange on user_id; the token-bucket recurrence is a codegen'd higher-order aggregate over each user's (ts,id)-sorted events — all-integer state, no per-event shuffle, the ev_funnel shape")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -441,19 +441,70 @@ object SimQueries {
     * rounds × (scan + tiny shuffle), nothing resident but the data.
     */
   def simKmeans: Q = (s, dir) => {
-    val v = FrameCache.cached(s, s"sim_kmeans_vecs:$dir")(
-      graft.Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")))
-    val init = v.filter(col("vec_id") < KmK)
-      .select(col("vec_id"), col("embedding"))
-      .collect().toSeq
-      .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).map(_.toDouble)))
-      .sortBy(_._1)
-    val cents = (1 until KmRounds).foldLeft(init)((c, _) => kmUpdate(v, c))
-    v.select(col("vec_id"), kmNearest(cents).as("cluster"))
+    val v = kmVecs(s, dir)
+    v.select(col("vec_id"), kmNearest(kmCents(s, dir)).as("cluster"))
   }
+
+  private def kmVecs(s: SparkSession, dir: String): DataFrame =
+    FrameCache.cached(s, s"sim_kmeans_vecs:$dir")(
+      graft.Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")))
+
+  /** The final-round Lloyd centroids — the trained coarse quantizer,
+    * shared by [[simKmeans]] and [[simInertia]] so the 3-round loop
+    * runs once per corpus. Cached as strings (Double.toString/parse
+    * round-trips exactly, so the snap grid survives the cache).
+    */
+  /** sim_inertia — clustering-quality report over the trained coarse
+    * quantizer: per-cluster size, total inertia (Σ‖e−c‖²), and worst
+    * member distance — the report that decides whether the IVF
+    * centroids need more rounds or more cells before an index build.
+    *
+    * Exact cross-engine floats without a tolerance: each distance is
+    * d² = ‖e‖² − s where s is the SAME 2·e·c − ‖c‖² score the argmax
+    * already computed (one extra subtraction of two bit-identical
+    * doubles), and the aggregate sums floor(d²·10⁶) as INTEGERS —
+    * order-independent, so the map-side-combined distributed sum equals
+    * DuckDB's sequential one exactly, where a double Σd² would drift in
+    * the last ulps with reduction order. Map-only until the k-row
+    * aggregate; the centroid literals ride the same codegen'd fold as
+    * [[simKmeans]].
+    */
+  def simInertia: Q = (s, dir) => {
+    val cents = kmCents(s, dir)
+    val scored = cents.map { case (cid, c) =>
+      val cn2 = c.foldLeft(0.0d)((a, x) => a + x * x)
+      struct((lit(2.0) * dotc(col("embedding"), typedLit(c)) - lit(cn2)).as("s"),
+        lit(-cid).as("nc"))
+    }
+    val best = array_max(array(scored: _*))
+    kmVecs(s, dir)
+      .select((-best.getField("nc")).as("cluster"),
+        floor((dotc(col("embedding"), col("embedding")) - best.getField("s"))
+          * lit(1000000.0)).as("d2u"))
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("d2u")).cast("long").as("inertia_micro"),
+        max(col("d2u")).as("max_d2_micro"))
+  }
+
+  private[graft] def kmCents(s: SparkSession, dir: String): Seq[(Int, Seq[Double])] =
+    FrameCache.cachedStrings(s, s"sim_kmeans_cents:$dir") {
+      val v = kmVecs(s, dir)
+      val init = v.filter(col("vec_id") < KmK)
+        .select(col("vec_id"), col("embedding"))
+        .collect().toSeq
+        .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).map(_.toDouble)))
+        .sortBy(_._1)
+      val cents = (1 until KmRounds).foldLeft(init)((c, _) => kmUpdate(v, c))
+      cents.map { case (cid, c) => s"$cid:${c.mkString(",")}" }.toArray
+    }.toSeq.map { s0 =>
+      val Array(cid, vec) = s0.split(":", 2)
+      (cid.toInt, vec.split(",").map(_.toDouble).toSeq)
+    }
 
   val queries: Map[String, Q] = Map(
     "sim_kmeans" -> simKmeans,
+    "sim_inertia" -> simInertia,
     "sim_quantize" -> simQuantize,
     "sim_ivfpq_topk" -> simIvfpqTopk,
     "sim_pq_encode" -> simPqEncode,
@@ -572,8 +623,38 @@ object SimQueries {
       |SELECT vec_id, cid AS cluster FROM a$KmRounds""".stripMargin
   }
 
+  /** The inertia oracle re-runs the Lloyd CTE chain, but the final
+    * assignment keeps the winning score s so d² = dot(e,e) − s exactly
+    * as the Spark side computes it (same single subtraction of the same
+    * doubles); the integer floor(d²·10⁶) sum is order-independent.
+    */
+  private val duckInertia: String = {
+    val steps = (1 until KmRounds).flatMap(r => Seq(
+      duckKmAssign(if (r == 1) "c0" else s"c${r - 1}", s"a$r"),
+      duckKmUpdate(s"a$r", s"c$r")))
+    val last = s"c${KmRounds - 1}"
+    s"""WITH kv AS (
+      |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+      |  FROM embeddings),
+      |c0 AS (SELECT CAST(vec_id AS INT) AS cid, e AS c FROM kv WHERE vec_id < $KmK),
+      |${steps.mkString(",\n")},
+      |fin AS (
+      |  SELECT vec_id, e, cid, s FROM (
+      |    SELECT v.vec_id, v.e, c.cid,
+      |      2 * (${duckDot("v.e", "c.c")}) - (${duckDot("c.c", "c.c")}) AS s,
+      |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+      |        2 * (${duckDot("v.e", "c.c")}) - (${duckDot("c.c", "c.c")}) DESC,
+      |        c.cid ASC) AS rn
+      |    FROM kv v CROSS JOIN $last c) WHERE rn = 1)
+      |SELECT cid AS cluster, count(*) AS n_vecs,
+      |  sum(floor((${duckDot("e", "e")} - s) * 1000000.0)::BIGINT)::BIGINT AS inertia_micro,
+      |  max(floor((${duckDot("e", "e")} - s) * 1000000.0)::BIGINT) AS max_d2_micro
+      |FROM fin GROUP BY cid""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "sim_kmeans" -> duckKmeans,
+    "sim_inertia" -> duckInertia,
     "sim_pq_encode" ->
       s"""$duckPqCodes
         |SELECT vec_id,

@@ -184,8 +184,58 @@ object StreamQueries {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** Token-bucket parameters for ev_rate_limit: bucket capacity in
+    * tokens, and the refill interval (one token per [[RlRefillUs]]
+    * microseconds). All state is integer microseconds — no float ever
+    * enters the fold, so the decision sequence is exactly reproducible
+    * in any engine.
+    */
+  val RlCapacity = 3L
+  val RlRefillUs = 60000000L
+
+  /** ev_rate_limit — per-user token-bucket rate limiting (the quota /
+    * abuse-control pass over an event log: which requests would have
+    * been admitted under a C-token, one-per-minute-refill budget).
+    * Inherently SEQUENTIAL per key — each admit decision depends on
+    * every prior one — so it compiles to the ev_funnel shape: one
+    * shuffle on user_id, each user's (ts, id)-sorted events folded once
+    * by a codegen'd higher-order aggregate carrying (credit, prev_ts,
+    * admitted) integer state. Per-user cost is linear in events, state
+    * is three longs; on a stream the same fold is the
+    * flatMapGroupsWithState transition ([[graft.streaming.EventStreams]]
+    * sessionizer pattern). The oracle replays the identical recurrence
+    * as a recursive CTE — integer arithmetic both sides, no tolerance.
+    */
+  def evRateLimit: Q = (s, dir) => rateLimit(Tables.events(s, dir))
+
+  /** The token-bucket fold over any (user_id, ts, event_id) frame — see
+    * [[evRateLimit]] for semantics and the plan shape.
+    */
+  private[graft] def rateLimit(events: DataFrame): DataFrame = {
+    val capUs = RlCapacity * RlRefillUs
+    // pre = min(cap, credit + elapsed) appears three times below —
+    // Spark SQL lambdas cannot bind locals, and the optimizer CSEs it
+    val pre = s"least(${capUs}L, st.credit + IF(st.prev = -1L, 0L, e.t - st.prev))"
+    events
+      .select(col("user_id"),
+        struct(unix_micros(col("ts")).as("t"), col("event_id").as("id")).as("e"))
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(col("e"))).as("es"))
+      .withColumn("st", expr(
+        s"""aggregate(es,
+              named_struct('credit', ${capUs}L, 'prev', -1L, 'allowed', 0L),
+              (st, e) -> named_struct(
+                'credit', IF($pre >= ${RlRefillUs}L, $pre - ${RlRefillUs}L, $pre),
+                'prev', e.t,
+                'allowed', st.allowed + IF($pre >= ${RlRefillUs}L, 1L, 0L)))"""))
+      .select(col("user_id"), size(col("es")).cast("long").as("n_events"),
+        col("st.allowed").as("n_allowed"),
+        (size(col("es")).cast("long") - col("st.allowed")).as("n_dropped"))
+  }
+
   val queries: Map[String, Q] = Map(
     "ev_funnel" -> evFunnel,
+    "ev_rate_limit" -> evRateLimit,
     "ev_enrich" -> evEnrich,
     "ev_window_topk" -> evWindowTopk,
     "ev_tumbling" -> evTumbling,
@@ -198,6 +248,30 @@ object StreamQueries {
     "ev_asof" -> evAsof)
 
   val oracle: Map[String, String] = Map(
+    "ev_rate_limit" -> {
+      val cap = RlCapacity * RlRefillUs
+      s"""WITH RECURSIVE ev AS (
+        |  SELECT user_id, epoch_us(ts) AS t, event_id,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |n AS (SELECT user_id, max(rn) AS n_events FROM ev GROUP BY user_id),
+        |step AS (
+        |  SELECT user_id, rn, t,
+        |    CAST($cap - $RlRefillUs AS BIGINT) AS credit, CAST(1 AS BIGINT) AS allowed
+        |  FROM ev WHERE rn = 1
+        |  UNION ALL
+        |  SELECT e.user_id, e.rn, e.t,
+        |    CASE WHEN least($cap, s.credit + (e.t - s.t)) >= $RlRefillUs
+        |         THEN least($cap, s.credit + (e.t - s.t)) - $RlRefillUs
+        |         ELSE least($cap, s.credit + (e.t - s.t)) END,
+        |    s.allowed + CASE WHEN least($cap, s.credit + (e.t - s.t)) >= $RlRefillUs
+        |                     THEN 1 ELSE 0 END
+        |  FROM step s JOIN ev e ON e.user_id = s.user_id AND e.rn = s.rn + 1)
+        |SELECT s.user_id, CAST(n.n_events AS BIGINT) AS n_events,
+        |  s.allowed AS n_allowed,
+        |  CAST(n.n_events - s.allowed AS BIGINT) AS n_dropped
+        |FROM step s JOIN n ON s.user_id = n.user_id AND s.rn = n.n_events""".stripMargin
+    },
     "ev_funnel" ->
       """WITH seq AS (
         |  SELECT user_id, string_agg(event_type, ',' ORDER BY ts, event_type) AS s

@@ -265,6 +265,58 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  // ---- sim_inertia ----------------------------------------------------
+
+  test("sim_inertia equals a driver-side exact recomputation from the shared centroids") {
+    val cents = SimQueries.kmCents(spark, sf001)
+    val vecs = graft.Tables.embeddings(spark, sf001)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble)))
+    def dot(a: Seq[Double], b: Seq[Double]): Double =
+      a.indices.foldLeft(0.0d)((acc, i) => acc + a(i) * b(i))
+    val perVec = vecs.map { case (_, e) =>
+      val (s, cid) = cents.map { case (cid, c) =>
+        (2.0 * dot(e, c) - dot(c, c), cid)
+      }.maxBy { case (s, cid) => (s, -cid) }
+      (cid, math.floor((dot(e, e) - s) * 1000000.0).toLong)
+    }
+    val expected = perVec.groupBy(_._1).map { case (cid, xs) =>
+      cid -> ((xs.length.toLong, xs.map(_._2).sum, xs.map(_._2).max))
+    }
+    val got = SimQueries.simInertia(spark, sf001)
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got === expected)
+  }
+
+  // ---- ev_rate_limit --------------------------------------------------
+
+  test("ev_rate_limit admits exactly the token-bucket sequence on a constructed timeline") {
+    val t0 = 1700000000000000L // epoch micros
+    def ev(id: Long, offsetSec: Long) =
+      (7L, new java.sql.Timestamp(t0 / 1000 + offsetSec * 1000), id)
+    // capacity 3, refill 1/min. Burst of 5 at t0: first 3 admitted.
+    // +30s: still no full token accrued (bucket was at 0 credit) -> drop.
+    // +120s (90s after burst): 2 tokens accrued -> admit; immediate
+    // repeat -> admit (second token); third immediate -> drop.
+    val events = (Seq(ev(1, 0), ev(2, 0), ev(3, 0), ev(4, 0), ev(5, 0),
+      ev(6, 30), ev(7, 120), ev(8, 120), ev(9, 120)))
+      .toDF("user_id", "ts", "event_id")
+    val got = StreamQueries.rateLimit(events).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got === Array((7L, 9L, 5L, 4L)))
+  }
+
+  test("ev_rate_limit on the corpus: conservation and the full-bucket head start") {
+    val rows = StreamQueries.evRateLimit(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (u, n, a, d) =>
+      assert(a + d === n, s"user $u conservation")
+      assert(a >= math.min(StreamQueries.RlCapacity, n), s"user $u head start")
+      assert(a >= 0 && d >= 0)
+    }
+  }
+
   // ---- u7_scd2 --------------------------------------------------------
 
   test("u7_scd2 collapses repeats, chains intervals, ties broken by change id") {
