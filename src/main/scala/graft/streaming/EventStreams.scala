@@ -190,6 +190,51 @@ object EventStreams {
     fs.delete(old, true)
   }
 
+  case class AdmitOut(user_id: Long, event_id: Long, admitted: Boolean)
+
+  /** Per-user token-bucket state: credit in integer microseconds and the
+    * last-seen event time (public for the state encoder's codegen).
+    */
+  case class BucketState(creditUs: Long, prevUs: Long)
+
+  /** Streaming face of `ev_rate_limit`
+    * ([[graft.queries.StreamQueries.rateLimit]]): the identical
+    * all-integer token-bucket recurrence as keyed state, emitting one
+    * admit/drop decision per event. State per user is two longs; within
+    * a micro-batch events fold in (ts, event_id) order, and the state
+    * carries credit + last timestamp across batches, so an in-order
+    * stream reproduces the batch fold decision for decision (spec-
+    * locked). Timestamps convert at MICROsecond precision — the batch
+    * side uses unix_micros, and Timestamp.getTime would truncate to
+    * millis and drift the refill arithmetic.
+    */
+  def rateLimitStream(events: Dataset[Event])
+                     (implicit spark: SparkSession): Dataset[AdmitOut] = {
+    import spark.implicits._
+    import graft.queries.StreamQueries.{RlCapacity, RlRefillUs}
+    val cap = RlCapacity * RlRefillUs
+    def micros(t: Timestamp): Long =
+      math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[BucketState, AdmitOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, rows: Iterator[Event], state: GroupState[BucketState]) =>
+          var st = state.getOption.getOrElse(BucketState(cap, -1L))
+          val out = rows.toSeq
+            .sortBy(e => (micros(e.ts), e.event_id))
+            .map { e =>
+              val t = micros(e.ts)
+              val pre = math.min(cap,
+                st.creditUs + (if (st.prevUs == -1L) 0L else t - st.prevUs))
+              val ok = pre >= RlRefillUs
+              st = BucketState(if (ok) pre - RlRefillUs else pre, t)
+              AdmitOut(uid, e.event_id, ok)
+            }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   /** Custom stateful sessionization with flatMapGroupsWithState: one
     * state object per user; sessions close on a 10-minute event-time gap
     * enforced via the watermark timeout. This is the

@@ -49,6 +49,38 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming token bucket reproduces the batch fold decision for decision") {
+    implicit val s = spark
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val out = EventStreams.rateLimitStream(mem.toDS())
+    val q = out.writeStream.format("memory").queryName("rate_limit")
+      .outputMode(OutputMode.Append()).start()
+    val t0 = 1700000000L * 1000L // epoch millis
+    def e(id: Long, offSec: Long) =
+      Event(id, new Timestamp(t0 + offSec * 1000L), 7L, "click", 1.0)
+    val timeline = Seq(e(1, 0), e(2, 0), e(3, 0), e(4, 0), e(5, 0),
+      e(6, 30), e(7, 120), e(8, 120), e(9, 120))
+    try {
+      // state must survive micro-batch boundaries: burst, then the
+      // starved probe, then the refilled tail arrive in separate batches
+      mem.addData(timeline.take(5): _*)
+      q.processAllAvailable()
+      mem.addData(timeline(5))
+      q.processAllAvailable()
+      mem.addData(timeline.drop(6): _*)
+      q.processAllAvailable()
+      val got = spark.table("rate_limit").as[EventStreams.AdmitOut].collect()
+        .map(a => a.event_id -> a.admitted).toMap
+      assert(got === Map(1L -> true, 2L -> true, 3L -> true, 4L -> false,
+        5L -> false, 6L -> false, 7L -> true, 8L -> true, 9L -> false))
+      // stream ≡ batch: the SQL fold over the same events agrees
+      val batch = graft.queries.StreamQueries.rateLimit(timeline.toDF())
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(batch === Array((7L, 9L, 5L, 4L)))
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState sessionizer: gap splits sessions, timeout emits") {
     implicit val s = spark
     implicit val sq = spark.sqlContext
