@@ -121,7 +121,11 @@ object Plans {
     "sim_inertia" ->
       "map-only until the k-row aggregate: centroid literals ride the same codegen'd argmax fold as sim_kmeans, and the inertia sum is INTEGER floor(d2*1e6) — order-independent, so map-side combine cannot drift the result",
     "ev_rate_limit" ->
-      "one exchange on user_id; the token-bucket recurrence is a codegen'd higher-order aggregate over each user's (ts,id)-sorted events — all-integer state, no per-event shuffle, the ev_funnel shape")
+      "one exchange on user_id; the token-bucket recurrence is a codegen'd higher-order aggregate over each user's (ts,id)-sorted events — all-integer state, no per-event shuffle, the ev_funnel shape",
+    "td_chunk" ->
+      "zero-shuffle map: chunk plans derive from the compiled token COUNT (never a token array), so the corpus scan emits (doc, start, end) rows at scan throughput; the only Generate is over integer chunk starts",
+    "dd_lsh_stats" ->
+      "InMemoryTableScan reuse of the shared signature table; one shuffle on (band, bucket) with map-side combine, then a B-row rollup — the index-health report never touches the pair join it budgets")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -114,6 +114,25 @@ object DedupQueries {
       .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_union"),
         (col("n_inter") * 2 >= col("n_union")).as("jacc_ge_half"))
 
+  /** dd_lsh_stats — LSH index-health report: per band, the bucket
+    * count, the total indexed docs, the hottest bucket, and the
+    * candidate-pair budget Σ C(size, 2) the band would generate. This is
+    * the report that tunes B×R (too-few candidates → recall loss;
+    * a hot bucket → one skewed verify task) BEFORE running the pair
+    * join — exactly how an index build decides its banding at scale.
+    * One shuffle on (band, bucket); the per-band rollup is B rows.
+    * All-integer outputs, no tolerance.
+    */
+  def ddLshStats: Q = (s, dir) => {
+    bandedFrame(cachedSigs(s, dir))
+      .groupBy(col("band"), col("bh")).agg(count(lit(1)).as("sz"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(col("sz")).cast("long").as("n_docs"),
+        max(col("sz")).as("max_bucket"),
+        (sum(col("sz") * (col("sz") - 1)) / 2).cast("long").as("n_cand_pairs"))
+  }
+
   /** The persisted signature table of the LSH index (sig columns +
     * distinct shingle sets): shingling + K md5 min-hashes is the
     * expensive map work, so it materializes ONCE per corpus — the bucket
@@ -639,6 +658,7 @@ object DedupQueries {
     "dd_exact" -> ddExact,
     "dd_minhash_sig" -> ddMinhashSig,
     "dd_minhash_pairs" -> ddMinhashPairs,
+    "dd_lsh_stats" -> ddLshStats,
     "dd_cluster" -> ddCluster,
     "dd_simhash" -> ddSimhash,
     "dd_simhash_agg" -> ddSimhashAgg,
@@ -742,6 +762,23 @@ object DedupQueries {
       s"""$duckShingles
         |SELECT doc_id, $duckSigSelect
         |FROM sh""".stripMargin,
+    "dd_lsh_stats" -> {
+      val unpivot = (0 until B).map(b =>
+        s"SELECT doc_id, $b AS band, bh_$b AS bh FROM bands").mkString("\n  UNION ALL ")
+      s"""$duckShingles,
+        |sig AS (
+        |  SELECT doc_id, shingles, $duckSigSelect
+        |  FROM sh),
+        |bands AS (
+        |  SELECT doc_id, $duckBandSelect
+        |  FROM sig),
+        |b AS (
+        |  $unpivot),
+        |sz AS (SELECT band, bh, count(*) AS sz FROM b GROUP BY band, bh)
+        |SELECT band, count(*) AS n_buckets, sum(sz)::BIGINT AS n_docs,
+        |  max(sz) AS max_bucket, (sum(sz * (sz - 1)) / 2)::BIGINT AS n_cand_pairs
+        |FROM sz GROUP BY band""".stripMargin
+    },
     "dd_minhash_pairs" ->
       s"""$duckShingles,
         |sig AS (

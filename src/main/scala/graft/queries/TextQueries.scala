@@ -731,6 +731,44 @@ object TextQueries {
       .agg(max(col("n_s")).as("n_toks"), round(sum(col("term")), 6).as("kl_vs_corpus"))
   }
 
+  /** Context-window chunking parameters: window width and stride in
+    * tokens (overlap = [[ChunkWindow]] − [[ChunkStride]]).
+    */
+  val ChunkWindow = 128L
+  val ChunkStride = 96L
+
+  /** td_chunk — context-length document chunking (the batch-prep op
+    * that slices long documents into overlapping model-context windows
+    * before packing): each document with n tokens yields chunks at
+    * starts 0, stride, 2·stride, …, each spanning min(window, n−start)
+    * tokens; a trailing start that would only re-cover already-chunked
+    * tokens is dropped (kept iff start < n − window + stride), so every
+    * token is covered exactly once beyond the designed overlap and no
+    * degenerate tail chunks appear.
+    *
+    * All arithmetic is integer token offsets derived from the compiled
+    * token count — the chunk table never materializes token arrays, so
+    * the op is a zero-shuffle map over the corpus scan: at 100 TB it
+    * emits (doc, start, end) plans for a downstream slicer at scan
+    * throughput.
+    */
+  def tdChunk: Q = (s, dir) => chunkSpans(Tables.documents(s, dir))
+
+  /** The chunk planner over any (doc_id, text) frame — see [[tdChunk]]. */
+  private[graft] def chunkSpans(docs: DataFrame): DataFrame = {
+    docs
+      .select(col("doc_id"), wsTokens(col("text")).cast("long").as("n"))
+      .filter(col("n") > 0)
+      .select(col("doc_id"), col("n"),
+        explode(sequence(lit(0L), col("n") - 1, lit(ChunkStride))).as("s"))
+      .filter(col("s") === 0 || col("s") < col("n") - ChunkWindow + ChunkStride)
+      .select(col("doc_id"),
+        (col("s") / ChunkStride).cast("long").as("chunk_id"),
+        col("s").as("tok_start"),
+        least(col("s") + ChunkWindow, col("n")).as("tok_end"),
+        (least(col("s") + ChunkWindow, col("n")) - col("s")).as("n_toks"))
+  }
+
   /** How many top merge candidates ta_bpe_pairs reports. */
   val BpeTopPairs = 32
 
@@ -942,6 +980,7 @@ object TextQueries {
     "ta_inverted_index" -> taInvertedIndex,
     "ta_bpe_pairs" -> taBpePairs,
     "ta_bigram_lm" -> taBigramLm,
+    "td_chunk" -> tdChunk,
     "ta_kl_drift" -> taKlDrift,
     "ta_source_overlap" -> taSourceOverlap,
     "td_decontaminate" -> tdDecontaminate,
@@ -1041,6 +1080,17 @@ object TextQueries {
         |  coalesce(k.sum_ids, 0)::BIGINT AS sum_ids,
         |  round(r.p_keep, 6) AS p_keep
         |FROM rates r LEFT JOIN kept k USING (source)""".stripMargin,
+    "td_chunk" ->
+      s"""WITH d AS (
+        |  SELECT doc_id, len(regexp_extract_all(text, '\\S+'))::BIGINT AS n
+        |  FROM documents),
+        |st AS (
+        |  SELECT doc_id, n, unnest(generate_series(0, n - 1, $ChunkStride)) AS s
+        |  FROM d WHERE n > 0)
+        |SELECT doc_id, (s / $ChunkStride)::BIGINT AS chunk_id,
+        |  s AS tok_start, least(s + $ChunkWindow, n) AS tok_end,
+        |  least(s + $ChunkWindow, n) - s AS n_toks
+        |FROM st WHERE s = 0 OR s < n - $ChunkWindow + $ChunkStride""".stripMargin,
     "ta_bpe_pairs" ->
       s"""WITH words AS (
         |  SELECT tok, count(*) AS f FROM (

@@ -265,6 +265,72 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  // ---- td_chunk -------------------------------------------------------
+
+  test("td_chunk boundary cases: short doc, exact window, one-past, and overlap rule") {
+    def doc(id: Long, nToks: Int) = (id, Seq.fill(nToks)("w").mkString(" "))
+    val w = TextQueries.ChunkWindow; val s0 = TextQueries.ChunkStride
+    val got = TextQueries.chunkSpans(
+      Seq(doc(1, 1), doc(2, 128), doc(3, 129), doc(4, 130), doc(5, 300))
+        .toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(x => (x._1, x._2))
+    assert(got.filter(_._1 == 1L) === Seq((1L, 0L, 0L, 1L, 1L)))
+    // n == window: the stride-start would only re-cover -> single chunk
+    assert(got.filter(_._1 == 2L) === Seq((2L, 0L, 0L, 128L, 128L)))
+    // n == window + 1: the second chunk adds exactly one new token
+    assert(got.filter(_._1 == 3L) === Seq((3L, 0L, 0L, 128L, 128L), (3L, 1L, 96L, 129L, 33L)))
+    assert(got.filter(_._1 == 4L) === Seq((4L, 0L, 0L, 128L, 128L), (4L, 1L, 96L, 130L, 34L)))
+    // long doc: full windows at 0/96/192, tail cut at n
+    assert(got.filter(_._1 == 5L) === Seq(
+      (5L, 0L, 0L, 128L, 128L), (5L, 1L, 96L, 224L, 128L), (5L, 2L, 192L, 300L, 108L)))
+    assert(w === 128L && s0 === 96L) // the fixtures above encode these
+  }
+
+  test("td_chunk on the corpus: full coverage, designed overlap, no degenerate tails") {
+    val n = graft.Tables.documents(spark, sf001)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1).split("\\s+").count(_.nonEmpty).toLong))
+      .toMap
+    val rows = TextQueries.tdChunk(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (id, cs) =>
+      val sorted = cs.sortBy(_._2)
+      assert(sorted.head._3 === 0L, s"doc $id starts at 0")
+      assert(sorted.last._4 === n(id), s"doc $id covers to n")
+      sorted.foreach { case (_, cid, s, e, nt) =>
+        assert(s === cid * TextQueries.ChunkStride)
+        assert(e - s === nt && nt >= 1 && nt <= TextQueries.ChunkWindow)
+      }
+      sorted.sliding(2).foreach {
+        case Array((_, _, s1, e1, _), (_, _, s2, e2, _)) =>
+          assert(s2 === s1 + TextQueries.ChunkStride, s"doc $id stride")
+          assert(e2 > e1, s"doc $id: chunk adds no new tokens")
+        case _ => ()
+      }
+    }
+    // every tokenized doc appears
+    assert(rows.map(_._1).distinct.length === n.count(_._2 > 0))
+  }
+
+  // ---- dd_lsh_stats ---------------------------------------------------
+
+  test("dd_lsh_stats is consistent with the signature table and the pair join") {
+    val rows = DedupQueries.ddLshStats(spark, sf001).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.map(_._1).sorted === (0 until DedupQueries.B))
+    val nDocs = DedupQueries.ddMinhashSig(spark, sf001).count()
+    rows.foreach { case (band, nBuckets, total, maxB, pairs) =>
+      assert(total === nDocs, s"band $band indexes every doc once")
+      assert(maxB >= 1 && maxB <= total)
+      assert(nBuckets <= total)
+      // pair budget bounds: >= the hottest bucket's pairs, <= all-pairs
+      assert(pairs >= maxB * (maxB - 1) / 2, s"band $band pair floor")
+      assert(pairs <= total * (total - 1) / 2, s"band $band pair ceiling")
+    }
+  }
+
   // ---- sim_inertia ----------------------------------------------------
 
   test("sim_inertia equals a driver-side exact recomputation from the shared centroids") {
