@@ -125,7 +125,13 @@ object Plans {
     "td_chunk" ->
       "zero-shuffle map: chunk plans derive from the compiled token COUNT (never a token array), so the corpus scan emits (doc, start, end) rows at scan throughput; the only Generate is over integer chunk starts",
     "dd_lsh_stats" ->
-      "InMemoryTableScan reuse of the shared signature table; one shuffle on (band, bucket) with map-side combine, then a B-row rollup — the index-health report never touches the pair join it budgets")
+      "InMemoryTableScan reuse of the shared signature table; one shuffle on (band, bucket) with map-side combine, then a B-row rollup — the index-health report never touches the pair join it budgets",
+    "sim_recall_report" ->
+      "both ranking sides reuse their cached vector frames; the comparison is a left join on (query, neighbor) + integer hit counts — the recall harness adds no new scan of the embedding table",
+    "td_upsample" ->
+      "rates broadcast onto the corpus scan; the copy explode multiplies rows map-side by ceil(f) BEFORE the only summary shuffle — replication cost rides the scan, never a shuffle",
+    "ev_anomaly" ->
+      "ONE exchange on user_id: moment sums ride a window over the same partitioning the flags evaluate in, and the per-user rollup reuses it — the naive two-pass join form would shuffle the event stream twice")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -668,6 +668,42 @@ object OlapQueries {
         when(col("valid_to").isNull, lit(1)).otherwise(lit(0)).as("is_current"))
   }
 
+  /** ev_anomaly — per-user 2σ outlier detection over event values (the
+    * telemetry pass that flags users' anomalous events before alerting
+    * or filtering). The test |v − μ| > 2σ is evaluated WITHOUT floats:
+    * values are exact cents (the data's 2-decimal grid ×100), and the
+    * inequality is cross-multiplied to (n·v − Σv)² > 4·(n·Σv² − (Σv)²)
+    * — all-integer, so the flag can never flip on a reduction-order ulp
+    * the way a naive stddev comparison can. One shuffle on user_id: the
+    * moment sums ride a window over the same partitioning the flags are
+    * evaluated in, then the per-user rollup reuses it.
+    *
+    * Overflow bound: safe while n·v_max < 3·10⁹ cents (longs); at
+    * larger per-key volumes the same identity runs in DECIMAL(38,0).
+    */
+  def evAnomaly: Q = (s, dir) => anomalyReport(Tables.events(s, dir))
+
+  /** The integer 2σ detector over any (user_id, event_id, value) frame
+    * — see [[evAnomaly]].
+    */
+  private[graft] def anomalyReport(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+    events
+      .select(col("user_id"), col("event_id"),
+        round(col("value") * 100).cast("long").as("v"))
+      .select(col("user_id"), col("event_id"), col("v"),
+        count(lit(1)).over(w).as("n"),
+        sum(col("v")).over(w).as("s1"),
+        sum(col("v") * col("v")).over(w).as("s2"))
+      .withColumn("flag",
+        (col("n") * col("v") - col("s1")) * (col("n") * col("v") - col("s1"))
+          > lit(4L) * (col("n") * col("s2") - col("s1") * col("s1")))
+      .groupBy(col("user_id"))
+      .agg(max(col("n")).as("n_events"),
+        sum(when(col("flag"), 1L).otherwise(0L)).cast("long").as("n_outliers"),
+        sum(when(col("flag"), col("event_id")).otherwise(0L)).cast("long").as("outlier_id_sum"))
+  }
+
   /** o4_range_frame — RANGE (value-range) frame: per-user trailing-1-hour
     * moving sum over event time. Unlike a ROWS frame, the frame edge is a
     * VALUE bound (ts − 1 h), so tied timestamps are peers and enter the
@@ -948,6 +984,7 @@ object OlapQueries {
     "h22_wealthy_inactive" -> h22WealthyInactive,
     "u6_intersect" -> u6Intersect,
     "u7_scd2" -> u7Scd2,
+    "ev_anomaly" -> evAnomaly,
     "o4_range_frame" -> o4RangeFrame,
     "o5_dist_stats" -> o5DistStats,
     "o6_first_last" -> o6FirstLast,
@@ -1161,6 +1198,23 @@ object OlapQueries {
         |  coalesce(c.new_price, o.o_totalprice) AS price, c.op AS op
         |FROM orders o FULL OUTER JOIN changes c ON o.o_orderkey = c.k
         |WHERE op IS DISTINCT FROM 'delete'""".stripMargin,
+    "ev_anomaly" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, round(value * 100)::BIGINT AS v
+        |  FROM events),
+        |m AS (
+        |  SELECT user_id, event_id, v,
+        |    count(*) OVER (PARTITION BY user_id) AS n,
+        |    sum(v) OVER (PARTITION BY user_id) AS s1,
+        |    sum(v * v) OVER (PARTITION BY user_id) AS s2
+        |  FROM e),
+        |f AS (
+        |  SELECT *, (n * v - s1) * (n * v - s1) > 4 * (n * s2 - s1 * s1) AS flag
+        |  FROM m)
+        |SELECT user_id, max(n)::BIGINT AS n_events,
+        |  sum(CASE WHEN flag THEN 1 ELSE 0 END)::BIGINT AS n_outliers,
+        |  sum(CASE WHEN flag THEN event_id ELSE 0 END)::BIGINT AS outlier_id_sum
+        |FROM f GROUP BY user_id""".stripMargin,
     "u7_scd2" ->
       """WITH s AS (
         |  SELECT o_custkey AS cust_key, o_orderpriority AS priority,

@@ -502,9 +502,32 @@ object SimQueries {
       (cid.toInt, vec.split(",").map(_.toDouble).toSeq)
     }
 
+  /** sim_recall_report — the ANN evaluation harness as a first-class
+    * operator: per query vector, how many of the exact top-k neighbors
+    * (brute force) the IVF index actually returned — the recall@k
+    * measurement every index deployment runs before trusting an ANN
+    * path. Both sides reuse the existing query definitions (and their
+    * cached vector frames); the comparison is a left join on
+    * (query, neighbor) with an integer hit count — no float enters the
+    * report, so it oracles exactly. k = [[LshTopK]] (the tighter of the
+    * two lists; brute-force top-[[TopK]] prefixes are rank-stable).
+    */
+  def simRecallReport: Q = (s, dir) => {
+    val k = math.min(TopK, LshTopK)
+    val brute = simTopkBrute(s, dir).filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"))
+    val ann = simIvfTopk(s, dir).filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+    brute.join(ann, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("k_eval"),
+        sum(coalesce(col("hit"), lit(0L))).cast("long").as("n_hits"))
+  }
+
   val queries: Map[String, Q] = Map(
     "sim_kmeans" -> simKmeans,
     "sim_inertia" -> simInertia,
+    "sim_recall_report" -> simRecallReport,
     "sim_quantize" -> simQuantize,
     "sim_ivfpq_topk" -> simIvfpqTopk,
     "sim_pq_encode" -> simPqEncode,
@@ -652,9 +675,42 @@ object SimQueries {
       |FROM fin GROUP BY cid""".stripMargin
   }
 
+  private val duckRecallReport: String = {
+    val k = math.min(TopK, LshTopK)
+    s"""WITH $duckVCent,
+      |$duckRanked,
+      |$duckAssigned,
+      |q AS (SELECT vec_id AS query_id, embedding AS eq, bucket FROM assigned WHERE vec_id < 10),
+      |bscored AS (
+      |  SELECT q.query_id, c.vec_id AS neighbor_id,
+      |    (${duckDot("q.eq", "c.embedding")}) * abs(${duckDot("q.eq", "c.embedding")}) / c.nrm AS score
+      |  FROM v c CROSS JOIN q
+      |  WHERE c.vec_id <> q.query_id),
+      |brute AS (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT query_id, neighbor_id,
+      |      row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+      |    FROM bscored) WHERE rank <= $k),
+      |ascored AS (
+      |  SELECT q.query_id, c.vec_id AS neighbor_id,
+      |    (${duckDot("q.eq", "c.embedding")}) * abs(${duckDot("q.eq", "c.embedding")}) / c.nrm AS score
+      |  FROM assigned c JOIN q ON c.bucket = q.bucket AND c.vec_id <> q.query_id),
+      |ann AS (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT query_id, neighbor_id,
+      |      row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+      |    FROM ascored) WHERE rank <= $k)
+      |SELECT b.query_id, count(*) AS k_eval,
+      |  sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hits
+      |FROM brute b LEFT JOIN ann a
+      |  ON b.query_id = a.query_id AND b.neighbor_id = a.neighbor_id
+      |GROUP BY b.query_id""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "sim_kmeans" -> duckKmeans,
     "sim_inertia" -> duckInertia,
+    "sim_recall_report" -> duckRecallReport,
     "sim_pq_encode" ->
       s"""$duckPqCodes
         |SELECT vec_id,

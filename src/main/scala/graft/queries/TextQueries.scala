@@ -944,6 +944,53 @@ object TextQueries {
         round(col("p_keep"), 6).as("p_keep"))
   }
 
+  /** Upsampling base rate for td_upsample: source s replicates each doc
+    * f_s = [[UpRate]]/sqrt(p_s) times (fractional part by hash).
+    */
+  val UpRate = 0.5
+
+  /** td_upsample — epoch-replication upsampling (the other half of the
+    * mixture knob: [[tdWeightedSample]] downsamples by dropping,
+    * this REPLICATES small domains > 1× as DoReMi/multilingual recipes
+    * do when a domain's mixture weight exceeds its natural share). Each
+    * doc in source s emits copy indices 0..⌈f_s⌉−1; whole copies below
+    * ⌊f_s⌋ always survive, the fractional last copy survives iff
+    * hash(seed:copy:doc) clears floor(frac·2^20) — deterministic
+    * per (doc, copy), so re-runs and engines agree bit for bit (f_s
+    * uses the sqrt temperature: /, sqrt, ×, floor are all IEEE
+    * correctly-rounded single ops, the [[tdWeightedSample]] argument).
+    *
+    * Scale: rates are one map-side-combined aggregation broadcast onto
+    * the corpus scan; the explode multiplies rows by ⌈f⌉ (bounded by
+    * the mixture cap, here ≤ ~⌈[[UpRate]]/sqrt(p_min)⌉) map-side, and
+    * the summary agg is the only other shuffle.
+    */
+  def tdUpsample: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+    val rates = docs
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(wsTokens(col("text")).cast("long")).as("n_tok"))
+      .withColumn("f", lit(UpRate) /
+        sqrt(col("n_tok").cast("double") /
+          sum(col("n_tok")).over(Window.partitionBy()).cast("double")))
+      .withColumn("whole", floor(col("f")))
+      .withColumn("thr", floor((col("f") - floor(col("f"))) * lit(WsBuckets.toDouble)))
+    docs.select(col("source"), col("doc_id"))
+      .join(broadcast(rates.select(col("source"), col("n_docs"), col("whole"), col("thr"))),
+        Seq("source"))
+      .select(col("source"), col("n_docs"), col("doc_id"), col("whole"), col("thr"),
+        explode(sequence(lit(0L), col("whole"))).as("rep"))
+      .filter(col("rep") < col("whole") ||
+        pmod(Hashing.md5LongSeeded(13,
+          concat_ws(":", col("rep"), col("doc_id"))), lit(WsBuckets)) < col("thr"))
+      .groupBy(col("source"))
+      .agg(max(col("n_docs")).as("n_docs"),
+        count(lit(1)).as("n_out"),
+        sum(col("doc_id") * (col("rep") + 1)).cast("long").as("checksum"))
+  }
+
   /** Minimum document frequency for a token to enter the inverted
     * index, and the posting-list prefix length the report keeps.
     */
@@ -977,6 +1024,7 @@ object TextQueries {
     "ta_tokens" -> taTokens,
     "td_domain_mix" -> tdDomainMix,
     "td_weighted_sample" -> tdWeightedSample,
+    "td_upsample" -> tdUpsample,
     "ta_inverted_index" -> taInvertedIndex,
     "ta_bpe_pairs" -> taBpePairs,
     "ta_bigram_lm" -> taBigramLm,
@@ -1080,6 +1128,32 @@ object TextQueries {
         |  coalesce(k.sum_ids, 0)::BIGINT AS sum_ids,
         |  round(r.p_keep, 6) AS p_keep
         |FROM rates r LEFT JOIN kept k USING (source)""".stripMargin,
+    "td_upsample" ->
+      s"""WITH per AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    sum(len(regexp_extract_all(text, '\\S+'))) AS n_tok
+        |  FROM documents GROUP BY source),
+        |rates AS (
+        |  SELECT source, n_docs,
+        |    $UpRate / sqrt(n_tok::DOUBLE / (sum(n_tok) OVER ())::DOUBLE) AS f
+        |  FROM per),
+        |r2 AS (
+        |  SELECT source, n_docs, floor(f)::BIGINT AS whole,
+        |    floor((f - floor(f)) * $WsBuckets.0)::BIGINT AS thr
+        |  FROM rates),
+        |j AS (
+        |  SELECT d.source, r.n_docs, d.doc_id, r.whole, r.thr
+        |  FROM documents d JOIN r2 r USING (source)),
+        |cand AS (
+        |  SELECT source, n_docs, doc_id, whole, thr,
+        |    unnest(generate_series(0, whole)) AS rep
+        |  FROM j),
+        |kept AS (
+        |  SELECT * FROM cand WHERE rep < whole OR
+        |    ${Hashing.duckMd5Long(13, "rep::VARCHAR || ':' || doc_id::VARCHAR")} % $WsBuckets < thr)
+        |SELECT source, max(n_docs) AS n_docs, count(*)::BIGINT AS n_out,
+        |  sum(doc_id * (rep + 1))::BIGINT AS checksum
+        |FROM kept GROUP BY source""".stripMargin,
     "td_chunk" ->
       s"""WITH d AS (
         |  SELECT doc_id, len(regexp_extract_all(text, '\\S+'))::BIGINT AS n

@@ -21,6 +21,7 @@ class PlanSweepSpec extends AnyFunSuite {
     * broadcast()): the join multiplies rows by ~1, never n². */
   private val broadcastScalarAllowlist: Set[String] = Set(
     "sim_topk_brute", // probe rows × corpus: the brute-force baseline IS keyless by design
+    "sim_recall_report", // embeds sim_topk_brute as its exact-truth side by definition
     "sim_quantize", // per-dim scale constants (1 row) against every embedding
     "sim_ivf_probe2", // probe × broadcast nprobe-bucket table (bounded by nlist)
     "sim_pq_topk", // probe × broadcast PQ codebook constants

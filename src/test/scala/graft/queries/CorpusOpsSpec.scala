@@ -383,6 +383,87 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  // ---- sim_recall_report ----------------------------------------------
+
+  test("sim_recall_report agrees with a join of the two ranking queries it evaluates") {
+    val k = math.min(SimQueries.TopK, SimQueries.LshTopK)
+    val brute = SimQueries.simTopkBrute(spark, sf001).collect()
+      .filter(_.getInt(2) <= k).map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = SimQueries.simIvfTopk(spark, sf001).collect()
+      .filter(_.getInt(2) <= k).map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = brute.groupBy(_._1).map { case (q, ns) =>
+      q -> ((ns.size.toLong, ns.count(ann.contains).toLong))
+    }
+    val got = SimQueries.simRecallReport(spark, sf001).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === expected)
+    got.values.foreach { case (kEval, hits) =>
+      assert(kEval === k.toLong)
+      assert(hits >= 0 && hits <= kEval)
+    }
+  }
+
+  // ---- td_upsample ----------------------------------------------------
+
+  test("td_upsample matches a driver-side replication recomputation") {
+    val mix = TextQueries.tdDomainMix(spark, sf001).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    val total = mix.values.sum.toDouble
+    val docs = graft.Tables.documents(spark, sf001)
+      .select(col("source"), col("doc_id")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val expected = docs.groupBy(_._1).map { case (src, ds) =>
+      val f = TextQueries.UpRate / math.sqrt(mix(src) / total)
+      val whole = math.floor(f).toLong
+      val thr = math.floor((f - math.floor(f)) * TextQueries.WsBuckets).toLong
+      val copies = ds.flatMap { case (_, id) =>
+        (0L to whole).filter(rep => rep < whole ||
+          md5Long(s"13:$rep:$id") % TextQueries.WsBuckets < thr).map(rep => (id, rep))
+      }
+      src -> ((ds.length.toLong, copies.length.toLong,
+        copies.map { case (id, rep) => id * (rep + 1) }.sum))
+    }
+    val got = TextQueries.tdUpsample(spark, sf001).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got === expected)
+  }
+
+  // ---- ev_anomaly -----------------------------------------------------
+
+  test("ev_anomaly flags the constructed spike and nothing else") {
+    val ts = new java.sql.Timestamp(0L)
+    // n must be >= 6 for ANY point to clear 2σ (max z = (n-1)/√n)
+    val events = Seq(
+      (1L, 101L, 10.00), (1L, 102L, 10.02), (1L, 103L, 9.98),
+      (1L, 104L, 10.00), (1L, 105L, 10.00), (1L, 106L, 500.00), // the spike
+      (2L, 201L, 5.00), (2L, 202L, 5.00)) // zero variance -> no outliers
+      .map { case (u, id, v) => (u, id, v, ts) }
+      .toDF("user_id", "event_id", "value", "ts")
+    val got = OlapQueries.anomalyReport(events).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(got === Array((1L, 6L, 1L, 106L), (2L, 2L, 0L, 0L)))
+  }
+
+  test("ev_anomaly on the corpus matches a driver-side integer recomputation") {
+    val ev = graft.Tables.events(spark, sf001)
+      .select(col("user_id"), col("event_id"),
+        round(col("value") * 100).cast("long").as("v")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expected = ev.groupBy(_._1).map { case (u, es) =>
+      val n = es.length.toLong
+      val s1 = es.map(_._3).sum
+      val s2 = es.map(e => e._3 * e._3).sum
+      val out = es.filter { case (_, _, v) =>
+        val d = n * v - s1; d * d > 4 * (n * s2 - s1 * s1)
+      }
+      u -> ((n, out.length.toLong, out.map(_._2).sum))
+    }
+    val got = OlapQueries.evAnomaly(spark, sf001).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got === expected)
+  }
+
   // ---- u7_scd2 --------------------------------------------------------
 
   test("u7_scd2 collapses repeats, chains intervals, ties broken by change id") {
