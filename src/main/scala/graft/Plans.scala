@@ -131,7 +131,11 @@ object Plans {
     "td_upsample" ->
       "rates broadcast onto the corpus scan; the copy explode multiplies rows map-side by ceil(f) BEFORE the only summary shuffle — replication cost rides the scan, never a shuffle",
     "ev_anomaly" ->
-      "ONE exchange on user_id: moment sums ride a window over the same partitioning the flags evaluate in, and the per-user rollup reuses it — the naive two-pass join form would shuffle the event stream twice")
+      "ONE exchange on user_id: moment sums ride a window over the same partitioning the flags evaluate in, and the per-user rollup reuses it — the naive two-pass join form would shuffle the event stream twice",
+    "ev_retention" ->
+      "the distinct (user, week) table is computed once and feeds both the cohort aggregate and the matrix join — the event stream shuffles by (user, week) once and by user once, never again per event",
+    "mm_dedup" ->
+      "hash-partitioned groupBy on the 128-bit payload fingerprint: only (fp, id, size) shuffle — the binary payload itself never leaves the scan stage, the invariant that matters at media scale")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

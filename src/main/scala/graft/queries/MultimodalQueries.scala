@@ -48,8 +48,26 @@ object MultimodalQueries {
       .groupBy(col("error").isNull.as("ok"))
       .agg(count(lit(1)).as("n"), sum(col("doc_id")).cast("long").as("sum_ids"))
 
+  /** mm_dedup — bit-exact payload dedup over the binary media column
+    * (the media-corpus pass that drops re-crawled/re-encoded-identical
+    * files BEFORE any decode cost): group by md5 of the RAW bytes —
+    * deliberately no normalization, unlike dd_exact's text-level hash —
+    * keep the lowest id, count copies. One hash-partitioned groupBy on
+    * the 128-bit fingerprint; the payload itself never shuffles (only
+    * fp, id, size), which is the point at media scale.
+    */
+  def mmDedup: Q = (s, dir) =>
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .select(col("doc_id"), md5(col("payload")).as("fp"),
+        length(col("payload")).cast("long").as("nb"))
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"),
+        max(col("nb")).as("n_bytes"))
+
   val queries: Map[String, Q] = Map(
     "mm_embed_errors" -> mmEmbedErrors,
+    "mm_dedup" -> mmDedup,
     "mm_meta" -> mmMeta,
     "mm_frames" -> mmFrames,
     "mm_resize" -> mmResize,
@@ -59,6 +77,12 @@ object MultimodalQueries {
   private val blen = "octet_length(encode(text))"
 
   val oracle: Map[String, String] = Map(
+    "mm_dedup" ->
+      // DuckDB's md5 takes VARCHAR (hashing its UTF-8 bytes) — the
+      // same bytes Spark's md5(cast(text AS BINARY)) hashes
+      s"""SELECT md5(text) AS fp, min(doc_id) AS keep_id,
+         | count(*) AS n_copies, max($blen)::BIGINT AS n_bytes
+         | FROM documents GROUP BY 1""".stripMargin,
     "mm_embed_errors" ->
       s"""SELECT $blen <= 180 AND $blen > 0 AS ok,
          | count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS sum_ids

@@ -668,6 +668,33 @@ object OlapQueries {
         when(col("valid_to").isNull, lit(1)).otherwise(lit(0)).as("is_current"))
   }
 
+  /** Week length in microseconds — the retention bucket. */
+  private val WeekUs = 604800000000L
+
+  /** ev_retention — cohort retention matrix (the product-analytics
+    * staple: of users first seen in week w, how many were active again
+    * in week w+k). Weeks are integer epoch-week indices
+    * (unix_micros div 7·86400·10⁶) — no calendar/timezone arithmetic to
+    * diverge between engines. Shapes: one distinct (user, week)
+    * aggregate over the event stream, the per-user cohort (min week)
+    * derived FROM that table, then the (cohort, offset) rollup — the
+    * user-week table is computed once and feeds both sides of the
+    * self-join on user_id, so the corpus shuffles once by (user, week)
+    * and once by user, never again by event.
+    */
+  def evRetention: Q = (s, dir) => {
+    // integer `div`, never `/`: micros exceed 2^53, double division
+    // would corrupt the week index
+    val uw = Tables.events(s, dir)
+      .select(col("user_id"),
+        expr(s"unix_micros(ts) div ${WeekUs}L").as("week"))
+      .distinct()
+    val cohort = uw.groupBy(col("user_id")).agg(min(col("week")).as("cohort"))
+    uw.join(cohort, Seq("user_id"))
+      .groupBy(col("cohort"), (col("week") - col("cohort")).as("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+  }
+
   /** ev_anomaly — per-user 2σ outlier detection over event values (the
     * telemetry pass that flags users' anomalous events before alerting
     * or filtering). The test |v − μ| > 2σ is evaluated WITHOUT floats:
@@ -985,6 +1012,7 @@ object OlapQueries {
     "u6_intersect" -> u6Intersect,
     "u7_scd2" -> u7Scd2,
     "ev_anomaly" -> evAnomaly,
+    "ev_retention" -> evRetention,
     "o4_range_frame" -> o4RangeFrame,
     "o5_dist_stats" -> o5DistStats,
     "o6_first_last" -> o6FirstLast,
@@ -1198,6 +1226,15 @@ object OlapQueries {
         |  coalesce(c.new_price, o.o_totalprice) AS price, c.op AS op
         |FROM orders o FULL OUTER JOIN changes c ON o.o_orderkey = c.k
         |WHERE op IS DISTINCT FROM 'delete'""".stripMargin,
+    "ev_retention" ->
+      """WITH uw AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS week
+        |  FROM events),
+        |c AS (SELECT user_id, min(week) AS cohort FROM uw GROUP BY user_id)
+        |SELECT c.cohort, uw.week - c.cohort AS week_offset,
+        |  count(*) AS n_active
+        |FROM uw JOIN c USING (user_id)
+        |GROUP BY 1, 2""".stripMargin,
     "ev_anomaly" ->
       """WITH e AS (
         |  SELECT user_id, event_id, round(value * 100)::BIGINT AS v

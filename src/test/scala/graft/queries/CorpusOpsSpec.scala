@@ -464,6 +464,45 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  // ---- ev_retention ---------------------------------------------------
+
+  test("ev_retention matches a driver-side cohort recomputation") {
+    val uw = graft.Tables.events(spark, sf001)
+      .select(col("user_id"), expr("unix_micros(ts) div 604800000000").as("week"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val cohort = uw.groupBy(_._1).map { case (u, ws) => u -> ws.map(_._2).min }
+    val expected = uw.groupBy { case (u, w) => (cohort(u), w - cohort(u)) }
+      .map { case (k, xs) => k -> xs.length.toLong }
+    val got = OlapQueries.evRetention(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got === expected)
+    // offset-0 cell is the cohort size; no cell exceeds it
+    val sizes = cohort.groupBy(_._2).map { case (c, us) => c -> us.size.toLong }
+    got.foreach { case ((c, off), n) =>
+      assert(off >= 0)
+      assert(n <= sizes(c), s"cohort $c offset $off exceeds cohort size")
+    }
+    sizes.foreach { case (c, sz) => assert(got((c, 0L)) === sz, s"cohort $c week 0") }
+  }
+
+  // ---- mm_dedup -------------------------------------------------------
+
+  test("mm_dedup groups byte-identical payloads under the full md5") {
+    def md5Hex(b: Array[Byte]): String =
+      java.security.MessageDigest.getInstance("MD5").digest(b)
+        .map("%02x".format(_)).mkString
+    val docs = graft.Tables.documents(spark, sf001)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1).getBytes("UTF-8")))
+    val expected = docs.groupBy(d => md5Hex(d._2)).map { case (fp, ds) =>
+      fp -> ((ds.map(_._1).min, ds.length.toLong, ds.map(_._2.length).max.toLong))
+    }
+    val got = MultimodalQueries.mmDedup(spark, sf001).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got === expected)
+    assert(got.values.map(_._2).sum === docs.length.toLong)
+  }
+
   // ---- u7_scd2 --------------------------------------------------------
 
   test("u7_scd2 collapses repeats, chains intervals, ties broken by change id") {

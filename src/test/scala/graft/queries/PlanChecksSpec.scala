@@ -167,4 +167,37 @@ class PlanChecksSpec extends AnyFunSuite {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
     assert(exchanges == 1, s"expected exactly one shuffle, got $exchanges:\n$plan")
   }
+
+  ptest("td_chunk is a zero-shuffle map over the corpus scan") { sfDir =>
+    val plan = planString(TextQueries.tdChunk(spark, sfDir))
+    assert(!plan.contains("Exchange"),
+      s"chunk planning must ride the scan, got:\n$plan")
+  }
+
+  ptest("u7_scd2 serves both windows from one exchange and one sort") { sfDir =>
+    val plan = planString(OlapQueries.u7Scd2(spark, sfDir))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    val sorts = "\\bSort \\[".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected one shuffle, got $exchanges:\n$plan")
+    assert(sorts == 1, s"expected one sort shared by both windows, got $sorts:\n$plan")
+  }
+
+  ptest("ev_anomaly evaluates moments and flags in a single user_id exchange") { sfDir =>
+    val plan = planString(OlapQueries.evAnomaly(spark, sfDir))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1,
+      s"window + rollup must share the user_id partitioning, got $exchanges:\n$plan")
+  }
+
+  ptest("ev_rate_limit folds each user's events after one exchange") { sfDir =>
+    val df = StreamQueries.evRateLimit(spark, sfDir)
+    val plan = planString(df)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected one user_id shuffle, got $exchanges:\n$plan")
+    // the (ts, id) sort lives in the aggregate's result projection —
+    // visible in the optimized logical plan, hidden by the physical
+    // operator's toString
+    assert(df.queryExecution.optimizedPlan.toString.contains("sort_array"),
+      "the fold must run over (ts, id)-sorted events")
+  }
 }
