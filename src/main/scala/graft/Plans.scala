@@ -135,7 +135,13 @@ object Plans {
     "ev_retention" ->
       "the distinct (user, week) table is computed once and feeds both the cohort aggregate and the matrix join — the event stream shuffles by (user, week) once and by user once, never again per event",
     "mm_dedup" ->
-      "hash-partitioned groupBy on the 128-bit payload fingerprint: only (fp, id, size) shuffle — the binary payload itself never leaves the scan stage, the invariant that matters at media scale")
+      "hash-partitioned groupBy on the 128-bit payload fingerprint: only (fp, id, size) shuffle — the binary payload itself never leaves the scan stage, the invariant that matters at media scale",
+    "ta_doc_embed" ->
+      "HashDim conditional aggregates over ONE doc_id shuffle, map-side combined — dense signed-integer vectors with no map/array state and no missing-bucket fill pass",
+    "j12_asof_nearest" ->
+      "two sorted-merge as-of passes (backward on t, forward on −t) + an equi-join on event_id — nearest-neighbor time alignment with NO range cross product; gaps are integer micros end to end",
+    "o7_mom_change" ->
+      "dims broadcast; one aggregate shuffle on (nation, month); the lag window runs over the tiny monthly frame — DECIMAL money so the delta can never flip on float reduction order")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

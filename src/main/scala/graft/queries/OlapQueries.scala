@@ -668,6 +668,33 @@ object OlapQueries {
         when(col("valid_to").isNull, lit(1)).otherwise(lit(0)).as("is_current"))
   }
 
+  /** o7_mom_change — month-over-month revenue deltas per nation (the
+    * time-series reporting shape: grouped monthly rollup composed with
+    * a lag window). Money accumulates in exact DECIMAL and the delta is
+    * a DECIMAL subtraction — the ranking/delta key can never flip on a
+    * float reduction order; the month key is the integer y·12+m, no
+    * calendar intervals. Plan: dims broadcast, one aggregate shuffle on
+    * (nation, month), then the lag window over the tiny monthly frame.
+    */
+  def o7MomChange: Q = (s, dir) => {
+    val monthly = Tables.orders(s, dir)
+      .join(Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)
+        .select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).as("ym"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+    val w = Window.partitionBy(col("nation")).orderBy(col("ym").asc)
+    monthly
+      .withColumn("prev", lag(col("rev"), 1).over(w))
+      .select(col("nation"), col("ym"),
+        col("rev").cast("double").as("revenue"),
+        (col("rev") - col("prev")).cast("double").as("mom_delta"))
+  }
+
   /** Week length in microseconds — the retention bucket. */
   private val WeekUs = 604800000000L
 
@@ -1013,6 +1040,7 @@ object OlapQueries {
     "u7_scd2" -> u7Scd2,
     "ev_anomaly" -> evAnomaly,
     "ev_retention" -> evRetention,
+    "o7_mom_change" -> o7MomChange,
     "o4_range_frame" -> o4RangeFrame,
     "o5_dist_stats" -> o5DistStats,
     "o6_first_last" -> o6FirstLast,
@@ -1226,6 +1254,18 @@ object OlapQueries {
         |  coalesce(c.new_price, o.o_totalprice) AS price, c.op AS op
         |FROM orders o FULL OUTER JOIN changes c ON o.o_orderkey = c.k
         |WHERE op IS DISTINCT FROM 'delete'""".stripMargin,
+    "o7_mom_change" ->
+      """WITH m AS (
+        |  SELECT n.n_name AS nation,
+        |    year(o.o_orderdate) * 12 + month(o.o_orderdate) AS ym,
+        |    sum(o.o_totalprice::DECIMAL(18,2)) AS rev
+        |  FROM orders o
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  GROUP BY 1, 2)
+        |SELECT nation, ym, rev::DOUBLE AS revenue,
+        |  (rev - lag(rev) OVER (PARTITION BY nation ORDER BY ym))::DOUBLE AS mom_delta
+        |FROM m""".stripMargin,
     "ev_retention" ->
       """WITH uw AS (
         |  SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS week

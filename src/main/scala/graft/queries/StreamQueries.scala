@@ -110,6 +110,56 @@ object StreamQueries {
       .select(col("event_id"), col("user_id"), col("purchase_value"))
   }
 
+  /** j12_asof_nearest — NEAREST-neighbor as-of join (sensor/feature
+    * alignment where "most recent" is wrong half the time: each click
+    * takes the purchase closest in time, before OR after). Composed
+    * from two sorted-merge as-of passes — backward on event time,
+    * forward on NEGATED integer micros (the standard trick: at-or-after
+    * under t is at-or-before under −t) — then an integer gap compare,
+    * ties to the earlier purchase. No range cross product anywhere:
+    * two one-shuffle as-of joins plus an equi-join on event_id. Gaps
+    * are integer microseconds end to end.
+    */
+  def j12AsofNearest: Q = (s, dir) => asofNearest(Tables.events(s, dir))
+
+  /** The nearest-as-of composition over any events frame — see
+    * [[j12AsofNearest]].
+    */
+  private[graft] def asofNearest(ev: DataFrame): DataFrame = {
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("value")).as("pv"))
+      .withColumn("pt", unix_micros(col("ts")))
+    val back = graft.operators.AsofJoin.asof(clicks, purchases,
+        keyCols = Seq("user_id"), tsCol = "ts", valueCols = Seq("pv", "pt"))
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ct"),
+        col("pv").as("bv"), col("pt").as("bt"))
+    val clicksN = clicks.withColumn("nts", -unix_micros(col("ts")))
+    val purchasesN = purchases.withColumn("nts", -unix_micros(col("ts")))
+      .select(col("user_id"), col("nts"), col("pv"), col("pt"))
+    val fwd = graft.operators.AsofJoin.asof(
+        clicksN.select(col("event_id"), col("user_id"), col("nts")),
+        purchasesN, keyCols = Seq("user_id"), tsCol = "nts",
+        valueCols = Seq("pv", "pt"))
+      .select(col("event_id"), col("pv").as("fv"), col("pt").as("ft"))
+    back.join(fwd, Seq("event_id"))
+      .withColumn("bgap", col("ct") - col("bt"))
+      .withColumn("fgap", col("ft") - col("ct"))
+      .select(col("event_id"), col("user_id"),
+        when(col("bt").isNull && col("ft").isNull, lit(null).cast("double"))
+          .when(col("ft").isNull, col("bv"))
+          .when(col("bt").isNull, col("fv"))
+          .when(col("bgap") <= col("fgap"), col("bv"))
+          .otherwise(col("fv")).as("nearest_value"),
+        when(col("bt").isNull && col("ft").isNull, lit(null).cast("long"))
+          .when(col("ft").isNull, col("bgap"))
+          .when(col("bt").isNull, col("fgap"))
+          .otherwise(least(col("bgap"), col("fgap"))).as("gap_us"))
+  }
+
   /** ev_window_topk — top-3 spenders per hour: windowed aggregation
     * composed with a ranking window — the "leaderboard per window" shape
     * every event-analytics pipeline ships. Spend sums in decimal so the
@@ -236,6 +286,7 @@ object StreamQueries {
   val queries: Map[String, Q] = Map(
     "ev_funnel" -> evFunnel,
     "ev_rate_limit" -> evRateLimit,
+    "j12_asof_nearest" -> j12AsofNearest,
     "ev_enrich" -> evEnrich,
     "ev_window_topk" -> evWindowTopk,
     "ev_tumbling" -> evTumbling,
@@ -327,6 +378,33 @@ object StreamQueries {
         |  max(ts) + INTERVAL 10 MINUTE AS session_end,
         |  user_id, count(*) AS n_events
         |FROM s GROUP BY user_id, sid""".stripMargin,
+    "j12_asof_nearest" ->
+      """WITH clicks AS (
+        |  SELECT event_id, user_id, ts, epoch_us(ts) AS ct
+        |  FROM events WHERE event_type = 'click'),
+        |p AS (
+        |  SELECT user_id, ts, max(value) AS pv, epoch_us(ts) AS pt
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2, 4),
+        |b AS (
+        |  SELECT c.event_id, c.user_id, c.ct, p.pv AS bv, p.pt AS bt
+        |  FROM clicks c ASOF LEFT JOIN p
+        |    ON c.user_id = p.user_id AND c.ts >= p.ts),
+        |cn AS (SELECT event_id, -ct AS nts, user_id FROM clicks),
+        |pn AS (SELECT user_id, -pt AS nts, pv, pt FROM p),
+        |f AS (
+        |  SELECT c.event_id, p.pv AS fv, p.pt AS ft
+        |  FROM cn c ASOF LEFT JOIN pn p
+        |    ON c.user_id = p.user_id AND c.nts >= p.nts)
+        |SELECT b.event_id, b.user_id,
+        |  CASE WHEN bt IS NULL AND ft IS NULL THEN NULL
+        |       WHEN ft IS NULL THEN bv
+        |       WHEN bt IS NULL THEN fv
+        |       WHEN ct - bt <= ft - ct THEN bv ELSE fv END AS nearest_value,
+        |  CASE WHEN bt IS NULL AND ft IS NULL THEN NULL
+        |       WHEN ft IS NULL THEN ct - bt
+        |       WHEN bt IS NULL THEN ft - ct
+        |       ELSE least(ct - bt, ft - ct) END AS gap_us
+        |FROM b JOIN f USING (event_id)""".stripMargin,
     "ev_asof" ->
       """WITH clicks AS (
         |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),

@@ -944,6 +944,33 @@ object TextQueries {
         round(col("p_keep"), 6).as("p_keep"))
   }
 
+  /** Feature-hashing dimensionality for ta_doc_embed. */
+  val HashDim = 16
+
+  /** ta_doc_embed — hashing-trick document vectors (Weinberger et al.
+    * 2009: the signed feature hash that gives every doc a fixed-width
+    * bag-of-words vector with no vocabulary table — the zero-training
+    * featurizer used for cheap clustering/classification before any
+    * model embedding exists). Bucket = h mod [[HashDim]], sign = one
+    * hash bit; each component is an INTEGER sum of ±1 per token
+    * occurrence, so the vector is exact in any engine. The components
+    * compile to [[HashDim]] conditional aggregates over one doc_id
+    * shuffle — map-side combined, no map/array state, and the dense
+    * vector needs no missing-bucket fill.
+    */
+  def taDocEmbed: Q = (s, dir) => {
+    val h = Hashing.md5LongSeeded(17, col("tok"))
+    val withBucket = cachedToks(s, dir)
+      .select(col("doc_id"), pmod(h, lit(HashDim.toLong)).as("b"),
+        (lit(1L) - lit(2L) * pmod(shiftright(h, 8), lit(2L))).as("sgn"))
+    val comps = (0 until HashDim).map(i =>
+      sum(when(col("b") === i, col("sgn")).otherwise(0L)).cast("long").as(s"v$i"))
+    withBucket.groupBy(col("doc_id"))
+      .agg(comps.head, comps.tail: _*)
+      .select(col("doc_id"),
+        concat_ws(",", (0 until HashDim).map(i => col(s"v$i")): _*).as("vec"))
+  }
+
   /** Upsampling base rate for td_upsample: source s replicates each doc
     * f_s = [[UpRate]]/sqrt(p_s) times (fractional part by hash).
     */
@@ -1029,6 +1056,7 @@ object TextQueries {
     "ta_bpe_pairs" -> taBpePairs,
     "ta_bigram_lm" -> taBigramLm,
     "td_chunk" -> tdChunk,
+    "ta_doc_embed" -> taDocEmbed,
     "ta_kl_drift" -> taKlDrift,
     "ta_source_overlap" -> taSourceOverlap,
     "td_decontaminate" -> tdDecontaminate,
@@ -1128,6 +1156,20 @@ object TextQueries {
         |  coalesce(k.sum_ids, 0)::BIGINT AS sum_ids,
         |  round(r.p_keep, 6) AS p_keep
         |FROM rates r LEFT JOIN kept k USING (source)""".stripMargin,
+    "ta_doc_embed" -> {
+      val comps = (0 until HashDim).map(i =>
+        s"sum(CASE WHEN b = $i THEN sgn ELSE 0 END)::BIGINT").mkString(", ")
+      s"""WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(trim(text)), '\\S+')) AS tok
+        |  FROM documents),
+        |hb AS (
+        |  SELECT doc_id,
+        |    ${Hashing.duckMd5Long(17, "tok")} % $HashDim AS b,
+        |    1 - 2 * ((${Hashing.duckMd5Long(17, "tok")} >> 8) % 2) AS sgn
+        |  FROM toks)
+        |SELECT doc_id, concat_ws(',', $comps) AS vec
+        |FROM hb GROUP BY doc_id""".stripMargin
+    },
     "td_upsample" ->
       s"""WITH per AS (
         |  SELECT source, count(*) AS n_docs,

@@ -503,6 +503,88 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got.values.map(_._2).sum === docs.length.toLong)
   }
 
+  // ---- ta_doc_embed ---------------------------------------------------
+
+  test("ta_doc_embed components equal a driver-side signed feature hash") {
+    val docs = graft.Tables.documents(spark, sf001)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1).trim.toLowerCase.split("\\s+").filter(_.nonEmpty)))
+    val expected = docs.filter(_._2.nonEmpty).map { case (id, toks) =>
+      val vec = new Array[Long](TextQueries.HashDim)
+      toks.foreach { t =>
+        val h = md5Long(s"17:$t")
+        val b = (h % TextQueries.HashDim).toInt
+        vec(b) += 1L - 2L * ((h >> 8) % 2)
+      }
+      id -> vec.mkString(",")
+    }.toMap
+    val got = TextQueries.taDocEmbed(spark, sf001).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === expected)
+  }
+
+  // ---- j12_asof_nearest -----------------------------------------------
+
+  test("j12_asof_nearest picks the closer side, ties to the earlier purchase") {
+    def at(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val ev = Seq(
+      // (event_id, ts_sec, user, type, value)
+      (1L, 100L, 1L, "purchase", 10.0), (2L, 300L, 1L, "purchase", 20.0),
+      (11L, 90L, 1L, "click", 0.0), // before any purchase -> forward, gap 10s
+      (12L, 150L, 1L, "click", 0.0), // back 50s vs fwd 150s -> back (10.0)
+      (13L, 200L, 1L, "click", 0.0), // tie 100s both ways -> earlier (10.0)
+      (14L, 400L, 1L, "click", 0.0), // after all -> back, gap 100s
+      (21L, 50L, 2L, "click", 0.0)) // user with no purchases -> nulls
+      .map { case (id, t, u, ty, v) => (id, at(t), u, ty, v) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = StreamQueries.asofNearest(ev).collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(2)) null else r.getDouble(2),
+        if (r.isNullAt(3)) null else r.getLong(3)))
+      .sortBy(_._1)
+    assert(got === Array(
+      (11L, 10.0, 10000000L),
+      (12L, 10.0, 50000000L),
+      (13L, 10.0, 100000000L),
+      (14L, 20.0, 100000000L),
+      (21L, null, null)))
+  }
+
+  // ---- o7_mom_change --------------------------------------------------
+
+  test("o7_mom_change matches a driver-side decimal recomputation") {
+    def asL(r: org.apache.spark.sql.Row, i: Int): Long =
+      r.getAs[Number](i).longValue // int32/int64 varies by table generation
+    val cust = graft.Tables.customer(spark, sf001)
+      .select(col("c_custkey"), col("c_nationkey")).collect()
+      .map(r => asL(r, 0) -> asL(r, 1)).toMap
+    val nation = graft.Tables.nation(spark, sf001)
+      .select(col("n_nationkey"), col("n_name")).collect()
+      .map(r => asL(r, 0) -> r.getString(1)).toMap
+    val orders = graft.Tables.orders(spark, sf001)
+      .select(col("o_custkey"), year(col("o_orderdate")) * 12 + month(col("o_orderdate")),
+        round(col("o_totalprice") * 100).cast("long")).collect()
+      .map(r => (asL(r, 0), r.getInt(1), r.getLong(2)))
+    val monthly = orders.groupBy { case (ck, ym, _) => (nation(cust(ck)), ym) }
+      .map { case (k, os) => k -> os.map(_._3).sum } // exact cents
+    val expected = monthly.groupBy(_._1._1).flatMap { case (_, cells) =>
+      val sorted = cells.toSeq.sortBy(_._1._2)
+      sorted.zipWithIndex.map { case (((nat, ym), cents), i) =>
+        val prev = if (i == 0) None else Some(sorted(i - 1)._2)
+        (nat, ym) -> ((cents / 100.0, prev.map(p => (cents - p) / 100.0)))
+      }
+    }
+    val got = OlapQueries.o7MomChange(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        ((r.getDouble(2), if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+    assert(got.keySet === expected.keySet)
+    got.foreach { case (k, (rev, delta)) =>
+      val (eRev, eDelta) = expected(k)
+      assert(rev === eRev, s"revenue($k)")
+      assert(delta === eDelta, s"delta($k)")
+    }
+  }
+
   // ---- u7_scd2 --------------------------------------------------------
 
   test("u7_scd2 collapses repeats, chains intervals, ties broken by change id") {

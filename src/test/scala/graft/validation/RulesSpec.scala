@@ -86,18 +86,25 @@ class RulesSpec extends AnyFunSuite {
       Rules.notAllNa("o_orderstatus"))
     val (instrumented, obs) = Rules.observed(orders, "obs_rules_spec", rules)
     // job parity: the instrumented action must launch exactly as many
-    // jobs as the plain one — validation adds NO pass of its own
-    val tracker = spark.sparkContext.statusTracker
-    def jobs = tracker.getJobIdsForGroup(null).length
-    val before = jobs
-    orders.count() // baseline: plain action's job count (AQE may use >1)
-    val plainJobs = jobs - before
-    val mid = jobs
-    val nRows = instrumented.count() // stand-in for an export write
-    val report = Rules.observedReport(spark, obs, rules).collect()
-      .map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(2))).toMap
-    val instrumentedJobs = jobs - mid
-    assert(instrumentedJobs <= plainJobs + 0,
+    // jobs as the plain one — validation adds NO pass of its own.
+    // Count per unique job GROUP: the global job-id list is bounded by
+    // spark.ui.retainedJobs, so start/end deltas go negative once a
+    // long test session evicts older entries mid-measurement.
+    val sc = spark.sparkContext
+    def jobsIn(group: String)(body: => Unit): Int = {
+      sc.setJobGroup(group, group)
+      try body finally sc.clearJobGroup()
+      sc.statusTracker.getJobIdsForGroup(group).length
+    }
+    val plainJobs = jobsIn("rules-plain") { orders.count() }
+    var nRows = 0L
+    var report = Map.empty[String, (Long, Boolean)]
+    val instrumentedJobs = jobsIn("rules-instr") {
+      nRows = instrumented.count() // stand-in for an export write
+      report = Rules.observedReport(spark, obs, rules).collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    }
+    assert(instrumentedJobs <= plainJobs,
       s"metrics must not launch their own job ($instrumentedJobs vs $plainJobs)")
     assert(report("rows_orders") == (nRows, true))
     assert(report("no_null_o_orderkey") == (0L, true))
