@@ -109,7 +109,7 @@ object Plans {
     "ta_kl_drift" ->
       "the token stream shuffles by token ONCE per aggregate (top-V via TakeOrdered, cell counts after a BROADCAST membership join); the only keyless join is the k-source × (V+1)-cell smoothing grid, bounded by KlTopV",
     "td_weighted_sample" ->
-      "rates table is ONE map-side-combined aggregation broadcast back onto the corpus scan; the acceptance test (integer hash vs floor threshold) runs map-side inside the scan stage, so rejected docs never shuffle",
+      "rates are ONE corpus aggregation collected to a catalog-sized control table and re-entered as a literal broadcast frame (the re-joined aggregate form re-ran the tokenization pass); the acceptance test runs map-side inside the second and final corpus scan",
     "ta_inverted_index" ->
       "two-level index build: (token, doc) pre-aggregate collapses repeats map-side BEFORE the first shuffle; the posting-list agg then shuffles one row per distinct pair; df HAVING cuts on the aggregated frame",
     "u7_scd2" ->
@@ -133,7 +133,7 @@ object Plans {
     "ev_anomaly" ->
       "ONE exchange on user_id: moment sums ride a window over the same partitioning the flags evaluate in, and the per-user rollup reuses it — the naive two-pass join form would shuffle the event stream twice",
     "ev_retention" ->
-      "the distinct (user, week) table is computed once and feeds both the cohort aggregate and the matrix join — the event stream shuffles by (user, week) once and by user once, never again per event",
+      "ONE event scan: distinct (user, week) shuffle, cohort = min-over-window on the SAME distinct frame (a cohort aggregate joined back would rescan raw events), then the tiny (cohort, offset) rollup",
     "mm_dedup" ->
       "hash-partitioned groupBy on the 128-bit payload fingerprint: only (fp, id, size) shuffle — the binary payload itself never leaves the scan stage, the invariant that matters at media scale",
     "ta_doc_embed" ->

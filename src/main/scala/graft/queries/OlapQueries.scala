@@ -702,12 +702,11 @@ object OlapQueries {
     * staple: of users first seen in week w, how many were active again
     * in week w+k). Weeks are integer epoch-week indices
     * (unix_micros div 7·86400·10⁶) — no calendar/timezone arithmetic to
-    * diverge between engines. Shapes: one distinct (user, week)
-    * aggregate over the event stream, the per-user cohort (min week)
-    * derived FROM that table, then the (cohort, offset) rollup — the
-    * user-week table is computed once and feeds both sides of the
-    * self-join on user_id, so the corpus shuffles once by (user, week)
-    * and once by user, never again by event.
+    * diverge between engines. ONE event scan: distinct (user, week),
+    * per-user cohort as a min-over-window on the SAME frame (a separate
+    * cohort aggregate joined back would rescan the raw events), then
+    * the (cohort, offset) rollup — the event stream shuffles once by
+    * (user, week); everything after runs on the distinct table.
     */
   def evRetention: Q = (s, dir) => {
     // integer `div`, never `/`: micros exceed 2^53, double division
@@ -716,8 +715,7 @@ object OlapQueries {
       .select(col("user_id"),
         expr(s"unix_micros(ts) div ${WeekUs}L").as("week"))
       .distinct()
-    val cohort = uw.groupBy(col("user_id")).agg(min(col("week")).as("cohort"))
-    uw.join(cohort, Seq("user_id"))
+    uw.withColumn("cohort", min(col("week")).over(Window.partitionBy(col("user_id"))))
       .groupBy(col("cohort"), (col("week") - col("cohort")).as("week_offset"))
       .agg(count(lit(1)).as("n_active"))
   }

@@ -69,9 +69,16 @@ object SimQueries {
     */
   private def signedSq(c: Column): Column = c * abs(c)
 
+  /** The (vec_id, label, embedding, ‖e‖²) frame every similarity query
+    * starts from — persisted once per corpus (FrameCache, the cachedToks
+    * pattern): the brute/IVF/recall family reads it up to four times per
+    * query, and an unpersisted frame re-scans the embedding parquet each
+    * time.
+    */
   private def vectors(s: SparkSession, dir: String): DataFrame =
-    graft.Tables.embeddings(s, dir)
-      .select(col("vec_id"), col("label"), col("embedding"), nrm("embedding").as("nrm"))
+    FrameCache.cached(s, s"sim_vectors:$dir")(
+      graft.Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("label"), col("embedding"), nrm("embedding").as("nrm")))
 
   /** sim_topk_brute — exact cosine top-k: query set (vec_id < 10)
     * broadcast against all candidates; rank by cosine via the signed-
@@ -449,11 +456,6 @@ object SimQueries {
     FrameCache.cached(s, s"sim_kmeans_vecs:$dir")(
       graft.Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")))
 
-  /** The final-round Lloyd centroids — the trained coarse quantizer,
-    * shared by [[simKmeans]] and [[simInertia]] so the 3-round loop
-    * runs once per corpus. Cached as strings (Double.toString/parse
-    * round-trips exactly, so the snap grid survives the cache).
-    */
   /** sim_inertia — clustering-quality report over the trained coarse
     * quantizer: per-cluster size, total inertia (Σ‖e−c‖²), and worst
     * member distance — the report that decides whether the IVF
@@ -487,6 +489,11 @@ object SimQueries {
         max(col("d2u")).as("max_d2_micro"))
   }
 
+  /** The final-round Lloyd centroids — the trained coarse quantizer,
+    * shared by [[simKmeans]] and [[simInertia]] so the 3-round loop
+    * runs once per corpus. Cached as strings (Double.toString/parse
+    * round-trips exactly, so the snap grid survives the cache).
+    */
   private[graft] def kmCents(s: SparkSession, dir: String): Seq[(Int, Seq[Double])] =
     FrameCache.cachedStrings(s, s"sim_kmeans_cents:$dir") {
       val v = kmVecs(s, dir)

@@ -920,24 +920,30 @@ object TextQueries {
     * catalog-sized and the kept corpus streams straight to its sink.
     */
   def tdWeightedSample: Q = (s, dir) => {
-    import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(s, dir)
-    val rates = docs
+    // the rates frame is catalog-sized (one row per source), so it
+    // follows the control-table pattern: ONE corpus aggregation,
+    // collected, and re-entered as a literal frame — re-joining the
+    // unpersisted aggregate would re-run the corpus tokenization pass
+    // for the final report join (3 scans instead of 2)
+    val rateRows = docs
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(wsTokens(col("text")).cast("long")).as("n_tok"))
-      .withColumn("p_keep",
-        least(lit(1.0), lit(WsRate) /
-          sqrt(col("n_tok").cast("double") /
-            sum(col("n_tok")).over(Window.partitionBy()).cast("double"))))
-      .withColumn("thr", floor(col("p_keep") * lit(WsBuckets.toDouble)))
+      .collect()
+    val total = rateRows.map(_.getLong(2)).sum.toDouble
+    import s.implicits._
+    val rates = rateRows.toSeq.map { r =>
+      val pKeep = math.min(1.0, WsRate / math.sqrt(r.getLong(2) / total))
+      (r.getString(0), r.getLong(1), math.floor(pKeep * WsBuckets).toLong, pKeep)
+    }.toDF("source", "n_docs", "thr", "p_keep")
     val kept = docs
       .join(broadcast(rates.select(col("source"), col("thr"))), Seq("source"))
       .filter(pmod(Hashing.md5LongSeeded(11, col("doc_id").cast("string")),
         lit(WsBuckets)) < col("thr"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).cast("long").as("sum_ids"))
-    rates.join(kept, Seq("source"), "left")
+    broadcast(rates).join(kept, Seq("source"), "left")
       .select(col("source"), col("n_docs"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("sum_ids"), lit(0L)).as("sum_ids"),

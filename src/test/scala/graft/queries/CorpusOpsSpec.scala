@@ -169,10 +169,14 @@ class CorpusOpsSpec extends AnyFunSuite {
       assert(gSum === sumIds, s"sum_ids($src)")
       assert(math.abs(gP - pKeep) < 5e-7, s"p_keep($src)")
     }
-    // small sources are boosted: keep rate ordering is inverse to size
-    val rates = got.map { case (src, (n, _, _)) =>
-      (mix(src), n.toDouble / docs.count(_._1 == src)) }
-    rates.toSeq.sortBy(_._1).map(_._2) // sanity: defined for every source
+    // small sources are boosted: the DESIGNED p_keep is non-increasing
+    // in source token count (an inverted sqrt temperature would flip it)
+    val pBySize = got.toSeq.map { case (src, (_, _, p)) => (mix(src), p) }.sortBy(_._1)
+    pBySize.sliding(2).foreach {
+      case Seq((t1, p1), (t2, p2)) =>
+        if (t1 < t2) assert(p1 >= p2 - 1e-9, s"p_keep not inverse to size ($t1:$p1 vs $t2:$p2)")
+      case _ => ()
+    }
     assert(got.values.forall { case (n, _, p) => p > 0.0 && p <= 1.0 && n >= 0 })
   }
 
