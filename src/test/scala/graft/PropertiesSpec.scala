@@ -298,6 +298,85 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("bpe property: distributed merge loop equals a reference BPE on a 2-letter alphabet") {
+    // tiny alphabet maximizes overlap/chaining cases ("aaa" under (a,a))
+    val wordsGen = Gen.listOfN(8, Gen.zip(
+      Gen.nonEmptyListOf(Gen.oneOf('a', 'b')).map(_.mkString.take(6)),
+      Gen.chooseNum(1L, 9L)))
+    def refBpe(words: Seq[(String, Long)], rounds: Int): Seq[String] = {
+      var syms = words.map { case (w, f) => (w.map(_.toString).toList, f) }
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      for (_ <- 1 to rounds) {
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        syms.foreach { case (ss, f) =>
+          ss.zip(ss.drop(1)).foreach(p => counts(p) = counts.getOrElse(p, 0L) + f)
+        }
+        if (counts.nonEmpty) {
+          val (a, b) = counts.toSeq.minBy { case ((x, y), c) => (-c, x, y) }._1
+          out += a + b
+          syms = syms.map { case (ss, f) =>
+            val acc = scala.collection.mutable.ListBuffer.empty[String]
+            ss.foreach { x =>
+              if (acc.nonEmpty && acc.last == a && x == b)
+                acc(acc.length - 1) = a + b
+              else acc += x
+            }
+            (acc.toList, f)
+          }
+        }
+      }
+      out.toSeq
+    }
+    samples(wordsGen, 4).foreach { raw =>
+      val words = raw.groupBy(_._1).map { case (w, xs) => (w, xs.map(_._2).sum) }.toSeq
+      val got = graft.queries.TextQueries.bpeLearn(words.toDF("tok", "f"), 2)
+      assert(got === refBpe(words, 2), s"words=$words")
+    }
+  }
+
+  test("chunk property: coverage, stride starts, and tail rule for any token count") {
+    import graft.queries.TextQueries.{ChunkWindow => W, ChunkStride => S}
+    val ns = samples(Gen.chooseNum(1, 400), 12).distinct
+    val docs = ns.zipWithIndex.map { case (n, i) =>
+      (i.toLong, Seq.fill(n)("w").mkString(" "))
+    }
+    val got = graft.queries.TextQueries.chunkSpans(docs.toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sortBy(_._1) }
+    ns.zipWithIndex.foreach { case (n, i) =>
+      val want = (0L until n.toLong by S)
+        .filter(s => s == 0 || s < n - W + S)
+        .map(s => (s / S, s, math.min(s + W, n.toLong), math.min(s + W, n.toLong) - s))
+      assert(got(i.toLong).toSeq === want, s"n=$n")
+    }
+  }
+
+  test("rate-limit property: SQL fold equals a driver-side token bucket on random timelines") {
+    import graft.queries.StreamQueries.{RlCapacity, RlRefillUs}
+    val gen = Gen.listOfN(40, Gen.zip(Gen.chooseNum(1L, 4L), Gen.chooseNum(0L, 600L)))
+    samples(gen, 4).foreach { raw =>
+      val events = raw.zipWithIndex.map { case ((u, sec), i) =>
+        (u, new java.sql.Timestamp(1700000000000L + sec * 1000L), i.toLong)
+      }
+      val got = graft.queries.StreamQueries.rateLimit(
+          events.toDF("user_id", "ts", "event_id")).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      val cap = RlCapacity * RlRefillUs
+      val want = events.groupBy(_._1).map { case (u, es) =>
+        val sorted = es.map(e => (e._2.getTime * 1000L, e._3)).sortBy(identity)
+        var credit = cap; var prev = -1L; var allowed = 0L
+        sorted.foreach { case (t, _) =>
+          val pre = math.min(cap, credit + (if (prev == -1L) 0L else t - prev))
+          if (pre >= RlRefillUs) { allowed += 1; credit = pre - RlRefillUs }
+          else credit = pre
+          prev = t
+        }
+        u -> ((sorted.length.toLong, allowed, sorted.length - allowed))
+      }
+      assert(got === want)
+    }
+  }
+
   test("z-order property: layout preserves the exact multiset of rows") {
     samples(Gen.listOfN(80, Gen.zip(Gen.chooseNum(0L, 1000L), Gen.chooseNum(0.0, 1.0))), 4)
       .foreach { rows =>
