@@ -141,7 +141,11 @@ object Plans {
     "j12_asof_nearest" ->
       "two sorted-merge as-of passes (backward on t, forward on −t) + an equi-join on event_id — nearest-neighbor time alignment with NO range cross product; gaps are integer micros end to end",
     "o7_mom_change" ->
-      "dims broadcast; one aggregate shuffle on (nation, month); the lag window runs over the tiny monthly frame — DECIMAL money so the delta can never flip on float reduction order")
+      "dims broadcast; one aggregate shuffle on (nation, month); the lag window runs over the tiny monthly frame — DECIMAL money so the delta can never flip on float reduction order",
+    "dd_source_dup_rate" ->
+      "ONE scan: corpus-wide dup-group sizes via count-over-window on the fingerprint shuffle (aggregate-join-back would rescan+rehash), then the per-source rollup",
+    "a15_hll_union" ->
+      "sketch algebra: per-source HLL sketches partial-aggregate map-side, the union is a k-row register-max merge — the pre-aggregated-rollup pattern that answers any source-subset distinct without raw data")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

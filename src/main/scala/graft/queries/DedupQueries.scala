@@ -92,6 +92,29 @@ object DedupQueries {
           x => x.cast("string"))).as("member_ids"))
   }
 
+  /** dd_source_dup_rate — per-source duplication report (which crawls /
+    * datasets contribute the duplicate mass — the report that decides
+    * where dedup budget goes before any pair join runs): for each
+    * source, its doc count, how many of its docs have content that
+    * appears ≥2 times CORPUS-WIDE (dup membership is global, so a
+    * source copying another source's content is charged for it), and
+    * its distinct-content count. One scan; corpus-wide group sizes via
+    * count-over-window on the fingerprint shuffle (the dd_para_dedup
+    * trick — an aggregate joined back would rescan and rehash), then
+    * the per-source rollup.
+    */
+  def ddSourceDupRate: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val norm = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+    Tables.documents(s, dir)
+      .select(col("source"), Hashing.md5Long(norm).as("fp"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("fp"))))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n") >= 2, 1L).otherwise(0L)).cast("long").as("n_dup_docs"),
+        countDistinct(col("fp")).as("n_distinct_contents"))
+  }
+
   /** dd_minhash_sig — per-document MinHash signature (K portable seeded
     * hashes, min over 3-token shingles). Pins the shingling + hash family
     * bit-for-bit against the oracle. Reads the shared persisted index
@@ -659,6 +682,7 @@ object DedupQueries {
     "dd_minhash_sig" -> ddMinhashSig,
     "dd_minhash_pairs" -> ddMinhashPairs,
     "dd_lsh_stats" -> ddLshStats,
+    "dd_source_dup_rate" -> ddSourceDupRate,
     "dd_cluster" -> ddCluster,
     "dd_simhash" -> ddSimhash,
     "dd_simhash_agg" -> ddSimhashAgg,
@@ -762,6 +786,17 @@ object DedupQueries {
       s"""$duckShingles
         |SELECT doc_id, $duckSigSelect
         |FROM sh""".stripMargin,
+    "dd_source_dup_rate" ->
+      """WITH f AS (
+        |  SELECT source,
+        |    ('0x' || substr(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), 1, 15))::BIGINT AS fp
+        |  FROM documents),
+        |w AS (
+        |  SELECT source, fp, count(*) OVER (PARTITION BY fp) AS n FROM f)
+        |SELECT source, count(*) AS n_docs,
+        |  sum(CASE WHEN n >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dup_docs,
+        |  count(DISTINCT fp) AS n_distinct_contents
+        |FROM w GROUP BY source""".stripMargin,
     "dd_lsh_stats" -> {
       val unpivot = (0 until B).map(b =>
         s"SELECT doc_id, $b AS band, bh_$b AS bh FROM bands").mkString("\n  UNION ALL ")

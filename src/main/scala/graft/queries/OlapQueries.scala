@@ -668,6 +668,27 @@ object OlapQueries {
         when(col("valid_to").isNull, lit(1)).otherwise(lit(0)).as("is_current"))
   }
 
+  /** a15_hll_union — sketch ALGEBRA (the 100 TB rollup capability the
+    * single-shot a2_approx_distinct doesn't show): per-source HLL
+    * sketches built once, then MERGED to the corpus-level distinct
+    * estimate — the pre-aggregated-sketch pattern that lets a warehouse
+    * answer "distinct across any source subset" without rescanning raw
+    * data. Union is register-wise max: commutative and associative, so
+    * the estimate is deterministic under any merge order — but DuckDB's
+    * HLL is a different implementation, so the driver records a
+    * rows-only check and the accuracy bound is spec-locked instead
+    * (union estimate vs exact countDistinct).
+    */
+  def a15HllUnion: Q = (s, dir) => {
+    Tables.documents(s, dir)
+      .groupBy(col("source"))
+      .agg(expr("hll_sketch_agg(doc_id, 12)").as("sk"),
+        countDistinct(col("doc_id")).as("exact_src"))
+      .agg(count(lit(1)).as("n_sources"),
+        expr("hll_sketch_estimate(hll_union_agg(sk, true))").as("union_estimate"),
+        sum(col("exact_src")).cast("long").as("sum_source_exact"))
+  }
+
   /** o7_mom_change — month-over-month revenue deltas per nation (the
     * time-series reporting shape: grouped monthly rollup composed with
     * a lag window). Money accumulates in exact DECIMAL and the delta is
@@ -1039,6 +1060,7 @@ object OlapQueries {
     "ev_anomaly" -> evAnomaly,
     "ev_retention" -> evRetention,
     "o7_mom_change" -> o7MomChange,
+    "a15_hll_union" -> a15HllUnion,
     "o4_range_frame" -> o4RangeFrame,
     "o5_dist_stats" -> o5DistStats,
     "o6_first_last" -> o6FirstLast,

@@ -589,6 +589,45 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  // ---- a15_hll_union --------------------------------------------------
+
+  test("a15_hll_union: merged sketch estimate bounds, exact per-source sum, determinism") {
+    val exact = graft.Tables.documents(spark, sf001)
+      .select(countDistinct(col("doc_id"))).head().getLong(0)
+    val nSources = graft.Tables.documents(spark, sf001)
+      .select(countDistinct(col("source"))).head().getLong(0)
+    def run() = OlapQueries.a15HllUnion(spark, sf001).head()
+    val r = run()
+    assert(r.getLong(0) === nSources)
+    // lgK=12 HLL rsd ≈ 1.04/√4096 ≈ 1.6%; allow 3σ
+    assert(math.abs(r.getLong(1) - exact).toDouble / exact <= 0.05,
+      s"union estimate ${r.getLong(1)} vs exact $exact")
+    assert(r.getLong(2) === exact) // doc_ids are globally unique
+    // register-wise-max union is merge-order independent
+    assert(run().getLong(1) === r.getLong(1))
+  }
+
+  // ---- dd_source_dup_rate ---------------------------------------------
+
+  test("dd_source_dup_rate matches a driver-side corpus-wide dup recount") {
+    def md5Hex15(s: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString.take(15), 16)
+    val docs = graft.Tables.documents(spark, sf001)
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0),
+        md5Hex15(r.getString(1).trim.toLowerCase.replaceAll("\\s+", " "))))
+    val groupN = docs.groupBy(_._2).map { case (fp, xs) => fp -> xs.length }
+    val expected = docs.groupBy(_._1).map { case (src, xs) =>
+      src -> ((xs.length.toLong,
+        xs.count(d => groupN(d._2) >= 2).toLong,
+        xs.map(_._2).distinct.length.toLong))
+    }
+    val got = DedupQueries.ddSourceDupRate(spark, sf001).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got === expected)
+  }
+
   // ---- u7_scd2 --------------------------------------------------------
 
   test("u7_scd2 collapses repeats, chains intervals, ties broken by change id") {
