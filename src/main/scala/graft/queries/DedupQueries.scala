@@ -675,7 +675,60 @@ object DedupQueries {
       .select(col("doc_id"), col("span_start"), col("span_end"), col("n_dup_grams"))
   }
 
+  /** Semantic-dedup cosine threshold (the production near-dup band —
+    * the regime where the 2-band LSH holds high recall; see
+    * [[ddEmbedNeardupLsh]]'s recall discussion).
+    */
+  val SemThreshold = 0.8
+
+  /** dd_semdedup — SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient
+    * learning at web-scale through semantic deduplication"): embedding-
+    * space semantic dedup as cluster-then-dedup-within-cluster. Every
+    * vector is assigned to its nearest trained Lloyd centroid (the SAME
+    * final-round quantizer sim_kmeans trains — [[SimQueries.kmCents]],
+    * shared through FrameCache so the 3-round loop never re-runs), then
+    * within each cluster near-duplicates (cos ≥ [[SemThreshold]]) are
+    * found by the proven banded-LSH candidate generator and verified
+    * exactly; the keep rule is deterministic greedy-by-id: a vector is
+    * dropped iff some LOWER-id vector in its cluster is a verified
+    * semantic duplicate. Output: one row per vector —
+    * (vec_id, cluster, keep 0/1) — the decision table a corpus pruning
+    * pass joins against.
+    *
+    * Scale: assignment is the zero-shuffle codegen'd argmax fold
+    * (centroid literals, no join); candidate generation inherits the
+    * N-adaptive planes ladder from [[embedNeardupLshPairs]] (pairs stay
+    * ≈ linear in N, never the within-cluster n²/k — with k fixed a
+    * growing corpus fattens every cell, so the LADDER, not the cluster
+    * count, is what bounds pair work); the decision is one broadcast-able
+    * anti-join shape on vec_id. At 100 TB both knobs grow: cluster count
+    * with corpus size (the paper's k ≈ √N regime) and planes per band
+    * one per doubling — the cells-within-clusters keep both the verify
+    * set and each shuffle bucket bounded.
+    *
+    * The oracle interpolates [[SimQueries.duckKmChain]] (bit-identical
+    * Lloyd assignment) and mirrors the sig/band/verify chain with the
+    * same integer ladder, so the two engines agree exactly.
+    */
+  def ddSemdedup: Q = (s, dir) => {
+    val cents = SimQueries.kmCents(s, dir)
+    val assigned = graft.queries.FrameCache.cached(s, s"dd_semdedup_assign:$dir")(
+      Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding"),
+          SimQueries.kmNearest(cents).as("cluster")))
+    val pairs = embedNeardupLshPairs(
+      assigned.select(col("vec_id"), col("cluster").as("label"), col("embedding")),
+      SemThreshold)
+    val dropped = pairs.select(col("vec_b").as("vec_id")).distinct()
+      .withColumn("dup", lit(1L))
+    assigned.select(col("vec_id"), col("cluster"))
+      .join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        when(col("dup").isNull, lit(1L)).otherwise(lit(0L)).as("keep"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "dd_semdedup" -> ddSemdedup,
     "dd_para_dedup" -> ddParaDedup,
     "dd_substring" -> ddSubstring,
     "dd_exact" -> ddExact,
@@ -735,6 +788,36 @@ object DedupQueries {
       |FROM hs""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "dd_semdedup" ->
+      s"""WITH ${SimQueries.duckKmChain},
+        |prm AS (
+        |  SELECT 3 + (count(*) > 1000)::INT + (count(*) > 2000)::INT
+        |           + (count(*) > 4000)::INT + (count(*) > 8000)::INT
+        |           + (count(*) > 16000)::INT AS p
+        |  FROM embeddings),
+        |nv AS (
+        |  SELECT e.vec_id, a.cid AS cluster, e.embedding,
+        |    list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE)) AS nrm,
+        |    (${SimQueries.duckSigBits(16)}) AS sig
+        |  FROM embeddings e JOIN ${SimQueries.duckKmFinal} a ON e.vec_id = a.vec_id),
+        |banded AS (
+        |  SELECT vec_id, cluster, embedding, nrm, band,
+        |    (sig >> (prm.p * band)) & ((1 << prm.p) - 1) AS bv
+        |  FROM nv, (SELECT unnest([0, 1]) AS band) bands, prm),
+        |cand AS (
+        |  SELECT a.vec_id AS va, b.vec_id AS vb,
+        |    list_sum(list_transform(generate_series(1, 64),
+        |      i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) AS dot,
+        |    a.nrm AS na, b.nrm AS nb
+        |  FROM banded a JOIN banded b
+        |    ON a.cluster = b.cluster AND a.band = b.band AND a.bv = b.bv
+        |   AND a.vec_id < b.vec_id),
+        |dropped AS (
+        |  SELECT DISTINCT vb AS vec_id FROM cand
+        |  WHERE dot > 0 AND dot * dot >= ${SemThreshold * SemThreshold} * na * nb)
+        |SELECT n.vec_id, n.cluster,
+        |  (CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS keep
+        |FROM nv n LEFT JOIN dropped d ON n.vec_id = d.vec_id""".stripMargin,
     "dd_para_dedup" ->
       """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
         |gs AS (SELECT doc_id, ws,

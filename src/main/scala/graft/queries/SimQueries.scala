@@ -640,18 +640,29 @@ object SimQueries {
       |    FROM $prev, (SELECT unnest(generate_series(1, 64)) AS i) dims
       |    GROUP BY cid, i) GROUP BY cid)""".stripMargin
 
-  private val duckKmeans: String = {
+  /** The Lloyd CTE chain (no leading WITH, no final SELECT): `kv`, `c0`,
+    * then assign/update steps ending in [[duckKmFinal]](vec_id, e, cid) —
+    * the final-round assignment every k-means-consuming oracle shares.
+    * Interpolating THIS string (rather than re-deriving the loop) is what
+    * keeps the semantic-dedup oracle in DedupQueries in lockstep with the
+    * sim_kmeans one: a change to rounds/snap/init cannot diverge them.
+    */
+  private[queries] val duckKmFinal: String = s"a$KmRounds"
+  private[queries] val duckKmChain: String = {
     val steps = (1 until KmRounds).flatMap(r => Seq(
       duckKmAssign(if (r == 1) "c0" else s"c${r - 1}", s"a$r"),
       duckKmUpdate(s"a$r", s"c$r"))) :+
       duckKmAssign(s"c${KmRounds - 1}", s"a$KmRounds")
-    s"""WITH kv AS (
+    s"""kv AS (
       |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
       |  FROM embeddings),
       |c0 AS (SELECT CAST(vec_id AS INT) AS cid, e AS c FROM kv WHERE vec_id < $KmK),
-      |${steps.mkString(",\n")}
-      |SELECT vec_id, cid AS cluster FROM a$KmRounds""".stripMargin
+      |${steps.mkString(",\n")}""".stripMargin
   }
+
+  private val duckKmeans: String =
+    s"""WITH $duckKmChain
+      |SELECT vec_id, cid AS cluster FROM $duckKmFinal""".stripMargin
 
   /** The inertia oracle re-runs the Lloyd CTE chain, but the final
     * assignment keeps the winning score s so d² = dot(e,e) − s exactly

@@ -213,6 +213,32 @@ class DedupQueriesSpec extends AnyFunSuite {
     assert(expected.values.exists(_._3), "and at least one novel arrival")
   }
 
+  test("dd_semdedup: complete decision table, clusters = sim_kmeans, drops = lower-id LSH dup") {
+    // SemDeDup is a COMPOSITION of two already-locked operators; this
+    // spec pins the composition contract: (1) one decision row per
+    // vector, (2) the cluster column is bit-identical to sim_kmeans'
+    // assignment, (3) keep = 0 exactly for vectors with a verified
+    // lower-id near-dup (cos >= SemThreshold) among their cluster's
+    // banded-LSH candidates — re-derived here through the public faces.
+    import graft.SparkTestBase.sf001
+    val sem = DedupQueries.ddSemdedup(spark, sf001).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+    val km = SimQueries.simKmeans(spark, sf001).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(sem.keySet == km.keySet, "one decision per embedded vector")
+    assert(sem.forall { case (id, (c, _)) => c == km(id) },
+      "cluster column must be the sim_kmeans assignment")
+    val emb = graft.Tables.embeddings(spark, sf001).select("vec_id", "embedding")
+    val relabeled = emb.join(
+      SimQueries.simKmeans(spark, sf001).withColumnsRenamed(Map("cluster" -> "label")),
+      Seq("vec_id"))
+    val droppedIds = DedupQueries.embedNeardupLshPairs(relabeled, DedupQueries.SemThreshold)
+      .select("vec_b").collect().map(_.getLong(0)).toSet
+    assert(sem.filter(_._2._2 == 0L).keySet == droppedIds,
+      "keep=0 iff a lower-id verified near-dup exists in the cluster")
+    assert(sem.forall { case (_, (_, k)) => k == 0L || k == 1L })
+  }
+
   test("distributed path converges on a chain with diameter > 30") {
     // chain 0-1-2-...-40: plain min-label propagation needs ~40 rounds —
     // the old fixed 30-round cap silently split this into two clusters;
