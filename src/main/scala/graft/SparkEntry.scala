@@ -24,7 +24,8 @@ object SparkEntry {
       graft.queries.SimQueries.queries ++
       graft.queries.StreamQueries.queries ++
       graft.queries.MultimodalQueries.queries ++
-      graft.queries.OlapQueries.queries
+      graft.queries.OlapQueries.queries ++
+      graft.queries.GraphQueries.queries
 
   /** The query map filtered by the `SPARK_GRAFT_ONLY` env var (comma
     * separated, trimmed; a blank value means unset). Shared by the
@@ -55,5 +56,6 @@ object SparkEntry {
       graft.queries.SimQueries.oracle ++
       graft.queries.StreamQueries.oracle ++
       graft.queries.MultimodalQueries.oracle ++
-      graft.queries.OlapQueries.oracle
+      graft.queries.OlapQueries.oracle ++
+      graft.queries.GraphQueries.oracle
 }

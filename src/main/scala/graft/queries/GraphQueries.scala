@@ -1,0 +1,153 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Graph analytics over the trade graph the star schema implies —
+  * supplier ↔ customer edges through orders — extension surface for the
+  * corpus-curation jobs that rank sources by link authority (the
+  * CommonCrawl-style "how reputable is this domain" signal a web-scale
+  * training-data pipeline feeds into its quality mix).
+  *
+  * Scale design: PageRank is iterated sparse matrix–vector product.
+  * Each round is ONE shuffle — contributions grouped by destination —
+  * over an edge table that is built once, symmetrized, and cached (at
+  * cluster scale: persisted partitioned by `src` so every round's
+  * rank⋈edges join co-locates on the same partitioning instead of
+  * re-shuffling the edges). Driver state is nothing but the node count;
+  * rounds are a fixed constant, so the lineage is bounded and needs no
+  * checkpoint. Rank mass is INTEGER parts-per-billion with integer
+  * division throughout — Σ over longs is reduction-order-independent,
+  * which is what lets a 32-way map-side-combined Spark aggregation and
+  * DuckDB's sequential sum land on bit-identical ranks (a double-typed
+  * PageRank differs in the last ulps between any two engines — or any
+  * two RUNS — and can never hash-match an oracle).
+  */
+object GraphQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Power-iteration rounds (fixed — the oracle unrolls them). */
+  val PrIters = 4
+
+  /** Total rank mass: 1.0 in parts-per-billion. */
+  val PrTotalPpb = 1000000000L
+
+  /** Damping d = 0.85 as the integer pair 85/100 (never a float). */
+  val PrDampNum = 85L
+  val PrDampDen = 100L
+
+  /** The symmetrized trade graph: one edge per DISTINCT supplier–customer
+    * pair that ever traded (lineitem ⋈ orders), in both directions, so
+    * every node has out-degree ≥ 1 and PageRank has no dangling-mass
+    * term. Node ids are prefixed ('S'/'C') into one namespace. Built
+    * once per (session, sf) and reused by every round and every graph
+    * query ([[FrameCache]]).
+    */
+  private[queries] def tradeEdges(s: SparkSession, dir: String): DataFrame =
+    FrameCache.cached(s, s"g_trade_edges:$dir") {
+      val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
+      val ord = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+      val e0 = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .select(concat(lit("S"), col("l_suppkey")).as("src"),
+          concat(lit("C"), col("o_custkey")).as("dst"))
+        .distinct()
+      e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+    }
+
+  /** g_pagerank — damped PageRank (d = 0.85, [[PrIters]] rounds) over
+    * the symmetrized trade graph, in exact integer fixed-point:
+    * r⁰ = ⌊10⁹/N⌋ ppb per node, then each round
+    * rᵏ⁺¹(v) = ⌊0.15·10⁹/N⌋ + ⌊85·Σ_{u→v}⌊rᵏ(u)/deg(u)⌋ / 100⌋.
+    * Every operation is long division/multiplication — deterministic
+    * under ANY reduction order, so the DuckDB oracle (the same rounds
+    * unrolled as CTEs with `//`) matches bit-for-bit. Output: one row
+    * per node, (node, rank_ppb).
+    */
+  def gPagerank: Q = (s, dir) => {
+    val edges = tradeEdges(s, dir)
+    val deg = FrameCache.cached(s, s"g_trade_deg:$dir")(
+      edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+        .withColumnRenamed("src", "node"))
+    val n = FrameCache.cachedCount(s, s"g_trade_n:$dir")(deg.count())
+    pagerank(edges, deg, n)
+  }
+
+  /** The power-iteration core over any (src, dst) edge frame with its
+    * (node, outdeg) degree table and node count — see [[gPagerank]] for
+    * semantics; split out so the spec can drive it on hand graphs
+    * against an independent Scala reference.
+    */
+  private[queries] def pagerank(edges: DataFrame, deg: DataFrame, n: Long): DataFrame = {
+    val teleport = (PrTotalPpb - PrDampNum * PrTotalPpb / PrDampDen) / n
+    val init = deg.withColumn("rank", lit(PrTotalPpb / n))
+    val fin = (1 to PrIters).foldLeft(init) { (r, _) =>
+      val inbound = r.join(edges, r("node") === edges("src"))
+        .select(col("dst"), expr("rank div outdeg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("m"))
+      deg.join(inbound, deg("node") === inbound("dst"), "left")
+        .select(col("node"), col("outdeg"),
+          (lit(teleport) +
+            expr(s"($PrDampNum * coalesce(m, 0L)) div $PrDampDen")).as("rank"))
+    }
+    fin.select(col("node"), col("rank").as("rank_ppb"))
+  }
+
+  /** g_degree_stats — degree distribution of the trade graph in one
+    * aggregation pass: nodes per (side, degree) bucket. The companion
+    * sanity report for [[gPagerank]] (rank concentration tracks degree
+    * skew) and the cheapest first question asked of any new graph.
+    */
+  def gDegreeStats: Q = (s, dir) => {
+    val deg = tradeEdges(s, dir)
+      .groupBy(col("src")).agg(count(lit(1)).as("degree"))
+    deg.groupBy(substring(col("src"), 1, 1).as("side"), col("degree"))
+      .agg(count(lit(1)).as("n_nodes"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "g_pagerank" -> gPagerank,
+    "g_degree_stats" -> gDegreeStats)
+
+  // ---- DuckDB oracles ------------------------------------------------
+
+  /** One unrolled PageRank round: rank table `prev` → `out`. */
+  private def duckPrRound(prev: String, out: String): String =
+    s"""$out AS (
+      |  SELECT d.node, d.outdeg,
+      |    ((SELECT ($PrTotalPpb::BIGINT - $PrDampNum::BIGINT * $PrTotalPpb // $PrDampDen) // n FROM nn)
+      |      + ($PrDampNum * coalesce(s.m, 0)) // $PrDampDen)::BIGINT AS rank
+      |  FROM deg d LEFT JOIN (
+      |    SELECT e.dst AS node, sum(r.rank // r.outdeg)::BIGINT AS m
+      |    FROM $prev r JOIN edges e ON r.node = e.src GROUP BY e.dst) s
+      |  ON d.node = s.node)""".stripMargin
+
+  private val duckEdges: String =
+    """e0 AS (
+      |  SELECT DISTINCT 'S' || l_suppkey AS src, 'C' || o_custkey AS dst
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |edges AS (
+      |  SELECT src, dst FROM e0
+      |  UNION ALL SELECT dst AS src, src AS dst FROM e0),
+      |deg AS (SELECT src AS node, count(*)::BIGINT AS outdeg
+      |        FROM edges GROUP BY src)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "g_pagerank" -> {
+      val rounds = (1 to PrIters).map(i =>
+        duckPrRound(if (i == 1) "r0" else s"r${i - 1}", s"r$i"))
+      s"""WITH $duckEdges,
+        |nn AS (SELECT count(*) AS n FROM deg),
+        |r0 AS (SELECT node, outdeg, ($PrTotalPpb // n)::BIGINT AS rank
+        |       FROM deg CROSS JOIN nn),
+        |${rounds.mkString(",\n")}
+        |SELECT node, rank AS rank_ppb FROM r$PrIters""".stripMargin
+    },
+    "g_degree_stats" ->
+      s"""WITH $duckEdges
+        |SELECT substr(node, 1, 1) AS side, outdeg AS degree,
+        |  count(*)::BIGINT AS n_nodes
+        |FROM deg GROUP BY 1, 2""".stripMargin)
+}

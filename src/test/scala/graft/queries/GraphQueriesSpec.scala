@@ -1,0 +1,75 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase.spark
+
+/** PageRank semantics: the distributed integer fixed-point iteration must
+  * match an independent sequential Scala reference exactly (the whole
+  * point of the integer design is reduction-order independence), and the
+  * trade-graph face must obey structural invariants.
+  */
+class GraphQueriesSpec extends AnyFunSuite {
+  import spark.implicits._
+
+  /** Sequential reference: same recurrence, same integer ops. */
+  private def refPagerank(edges: Seq[(String, String)]): Map[String, Long] = {
+    import GraphQueries._
+    val out = edges.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val nodes = out.keySet
+    val n = nodes.size.toLong
+    val teleport = (PrTotalPpb - PrDampNum * PrTotalPpb / PrDampDen) / n
+    var rank = nodes.map(_ -> PrTotalPpb / n).toMap
+    for (_ <- 1 to PrIters) {
+      val inbound = edges.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (src, _) => rank(src) / out(src) }.sum
+      }
+      rank = nodes.map(v => v -> (teleport + PrDampNum * inbound.getOrElse(v, 0L) / PrDampDen)).toMap
+    }
+    rank
+  }
+
+  // a small asymmetric digraph, every node with outdegree >= 1
+  private val handEdges = Seq(
+    "a" -> "b", "a" -> "c", "b" -> "c", "c" -> "a",
+    "d" -> "c", "d" -> "a", "c" -> "d")
+
+  test("integer pagerank matches the sequential reference bit-for-bit") {
+    val e = handEdges.toDF("src", "dst")
+    val deg = e.groupBy($"src").count()
+      .select($"src".as("node"), $"count".as("outdeg"))
+    val got = GraphQueries.pagerank(e, deg, 4L).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == refPagerank(handEdges))
+  }
+
+  test("higher in-degree hub outranks leaves, ranks are positive") {
+    // star: 5 leaves all pointing at hub h, h points back at l0
+    val star = (0 until 5).map(i => s"l$i" -> "h") :+ ("h" -> "l0")
+    val e = star.toDF("src", "dst")
+    val deg = e.groupBy($"src").count()
+      .select($"src".as("node"), $"count".as("outdeg"))
+    val got = GraphQueries.pagerank(e, deg, 6L).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got("h") > got("l1"), "the hub must outrank a plain leaf")
+    assert(got.values.forall(_ > 0L))
+    assert(got == refPagerank(star))
+  }
+
+  test("trade-graph face: symmetric edges, mass ~conserved, one row per node") {
+    import graft.SparkTestBase.sf001
+    val pr = GraphQueries.gPagerank(spark, sf001).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val edges = GraphQueries.tradeEdges(spark, sf001)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val nodes = edges.map(_._1).toSet
+    assert(pr.keySet == nodes, "one rank per node with an edge")
+    assert(edges.toSet.map((p: (String, String)) => (p._2, p._1)) == edges.toSet,
+      "symmetrized edge set")
+    // integer floors only LOSE mass: total in (0.9, 1.0] of 1e9 ppb
+    val total = pr.values.sum
+    assert(total <= GraphQueries.PrTotalPpb)
+    assert(total > GraphQueries.PrTotalPpb * 9 / 10,
+      s"flooring should lose <10% of rank mass, kept $total")
+  }
+}
