@@ -161,6 +161,41 @@ object OlapQueries {
       variableColumnName = "attr",
       valueColumnName = "val")
 
+  /** Z-cell width: the top (32 − [[ZCellShift]]) Z-bits name a cell.
+    * 12 → 64×64-key rectangles (bounded ≲ thousands of cells at any sf of
+    * this key plane — the aggregation key stays tiny).
+    */
+  val ZCellShift = 12
+
+  /** p10_zorder — multi-dimensional layout clustering: the Z-order curve
+    * over (l_partkey, l_suppkey) via the compiled [[graft.functions.
+    * ZInterleave16]] expression, bucketed into Z-cells, reporting each
+    * cell's row count and BOTH dimensions' min/max extents — the file-
+    * skipping statistics a lakehouse writer records per file. The point
+    * the report makes is the layout one: because the Z-curve bounds a
+    * cell in EVERY interleaved dimension (a 2ⁱ×2ʲ rectangle), a scan
+    * filtering on partkey OR suppkey prunes cells — where a layout
+    * sorted by partkey alone has every suppkey extent spanning the full
+    * domain. At 100 TB this is `repartitionByRange(zvalue).sortWithin
+    * Partitions` at write time; the z-value itself is 10 shift-mask ops
+    * in whole-stage codegen, and THIS query (the stats pass) is one
+    * map-only projection + one bounded-key aggregation (≤ 4096 groups).
+    *
+    * The oracle mirrors the interleave as the same integer shift/mask
+    * chain ([[graft.functions.ZOrderUtil.duckInterleave16]]) — bit-exact
+    * in both engines.
+    */
+  def p10Zorder: Q = (s, dir) =>
+    Tables.lineitem(s, dir)
+      .select(col("l_partkey"), col("l_suppkey"))
+      .withColumn("zcell", shiftright(
+        graft.functions.ZInterleave16.zinterleave16(col("l_partkey"), col("l_suppkey")),
+        ZCellShift))
+      .groupBy(col("zcell"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("l_partkey")).as("min_pk"), max(col("l_partkey")).as("max_pk"),
+        min(col("l_suppkey")).as("min_sk"), max(col("l_suppkey")).as("max_sk"))
+
   /** h3_shipping_priority — TPC-H Q3 shape: selective filters on all
     * three tables push into the parquet scans, customer broadcasts into
     * orders, the orders⋈lineitem join shuffles on orderkey, and the final
@@ -1091,6 +1126,7 @@ object OlapQueries {
     "a14_approx_percentiles" -> a14ApproxPercentiles,
     "p8_pivot" -> p8Pivot,
     "p9_unpivot" -> p9Unpivot,
+    "p10_zorder" -> p10Zorder,
     "h3_shipping_priority" -> h3ShippingPriority,
     "h5_nation_revenue" -> h5NationRevenue)
 
@@ -1390,6 +1426,13 @@ object OlapQueries {
       """SELECT p_partkey, 'p_size' AS attr, CAST(p_size AS DOUBLE) AS val FROM part
         | UNION ALL
         | SELECT p_partkey, 'p_retailprice' AS attr, p_retailprice AS val FROM part""".stripMargin,
+    "p10_zorder" -> {
+      val z = graft.functions.ZOrderUtil.duckInterleave16("l_partkey", "l_suppkey")
+      s"""SELECT ($z >> $ZCellShift) AS zcell, count(*) AS n_rows,
+        | min(l_partkey) AS min_pk, max(l_partkey) AS max_pk,
+        | min(l_suppkey) AS min_sk, max(l_suppkey) AS max_sk
+        | FROM lineitem GROUP BY 1""".stripMargin
+    },
     "h3_shipping_priority" ->
       """SELECT l_orderkey, o_orderdate, o_orderpriority,
         | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue

@@ -104,12 +104,11 @@ object Layout {
           .cast("long")))
     }
     val (za, zb) = (cell(colA, aMin, aMax), cell(colB, bMin, bMax))
-    // interleave: bit i of A → bit 2i, bit i of B → bit 2i+1 (disjoint,
-    // so sum == bitwise-or)
-    val z = (0 until bits).map { i =>
-      shiftleft(shiftright(za, i).bitwiseAND(lit(1L)), 2 * i) +
-        shiftleft(shiftright(zb, i).bitwiseAND(lit(1L)), 2 * i + 1)
-    }.reduce(_ + _)
+    // interleave via the compiled kernel (cell indices < 2^bits ≤ 2^16,
+    // so the 16-bit interleave is exact): one codegen'd call instead of
+    // a 2·bits-term shift/mask expression tree
+    require(bits <= 16, s"zorder grid is capped at 16 bits, got $bits")
+    val z = graft.functions.ZInterleave16.zinterleave16(za, zb)
     df.withColumn("__z", z)
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions(col("__z"))
