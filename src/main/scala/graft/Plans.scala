@@ -145,7 +145,13 @@ object Plans {
     "dd_source_dup_rate" ->
       "ONE scan: corpus-wide dup-group sizes via count-over-window on the fingerprint shuffle (aggregate-join-back would rescan+rehash), then the per-source rollup",
     "a15_hll_union" ->
-      "sketch algebra: per-source HLL sketches partial-aggregate map-side, the union is a k-row register-max merge — the pre-aggregated-rollup pattern that answers any source-subset distinct without raw data")
+      "sketch algebra: per-source HLL sketches partial-aggregate map-side, the union is a k-row register-max merge — the pre-aggregated-rollup pattern that answers any source-subset distinct without raw data",
+    "dd_semdedup" ->
+      "SemDeDup composition: cluster assignment is the zero-shuffle centroid-literal argmax fold (InMemoryTableScan-reused across the family); candidates come from the banded-LSH equi-join WITHIN each cluster (planes ladder, never n²/k); the keep decision is one left join on vec_id — no pairwise stage outside the bucket join",
+    "g_pagerank" ->
+      "iterated sparse mat-vec: per round exactly ONE aggregation shuffle (contributions by dst) joined hash-to-hash against the cached symmetric edge table; integer ppb ranks make map-side combine byte-exact; no cross product, no driver-side graph state",
+    "p10_zorder" ->
+      "map-only projection (the compiled 10-op zinterleave16 kernel) + one bounded aggregation (≤ 4096 z-cells) — the layout-stats pass rides the scan; partial_min/max combine map-side")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
