@@ -151,7 +151,11 @@ object Plans {
     "g_pagerank" ->
       "iterated sparse mat-vec: per round exactly ONE aggregation shuffle (contributions by dst) joined hash-to-hash against the cached symmetric edge table; integer ppb ranks make map-side combine byte-exact; no cross product, no driver-side graph state",
     "p10_zorder" ->
-      "map-only projection (the compiled 10-op zinterleave16 kernel) + one bounded aggregation (≤ 4096 z-cells) — the layout-stats pass rides the scan; partial_min/max combine map-side")
+      "map-only projection (the compiled 10-op zinterleave16 kernel) + one bounded aggregation (≤ 4096 z-cells) — the layout-stats pass rides the scan; partial_min/max combine map-side",
+    "ta_fluency_outliers" ->
+      "per-source bottom-K via WindowGroupLimit: a K-row heap per task BEFORE the source exchange, so the shuffle carries at most K×tasks×sources rows — never a corpus sort; the scored frame reuses the shared cached bigram stream",
+    "sim_knn_graph" ->
+      "banded-LSH bucket equi-join generates candidates (planes ladder pins occupancy); the both-bands dedup aggregates (src, dst, score) triples — embeddings never re-shuffle — and the per-source top-k plans WindowGroupLimit")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

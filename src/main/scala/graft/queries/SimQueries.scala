@@ -145,6 +145,54 @@ object SimQueries {
       .select(col("query_id"), col("neighbor_id"), col("rank"))
   }
 
+  /** sim_knn_graph — the approximate k-NN GRAPH build (every vector's
+    * top-[[LshTopK]] cosine neighbors, not just a pilot query set): the
+    * all-pairs precursor that graph-based clustering, NN-Descent-style
+    * refinement, and connectivity-based semantic dedup consume.
+    * Candidates come from banded hyperplane LSH (2 bands × p planes,
+    * p on the same corpus-size ladder as the near-dup bander —
+    * [[DedupQueries.lshPlanesPerBand]]), so candidate volume stays
+    * ≈ bands·N·occupancy with occupancy pinned, never N².
+    *
+    * A pair agreeing in BOTH bands would rank twice, so candidates
+    * dedup by (src, dst) with max(score) — on identical doubles — BEFORE
+    * the ranking window: the dedup shuffle carries (src, dst, score)
+    * triples, never embedding arrays. The per-source rank ≤ k plans
+    * WindowGroupLimit (K-row heap per task). Scoring normalizes by the
+    * NEIGHBOR norm only — the source norm is constant within its
+    * window, the [[simLshTopk]] trick — with the dst tie-break making
+    * the graph deterministic.
+    */
+  def simKnnGraph: Q = (s, dir) => {
+    val emb = graft.Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val p = DedupQueries.lshPlanesPerBand(FrameCache.cachedCount(s,
+      s"sim_knn_n:$dir")(emb.count()))
+    val e = emb
+      .withColumn("nrm", dotc(col("embedding"), col("embedding")))
+      .withColumn("sig", lshSigBits(2 * p))
+    val bandCols = (0 until 2).map(b => struct(lit(b).as("band"),
+      shiftright(col("sig"), p * b).bitwiseAND(lit((1L << p) - 1)).as("bv")))
+    val banded = e
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        explode(array(bandCols: _*)).as("bb"))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        col("bb.band").as("band"), col("bb.bv").as("bv"))
+    val a = banded.select(col("vec_id").as("src"), col("band"), col("bv"),
+      col("embedding").as("ea"))
+    val b = banded.select(col("vec_id").as("dst"), col("band"), col("bv"),
+      col("embedding").as("eb"), col("nrm").as("nb"))
+    val scored = a.join(b, Seq("band", "bv"))
+      .filter(col("src") =!= col("dst"))
+      .withColumn("dot", dotc(col("ea"), col("eb")))
+      .withColumn("score", signedSq(col("dot")) / col("nb"))
+      .groupBy(col("src"), col("dst")).agg(max(col("score")).as("score"))
+    val w = Window.partitionBy(col("src"))
+      .orderBy(col("score").desc, col("dst").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= LshTopK)
+      .select(col("src").as("vec_id"), col("dst").as("neighbor_id"), col("rank"))
+  }
+
   /** The IVF coarse quantizer's centroid table, collected to the driver:
     * seed centroid per label = the label's lowest-id vector (deterministic
     * init), one `min_by` partial aggregation — centroid count is tiny by
@@ -542,6 +590,7 @@ object SimQueries {
     "sim_topk_brute" -> simTopkBrute,
     "sim_lsh_sig" -> simLshSig,
     "sim_lsh_topk" -> simLshTopk,
+    "sim_knn_graph" -> simKnnGraph,
     "sim_ivf_assign" -> simIvfAssign,
     "sim_ivf_topk" -> simIvfTopk,
     "sim_ivf_probe2" -> simIvfProbe2)
@@ -792,6 +841,32 @@ object SimQueries {
         |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
         |  FROM scored)
         |WHERE rank <= $LshTopK""".stripMargin,
+    "sim_knn_graph" ->
+      s"""WITH prm AS (
+        |  SELECT 3 + (count(*) > 1000)::INT + (count(*) > 2000)::INT
+        |           + (count(*) > 4000)::INT + (count(*) > 8000)::INT
+        |           + (count(*) > 16000)::INT AS p
+        |  FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, embedding, ${duckDot("embedding", "embedding")} AS nrm,
+        |    (${duckSigBits(16)}) AS sig
+        |  FROM embeddings),
+        |banded AS (
+        |  SELECT vec_id, embedding, nrm, band,
+        |    (sig >> (prm.p * band)) & ((1 << prm.p) - 1) AS bv
+        |  FROM n, (SELECT unnest([0, 1]) AS band) bands, prm),
+        |pairs AS (
+        |  SELECT a.vec_id AS src, b.vec_id AS dst,
+        |    (${duckDot("a.embedding", "b.embedding")}) AS dot, b.nrm AS nb
+        |  FROM banded a JOIN banded b
+        |    ON a.band = b.band AND a.bv = b.bv AND a.vec_id <> b.vec_id),
+        |cand AS (
+        |  SELECT src, dst, max(dot * abs(dot) / nb) AS score
+        |  FROM pairs GROUP BY 1, 2)
+        |SELECT vec_id, neighbor_id, rank FROM (
+        |  SELECT src AS vec_id, dst AS neighbor_id,
+        |    row_number() OVER (PARTITION BY src ORDER BY score DESC, dst) AS rank
+        |  FROM cand) WHERE rank <= $LshTopK""".stripMargin,
     "sim_ivf_topk" ->
       s"""WITH $duckVCent,
         |$duckRanked,

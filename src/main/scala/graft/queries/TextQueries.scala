@@ -879,6 +879,37 @@ object TextQueries {
           .as("avg_lp"))
   }
 
+  /** Worst-per-source quarantine size for [[taFluencyOutliers]]. */
+  val FluencyK = 16
+
+  /** ta_fluency_outliers — per-source disfluency quarantine: the
+    * [[FluencyK]] WORST-scoring documents of every source under the
+    * [[taBigramLm]] bigram fluency model, ranked ascending with a
+    * doc_id tie-break. The review queue a corpus-quality pass emits:
+    * bounded (K × sources) rows pointing at the docs most likely to be
+    * boilerplate, encoding damage, or non-text — the rank-based twin of
+    * a drop-bottom-quantile filter whose CUTOFF VALUE would hang on
+    * float-interpolated percentile semantics no two engines share.
+    *
+    * Scale: the scored frame reuses the bigram machinery (shared cached
+    * bigram stream); the per-source bottom-K is a `row_number ≤ K`
+    * window that Spark plans as WindowGroupLimit — a K-row heap per
+    * task BEFORE the source shuffle, so the exchange carries at most
+    * K × partitions × sources rows, never the corpus. No global sort
+    * anywhere.
+    */
+  def taFluencyOutliers: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val scored = taBigramLm(s, dir).select(col("doc_id"), col("avg_lp"))
+    val src = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+    val w = Window.partitionBy(col("source")).orderBy(col("avg_lp"), col("doc_id"))
+    scored.join(src, Seq("doc_id"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= FluencyK)
+      .select(col("source"), col("doc_id"), col("avg_lp"),
+        col("rank").cast("long").as("rank"))
+  }
+
   /** The per-document adjacent-token-pair stream (doc_id, v, w),
     * persisted once per corpus — see [[taBigramLm]].
     */
@@ -1061,6 +1092,7 @@ object TextQueries {
     "ta_inverted_index" -> taInvertedIndex,
     "ta_bpe_pairs" -> taBpePairs,
     "ta_bigram_lm" -> taBigramLm,
+    "ta_fluency_outliers" -> taFluencyOutliers,
     "td_chunk" -> tdChunk,
     "ta_doc_embed" -> taDocEmbed,
     "ta_kl_drift" -> taKlDrift,
@@ -1089,6 +1121,30 @@ object TextQueries {
   private val duckLangScores = langStopwords.map { case (l, words) =>
     s"len(regexp_extract_all(lower(text), '\\b(?:$words)\\b')) AS s_$l"
   }.mkString(", ")
+
+  /** The bigram-LM scoring chain (no leading WITH; ends in
+    * `scored(doc_id, n_bigrams, avg_lp)`) — shared by the ta_bigram_lm
+    * and ta_fluency_outliers oracles so the smoothing formula cannot
+    * drift between them.
+    */
+  private val duckBigramScored: String =
+    """docs AS (
+      |  SELECT doc_id, regexp_extract_all(lower(trim(text)), '\S+') AS a
+      |  FROM documents WHERE len(regexp_extract_all(lower(trim(text)), '\S+')) >= 2),
+      |bi AS (
+      |  SELECT doc_id, a[i] AS v, a[i + 1] AS w
+      |  FROM (SELECT doc_id, a, unnest(generate_series(1, len(a) - 1)) AS i FROM docs)),
+      |c2 AS (SELECT v, w, count(*) AS c2 FROM bi GROUP BY v, w),
+      |c1 AS (SELECT v, sum(c2) AS c1 FROM c2 GROUP BY v),
+      |vocab AS (
+      |  SELECT count(DISTINCT tok)::DOUBLE AS vsz FROM (
+      |    SELECT unnest(regexp_extract_all(lower(trim(text)), '\S+')) AS tok
+      |    FROM documents)),
+      |scored AS (
+      |  SELECT b.doc_id, count(*) AS n_bigrams,
+      |    round(avg(ln((c2.c2 + 1)::DOUBLE / (c1.c1 + vocab.vsz))), 6) AS avg_lp
+      |  FROM bi b JOIN c2 USING (v, w) JOIN c1 USING (v) CROSS JOIN vocab
+      |  GROUP BY b.doc_id)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "ta_source_overlap" ->
@@ -1229,22 +1285,17 @@ object TextQueries {
         |  row_number() OVER (ORDER BY cnt DESC, pair ASC) AS rank
         |FROM agg""".stripMargin,
     "ta_bigram_lm" ->
-      """WITH docs AS (
-        |  SELECT doc_id, regexp_extract_all(lower(trim(text)), '\S+') AS a
-        |  FROM documents WHERE len(regexp_extract_all(lower(trim(text)), '\S+')) >= 2),
-        |bi AS (
-        |  SELECT doc_id, a[i] AS v, a[i + 1] AS w
-        |  FROM (SELECT doc_id, a, unnest(generate_series(1, len(a) - 1)) AS i FROM docs)),
-        |c2 AS (SELECT v, w, count(*) AS c2 FROM bi GROUP BY v, w),
-        |c1 AS (SELECT v, sum(c2) AS c1 FROM c2 GROUP BY v),
-        |vocab AS (
-        |  SELECT count(DISTINCT tok)::DOUBLE AS vsz FROM (
-        |    SELECT unnest(regexp_extract_all(lower(trim(text)), '\S+')) AS tok
-        |    FROM documents))
-        |SELECT b.doc_id, count(*) AS n_bigrams,
-        |  round(avg(ln((c2.c2 + 1)::DOUBLE / (c1.c1 + vocab.vsz))), 6) AS avg_lp
-        |FROM bi b JOIN c2 USING (v, w) JOIN c1 USING (v) CROSS JOIN vocab
-        |GROUP BY b.doc_id""".stripMargin,
+      s"""WITH $duckBigramScored
+        |SELECT doc_id, n_bigrams, avg_lp FROM scored""".stripMargin,
+    "ta_fluency_outliers" ->
+      s"""WITH $duckBigramScored,
+        |ranked AS (
+        |  SELECT d.source, s.doc_id, s.avg_lp,
+        |    row_number() OVER (PARTITION BY d.source
+        |                       ORDER BY s.avg_lp, s.doc_id) AS rank
+        |  FROM scored s JOIN documents d ON s.doc_id = d.doc_id)
+        |SELECT source, doc_id, avg_lp, rank FROM ranked
+        |WHERE rank <= $FluencyK""".stripMargin,
     "ta_inverted_index" ->
       s"""WITH toks AS (
         |  SELECT doc_id, unnest(regexp_extract_all(lower(trim(text)), '\\S+')) AS tok

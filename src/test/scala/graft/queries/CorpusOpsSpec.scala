@@ -672,4 +672,31 @@ class CorpusOpsSpec extends AnyFunSuite {
       assert(sorted.last._4.isEmpty)
     }
   }
+
+  // ---- ta_fluency_outliers -------------------------------------------
+
+  test("ta_fluency_outliers is the true per-source bottom-K of the bigram scores") {
+    val got = TextQueries.taFluencyOutliers(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val scores = TextQueries.taBigramLm(spark, sf001)
+      .select("doc_id", "avg_lp").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val sources = graft.Tables.documents(spark, sf001)
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // independent reference: sort each source's scored docs, take K
+    val expect = scores.toSeq
+      .map { case (id, lp) => (sources(id), id, lp) }
+      .groupBy(_._1)
+      .flatMap { case (src, rows) =>
+        rows.sortBy(r => (r._3, r._2)).take(TextQueries.FluencyK)
+          .zipWithIndex.map { case ((s0, id, lp), i) => (s0, id, lp, i + 1L) }
+      }.toSet
+    assert(got.toSet == expect)
+    // structural: ranks contiguous from 1, never more than K per source
+    got.groupBy(_._1).foreach { case (src, rows) =>
+      assert(rows.length <= TextQueries.FluencyK, src)
+      assert(rows.map(_._4).sorted.toSeq == (1L to rows.length).toSeq, src)
+    }
+  }
 }

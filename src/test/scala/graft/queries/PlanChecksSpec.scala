@@ -63,6 +63,23 @@ class PlanChecksSpec extends AnyFunSuite {
       s"expected WindowGroupLimit for row_number<=k, got:\n$plan")
   }
 
+  ptest("ta_fluency_outliers plans a WindowGroupLimit (K-row heap per task)") { sfDir =>
+    val plan = planString(TextQueries.taFluencyOutliers(spark, sfDir))
+    assert(plan.contains("WindowGroupLimit"),
+      s"expected WindowGroupLimit for the per-source bottom-K, got:\n$plan")
+  }
+
+  ptest("p10_zorder is scan + one bounded aggregation: a single exchange, no join") { sfDir =>
+    val df = OlapQueries.p10Zorder(spark, sfDir)
+    df.collect()
+    // AQE folds the Exchange into a ShuffleQueryStage that TreeNode
+    // collect does not descend into — count it in the rendered plan
+    val plan = executedPlan(df).toString
+    assert("(?m)^\\s*(\\+- |:- )?Exchange ".r.findAllIn(plan).size == 1,
+      s"expected exactly one shuffle, got:\n$plan")
+    assert(!plan.contains("Join"), s"layout stats must not join:\n$plan")
+  }
+
   ptest("sim_ivf_assign is map-only: no exchange in the assignment plan") { sfDir =>
     val plan = planString(SimQueries.simIvfAssign(spark, sfDir))
     assert(!plan.contains("Exchange"),

@@ -54,4 +54,31 @@ class SimQueriesSpec extends AnyFunSuite {
     info(f"IVF-PQ mean recall@3: $mean%.3f (measured 0.200 at spec-writing)")
     assert(mean >= 0.15, f"IVF-PQ recall regressed: $mean%.3f")
   }
+
+  test("kNN graph: neighbors rank in true-cosine order and come from the corpus") {
+    val emb = graft.Tables.embeddings(spark, sf001)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / math.sqrt(a.map(x => x * x).sum * b.map(x => x * x).sum)
+    }
+    val rows = SimQueries.simKnnGraph(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (src, ns) =>
+      // structural: contiguous ranks from 1, at most k, no self-loops
+      assert(ns.length <= SimQueries.LshTopK, s"src=$src")
+      assert(ns.map(_._3).sorted.toSeq == (1 to ns.length).toSeq, s"src=$src")
+      assert(ns.forall(_._2 != src), s"self-loop at $src")
+      // semantic: rank order == descending true cosine (dst tie-break)
+      val byRank = ns.sortBy(_._3).map(n => (cos(emb(src), emb(n._2)), n._2))
+      val resorted = byRank.sortBy { case (c, d) => (-c, d) }
+      assert(byRank.toSeq == resorted.toSeq, s"rank order broken at $src")
+    }
+    // the graph should cover most of the corpus (isolated bucket
+    // singletons are the only legitimate absences)
+    assert(rows.map(_._1).distinct.length >= emb.size * 8 / 10,
+      "kNN graph lost more than 20% of vectors to empty buckets")
+  }
 }
