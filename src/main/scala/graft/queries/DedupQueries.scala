@@ -562,16 +562,9 @@ object DedupQueries {
     // every other index artifact — not one count job per invocation
     val p = lshPlanesPerBand(FrameCache.cachedCount(emb.sparkSession,
       "embedLshN:" + emb.queryExecution.analyzed.semanticHash())(emb.count()))
-    val e = emb
+    val banded = SimQueries.explodeBands(emb
       .withColumn("nrm", graft.functions.VecExprs.dot(col("embedding"), col("embedding")))
-      .withColumn("sig", SimQueries.lshSigBits(2 * p))
-    val bandCols = (0 until 2).map(b => struct(lit(b).as("band"),
-      shiftright(col("sig"), p * b).bitwiseAND(lit((1L << p) - 1)).as("bv")))
-    val banded = e
-      .select(col("vec_id"), col("label"), col("embedding"), col("nrm"),
-        explode(array(bandCols: _*)).as("bb"))
-      .select(col("vec_id"), col("label"), col("embedding"), col("nrm"),
-        col("bb.band").as("band"), col("bb.bv").as("bv"))
+      .withColumn("sig", SimQueries.lshSigBits(2 * p)), p)
     val a = banded.select(col("vec_id").as("vec_a"), col("label"), col("band"),
       col("bv"), col("embedding").as("ea"), col("nrm").as("na"))
     val b = banded.select(col("vec_id").as("vec_b"), col("label"), col("band"),
@@ -790,20 +783,13 @@ object DedupQueries {
   val oracle: Map[String, String] = Map(
     "dd_semdedup" ->
       s"""WITH ${SimQueries.duckKmChain},
-        |prm AS (
-        |  SELECT 3 + (count(*) > 1000)::INT + (count(*) > 2000)::INT
-        |           + (count(*) > 4000)::INT + (count(*) > 8000)::INT
-        |           + (count(*) > 16000)::INT AS p
-        |  FROM embeddings),
+        |${SimQueries.duckPrmLadder},
         |nv AS (
         |  SELECT e.vec_id, a.cid AS cluster, e.embedding,
         |    list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE)) AS nrm,
         |    (${SimQueries.duckSigBits(16)}) AS sig
         |  FROM embeddings e JOIN ${SimQueries.duckKmFinal} a ON e.vec_id = a.vec_id),
-        |banded AS (
-        |  SELECT vec_id, cluster, embedding, nrm, band,
-        |    (sig >> (prm.p * band)) & ((1 << prm.p) - 1) AS bv
-        |  FROM nv, (SELECT unnest([0, 1]) AS band) bands, prm),
+        |${SimQueries.duckBanded("nv", "vec_id, cluster, embedding, nrm")},
         |cand AS (
         |  SELECT a.vec_id AS va, b.vec_id AS vb,
         |    list_sum(list_transform(generate_series(1, 64),
@@ -1047,20 +1033,13 @@ object DedupQueries {
         |FROM sig s LEFT JOIN ver v ON s.doc_id = v.doc_id
         |WHERE s.doc_id % 2 = 1""".stripMargin,
     "dd_embed_neardup_lsh" ->
-      s"""WITH prm AS (
-        |  SELECT 3 + (count(*) > 1000)::INT + (count(*) > 2000)::INT
-        |           + (count(*) > 4000)::INT + (count(*) > 8000)::INT
-        |           + (count(*) > 16000)::INT AS p
-        |  FROM embeddings),
+      s"""WITH ${SimQueries.duckPrmLadder},
         |n AS (
         |  SELECT vec_id, label, embedding,
         |    list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)) AS nrm,
         |    (${SimQueries.duckSigBits(16)}) AS sig
         |  FROM embeddings),
-        |banded AS (
-        |  SELECT vec_id, label, embedding, nrm, band,
-        |    (sig >> (prm.p * band)) & ((1 << prm.p) - 1) AS bv
-        |  FROM n, (SELECT unnest([0, 1]) AS band) bands, prm),
+        |${SimQueries.duckBanded("n", "vec_id, label, embedding, nrm")},
         |cand AS (
         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
         |    list_sum(list_transform(generate_series(1, 64),

@@ -68,17 +68,31 @@ object GraphQueries {
     */
   def gPagerank: Q = (s, dir) => {
     val edges = tradeEdges(s, dir)
-    val deg = FrameCache.cached(s, s"g_trade_deg:$dir")(
-      edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-        .withColumnRenamed("src", "node"))
+    val deg = tradeDeg(s, dir)
     val n = FrameCache.cachedCount(s, s"g_trade_n:$dir")(deg.count())
     pagerank(edges, deg, n)
   }
 
-  /** The power-iteration core over any (src, dst) edge frame with its
+  /** The trade graph's (node, outdeg) table — one aggregation over the
+    * cached edge frame, itself cached so [[gPagerank]] and
+    * [[gDegreeStats]] share it within a session.
+    */
+  private[queries] def tradeDeg(s: SparkSession, dir: String): DataFrame =
+    FrameCache.cached(s, s"g_trade_deg:$dir")(
+      tradeEdges(s, dir).groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+        .withColumnRenamed("src", "node"))
+
+  /** The power-iteration core over a (src, dst) edge frame with its
     * (node, outdeg) degree table and node count — see [[gPagerank]] for
     * semantics; split out so the spec can drive it on hand graphs
     * against an independent Scala reference.
+    *
+    * CONTRACT: every dst must appear in deg (equivalently, every sink
+    * must also be a source — the symmetrized trade graph guarantees it,
+    * and refPagerank in the spec assumes the same). A dst outside deg
+    * would silently drop its inbound mass at the left join — classic
+    * dangling-node PageRank, which this integer recurrence deliberately
+    * does NOT model.
     */
   private[queries] def pagerank(edges: DataFrame, deg: DataFrame, n: Long): DataFrame = {
     val teleport = (PrTotalPpb - PrDampNum * PrTotalPpb / PrDampDen) / n
@@ -100,12 +114,11 @@ object GraphQueries {
     * sanity report for [[gPagerank]] (rank concentration tracks degree
     * skew) and the cheapest first question asked of any new graph.
     */
-  def gDegreeStats: Q = (s, dir) => {
-    val deg = tradeEdges(s, dir)
-      .groupBy(col("src")).agg(count(lit(1)).as("degree"))
-    deg.groupBy(substring(col("src"), 1, 1).as("side"), col("degree"))
+  def gDegreeStats: Q = (s, dir) =>
+    tradeDeg(s, dir)
+      .groupBy(substring(col("node"), 1, 1).as("side"),
+        col("outdeg").as("degree"))
       .agg(count(lit(1)).as("n_nodes"))
-  }
 
   val queries: Map[String, Q] = Map(
     "g_pagerank" -> gPagerank,

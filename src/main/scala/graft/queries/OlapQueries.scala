@@ -161,11 +161,15 @@ object OlapQueries {
       variableColumnName = "attr",
       valueColumnName = "val")
 
-  /** Z-cell width: the top (32 − [[ZCellShift]]) Z-bits name a cell.
-    * 12 → 64×64-key rectangles (bounded ≲ thousands of cells at any sf of
-    * this key plane — the aggregation key stays tiny).
+  /** Z-order grid: each dimension is normalized to [0, [[ZGridCells]]]
+    * grid cells before interleaving (raw keys would alias mod 2¹⁶ the
+    * moment a key domain outgrows 16 bits — partkey does at sf ≥ ~0.33 —
+    * making the reported extents span the whole domain); the top
+    * (20 − [[ZCellShift]]) = 12 Z-bits then name a cell, bounding the
+    * aggregation at 4096 groups at ANY scale.
     */
-  val ZCellShift = 12
+  val ZGridCells = 1023L
+  val ZCellShift = 8
 
   /** p10_zorder — multi-dimensional layout clustering: the Z-order curve
     * over (l_partkey, l_suppkey) via the compiled [[graft.functions.
@@ -179,22 +183,48 @@ object OlapQueries {
     * domain. At 100 TB this is `repartitionByRange(zvalue).sortWithin
     * Partitions` at write time; the z-value itself is 10 shift-mask ops
     * in whole-stage codegen, and THIS query (the stats pass) is one
-    * map-only projection + one bounded-key aggregation (≤ 4096 groups).
+    * map-only projection + one bounded-key aggregation (≤ 4096 groups)
+    * after a once-per-corpus 4-scalar extent aggregation (cached, the
+    * same shape [[graft.sources.Layout.writeZOrdered]] runs at write
+    * time).
     *
-    * The oracle mirrors the interleave as the same integer shift/mask
-    * chain ([[graft.functions.ZOrderUtil.duckInterleave16]]) — bit-exact
-    * in both engines.
+    * Cross-engine exactness of the grid: keys are integers < 2⁵³, so
+    * (x − lo) is an exact double in both engines, / and × are IEEE
+    * correctly-rounded single ops, and floor truncates identically
+    * (DuckDB's ::BIGINT cast ROUNDS half-even — the floor is
+    * load-bearing). The oracle mirrors the interleave as the same
+    * integer shift/mask chain ([[graft.functions.ZOrderUtil.
+    * duckInterleave16]]) — bit-exact in both engines.
     */
-  def p10Zorder: Q = (s, dir) =>
+  def p10Zorder: Q = (s, dir) => {
+    val Seq(pLo, pHi, sLo, sHi) = zorderExtent(s, dir)
+    def cell(c: String, lo: Long, hi: Long) = {
+      val denom = if (hi > lo) (hi - lo).toDouble else 1.0
+      floor((col(c).cast("double") - lit(lo.toDouble)) / lit(denom)
+        * lit(ZGridCells.toDouble))
+    }
     Tables.lineitem(s, dir)
       .select(col("l_partkey"), col("l_suppkey"))
       .withColumn("zcell", shiftright(
-        graft.functions.ZInterleave16.zinterleave16(col("l_partkey"), col("l_suppkey")),
+        graft.functions.ZInterleave16.zinterleave16(
+          cell("l_partkey", pLo, pHi), cell("l_suppkey", sLo, sHi)),
         ZCellShift))
       .groupBy(col("zcell"))
       .agg(count(lit(1)).as("n_rows"),
         min(col("l_partkey")).as("min_pk"), max(col("l_partkey")).as("max_pk"),
         min(col("l_suppkey")).as("min_sk"), max(col("l_suppkey")).as("max_sk"))
+  }
+
+  /** The corpus key extents (min/max of both Z dimensions), one tiny
+    * aggregation cached per (session, sf) like every index artifact.
+    */
+  private def zorderExtent(s: SparkSession, dir: String): Seq[Long] =
+    graft.queries.FrameCache.cachedStrings(s, s"p10_zorder_extent:$dir") {
+      val r = Tables.lineitem(s, dir).agg(
+        min(col("l_partkey")), max(col("l_partkey")),
+        min(col("l_suppkey")), max(col("l_suppkey"))).collect()(0)
+      (0 until 4).map(i => r.getLong(i).toString).toArray
+    }.toSeq.map(_.toLong)
 
   /** h3_shipping_priority — TPC-H Q3 shape: selective filters on all
     * three tables push into the parquet scans, customer broadcasts into
@@ -1427,11 +1457,22 @@ object OlapQueries {
         | UNION ALL
         | SELECT p_partkey, 'p_retailprice' AS attr, p_retailprice AS val FROM part""".stripMargin,
     "p10_zorder" -> {
-      val z = graft.functions.ZOrderUtil.duckInterleave16("l_partkey", "l_suppkey")
-      s"""SELECT ($z >> $ZCellShift) AS zcell, count(*) AS n_rows,
+      val z = graft.functions.ZOrderUtil.duckInterleave16("ca", "cb")
+      s"""WITH ext AS (
+        |  SELECT min(l_partkey) AS pmn, max(l_partkey) AS pmx,
+        |         min(l_suppkey) AS smn, max(l_suppkey) AS smx
+        |  FROM lineitem),
+        |g AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    floor((l_partkey - pmn) / greatest((pmx - pmn)::DOUBLE, 1.0)
+        |          * $ZGridCells.0)::BIGINT AS ca,
+        |    floor((l_suppkey - smn) / greatest((smx - smn)::DOUBLE, 1.0)
+        |          * $ZGridCells.0)::BIGINT AS cb
+        |  FROM lineitem, ext)
+        |SELECT ($z >> $ZCellShift) AS zcell, count(*) AS n_rows,
         | min(l_partkey) AS min_pk, max(l_partkey) AS max_pk,
         | min(l_suppkey) AS min_sk, max(l_suppkey) AS max_sk
-        | FROM lineitem GROUP BY 1""".stripMargin
+        | FROM g GROUP BY 1""".stripMargin
     },
     "h3_shipping_priority" ->
       """SELECT l_orderkey, o_orderdate, o_orderpriority,

@@ -145,6 +145,21 @@ object SimQueries {
       .select(col("query_id"), col("neighbor_id"), col("rank"))
   }
 
+  /** Explode a `sig`-carrying frame into its 2 LSH bands — adds
+    * (band, bv), drops sig. The banding step shared by the near-dup
+    * candidate generator ([[DedupQueries.embedNeardupLshPairs]]) and
+    * [[simKnnGraph]], factored so a change to the band count or bv
+    * extraction cannot silently diverge the two families.
+    */
+  private[queries] def explodeBands(e: DataFrame, p: Int): DataFrame = {
+    val bandCols = (0 until 2).map(b => struct(lit(b).as("band"),
+      shiftright(col("sig"), p * b).bitwiseAND(lit((1L << p) - 1)).as("bv")))
+    e.withColumn("bb", explode(array(bandCols: _*)))
+      .withColumn("band", col("bb.band"))
+      .withColumn("bv", col("bb.bv"))
+      .drop("bb", "sig")
+  }
+
   /** sim_knn_graph — the approximate k-NN GRAPH build (every vector's
     * top-[[LshTopK]] cosine neighbors, not just a pilot query set): the
     * all-pairs precursor that graph-based clustering, NN-Descent-style
@@ -167,16 +182,9 @@ object SimQueries {
     val emb = graft.Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
     val p = DedupQueries.lshPlanesPerBand(FrameCache.cachedCount(s,
       s"sim_knn_n:$dir")(emb.count()))
-    val e = emb
+    val banded = explodeBands(emb
       .withColumn("nrm", dotc(col("embedding"), col("embedding")))
-      .withColumn("sig", lshSigBits(2 * p))
-    val bandCols = (0 until 2).map(b => struct(lit(b).as("band"),
-      shiftright(col("sig"), p * b).bitwiseAND(lit((1L << p) - 1)).as("bv")))
-    val banded = e
-      .select(col("vec_id"), col("embedding"), col("nrm"),
-        explode(array(bandCols: _*)).as("bb"))
-      .select(col("vec_id"), col("embedding"), col("nrm"),
-        col("bb.band").as("band"), col("bb.bv").as("bv"))
+      .withColumn("sig", lshSigBits(2 * p)), p)
     val a = banded.select(col("vec_id").as("src"), col("band"), col("bv"),
       col("embedding").as("ea"))
     val b = banded.select(col("vec_id").as("dst"), col("band"), col("bv"),
@@ -597,8 +605,27 @@ object SimQueries {
 
   // ---- DuckDB oracles ------------------------------------------------
 
-  private def duckDot(a: String, b: String): String =
+  private[queries] def duckDot(a: String, b: String): String =
     s"list_sum(list_transform(generate_series(1, 64), i -> ($a)[i]::DOUBLE * ($b)[i]::DOUBLE))"
+
+  /** SQL mirror of [[DedupQueries.lshPlanesPerBand]] as the `prm(p)`
+    * CTE, and of [[explodeBands]] as the `banded` CTE — shared by every
+    * banded-LSH oracle (dd_embed_neardup_lsh, dd_semdedup,
+    * sim_knn_graph) so the integer ladder and bv extraction cannot
+    * drift between them or from the Spark side.
+    */
+  private[queries] val duckPrmLadder: String =
+    """prm AS (
+      |  SELECT 3 + (count(*) > 1000)::INT + (count(*) > 2000)::INT
+      |           + (count(*) > 4000)::INT + (count(*) > 8000)::INT
+      |           + (count(*) > 16000)::INT AS p
+      |  FROM embeddings)""".stripMargin
+
+  private[queries] def duckBanded(from: String, cols: String): String =
+    s"""banded AS (
+      |  SELECT $cols, band,
+      |    (sig >> (prm.p * band)) & ((1 << prm.p) - 1) AS bv
+      |  FROM $from, (SELECT unnest([0, 1]) AS band) bands, prm)""".stripMargin
 
   private def duckPlaneLit(j: Int): String = planes(j).mkString("[", ", ", "]")
 
@@ -842,19 +869,12 @@ object SimQueries {
         |  FROM scored)
         |WHERE rank <= $LshTopK""".stripMargin,
     "sim_knn_graph" ->
-      s"""WITH prm AS (
-        |  SELECT 3 + (count(*) > 1000)::INT + (count(*) > 2000)::INT
-        |           + (count(*) > 4000)::INT + (count(*) > 8000)::INT
-        |           + (count(*) > 16000)::INT AS p
-        |  FROM embeddings),
+      s"""WITH $duckPrmLadder,
         |n AS (
         |  SELECT vec_id, embedding, ${duckDot("embedding", "embedding")} AS nrm,
         |    (${duckSigBits(16)}) AS sig
         |  FROM embeddings),
-        |banded AS (
-        |  SELECT vec_id, embedding, nrm, band,
-        |    (sig >> (prm.p * band)) & ((1 << prm.p) - 1) AS bv
-        |  FROM n, (SELECT unnest([0, 1]) AS band) bands, prm),
+        |${duckBanded("n", "vec_id, embedding, nrm")},
         |pairs AS (
         |  SELECT a.vec_id AS src, b.vec_id AS dst,
         |    (${duckDot("a.embedding", "b.embedding")}) AS dot, b.nrm AS nb

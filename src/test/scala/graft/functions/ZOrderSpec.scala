@@ -51,18 +51,32 @@ class ZOrderSpec extends AnyFunSuite {
 
   test("expression agrees with the model on codegen and interpreted paths") {
     val rows = samples(Gen.zip(Gen.chooseNum(0L, 70000L), Gen.chooseNum(0L, 70000L)), 200)
-    val df = rows.toDF("x", "y")
-      .select(col("x"), col("y"), ZInterleave16.zinterleave16(col("x"), col("y")).as("z"))
-    val got = df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // RDD-backed frame: a LocalRelation would be constant-folded by
+    // ConvertToLocalRelation (interpreted eval at OPTIMIZE time), so
+    // neither branch below would exercise the expression's runtime path.
+    // Rebuild the frame AFTER each conf flip — QueryExecution caches its
+    // executedPlan, so re-collecting one Dataset never re-plans.
+    def run(): Map[(Long, Long), Long] =
+      spark.createDataFrame(
+          spark.sparkContext.parallelize(rows.map { case (x, y) => org.apache.spark.sql.Row(x, y) }, 2),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("x", org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("y", org.apache.spark.sql.types.LongType))))
+        .select(col("x"), col("y"), ZInterleave16.zinterleave16(col("x"), col("y")).as("z"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val got = run() // codegen path (wholeStage on)
     rows.foreach { case (x, y) =>
       assert(got((x, y)) == ZOrderUtil.interleave16(x, y))
     }
-    // interpreted path (no codegen): eval through a local relation filter
+    // wholeStage=false alone still codegens via UnsafeProjection;
+    // NO_CODEGEN forces InterpretedUnsafeProjection -> nullSafeEval
     spark.conf.set("spark.sql.codegen.wholeStage", "false")
-    try {
-      val interp = df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
-      assert(interp == got)
-    } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try assert(run() == got) // interpreted path, freshly planned
+    finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
   }
 
   test("type check rejects non-bigint inputs") {
