@@ -54,7 +54,11 @@ object GraphQueries {
         .select(concat(lit("S"), col("l_suppkey")).as("src"),
           concat(lit("C"), col("o_custkey")).as("dst"))
         .distinct()
+      // persisted hash-partitioned on src: every round's rank⋈edges
+      // join then satisfies ENSURE_REQUIREMENTS from the cache — only
+      // the (tiny) rank frame moves per round, never the edge table
       e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+        .repartition(col("src"))
     }
 
   /** g_pagerank — damped PageRank (d = 0.85, [[PrIters]] rounds) over
