@@ -155,7 +155,9 @@ object Plans {
     "ta_fluency_outliers" ->
       "per-source bottom-K via WindowGroupLimit: a K-row heap per task BEFORE the source exchange, so the shuffle carries at most K×tasks×sources rows — never a corpus sort; the scored frame reuses the shared cached bigram stream",
     "sim_knn_graph" ->
-      "banded-LSH bucket equi-join generates candidates (planes ladder pins occupancy); the both-bands dedup aggregates (src, dst, score) triples — embeddings never re-shuffle — and the per-source top-k plans WindowGroupLimit")
+      "banded-LSH bucket equi-join generates candidates (planes ladder pins occupancy); the both-bands dedup aggregates (src, dst, score) triples — embeddings never re-shuffle — and the per-source top-k plans WindowGroupLimit",
+    "g_jaccard_sim" ->
+      "co-occurrence explosion contained: pair counts partial-aggregate map-side on the customer self-join, degree joins ride tiny frames, the micro-Jaccard is one integer division, and rank ≤ k plans WindowGroupLimit")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -113,6 +113,47 @@ object GraphQueries {
     fin.select(col("node"), col("rank").as("rank_ppb"))
   }
 
+  /** Per-node neighbor count for [[gJaccardSim]]'s top-k. */
+  val JaccTopK = 5
+
+  /** g_jaccard_sim — common-neighbor Jaccard similarity between
+    * suppliers: the item-item collaborative-filtering shape ("suppliers
+    * whose customer sets overlap"), the graph-side twin of the MinHash
+    * document Jaccard. For every supplier pair sharing ≥ 1 customer:
+    * J = |common| / (d₁ + d₂ − |common|), kept as INTEGER micro-units
+    * (`(10⁶·common) div union` — one integer division, bit-exact in any
+    * engine), ranked per supplier with a neighbor tie-break, top
+    * [[JaccTopK]] reported.
+    *
+    * Scale: pair generation is the edges self-join on the shared
+    * customer — Σ_c deg(c)² intermediate rows, the classic co-occurrence
+    * explosion. It is the right EXACT shape when one side is a bounded
+    * catalog (suppliers here; items in a recommender). The knobs when
+    * it is not: AQE skew-join on hub customers, a hub-degree cap, or
+    * swapping the exact pass for the MinHash signature machinery this
+    * library already has ([[DedupQueries]]) over neighbor SETS. The
+    * rank ≤ k filter plans WindowGroupLimit — a k-row heap per task.
+    */
+  def gJaccardSim: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val e = FrameCache.cached(s, s"g_sup_edges:$dir")(
+      tradeEdges(s, dir).filter(col("src").startsWith("S")))
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
+    val common = e.select(col("src").as("s1"), col("dst"))
+      .join(e.select(col("src").as("s2"), col("dst")), Seq("dst"))
+      .filter(col("s1") =!= col("s2"))
+      .groupBy(col("s1"), col("s2")).agg(count(lit(1)).as("common"))
+    val j = common
+      .join(deg.select(col("src").as("s1"), col("d").as("d1")), Seq("s1"))
+      .join(deg.select(col("src").as("s2"), col("d").as("d2")), Seq("s2"))
+      .withColumn("jaccard_micro", expr("(1000000 * common) div (d1 + d2 - common)"))
+    val w = Window.partitionBy(col("s1")).orderBy(col("jaccard_micro").desc, col("s2").asc)
+    j.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= JaccTopK)
+      .select(col("s1").as("supplier"), col("s2").as("neighbor"),
+        col("common"), col("jaccard_micro"), col("rank"))
+  }
+
   /** g_degree_stats — degree distribution of the trade graph in one
     * aggregation pass: nodes per (side, degree) bucket. The companion
     * sanity report for [[gPagerank]] (rank concentration tracks degree
@@ -126,6 +167,7 @@ object GraphQueries {
 
   val queries: Map[String, Q] = Map(
     "g_pagerank" -> gPagerank,
+    "g_jaccard_sim" -> gJaccardSim,
     "g_degree_stats" -> gDegreeStats)
 
   // ---- DuckDB oracles ------------------------------------------------
@@ -162,6 +204,23 @@ object GraphQueries {
         |${rounds.mkString(",\n")}
         |SELECT node, rank AS rank_ppb FROM r$PrIters""".stripMargin
     },
+    "g_jaccard_sim" ->
+      s"""WITH e0 AS (
+        |  SELECT DISTINCT 'S' || l_suppkey AS src, 'C' || o_custkey AS dst
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |dg AS (SELECT src, count(*) AS d FROM e0 GROUP BY src),
+        |cm AS (
+        |  SELECT a.src AS s1, b.src AS s2, count(*) AS common
+        |  FROM e0 a JOIN e0 b ON a.dst = b.dst AND a.src <> b.src
+        |  GROUP BY 1, 2),
+        |j AS (
+        |  SELECT cm.s1 AS supplier, cm.s2 AS neighbor, cm.common,
+        |    (1000000 * cm.common) // (d1.d + d2.d - cm.common) AS jaccard_micro
+        |  FROM cm JOIN dg d1 ON cm.s1 = d1.src JOIN dg d2 ON cm.s2 = d2.src)
+        |SELECT supplier, neighbor, common, jaccard_micro, rank FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY supplier
+        |    ORDER BY jaccard_micro DESC, neighbor) AS rank FROM j)
+        |WHERE rank <= $JaccTopK""".stripMargin,
     "g_degree_stats" ->
       s"""WITH $duckEdges
         |SELECT substr(node, 1, 1) AS side, outdeg AS degree,

@@ -56,6 +56,31 @@ class GraphQueriesSpec extends AnyFunSuite {
     assert(got == refPagerank(star))
   }
 
+  test("g_jaccard_sim matches a driver-side set recomputation exactly") {
+    import graft.SparkTestBase.sf001
+    val edges = GraphQueries.tradeEdges(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .filter(_._1.startsWith("S"))
+    val nbrs: Map[String, Set[String]] =
+      edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._2).toSet }
+    val expect = nbrs.keys.flatMap { s1 =>
+      nbrs.keys.filter(_ != s1).flatMap { s2 =>
+        val c = nbrs(s1).intersect(nbrs(s2)).size.toLong
+        if (c == 0) None
+        else Some((s1, s2, c,
+          1000000L * c / (nbrs(s1).size + nbrs(s2).size - c)))
+      }.toSeq
+        .sortBy { case (_, s2, _, jm) => (-jm, s2) }
+        .take(GraphQueries.JaccTopK)
+        .zipWithIndex.map { case ((a, b, c, jm), i) => (a, b, c, jm, i + 1) }
+    }.toSet
+    val got = GraphQueries.gJaccardSim(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getInt(4)))
+      .toSet
+    assert(got == expect)
+    assert(got.nonEmpty)
+  }
+
   test("trade-graph face: symmetric edges, mass ~conserved, one row per node") {
     import graft.SparkTestBase.sf001
     val pr = GraphQueries.gPagerank(spark, sf001).collect()
