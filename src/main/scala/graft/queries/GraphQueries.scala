@@ -113,44 +113,58 @@ object GraphQueries {
     fin.select(col("node"), col("rank").as("rank_ppb"))
   }
 
-  /** Per-node neighbor count for [[gJaccardSim]]'s top-k. */
+  /** Per-node neighbor count for [[gJaccardSim]]'s top-k, and the pilot
+    * cohort (suppkey < [[JaccPilot]]) similarity is computed FOR — the
+    * sim_lsh_topk / j9 pattern: the query side is a bounded cohort, the
+    * candidate side is the whole catalog.
+    */
   val JaccTopK = 5
+  val JaccPilot = 100
 
-  /** g_jaccard_sim — common-neighbor Jaccard similarity between
-    * suppliers: the item-item collaborative-filtering shape ("suppliers
-    * whose customer sets overlap"), the graph-side twin of the MinHash
-    * document Jaccard. For every supplier pair sharing ≥ 1 customer:
-    * J = |common| / (d₁ + d₂ − |common|), kept as INTEGER micro-units
-    * (`(10⁶·common) div union` — one integer division, bit-exact in any
-    * engine), ranked per supplier with a neighbor tie-break, top
-    * [[JaccTopK]] reported.
+  /** g_jaccard_sim — common-neighbor Jaccard similarity: for each
+    * supplier in the pilot cohort, the [[JaccTopK]] suppliers (from the
+    * WHOLE catalog) whose customer sets overlap it most — the item-item
+    * collaborative-filtering shape, the graph-side twin of the MinHash
+    * document Jaccard. J = |common| / (d₁ + d₂ − |common|) with TRUE
+    * (unpiloted) degrees, kept as INTEGER micro-units (`(10⁶·common)
+    * div union` — one integer division, bit-exact in any engine),
+    * ranked per pilot supplier with a neighbor tie-break.
     *
-    * Scale: pair generation is the edges self-join on the shared
-    * customer — Σ_c deg(c)² intermediate rows, the classic co-occurrence
-    * explosion. It is the right EXACT shape when one side is a bounded
-    * catalog (suppliers here; items in a recommender). The knobs when
-    * it is not: AQE skew-join on hub customers, a hub-degree cap, or
-    * swapping the exact pass for the MinHash signature machinery this
-    * library already has ([[DedupQueries]]) over neighbor SETS. The
-    * rank ≤ k filter plans WindowGroupLimit — a k-row heap per task.
+    * Scale: co-occurrence pair generation is the self-join on the
+    * shared customer. UNPILOTED it is the classic explosion — the
+    * intermediate is Σ_c deg(c)² (linear in data) but the aggregation
+    * KEY SPACE is all supplier pairs, which grows with catalog² and
+    * measured 22× wall at 10× data. Piloting one side bounds both:
+    * Σ_c degP(c)·deg(c) intermediate rows and ≤ pilot×catalog keys —
+    * linear in data at fixed pilot, the same contract as the ANN
+    * query families. For ALL-pairs similarity at catalog scale the
+    * library's MinHash-LSH machinery over neighbor sets is the path
+    * ([[DedupQueries]]), not this exact form. The rank ≤ k filter
+    * plans WindowGroupLimit; keys stay INT until the output prefix.
     */
   def gJaccardSim: Q = (s, dir) => {
     import org.apache.spark.sql.expressions.Window
-    val e = FrameCache.cached(s, s"g_sup_edges:$dir")(
-      tradeEdges(s, dir).filter(col("src").startsWith("S")))
-    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
-    val common = e.select(col("src").as("s1"), col("dst"))
-      .join(e.select(col("src").as("s2"), col("dst")), Seq("dst"))
+    val e = FrameCache.cached(s, s"g_sup_edges_int:$dir")(
+      Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
+        .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_suppkey").as("sk"), col("o_custkey").as("ck"))
+        .distinct())
+    val deg = e.groupBy(col("sk")).agg(count(lit(1)).as("d"))
+    val common = e.filter(col("sk") < JaccPilot)
+      .select(col("sk").as("s1"), col("ck"))
+      .join(e.select(col("sk").as("s2"), col("ck")), Seq("ck"))
       .filter(col("s1") =!= col("s2"))
       .groupBy(col("s1"), col("s2")).agg(count(lit(1)).as("common"))
     val j = common
-      .join(deg.select(col("src").as("s1"), col("d").as("d1")), Seq("s1"))
-      .join(deg.select(col("src").as("s2"), col("d").as("d2")), Seq("s2"))
+      .join(deg.select(col("sk").as("s1"), col("d").as("d1")), Seq("s1"))
+      .join(deg.select(col("sk").as("s2"), col("d").as("d2")), Seq("s2"))
       .withColumn("jaccard_micro", expr("(1000000 * common) div (d1 + d2 - common)"))
     val w = Window.partitionBy(col("s1")).orderBy(col("jaccard_micro").desc, col("s2").asc)
     j.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= JaccTopK)
-      .select(col("s1").as("supplier"), col("s2").as("neighbor"),
+      .select(concat(lit("S"), col("s1")).as("supplier"),
+        concat(lit("S"), col("s2")).as("neighbor"),
         col("common"), col("jaccard_micro"), col("rank"))
   }
 
@@ -206,20 +220,22 @@ object GraphQueries {
     },
     "g_jaccard_sim" ->
       s"""WITH e0 AS (
-        |  SELECT DISTINCT 'S' || l_suppkey AS src, 'C' || o_custkey AS dst
+        |  SELECT DISTINCT l_suppkey AS sk, o_custkey AS ck
         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-        |dg AS (SELECT src, count(*) AS d FROM e0 GROUP BY src),
+        |dg AS (SELECT sk, count(*) AS d FROM e0 GROUP BY sk),
         |cm AS (
-        |  SELECT a.src AS s1, b.src AS s2, count(*) AS common
-        |  FROM e0 a JOIN e0 b ON a.dst = b.dst AND a.src <> b.src
+        |  SELECT a.sk AS s1, b.sk AS s2, count(*) AS common
+        |  FROM e0 a JOIN e0 b ON a.ck = b.ck AND a.sk <> b.sk
+        |  WHERE a.sk < $JaccPilot
         |  GROUP BY 1, 2),
         |j AS (
-        |  SELECT cm.s1 AS supplier, cm.s2 AS neighbor, cm.common,
+        |  SELECT cm.s1, cm.s2, cm.common,
         |    (1000000 * cm.common) // (d1.d + d2.d - cm.common) AS jaccard_micro
-        |  FROM cm JOIN dg d1 ON cm.s1 = d1.src JOIN dg d2 ON cm.s2 = d2.src)
-        |SELECT supplier, neighbor, common, jaccard_micro, rank FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY supplier
-        |    ORDER BY jaccard_micro DESC, neighbor) AS rank FROM j)
+        |  FROM cm JOIN dg d1 ON cm.s1 = d1.sk JOIN dg d2 ON cm.s2 = d2.sk)
+        |SELECT 'S' || s1 AS supplier, 'S' || s2 AS neighbor,
+        |  common, jaccard_micro, rank FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY s1
+        |    ORDER BY jaccard_micro DESC, s2) AS rank FROM j)
         |WHERE rank <= $JaccTopK""".stripMargin,
     "g_degree_stats" ->
       s"""WITH $duckEdges

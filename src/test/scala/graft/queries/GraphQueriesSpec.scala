@@ -57,13 +57,16 @@ class GraphQueriesSpec extends AnyFunSuite {
   }
 
   test("g_jaccard_sim matches a driver-side set recomputation exactly") {
+    import org.apache.spark.sql.functions.col
     import graft.SparkTestBase.sf001
-    val edges = GraphQueries.tradeEdges(spark, sf001).collect()
-      .map(r => (r.getString(0), r.getString(1)))
-      .filter(_._1.startsWith("S"))
-    val nbrs: Map[String, Set[String]] =
+    val li = graft.Tables.lineitem(spark, sf001).select("l_orderkey", "l_suppkey")
+    val ord = graft.Tables.orders(spark, sf001).select("o_orderkey", "o_custkey")
+    val edges = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_suppkey"), col("o_custkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nbrs: Map[Long, Set[Long]] =
       edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._2).toSet }
-    val expect = nbrs.keys.flatMap { s1 =>
+    val expect = nbrs.keys.filter(_ < GraphQueries.JaccPilot).flatMap { s1 =>
       nbrs.keys.filter(_ != s1).flatMap { s2 =>
         val c = nbrs(s1).intersect(nbrs(s2)).size.toLong
         if (c == 0) None
@@ -72,7 +75,7 @@ class GraphQueriesSpec extends AnyFunSuite {
       }.toSeq
         .sortBy { case (_, s2, _, jm) => (-jm, s2) }
         .take(GraphQueries.JaccTopK)
-        .zipWithIndex.map { case ((a, b, c, jm), i) => (a, b, c, jm, i + 1) }
+        .zipWithIndex.map { case ((a, b, c, jm), i) => (s"S$a", s"S$b", c, jm, i + 1) }
     }.toSet
     val got = GraphQueries.gJaccardSim(spark, sf001).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getInt(4)))
