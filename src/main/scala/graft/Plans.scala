@@ -157,7 +157,13 @@ object Plans {
     "sim_knn_graph" ->
       "banded-LSH bucket equi-join generates candidates (planes ladder pins occupancy); the both-bands dedup aggregates (src, dst, score) triples — embeddings never re-shuffle — and the per-source top-k plans WindowGroupLimit",
     "g_jaccard_sim" ->
-      "co-occurrence explosion contained: pair counts partial-aggregate map-side on the customer self-join, degree joins ride tiny frames, the micro-Jaccard is one integer division, and rank ≤ k plans WindowGroupLimit")
+      "pilot-cohort explosion control: the query side is the bounded pilot, the candidate side the whole catalog — pair keys ≤ pilot×catalog, never catalog²; degrees stay TRUE (unpiloted), keys stay INT until the output prefix, rank ≤ k plans WindowGroupLimit",
+    "g_khop" ->
+      "frontier BFS: each round joins only the CURRENT (shrinking, checkpointed) frontier against the src-partitioned cached edge table — visited never re-expands; the anti-join keeps dist minimal; rounds are a fixed constant so lineage is O(1) per round",
+    "ev_gapfill" ->
+      "one exchange, zero joins: hourly aggregate, lead window, and gap generation share the single user_id repartition; each observed row EMITS its gap range via sequence/explode carrying its sum, so the forward fill is by construction — no grid join, no second window, no second scan",
+    "ta_ngram_novelty" ->
+      "the exploded distinct-gram stream is repartitioned ONCE by gram and persisted; first-seen min(doc_id) aggregates on that partitioning exchange-free and the join back is co-partitioned — only added shuffle is the per-document rollup; gram volume ≈ token volume, linear in corpus")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -744,8 +744,11 @@ object DedupQueries {
   private def duckHash(seed: Int, v: String) =
     s"('0x' || substr(md5('$seed' || ':' || $v), 1, 15))::BIGINT"
 
-  /** Shared CTEs: tokens and shingles per doc. */
-  private val duckShingles =
+  /** Shared CTEs: tokens and shingles per doc (also read by
+    * [[TextQueries]]'s novelty oracle so gram semantics can never
+    * drift between the dedup and text families).
+    */
+  private[queries] val duckShingles =
     """WITH docs AS (
       |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
       |  FROM documents),

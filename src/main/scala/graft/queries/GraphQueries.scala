@@ -168,6 +168,47 @@ object GraphQueries {
         col("common"), col("jaccard_micro"), col("rank"))
   }
 
+  /** BFS depth bound and seed-cohort cutoff for [[gKhop]]. */
+  val KhopRounds = 4
+  val KhopSeedMax = 10L
+
+  /** g_khop — k-hop BFS distance from a seed cohort (suppliers with
+    * suppkey < [[KhopSeedMax]]) over the symmetrized trade graph, up to
+    * [[KhopRounds]] hops: the "link distance from trusted seed domains"
+    * signal a web-curation pipeline mixes into its source-quality score.
+    * Output is (node, dist) for every node reached, dist = exact
+    * minimum hop count (integers end to end — nothing to drift).
+    *
+    * Scale: textbook frontier BFS — each round joins the CURRENT
+    * frontier (shrinking; never the visited set) against the cached
+    * edge table, which is persisted hash-partitioned on `src`
+    * ([[tradeEdges]]), so every round's expansion satisfies
+    * ENSURE_REQUIREMENTS from the cache and only frontier rows move.
+    * Rounds are a fixed constant; each round's frontier is
+    * localCheckpoint'ed so the plan stays O(1) per round (the
+    * dd_cluster pattern) instead of re-deriving all prior frontiers —
+    * at cluster scale those per-round frontier frames are exactly what
+    * you'd persist. The anti-join keeps dist = first-visit minimal.
+    */
+  def gKhop: Q = (s, dir) => {
+    val edges = tradeEdges(s, dir)
+    val seeds = tradeDeg(s, dir)
+      .filter(col("node").startsWith("S") &&
+        substring(col("node"), 2, 18).cast("long") < KhopSeedMax)
+      .select(col("node"))
+    val init = seeds.withColumn("dist", lit(0)).localCheckpoint()
+    val (visited, _) = (1 to KhopRounds).foldLeft((init, init.select(col("node")))) {
+      case ((vis, frontier), i) =>
+        val next = frontier.join(edges, frontier("node") === edges("src"))
+          .select(col("dst").as("node")).distinct()
+          .join(vis, Seq("node"), "left_anti")
+          .withColumn("dist", lit(i))
+          .localCheckpoint()
+        (vis.union(next), next.select(col("node")))
+    }
+    visited
+  }
+
   /** g_degree_stats — degree distribution of the trade graph in one
     * aggregation pass: nodes per (side, degree) bucket. The companion
     * sanity report for [[gPagerank]] (rank concentration tracks degree
@@ -182,6 +223,7 @@ object GraphQueries {
   val queries: Map[String, Q] = Map(
     "g_pagerank" -> gPagerank,
     "g_jaccard_sim" -> gJaccardSim,
+    "g_khop" -> gKhop,
     "g_degree_stats" -> gDegreeStats)
 
   // ---- DuckDB oracles ------------------------------------------------
@@ -237,6 +279,22 @@ object GraphQueries {
         |  SELECT *, row_number() OVER (PARTITION BY s1
         |    ORDER BY jaccard_micro DESC, s2) AS rank FROM j)
         |WHERE rank <= $JaccTopK""".stripMargin,
+    "g_khop" -> {
+      val rounds = (1 to KhopRounds).map { i =>
+        s"""n$i AS (
+          |  SELECT DISTINCT e.dst AS node
+          |  FROM v${i - 1} v JOIN edges e ON v.node = e.src
+          |  WHERE v.dist = ${i - 1}),
+          |d$i AS (SELECT node, $i AS dist FROM n$i
+          |        WHERE node NOT IN (SELECT node FROM v${i - 1})),
+          |v$i AS (SELECT * FROM v${i - 1} UNION ALL SELECT * FROM d$i)""".stripMargin
+      }
+      s"""WITH $duckEdges,
+        |v0 AS (SELECT node, 0 AS dist FROM deg
+        |       WHERE node LIKE 'S%' AND substr(node, 2)::BIGINT < $KhopSeedMax),
+        |${rounds.mkString(",\n")}
+        |SELECT node, dist FROM v$KhopRounds""".stripMargin
+    },
     "g_degree_stats" ->
       s"""WITH $duckEdges
         |SELECT substr(node, 1, 1) AS side, outdeg AS degree,

@@ -25,6 +25,52 @@ object StreamQueries {
       .select(col("window.start").as("w_start"), col("event_type"),
         col("n"), col("sum_value").cast("double").as("sum_value"))
 
+  /** ev_gapfill — time-series gap fill + forward fill: each user's
+    * hourly activity densified to a contiguous hourly grid between
+    * their first and last active hour, missing hours as explicit rows
+    * with n = 0 carrying the last observed hourly revenue forward.
+    * The canonical prep step before per-entity time-series modeling.
+    * Sums ride DECIMAL(18,2) until the final double cast so the fill
+    * value is engine-exact.
+    *
+    * Scale: ONE shuffle, NO join. Each observed hourly row generates
+    * the buckets from itself up to (exclusive) the user's next
+    * observed hour — `lead` + `sequence`/`explode` — so every gap row
+    * is born WITH its carried value and the forward fill needs no
+    * grid⋈observed join and no second window. The naive
+    * grid/left-join/`last(ignoreNulls)` form costs a second scan (or
+    * a cache) of the observed table plus a join; here the hourly
+    * aggregate, the lead window, and the gap generation all share the
+    * single up-front `repartition(user_id)`. Generated volume is
+    * users × hours-in-range — linear for a fixed retention window.
+    * PlanChecksSpec pins the one-Exchange, zero-Join shape.
+    */
+  def evGapfill: Q = (s, dir) => gapfillHourly(Tables.events(s, dir))
+
+  /** The gap-fill core over any (user_id, ts, value) frame — split out so
+    * the spec can drive constructed timelines; see [[evGapfill]].
+    */
+  private[graft] def gapfillHourly(events: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("bucket"))
+    events
+      .select(col("user_id"), date_trunc("hour", col("ts")).as("bucket"),
+        col("value"))
+      .repartition(col("user_id"))
+      .groupBy(col("user_id"), col("bucket"))
+      .agg(count(lit(1)).as("n_obs"),
+        sum(col("value").cast("decimal(18,2)")).as("sum_value"))
+      .withColumn("nxt", lead(col("bucket"), 1).over(w))
+      .select(col("user_id"), col("bucket"), col("n_obs"), col("sum_value"),
+        explode(expr(
+          "sequence(bucket, coalesce(nxt - interval 1 hour, bucket), interval 1 hour)"))
+          .as("w_start"))
+      .select(col("user_id"), col("w_start"),
+        when(col("w_start") === col("bucket"), col("n_obs"))
+          .otherwise(lit(0L)).as("n"),
+        col("sum_value").cast("double").as("filled_value"))
+  }
+
   /** ev_sliding — 1-hour windows sliding every 30 minutes. */
   def evSliding: Q = (s, dir) =>
     EventStreams.slidingCounts(Tables.events(s, dir))
@@ -290,6 +336,7 @@ object StreamQueries {
     "ev_enrich" -> evEnrich,
     "ev_window_topk" -> evWindowTopk,
     "ev_tumbling" -> evTumbling,
+    "ev_gapfill" -> evGapfill,
     "ev_sliding" -> evSliding,
     "ev_session" -> evSession,
     "ev_json" -> evJson,
@@ -354,6 +401,24 @@ object StreamQueries {
       """SELECT time_bucket(INTERVAL 1 HOUR, ts) AS w_start, event_type,
         | count(*) AS n, sum(value::DECIMAL(18,2))::DOUBLE AS sum_value
         | FROM events GROUP BY 1, 2""".stripMargin,
+    "ev_gapfill" ->
+      """WITH hourly AS (
+        |  SELECT user_id, date_trunc('hour', ts) AS bucket,
+        |    count(*)::BIGINT AS n, sum(value::DECIMAL(18,2)) AS sum_value
+        |  FROM events GROUP BY 1, 2),
+        |spans AS (
+        |  SELECT user_id, min(bucket) AS lo, max(bucket) AS hi
+        |  FROM hourly GROUP BY 1),
+        |grid AS (
+        |  SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+        |  FROM spans)
+        |SELECT g.user_id, g.bucket AS w_start,
+        |  coalesce(h.n, 0) AS n,
+        |  (last_value(h.sum_value IGNORE NULLS) OVER (
+        |    PARTITION BY g.user_id ORDER BY g.bucket
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::DOUBLE AS filled_value
+        |FROM grid g LEFT JOIN hourly h
+        |  ON g.user_id = h.user_id AND g.bucket = h.bucket""".stripMargin,
     "ev_sliding" ->
       """SELECT w_start, event_type, count(*) AS n FROM (
         |  SELECT unnest([time_bucket(INTERVAL 30 MINUTE, ts),

@@ -117,6 +117,48 @@ object TextQueries {
       .select(col("doc_id"), explode(TextExprs.winnowFingerprints(norm)).as("fp"))
   }
 
+  /** ta_ngram_novelty — per-document n-gram novelty: of each document's
+    * distinct 3-token shingles, how many are FIRST seen in this document
+    * (corpus order = doc_id)? A low-novelty document is boilerplate /
+    * near-memorized content — the repetition-across-the-corpus twin of
+    * [[taRepetition]]'s within-document signal, and a standard
+    * training-data curation score (documents contributing no new n-grams
+    * get down-weighted). Shingle semantics are the dedup family's
+    * ([[DedupQueries.shingledFrame]]) on BOTH engine sides, so "gram"
+    * means the same thing to the near-dup detector and this score.
+    * Output: (doc_id, n_grams, n_novel, novelty_micro) with the ratio in
+    * integer micro-units (`(10⁶·n_novel) div n_grams` — bit-exact).
+    *
+    * Scale: the exploded gram stream is repartitioned ONCE by gram and
+    * persisted (FrameCache); the first-seen aggregate groups on that
+    * partitioning exchange-free and the gram⋈first-seen join is
+    * co-partitioned with it, so the only additional shuffle is the final
+    * per-document rollup. Gram volume ≈ token volume — linear in corpus.
+    */
+  def taNgramNovelty: Q = (s, dir) =>
+    noveltyOf(FrameCache.cached(s, s"ta_grams_stream:$dir")(
+      gramStream(Tables.documents(s, dir)).repartition(col("gram"))))
+
+  /** The exploded distinct (doc_id, gram) stream of a (doc_id, text)
+    * frame, gram = the dedup family's 3-token shingle.
+    */
+  private[graft] def gramStream(docs: DataFrame): DataFrame =
+    DedupQueries.shingledFrame(docs)
+      .select(col("doc_id"), explode(array_distinct(col("shingles"))).as("gram"))
+
+  /** The novelty rollup over a distinct (doc_id, gram) stream — split
+    * out so the spec can drive constructed corpora; see
+    * [[taNgramNovelty]].
+    */
+  private[graft] def noveltyOf(grams: DataFrame): DataFrame = {
+    val first = grams.groupBy(col("gram")).agg(min(col("doc_id")).as("first_doc"))
+    grams.join(first, Seq("gram"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty_micro", expr("(1000000 * n_novel) div n_grams"))
+  }
+
   /** ta_profile — the "describe my corpus" scan: doc/lang counts, exact
     * length extremes/sums, and length percentiles, in ONE aggregate pass
     * (map-side partial aggregation, one exchange). Percentiles round to 6
@@ -1102,6 +1144,7 @@ object TextQueries {
     "ta_quality" -> taQuality,
     "ta_fingerprint" -> taFingerprint,
     "ta_winnow" -> taWinnow,
+    "ta_ngram_novelty" -> taNgramNovelty,
     "ta_profile" -> taProfile,
     "ta_vocab" -> taVocab,
     "ta_repetition" -> taRepetition,
@@ -1526,6 +1569,16 @@ object TextQueries {
         |    END AS fps
         |  FROM g)
         |SELECT DISTINCT doc_id, fp FROM (SELECT doc_id, unnest(fps) AS fp FROM f)""".stripMargin,
+    "ta_ngram_novelty" ->
+      s"""${DedupQueries.duckShingles},
+        |g AS (SELECT doc_id, unnest(list_distinct(shingles)) AS gram FROM sh),
+        |fs AS (SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY gram)
+        |SELECT g.doc_id, count(*)::BIGINT AS n_grams,
+        |  sum(CASE WHEN fs.first_doc = g.doc_id THEN 1 ELSE 0 END)::BIGINT AS n_novel,
+        |  (1000000 * sum(CASE WHEN fs.first_doc = g.doc_id THEN 1 ELSE 0 END)::BIGINT)
+        |    // count(*) AS novelty_micro
+        |FROM g JOIN fs ON g.gram = fs.gram
+        |GROUP BY g.doc_id""".stripMargin,
     "td_clean_corpus" ->
       s"""WITH scored AS (
         |  SELECT doc_id, lang, text,

@@ -699,4 +699,75 @@ class CorpusOpsSpec extends AnyFunSuite {
       assert(rows.map(_._4).sorted.toSeq == (1L to rows.length).toSeq, src)
     }
   }
+
+  // ---- ev_gapfill -----------------------------------------------------
+
+  test("ev_gapfill densifies the hour grid and forward-fills the last sum") {
+    import java.sql.Timestamp
+    val ev = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 00:10:00"), 1.50),
+      (1L, Timestamp.valueOf("2024-01-01 00:40:00"), 2.25),
+      (1L, Timestamp.valueOf("2024-01-01 03:05:00"), 4.00),
+      (2L, Timestamp.valueOf("2024-01-01 02:00:00"), 9.99))
+      .toDF("user_id", "ts", "value")
+    val got = StreamQueries.gapfillHourly(ev).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getLong(2),
+        r.getDouble(3))).toSet
+    // hours 1 and 2 are gaps for user 1: n = 0, hour-0 revenue carried
+    assert(got == Set(
+      (1L, "2024-01-01 00:00:00.0", 2L, 3.75),
+      (1L, "2024-01-01 01:00:00.0", 0L, 3.75),
+      (1L, "2024-01-01 02:00:00.0", 0L, 3.75),
+      (1L, "2024-01-01 03:00:00.0", 1L, 4.00),
+      (2L, "2024-01-01 02:00:00.0", 1L, 9.99)))
+  }
+
+  test("ev_gapfill on the corpus: contiguous per-user grids, fills conserve sums") {
+    val rows = StreamQueries.evGapfill(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2)))
+    val byUser = rows.groupBy(_._1)
+    byUser.foreach { case (u, rs) =>
+      val hours = rs.map(_._2).sorted
+      assert(hours.zip(hours.tail).forall { case (a, b) => b - a == 3600000L },
+        s"user $u grid must be contiguous hourly")
+      assert(rs.head._1 == u)
+    }
+    // observed event count is conserved through the densify
+    val total = rows.map(_._3).sum
+    val nEvents = graft.Tables.events(spark, sf001).count()
+    assert(total == nEvents, "sum of per-bucket n equals the event count")
+  }
+
+  // ---- ta_ngram_novelty ----------------------------------------------
+
+  test("ta_ngram_novelty counts first-seen shingles per document") {
+    val docs = Seq(
+      (0L, "a b c d"), // grams "a b c","b c d": both first here
+      (1L, "a b c x"), // "a b c" seen in doc 0, "b c x" novel
+      (2L, "a b c d"), // both grams seen
+      (3L, "x y")) //     short doc: single whole-text gram, novel
+      .toDF("doc_id", "text")
+    val got = TextQueries.noveltyOf(TextQueries.gramStream(docs)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == Set(
+      (0L, 2L, 2L, 1000000L),
+      (1L, 2L, 1L, 500000L),
+      (2L, 2L, 0L, 0L),
+      (3L, 1L, 1L, 1000000L)))
+  }
+
+  test("ta_ngram_novelty on the corpus: doc 0 fully novel, novel grams partition") {
+    val got = TextQueries.taNgramNovelty(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val byDoc = got.map(r => r._1 -> r).toMap
+    assert(byDoc(0L)._4 == 1000000L, "the first document is all-novel by definition")
+    assert(got.forall { case (_, g, n, m) =>
+      n <= g && m == 1000000L * n / g
+    })
+    // every distinct gram is novel in exactly one doc: sums must agree
+    val totalNovel = got.map(_._3).sum
+    val distinctGrams = TextQueries.gramStream(
+      graft.Tables.documents(spark, sf001)).select("gram").distinct().count()
+    assert(totalNovel == distinctGrams)
+  }
 }

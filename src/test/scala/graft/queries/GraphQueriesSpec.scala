@@ -84,6 +84,27 @@ class GraphQueriesSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("g_khop distances equal a driver-side BFS over the trade graph") {
+    import graft.SparkTestBase.sf001
+    val edges = GraphQueries.tradeEdges(spark, sf001)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val adj = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._2).toSet }
+    val seeds = adj.keySet.filter(n =>
+      n.startsWith("S") && n.drop(1).toLong < GraphQueries.KhopSeedMax)
+    assert(seeds.nonEmpty, "seed cohort present in the sf0.001 graph")
+    var dist = seeds.map(_ -> 0).toMap
+    var frontier = seeds
+    for (i <- 1 to GraphQueries.KhopRounds) {
+      val next = frontier.flatMap(adj.getOrElse(_, Set.empty)) -- dist.keySet
+      dist ++= next.map(_ -> i)
+      frontier = next
+    }
+    val got = GraphQueries.gKhop(spark, sf001).collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(got == dist)
+    assert(got.values.exists(_ > 0), "BFS reached beyond the seeds")
+  }
+
   test("trade-graph face: symmetric edges, mass ~conserved, one row per node") {
     import graft.SparkTestBase.sf001
     val pr = GraphQueries.gPagerank(spark, sf001).collect()

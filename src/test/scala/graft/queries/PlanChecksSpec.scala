@@ -206,6 +206,14 @@ class PlanChecksSpec extends AnyFunSuite {
       s"window + rollup must share the user_id partitioning, got $exchanges:\n$plan")
   }
 
+  ptest("ev_gapfill is one exchange and zero joins: gaps generated, not joined") { sfDir =>
+    val plan = planString(StreamQueries.evGapfill(spark, sfDir))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1,
+      s"agg, lead window, and gap generation must share the user_id shuffle, got $exchanges:\n$plan")
+    assert(!plan.contains("Join"), s"the lead+sequence densify needs no join:\n$plan")
+  }
+
   ptest("ev_rate_limit folds each user's events after one exchange") { sfDir =>
     val df = StreamQueries.evRateLimit(spark, sfDir)
     val plan = planString(df)
