@@ -163,7 +163,13 @@ object Plans {
     "ev_gapfill" ->
       "one exchange, zero joins: hourly aggregate, lead window, and gap generation share the single user_id repartition; each observed row EMITS its gap range via sequence/explode carrying its sum, so the forward fill is by construction — no grid join, no second window, no second scan",
     "ta_ngram_novelty" ->
-      "the exploded distinct-gram stream is repartitioned ONCE by gram and persisted; first-seen min(doc_id) aggregates on that partitioning exchange-free and the join back is co-partitioned — only added shuffle is the per-document rollup; gram volume ≈ token volume, linear in corpus")
+      "the exploded distinct-gram stream is repartitioned ONCE by gram and persisted; first-seen min(doc_id) aggregates on that partitioning exchange-free and the join back is co-partitioned — only added shuffle is the per-document rollup; gram volume ≈ token volume, linear in corpus",
+    "ev_cusum" ->
+      "the running-reset CUSUM recurrence as its closed form — prefix sum minus prefix min, two frames over ONE (event_type) ordering, no recursion/UDAF; hourly agg and per-type mean ride the same single exchange; all-integer so partial aggregation is exact",
+    "ev_concurrency" ->
+      "sweep line at scale: boundary points (2/session) get their global ordered running sum from PrefixSum (range exchange + broadcast offsets), never a partitionless window; (time, ends-first) order is one encoded long key so half-open semantics and the hourly max are order-independent",
+    "td_curriculum" ->
+      "quantile binning without a global sort: one mergeable exact-percentile aggregate, 3 boundary doubles collected as a control row (codebook pattern), then a pure broadcast-literal map — the NTILE alternative is a single-task global sort")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -71,6 +71,92 @@ object StreamQueries {
         col("sum_value").cast("double").as("filled_value"))
   }
 
+  /** CUSUM slack (k = mean + mean/SlackDiv + 1) and decision threshold
+    * (h = HMult·k) for [[evCusum]] — shared with the oracle.
+    */
+  val CusumSlackDiv = 10L
+  val CusumHMult = 8L
+
+  /** ev_cusum — sequential drift detection: a one-sided integer CUSUM
+    * over each event type's hourly counts. Where ev_anomaly flags
+    * POINTWISE outliers (2σ on a single bucket), CUSUM accumulates
+    * small persistent shifts that never individually cross a sigma
+    * bound — the standard changepoint monitor for rate drift. The
+    * running-reset recurrence S_i = max(0, S_{i-1} + x_i − k) is not a
+    * plain window aggregate, but its closed form IS:
+    * S_i = P_i − min(0, min_{j≤i} P_j) with P the prefix sum of
+    * (x − k) — two frames over ONE ordering, no recursion, no UDAF.
+    * Everything is integer (counts, k = mean + mean/10 + 1, h = 8k),
+    * so partial aggregation and the oracle agree bit-for-bit. Output:
+    * every (event_type, hour) with its count, CUSUM statistic, and
+    * drift flag.
+    *
+    * Scale: one shuffle on event_type (a bounded dimension — the
+    * per-partition work is the per-type time series, linear in the
+    * retention window; for an unbounded key universe the same plan
+    * shape keys on the entity id like ev_anomaly). The per-type
+    * mean rides the same partitioning as an unordered frame — no
+    * second exchange, no driver state.
+    */
+  def evCusum: Q = (s, dir) => cusumHourly(Tables.events(s, dir))
+
+  /** The CUSUM core over any (event_type, ts) frame — split out so the
+    * spec can drive constructed drifts; see [[evCusum]].
+    */
+  private[graft] def cusumHourly(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wt = Window.partitionBy(col("event_type"))
+    val wo = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .select(col("event_type"), date_trunc("hour", col("ts")).as("bucket"))
+      .repartition(col("event_type"))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(count(lit(1)).as("x"))
+      .withColumn("tot", sum(col("x")).over(wt))
+      .withColumn("nb", count(lit(1)).over(wt))
+      .withColumn("k", expr(s"(tot div nb) + (tot div nb) div $CusumSlackDiv + 1"))
+      .withColumn("p", sum(col("x") - col("k")).over(wo))
+      .withColumn("cusum", col("p") - least(lit(0L), min(col("p")).over(wo)))
+      .select(col("event_type"), col("bucket").as("w_start"), col("x"),
+        col("cusum"),
+        (col("cusum") > lit(CusumHMult) * col("k")).cast("int").as("drift"))
+  }
+
+  /** ev_concurrency — peak concurrent sessions per hour, by sweep line:
+    * every session ([[EventStreams.sessionCounts]], half-open
+    * [start, end)) emits (+1 at start, −1 at end), the running sum over
+    * all boundary points in (time, ends-first) order is the live
+    * concurrency, and the hourly peak is a max rollup. The capacity-
+    * planning twin of ev_session: "how many sessions were open at
+    * once", reported for every hour that contains a boundary.
+    *
+    * Scale: the global ordered running sum is
+    * [[graft.operators.PrefixSum]] — range exchange + per-partition
+    * scan + broadcast offsets — NOT a partitionless window (the
+    * single-task global sort that dies at 100 TB; td_shuffle's point).
+    * The (time, delta) order is encoded into one long key
+    * (2·micros + isStart) so ends at t process before starts at t —
+    * half-open semantics — and ties within a key can only be
+    * same-sign, so the hourly MAX is order-independent. Boundary
+    * volume is 2 rows per session.
+    */
+  def evConcurrency: Q = (s, dir) =>
+    concurrencyOf(EventStreams.sessionCounts(Tables.events(s, dir)))
+
+  /** The sweep-line core over any (session_start, session_end) frame —
+    * split out so the spec can drive constructed sessions; see
+    * [[evConcurrency]].
+    */
+  private[graft] def concurrencyOf(sess: DataFrame): DataFrame = {
+    val pts = sess.select(unix_micros(col("session_start")).as("t"), lit(1L).as("delta"))
+      .unionAll(sess.select(unix_micros(col("session_end")).as("t"), lit(-1L).as("delta")))
+      .withColumn("k", col("t") * 2 + when(col("delta") === 1L, 1L).otherwise(0L))
+    graft.operators.PrefixSum.withRunningSum(pts, "k", "delta", "conc")
+      .groupBy(timestamp_micros(col("t") - pmod(col("t"), lit(3600000000L))).as("w_start"))
+      .agg(max(col("conc")).as("peak_concurrency"))
+  }
+
   /** ev_sliding — 1-hour windows sliding every 30 minutes. */
   def evSliding: Q = (s, dir) =>
     EventStreams.slidingCounts(Tables.events(s, dir))
@@ -337,6 +423,8 @@ object StreamQueries {
     "ev_window_topk" -> evWindowTopk,
     "ev_tumbling" -> evTumbling,
     "ev_gapfill" -> evGapfill,
+    "ev_cusum" -> evCusum,
+    "ev_concurrency" -> evConcurrency,
     "ev_sliding" -> evSliding,
     "ev_session" -> evSession,
     "ev_json" -> evJson,
@@ -344,6 +432,25 @@ object StreamQueries {
     "ev_interval_join" -> evIntervalJoin,
     "ev_left_interval" -> evLeftInterval,
     "ev_asof" -> evAsof)
+
+  /** Shared gaps-and-islands session CTE (10-minute gap, the
+    * session_window semantics) — read by the ev_session and
+    * ev_concurrency oracles so session bounds can never drift between
+    * the two.
+    */
+  private val duckSessionCte: String =
+    """o AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR ts - lag(ts) OVER w >= INTERVAL 10 MINUTE
+      |         THEN 1 ELSE 0 END AS new_s
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (
+      |  SELECT user_id, ts, event_id,
+      |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                     ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM o)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "ev_rate_limit" -> {
@@ -427,22 +534,45 @@ object StreamQueries {
         |  FROM events)
         |GROUP BY 1, 2""".stripMargin,
     "ev_session" ->
-      """WITH o AS (
-        |  SELECT user_id, ts, event_id,
-        |    CASE WHEN lag(ts) OVER w IS NULL
-        |           OR ts - lag(ts) OVER w >= INTERVAL 10 MINUTE
-        |         THEN 1 ELSE 0 END AS new_s
-        |  FROM events
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-        |s AS (
-        |  SELECT user_id, ts, event_id,
-        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |                     ROWS UNBOUNDED PRECEDING) AS sid
-        |  FROM o)
+      s"""WITH $duckSessionCte
         |SELECT min(ts) AS session_start,
         |  max(ts) + INTERVAL 10 MINUTE AS session_end,
         |  user_id, count(*) AS n_events
         |FROM s GROUP BY user_id, sid""".stripMargin,
+    "ev_cusum" ->
+      s"""WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS bucket, count(*)::BIGINT AS x
+        |  FROM events GROUP BY 1, 2),
+        |m AS (
+        |  SELECT event_type, bucket, x,
+        |    (sum(x) OVER tw)::BIGINT AS tot, (count(*) OVER tw)::BIGINT AS nb
+        |  FROM hourly WINDOW tw AS (PARTITION BY event_type)),
+        |kk AS (SELECT *, (tot // nb) + (tot // nb) // $CusumSlackDiv + 1 AS k FROM m),
+        |p AS (
+        |  SELECT *, (sum(x - k) OVER wo)::BIGINT AS pp FROM kk
+        |  WINDOW wo AS (PARTITION BY event_type ORDER BY bucket ROWS UNBOUNDED PRECEDING)),
+        |c AS (
+        |  SELECT *, pp - least(0, (min(pp) OVER wo)::BIGINT) AS cusum FROM p
+        |  WINDOW wo AS (PARTITION BY event_type ORDER BY bucket ROWS UNBOUNDED PRECEDING))
+        |SELECT event_type, bucket AS w_start, x, cusum,
+        |  CASE WHEN cusum > $CusumHMult * k THEN 1 ELSE 0 END AS drift
+        |FROM c""".stripMargin,
+    "ev_concurrency" ->
+      s"""WITH $duckSessionCte,
+        |sess AS (
+        |  SELECT min(ts) AS st, max(ts) + INTERVAL 10 MINUTE AS en
+        |  FROM s GROUP BY user_id, sid),
+        |pts AS (
+        |  SELECT epoch_us(st) AS t, 1::BIGINT AS delta FROM sess
+        |  UNION ALL SELECT epoch_us(en) AS t, -1::BIGINT AS delta FROM sess),
+        |c AS (
+        |  SELECT t, (sum(delta) OVER (
+        |    ORDER BY t * 2 + CASE WHEN delta = 1 THEN 1 ELSE 0 END
+        |    ROWS UNBOUNDED PRECEDING))::BIGINT AS conc
+        |  FROM pts)
+        |SELECT make_timestamp(t - (t % 3600000000)) AS w_start,
+        |  max(conc)::BIGINT AS peak_concurrency
+        |FROM c GROUP BY 1""".stripMargin,
     "j12_asof_nearest" ->
       """WITH clicks AS (
         |  SELECT event_id, user_id, ts, epoch_us(ts) AS ct

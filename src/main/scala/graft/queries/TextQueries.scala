@@ -385,6 +385,34 @@ object TextQueries {
       (logit > 0d).as("keep"))
   }
 
+  /** td_curriculum — curriculum phase assignment: documents binned into
+    * four difficulty phases by EXACT token-count quartiles (shortest
+    * quartile = phase 1 … longest = phase 4), the length-ordered
+    * curriculum schedule of staged LLM training. Quantile binning
+    * WITHOUT a global sort: the three boundaries come from one exact
+    * mergeable percentile aggregate (the a12 machinery), are collected
+    * as a 3-double control row — the codebook/centroid pattern — and
+    * the phase is then a pure broadcast-literal map over the scan.
+    * Boundary comparisons are exact cross-engine: quartile
+    * interpolation at f ∈ {.25,.5,.75} of integer counts is
+    * power-of-two arithmetic, identical doubles in Spark and DuckDB
+    * (proven by a12's hash match).
+    *
+    * Scale: one partial-aggregated percentile pass + one map pass; the
+    * NTILE alternative is a partitionless window (single-task global
+    * sort). Ties land in the lower phase on both engines (strict >).
+    */
+  def tdCurriculum: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), wsTokens(col("text")).cast("long").as("n_tokens"))
+    val qs = docs.agg(expr("percentile(n_tokens, array(0.25, 0.5, 0.75))"))
+      .head.getSeq[Double](0)
+    docs.withColumn("phase",
+      lit(1) + (col("n_tokens") > qs(0)).cast("int") +
+        (col("n_tokens") > qs(1)).cast("int") +
+        (col("n_tokens") > qs(2)).cast("int"))
+  }
+
   /** td_shuffle — deterministic epoch shuffle: every document's global
     * training-order position for a seed, as rank over md5(seed:doc_id).
     * The rank comes from [[graft.operators.PrefixSum]] (range exchange +
@@ -1158,6 +1186,7 @@ object TextQueries {
     "ta_heavy_hitters" -> taHeavyHitters,
     "ta_heavy_hitters_exact" -> taHeavyHittersExact,
     "td_shuffle" -> tdShuffle,
+    "td_curriculum" -> tdCurriculum,
     "td_clean_corpus" -> tdCleanCorpus,
     "td_pipeline" -> tdPipeline)
 
@@ -1424,6 +1453,16 @@ object TextQueries {
       """SELECT doc_id,
         |  row_number() OVER (ORDER BY md5(concat(7, ':', doc_id))) AS pos
         |FROM documents""".stripMargin,
+    "td_curriculum" ->
+      """WITH d AS (
+        |  SELECT doc_id, len(regexp_extract_all(text, '\S+'))::BIGINT AS n_tokens
+        |  FROM documents),
+        |q AS (SELECT quantile_cont(n_tokens, [0.25, 0.5, 0.75]) AS qs FROM d)
+        |SELECT doc_id, n_tokens,
+        |  1 + CASE WHEN n_tokens > qs[1] THEN 1 ELSE 0 END
+        |    + CASE WHEN n_tokens > qs[2] THEN 1 ELSE 0 END
+        |    + CASE WHEN n_tokens > qs[3] THEN 1 ELSE 0 END AS phase
+        |FROM d CROSS JOIN q""".stripMargin,
     "ta_fingerprint" ->
       """SELECT doc_id,
         | md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,

@@ -738,6 +738,97 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(total == nEvents, "sum of per-bucket n equals the event count")
   }
 
+  // ---- ev_cusum -------------------------------------------------------
+
+  test("ev_cusum accumulates a sustained shift and matches the sequential recurrence") {
+    import java.sql.Timestamp
+    // 20 steady hours at 2 events, then a 4-hour surge at 50: k lands at
+    // 12, h at 96, and the CUSUM (+38/hour in the surge) crosses h only
+    // in the surge's later hours — accumulation, not a pointwise bound.
+    val ev = (0 until 24).flatMap { h =>
+      val n = if (h < 20) 2 else 50
+      (0 until n).map(i =>
+        ("click", Timestamp.valueOf(f"2024-01-01 $h%02d:${i + 1}%02d:00")))
+    }.toDF("event_type", "ts")
+    val got = StreamQueries.cusumHourly(ev).collect()
+      .map(r => (r.getTimestamp(1).getHours, r.getLong(2), r.getLong(3), r.getInt(4)))
+      .sortBy(_._1)
+    // independent sequential reference: S_i = max(0, S_{i-1} + x_i - k)
+    val xs = got.map(_._2)
+    val mean = xs.sum / xs.length
+    val k = mean + mean / StreamQueries.CusumSlackDiv + 1
+    var s0 = 0L
+    val ref = xs.map { x => s0 = math.max(0L, s0 + x - k); s0 }
+    assert(got.map(_._3).toSeq == ref.toSeq,
+      "prefix-sum/prefix-min closed form must equal the running-reset recurrence")
+    val flagged = got.filter(_._4 == 1).map(_._1)
+    assert(flagged.nonEmpty && flagged.forall(_ >= 20),
+      s"drift must fire only after the shift, got hours ${flagged.toSeq}")
+    assert(got.takeWhile(_._1 < 20).forall(_._4 == 0), "no false alarms before the shift")
+  }
+
+  // ---- ev_concurrency -------------------------------------------------
+
+  test("ev_concurrency sweep line: constructed overlap peaks, half-open ends") {
+    import java.sql.Timestamp
+    def t(s: String) = Timestamp.valueOf(s)
+    // A [10:00, 11:30), B [10:20, 10:40), C [10:40, 12:10): C starts
+    // exactly when B ends -> ends-first keeps the 10:40 peak at 2.
+    val sess = Seq(
+      (t("2024-01-01 10:00:00"), t("2024-01-01 11:30:00")),
+      (t("2024-01-01 10:20:00"), t("2024-01-01 10:40:00")),
+      (t("2024-01-01 10:40:00"), t("2024-01-01 12:10:00")))
+      .toDF("session_start", "session_end")
+    val got = StreamQueries.concurrencyOf(sess).collect()
+      .map(r => r.getTimestamp(0).toString -> r.getLong(1)).toMap
+    assert(got == Map(
+      "2024-01-01 10:00:00.0" -> 2L, // A, then A+B (peak 2; B's end at :40 before C's start)
+      "2024-01-01 11:00:00.0" -> 1L, // A ends at 11:30 -> conc 1 just before
+      "2024-01-01 12:00:00.0" -> 0L)) // C ends -> 0
+  }
+
+  test("ev_concurrency on the corpus equals a driver-side sweep, deltas conserve") {
+    def micros(t: java.sql.Timestamp): Long =
+      t.getTime / 1000L * 1000000L + t.getNanos / 1000L
+    val sess = graft.streaming.EventStreams.sessionCounts(
+      graft.Tables.events(spark, sf001))
+      .collect().map(r => (micros(r.getTimestamp(0)), micros(r.getTimestamp(1))))
+    val pts = sess.flatMap { case (st, en) => Seq((st * 2 + 1, st, 1L), (en * 2, en, -1L)) }
+      .sortBy(_._1)
+    var c = 0L
+    val perHour = scala.collection.mutable.Map[Long, Long]()
+    pts.foreach { case (_, t, d) =>
+      c += d
+      val hour = t - t % 3600000000L
+      perHour(hour) = math.max(perHour.getOrElse(hour, Long.MinValue), c)
+    }
+    assert(c == 0L, "every start has an end")
+    val got = StreamQueries.evConcurrency(spark, sf001).collect()
+      .map(r => r.getTimestamp(0).getTime * 1000L -> r.getLong(1)).toMap
+    assert(got == perHour.toMap)
+  }
+
+  // ---- td_curriculum --------------------------------------------------
+
+  test("td_curriculum phases partition the corpus in difficulty order") {
+    val got = TextQueries.tdCurriculum(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(got.map(_._3).toSet == Set(1, 2, 3, 4), "all four phases in use")
+    val ranges = got.groupBy(_._3).toSeq.sortBy(_._1)
+      .map { case (p, rs) => (p, rs.map(_._2).min, rs.map(_._2).max) }
+    ranges.sliding(2).foreach {
+      case Seq((_, _, hi), (_, lo, _)) =>
+        assert(hi < lo, s"phase token ranges must be disjoint and ordered: $ranges")
+      case _ =>
+    }
+    // quartile balance: no phase under ~15% or over ~35% of the corpus
+    val n = got.length
+    ranges.foreach { case (p, _, _) =>
+      val cnt = got.count(_._3 == p)
+      assert(cnt * 100 >= n * 15 && cnt * 100 <= n * 35, s"phase $p size $cnt of $n")
+    }
+  }
+
   // ---- ta_ngram_novelty ----------------------------------------------
 
   test("ta_ngram_novelty counts first-seen shingles per document") {
