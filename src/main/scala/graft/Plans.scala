@@ -169,7 +169,9 @@ object Plans {
     "ev_concurrency" ->
       "sweep line at scale: boundary points (2/session) get their global ordered running sum from PrefixSum (range exchange + broadcast offsets), never a partitionless window; (time, ends-first) order is one encoded long key so half-open semantics and the hourly max are order-independent",
     "td_curriculum" ->
-      "quantile binning without a global sort: one mergeable exact-percentile aggregate, 3 boundary doubles collected as a control row (codebook pattern), then a pure broadcast-literal map — the NTILE alternative is a single-task global sort")
+      "quantile binning without a global sort: one mergeable exact-percentile aggregate, 3 boundary doubles collected as a control row (codebook pattern), then a pure broadcast-literal map — the NTILE alternative is a single-task global sort",
+    "dd_prefix_join" ->
+      "EXACT all-pairs similarity join with NO quadratic stage: candidates equi-join on rare-first PREFIX grams only (prefix-df² volume, cut again by the length filter), verify is candidate-bounded; the shared gram partitioning serves df, ranking, and both join sides")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

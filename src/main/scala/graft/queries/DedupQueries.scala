@@ -441,6 +441,72 @@ object DedupQueries {
       .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_union"))
   }
 
+  /** Jaccard threshold θ = [[PjNum]]/[[PjDen]] for [[ddPrefixJoin]]
+    * (integer cross-multiplication on both engine sides).
+    */
+  val PjNum = 7L
+  val PjDen = 10L
+
+  /** dd_prefix_join — EXACT all-pairs Jaccard similarity self-join over
+    * the WHOLE corpus via prefix filtering (the PPJoin family,
+    * Chaudhuri/Xiao et al.): where [[ddJaccardNgram]] pins semantics by
+    * brute force on a bounded cohort and the MinHash path is
+    * approximate, this is the scale path to EXACT similarity-join
+    * output — no recall loss, no pilot. Sets are the dedup family's
+    * distinct 3-token shingles; θ = 0.7.
+    *
+    * The algorithm: order every doc's grams by a GLOBAL canonical order
+    * (document frequency ascending, then gram — rarest first, so
+    * prefixes are maximally selective); any pair with J ≥ θ MUST share
+    * a gram within each doc's first |g| − ⌈θ·|g|⌉ + 1 grams, so the
+    * candidate join is an equi-join on PREFIX grams only, further cut
+    * by the length filter θ·|a| ≤ |b| ≤ |a|/θ; candidates then verify
+    * exactly with a count of shared grams. All integer comparisons.
+    *
+    * Scale: prefix join volume is Σ_gram prefix-df(gram)² — bounded by
+    * the rare-first ordering (a gram that appears in many docs is
+    * almost never in a prefix); the verify stage is candidate-bounded,
+    * never all-pairs. The gram stream, its df table, and the ranked
+    * prefixes all ride the shared FrameCache'd gram partitioning; the
+    * oracle is the independent brute-force quadratic (list_intersect
+    * over all pairs) — which is also why DuckDB pays n² on it at scale
+    * while this plan stays near-linear.
+    */
+  def ddPrefixJoin: Q = (s, dir) =>
+    prefixJoinOf(FrameCache.cached(s, s"ta_grams_stream:$dir")(
+      TextQueries.gramStream(Tables.documents(s, dir)).repartition(col("gram"))))
+
+  /** The prefix-filtered exact similarity join over any distinct
+    * (doc_id, gram) stream — split out so the spec can drive
+    * constructed corpora; see [[ddPrefixJoin]].
+    */
+  private[graft] def prefixJoinOf(grams: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val freq = grams.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+    val wd = Window.partitionBy(col("doc_id"))
+    val wr = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("gram"))
+    val ranked = grams.join(freq, Seq("gram"))
+      .withColumn("sz", count(lit(1)).over(wd))
+      .withColumn("rnk", row_number().over(wr))
+    val prefix = ranked.filter(
+      col("rnk") <= col("sz") - expr(s"($PjNum * sz + $PjDen - 1) div $PjDen") + 1)
+    val cand = prefix.select(col("doc_id").as("doc_a"), col("gram"), col("sz").as("sa"))
+      .join(prefix.select(col("doc_id").as("doc_b"), col("gram"), col("sz").as("sb")),
+        Seq("gram"))
+      .filter(col("doc_a") < col("doc_b") &&
+        lit(PjNum) * col("sa") <= lit(PjDen) * col("sb") &&
+        lit(PjNum) * col("sb") <= lit(PjDen) * col("sa"))
+      .select(col("doc_a"), col("doc_b"), col("sa"), col("sb")).distinct()
+    cand
+      .join(grams.select(col("doc_id").as("doc_a"), col("gram")), Seq("doc_a"))
+      .join(grams.select(col("doc_id").as("doc_b"), col("gram")), Seq("doc_b", "gram"))
+      .groupBy(col("doc_a"), col("doc_b"), col("sa"), col("sb"))
+      .agg(count(lit(1)).as("n_inter"))
+      .withColumn("n_union", col("sa") + col("sb") - col("n_inter"))
+      .filter(lit(PjDen) * col("n_inter") >= lit(PjNum) * col("n_union"))
+      .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_union"))
+  }
+
   /** dd_lev_pairs — edit-distance verification of the SimHash candidate
     * pairs: sketches (simhash/minhash) RECALL candidates, an exact string
     * metric confirms them — this is that confirmation stage as its own
@@ -734,6 +800,7 @@ object DedupQueries {
     "dd_simhash_agg" -> ddSimhashAgg,
     "dd_simhash_pairs" -> ddSimhashPairs,
     "dd_jaccard_ngram" -> ddJaccardNgram,
+    "dd_prefix_join" -> ddPrefixJoin,
     "dd_lev_pairs" -> ddLevPairs,
     "dd_containment" -> ddContainment,
     "dd_incremental" -> ddIncremental,
@@ -1009,6 +1076,15 @@ object DedupQueries {
         |FROM g a JOIN g b ON a.doc_id < b.doc_id
         |WHERE 10 * len(list_intersect(a.grams, b.grams)) >=
         |  7 * (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))""".stripMargin,
+    "dd_prefix_join" ->
+      s"""$duckShingles,
+        |g AS (SELECT doc_id, list_distinct(shingles) AS gs FROM sh)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  len(list_intersect(a.gs, b.gs))::BIGINT AS n_inter,
+        |  (len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs)))::BIGINT AS n_union
+        |FROM g a JOIN g b ON a.doc_id < b.doc_id
+        |WHERE $PjDen * len(list_intersect(a.gs, b.gs)) >=
+        |  $PjNum * (len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs)))""".stripMargin,
     "dd_incremental" ->
       s"""$duckShingles,
         |sig AS (

@@ -235,6 +235,58 @@ object EventStreams {
       }
   }
 
+  case class CusumOut(event_type: String, w_start: Timestamp, x: Long,
+                      cusum: Long, drift: Int)
+
+  /** Per-type CUSUM state: the open hour bucket (epoch micros), its
+    * running event count, and the CUSUM statistic after the last CLOSED
+    * bucket.
+    */
+  case class CusumMonitorState(bucketUs: Long, x: Long, s: Long)
+
+  /** Streaming face of `ev_cusum`
+    * ([[graft.queries.StreamQueries.cusumHourly]]): the identical
+    * all-integer running-reset recurrence S = max(0, S + x − k) as
+    * keyed state per event type, emitting one row per CLOSED hour
+    * bucket (a bucket closes when a later-hour event arrives — the
+    * batch face's per-observed-bucket rows, minus the still-open last
+    * bucket). The reference rate k per type is a PARAMETER, calibrated
+    * offline (the batch query derives it from the corpus mean) and
+    * monitored online — the production CUSUM deployment split. State
+    * per type is three longs; in-order streams reproduce the batch
+    * statistic bucket for bucket across micro-batch boundaries
+    * (spec-locked, split mid-bucket).
+    */
+  def cusumStream(events: Dataset[Event], k: Map[String, Long])
+                 (implicit spark: SparkSession): Dataset[CusumOut] = {
+    import spark.implicits._
+    import graft.queries.StreamQueries.CusumHMult
+    def micros(t: Timestamp): Long =
+      math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+    events.groupByKey(_.event_type)
+      .flatMapGroupsWithState[CusumMonitorState, CusumOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (typ: String, rows: Iterator[Event], state: GroupState[CusumMonitorState]) =>
+          val kk = k(typ)
+          var st = state.getOption.getOrElse(CusumMonitorState(-1L, 0L, 0L))
+          val out = scala.collection.mutable.ListBuffer[CusumOut]()
+          rows.toSeq.sortBy(e => micros(e.ts)).foreach { e =>
+            val b = micros(e.ts) - math.floorMod(micros(e.ts), 3600000000L)
+            if (b != st.bucketUs) {
+              if (st.bucketUs >= 0L) { // close the previous bucket
+                val s1 = math.max(0L, st.s + st.x - kk)
+                out += CusumOut(typ, new Timestamp(st.bucketUs / 1000L), st.x,
+                  s1, if (s1 > CusumHMult * kk) 1 else 0)
+                st = CusumMonitorState(b, 0L, s1)
+              } else st = CusumMonitorState(b, 0L, st.s)
+            }
+            st = st.copy(x = st.x + 1L)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   /** Custom stateful sessionization with flatMapGroupsWithState: one
     * state object per user; sessions close on a 10-minute event-time gap
     * enforced via the watermark timeout. This is the

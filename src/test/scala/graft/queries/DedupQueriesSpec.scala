@@ -239,6 +239,37 @@ class DedupQueriesSpec extends AnyFunSuite {
     assert(sem.forall { case (_, (_, k)) => k == 0L || k == 1L })
   }
 
+  test("dd_prefix_join constructed: includes J>=0.7 pairs only, exact counts") {
+    import graft.SparkTestBase.{sf001, spark => sp}
+    // A: 10 words -> 8 shingles; B: last word changed -> 1 shingle differs
+    // (J = 7/9 >= 0.7); C: exact copy of A (J = 1); D: disjoint (J = 0).
+    val a = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    val docs = Seq(
+      1L -> a,
+      2L -> a.replace("w10", "zz"),
+      3L -> a,
+      4L -> "q1 q2 q3 q4 q5 q6 q7 q8 q9 q10").toDF("doc_id", "text")
+    val got0 = DedupQueries.prefixJoinOf(TextQueries.gramStream(docs)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got0 == Set((1L, 2L, 7L, 9L), (1L, 3L, 8L, 8L), (2L, 3L, 7L, 9L)),
+      "the J=7/9 and J=1 pairs survive, the disjoint doc never pairs")
+    // corpus equivalence: the distributed prefix-filtered join must equal
+    // the full quadratic brute force over the real corpus
+    val gsets = TextQueries.gramStream(graft.Tables.documents(sp, sf001))
+      .collect().groupBy(_.getLong(0))
+      .map { case (id, rs) => id -> rs.map(_.getString(1)).toSet }
+    val brute = (for {
+      x <- gsets.keys; y <- gsets.keys; if x < y
+      i = gsets(x).intersect(gsets(y)).size; u = gsets(x).size + gsets(y).size - i
+      if DedupQueries.PjDen * i >= DedupQueries.PjNum * u
+    } yield (x, y, i.toLong, u.toLong)).toSet
+    val got = DedupQueries.ddPrefixJoin(sp, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == brute,
+      "prefix filtering must lose NOTHING versus the quadratic brute force")
+    assert(got.nonEmpty, "the corpus contains true near-dup pairs")
+  }
+
   test("distributed path converges on a chain with diameter > 30") {
     // chain 0-1-2-...-40: plain min-label propagation needs ~40 rounds —
     // the old fixed 30-round cap silently split this into two clusters;

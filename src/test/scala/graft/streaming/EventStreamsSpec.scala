@@ -81,6 +81,51 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming CUSUM matches the batch statistic bucket for bucket across batches") {
+    implicit val s = spark
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val hourMs = 3600000L
+    val t0 = 1700000000000L / hourMs * hourMs
+    var id = 0L
+    def ev(typ: String, hour: Int, n: Int): Seq[Event] =
+      (0 until n).map { i =>
+        id += 1
+        Event(id, new Timestamp(t0 + hour * hourMs + (i + 1) * 1000L), 1L, typ, 1.0)
+      }
+    val click = Seq(2, 2, 2, 9, 9, 9).zipWithIndex.flatMap { case (n, h) => ev("click", h, n) }
+    val view = Seq(3, 3, 3, 3).zipWithIndex.flatMap { case (n, h) => ev("view", h, n) }
+    val all = (click ++ view).sortBy(_.ts.getTime)
+    // offline calibration: the same per-type k the batch query derives
+    def kOf(es: Seq[Event]): Long = {
+      val byH = es.groupBy(_.ts.getTime / hourMs).map(_._2.size.toLong)
+      val m = byH.sum / byH.size
+      m + m / graft.queries.StreamQueries.CusumSlackDiv + 1
+    }
+    val k = Map("click" -> kOf(click), "view" -> kOf(view))
+    val out = EventStreams.cusumStream(mem.toDS(), k)
+    val q = out.writeStream.format("memory").queryName("cusum_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // three micro-batches, split MID-bucket: state carries the open
+      // hour's partial count and the statistic across the boundary
+      val (b1, rest) = all.splitAt(7)
+      val (b2, b3) = rest.splitAt(9)
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      mem.addData(b3: _*); q.processAllAvailable()
+      val got = spark.table("cusum_stream").as[EventStreams.CusumOut].collect()
+        .map(c => (c.event_type, c.w_start.getTime, c.x, c.cusum, c.drift)).toSet
+      val batch = graft.queries.StreamQueries.cusumHourly(all.toDF()).collect()
+        .map(r => (r.getString(0), r.getTimestamp(1).getTime, r.getLong(2),
+          r.getLong(3), r.getInt(4)))
+      // the stream emits CLOSED buckets: everything but each type's last
+      val lastPerType = batch.groupBy(_._1).map { case (t, rs) => t -> rs.map(_._2).max }
+      assert(got == batch.filter(r => r._2 < lastPerType(r._1)).toSet)
+      assert(got.count(_._1 == "click") == 5 && got.count(_._1 == "view") == 3)
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState sessionizer: gap splits sessions, timeout emits") {
     implicit val s = spark
     implicit val sq = spark.sqlContext
