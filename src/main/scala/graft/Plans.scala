@@ -101,7 +101,7 @@ object Plans {
     "ev_json" ->
       "map-only Project: the compiled json_int_key byte scan replaces get_json_object's per-row Jackson parse — zero exchanges, the extraction rides the scan",
     "dd_substring" ->
-      "gram hashing, never a suffix array: ONE corpus scan, one Generate over the gram projection, dup grams marked by count-over-window on the gram-hash shuffle (no aggregate-plus-self-join, no second scan), per-doc island window bounded by document length — no corpus-position global sort",
+      "gram hashing, never a suffix array: ONE corpus scan, the compiled in-place wordGramHashes kernel (no token array, no gram strings) feeding one Generate, dup grams marked by count-over-window on the gram-hash shuffle (no aggregate-plus-self-join, no second scan), per-doc island window bounded by document length — no corpus-position global sort",
     "sim_kmeans" ->
       "each Lloyd round: map-only assignment (centroid literals in a codegen'd array_max fold — no join, no shuffle) + one bounded aggregation (posexplode, groupBy(cid, dim) partial-aggregates map-side: the shuffle carries k×dim rows per map partition, never a row per vector)",
     "td_domain_mix" ->
@@ -137,7 +137,7 @@ object Plans {
     "mm_dedup" ->
       "hash-partitioned groupBy on the 128-bit payload fingerprint: only (fp, id, size) shuffle — the binary payload itself never leaves the scan stage, the invariant that matters at media scale",
     "ta_doc_embed" ->
-      "HashDim conditional aggregates over ONE doc_id shuffle, map-side combined — dense signed-integer vectors with no map/array state and no missing-bucket fill pass",
+      "ZERO shuffle: the whole featurizer is one compiled map call per document (doc_vec_hash byte scan — seeded md5Long60 per token, ±1 into h mod dim) over the corpus scan; the former explode + 16-conditional-aggregate form moved the full token stream through a doc_id exchange for what is a per-row projection",
     "j12_asof_nearest" ->
       "two sorted-merge as-of passes (backward on t, forward on −t) + an equi-join on event_id — nearest-neighbor time alignment with NO range cross product; gaps are integer micros end to end",
     "o7_mom_change" ->

@@ -309,6 +309,35 @@ object TextOps {
     out
   }
 
+  /** Signed feature-hash document vector (ta_doc_embed's kernel): one
+    * byte scan over the ws-tokens of s, each token hashed with the
+    * seeded md5Long60 and accumulated as ±1 into bucket h mod dim —
+    * byte-identical to the explode → md5LongSeeded → pmod/shiftright →
+    * dim conditional sums pipeline (h ≥ 0, so % == pmod and
+    * (h>>8)&1 == pmod(shiftright(h,8),2)), as ONE map call: no token
+    * stream, no doc_id shuffle.
+    */
+  def docVecHash(s: UTF8String, dim: Int, prefix: Array[Byte]): GenericArrayData = {
+    val bytes = s.getBytes
+    val acc = new Array[Long](dim)
+    var start = -1
+    var i = 0
+    while (i <= bytes.length) {
+      val ws = i == bytes.length || (!isCont(bytes(i)) && isWs(bytes(i)))
+      if (!ws && start < 0) start = i
+      else if (ws && start >= 0) {
+        val h = SketchOps.md5Long60(prefix, UTF8String.fromBytes(bytes, start, i - start))
+        acc((h % dim).toInt) += 1L - 2L * ((h >> 8) & 1L)
+        start = -1
+      }
+      i += 1
+    }
+    val out = new Array[Any](dim)
+    i = 0
+    while (i < dim) { out(i) = acc(i); i += 1 }
+    new GenericArrayData(out)
+  }
+
   /** BPE-ish token count == `regexp_count(s, "[a-z]+|[0-9]+|[^a-z0-9\s]")`
     * on an already-lowercased string: one count per lowercase-alpha run,
     * per digit run, and per OTHER non-whitespace code point (non-ASCII
@@ -524,6 +553,36 @@ case class WsSplit(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `doc_vec_hash(string, dim, seed)` → array<long> of length dim — the
+  * one-pass signed feature-hash document vector
+  * ([[TextOps.docVecHash]]).
+  */
+case class DocVecHash(child: Expression, dim: Int, seed: Int) extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "doc_vec_hash"
+
+  @transient private lazy val prefix: Array[Byte] = SketchOps.seedPrefix(seed)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"doc_vec_hash expects string, got $t")
+  }
+
+  override protected def nullSafeEval(s: Any): Any =
+    TextOps.docVecHash(s.asInstanceOf[UTF8String], dim, prefix)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("prefix", prefix, "byte[]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextOps.docVecHash($c, $dim, $ref)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** `pii_redact(string)` → struct<n_emails int, clean_text string>: the
   * email/phone/digit-run redaction cascade plus the email count in one
   * compiled call — see the kernel notes on [[TextOps.piiRedact]].
@@ -734,6 +793,8 @@ object TextExprs {
     Bridge.column(BpeTokenCount(Bridge.expression(c)))
   def wsSplit(c: Column): Column =
     Bridge.column(WsSplit(Bridge.expression(c)))
+  def docVecHash(c: Column, dim: Int, seed: Int): Column =
+    Bridge.column(DocVecHash(Bridge.expression(c), dim, seed))
   def piiRedact(c: Column): Column =
     Bridge.column(PiiRedact(Bridge.expression(c)))
 }

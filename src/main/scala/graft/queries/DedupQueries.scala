@@ -41,7 +41,12 @@ object DedupQueries {
     */
   private[graft] def shingledFrame(docs: DataFrame): DataFrame =
     docs
-      .withColumn("toks", split(lower(trim(col("text"))), "\\s+"))
+      // compiled tokenizer; ≡ split(lower(trim(text)), "\s+") for every
+      // doc that reaches a multi-token shingle, and the short-doc arm
+      // coincides too: concat_ws over [] and [""] both yield the ""
+      // gram, which is also what the oracle's string_split_regex path
+      // produces for blank text
+      .withColumn("toks", graft.functions.TextExprs.wsSplit(lower(col("text"))))
       .withColumn("shingles",
         when(size(col("toks")) >= 3,
           expr("transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"))
@@ -712,12 +717,21 @@ object DedupQueries {
     */
   private[graft] def substringSpans(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // The gram hash is INTERNAL (output exposes only positions/spans),
+    // so the duplicate-gram detector runs on the compiled in-place
+    // wordGramHashes kernel (xxhash64 over byte ranges of the
+    // ws-normalized text — no token array, no gram strings, no md5):
+    // the split+transform+md5 form spent over half this query's sf1
+    // wall materializing ~25M token objects. Both engines still agree
+    // on WHICH grams repeat — equal gram strings hash equal, and a
+    // 64-bit collision across ~n grams is ~n²/2⁶⁴ (immaterial); the
+    // oracle keeps its independent md5 gram key.
     val grams = docs
-      .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("toks"))
-      .filter(size(col("toks")) >= SubGram)
-      .select(col("doc_id"), posexplode(expr(
-        s"transform(sequence(0, size(toks) - $SubGram), i -> concat_ws(' ', slice(toks, i + 1, $SubGram)))")))
-      .select(col("doc_id"), col("pos").cast("long").as("pos"), Hashing.md5Long(col("col")).as("gh"))
+      .select(col("doc_id"),
+        regexp_replace(lower(trim(col("text"))), "\\s+", " ").as("norm"))
+      .select(col("doc_id"),
+        posexplode(graft.functions.TextExprs.wordGramHashes(col("norm"), SubGram)))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("col").as("gh"))
     val hits = grams
       .withColumn("n", count(lit(1)).over(Window.partitionBy(col("gh"))))
       .filter(col("n") >= 2)

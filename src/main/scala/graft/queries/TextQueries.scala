@@ -1060,23 +1060,22 @@ object TextQueries {
     * featurizer used for cheap clustering/classification before any
     * model embedding exists). Bucket = h mod [[HashDim]], sign = one
     * hash bit; each component is an INTEGER sum of ±1 per token
-    * occurrence, so the vector is exact in any engine. The components
-    * compile to [[HashDim]] conditional aggregates over one doc_id
-    * shuffle — map-side combined, no map/array state, and the dense
-    * vector needs no missing-bucket fill.
+    * occurrence, so the vector is exact in any engine. The whole
+    * featurizer is ONE compiled map call per document
+    * ([[TextExprs.docVecHash]]: byte scan → seeded md5Long60 per token
+    * → ±1 into h mod dim) — zero shuffle, zero token stream. The
+    * earlier explode → 16-conditional-aggregate form moved the full
+    * token stream through a doc_id exchange and measured 3.0 s at sf1
+    * for what is a per-row projection; PropertiesSpec pins the kernel
+    * ≡ that pipeline on generated whitespace-adversarial text.
     */
-  def taDocEmbed: Q = (s, dir) => {
-    val h = Hashing.md5LongSeeded(17, col("tok"))
-    val withBucket = cachedToks(s, dir)
-      .select(col("doc_id"), pmod(h, lit(HashDim.toLong)).as("b"),
-        (lit(1L) - lit(2L) * pmod(shiftright(h, 8), lit(2L))).as("sgn"))
-    val comps = (0 until HashDim).map(i =>
-      sum(when(col("b") === i, col("sgn")).otherwise(0L)).cast("long").as(s"v$i"))
-    withBucket.groupBy(col("doc_id"))
-      .agg(comps.head, comps.tail: _*)
+  def taDocEmbed: Q = (s, dir) =>
+    Tables.documents(s, dir)
       .select(col("doc_id"),
-        concat_ws(",", (0 until HashDim).map(i => col(s"v$i")): _*).as("vec"))
-  }
+        TextExprs.docVecHash(lower(trim(col("text"))), HashDim, 17).as("v"))
+      .select(col("doc_id"),
+        concat_ws(",", (0 until HashDim).map(i =>
+          col("v").getItem(i).cast("string")): _*).as("vec"))
 
   /** Upsampling base rate for td_upsample: source s replicates each doc
     * f_s = [[UpRate]]/sqrt(p_s) times (fractional part by hash).
@@ -1293,6 +1292,9 @@ object TextQueries {
     "ta_doc_embed" -> {
       val comps = (0 until HashDim).map(i =>
         s"sum(CASE WHEN b = $i THEN sgn ELSE 0 END)::BIGINT").mkString(", ")
+      val zeros = Seq.fill(HashDim)("0").mkString(",")
+      // one row per DOCUMENT (a token-less doc is the zero vector) —
+      // the kernel is a per-row featurizer, not a token-stream rollup
       s"""WITH toks AS (
         |  SELECT doc_id, unnest(regexp_extract_all(lower(trim(text)), '\\S+')) AS tok
         |  FROM documents),
@@ -1300,9 +1302,12 @@ object TextQueries {
         |  SELECT doc_id,
         |    ${Hashing.duckMd5Long(17, "tok")} % $HashDim AS b,
         |    1 - 2 * ((${Hashing.duckMd5Long(17, "tok")} >> 8) % 2) AS sgn
-        |  FROM toks)
-        |SELECT doc_id, concat_ws(',', $comps) AS vec
-        |FROM hb GROUP BY doc_id""".stripMargin
+        |  FROM toks),
+        |agg AS (
+        |  SELECT doc_id, concat_ws(',', $comps) AS vec
+        |  FROM hb GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(agg.vec, '$zeros') AS vec
+        |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id""".stripMargin
     },
     "td_upsample" ->
       s"""WITH per AS (

@@ -105,6 +105,35 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("doc_vec_hash property: equals the explode + conditional-sum pipeline") {
+    import graft.queries.TextQueries.HashDim
+    val piece: Gen[String] = Gen.frequency(
+      6 -> Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString.take(6)),
+      3 -> Gen.oneOf(" ", "\t", "\n", "\r", "\f", "", "  ", " \t\n"),
+      1 -> Gen.oneOf("é…", "日本", "😀", ""))
+    val textGen = Gen.listOf(piece).map(_.mkString)
+    val texts = samples(textGen, 300)
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val viaKernel = df.select(col("doc_id"),
+      TextExprs.docVecHash(lower(trim(col("text"))), HashDim, 17).as("v"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    // the explode/aggregate form it replaced (token-less docs: zero vec)
+    val h = graft.functions.Hashing.md5LongSeeded(17, col("tok"))
+    val comps = (0 until HashDim).map(i =>
+      sum(when(col("b") === i, col("sgn")).otherwise(0L)).cast("long").as(s"v$i"))
+    val viaAgg = df
+      .select(col("doc_id"), explode(TextExprs.wsSplit(lower(trim(col("text"))))).as("tok"))
+      .select(col("doc_id"), pmod(h, lit(HashDim.toLong)).as("b"),
+        (lit(1L) - lit(2L) * pmod(shiftright(h, 8), lit(2L))).as("sgn"))
+      .groupBy(col("doc_id")).agg(comps.head, comps.tail: _*)
+      .collect().map(r => r.getLong(0) -> (1 to HashDim).map(r.getLong).toSeq).toMap
+    texts.indices.foreach { i =>
+      val expect = viaAgg.getOrElse(i.toLong, Seq.fill(HashDim)(0L))
+      assert(viaKernel(i.toLong) == expect,
+        s"doc_vec_hash mismatch on: '${texts(i).replace("\n", "\\n")}'")
+    }
+  }
+
   test("md5long60 property: equals the composed md5LongSeeded on generated strings") {
     val strGen = Gen.listOf(Gen.frequency(
       8 -> Gen.asciiPrintableChar.map(_.toString),

@@ -206,6 +206,13 @@ class PlanChecksSpec extends AnyFunSuite {
       s"window + rollup must share the user_id partitioning, got $exchanges:\n$plan")
   }
 
+  ptest("ta_doc_embed is map-only: no exchange in the featurizer plan") { sfDir =>
+    val plan = planString(TextQueries.taDocEmbed(spark, sfDir))
+    assert(!plan.contains("Exchange"),
+      s"doc_vec_hash is a per-row projection — nothing to shuffle:\n$plan")
+    assert(plan.contains("doc_vec_hash"), plan)
+  }
+
   ptest("ev_gapfill is one exchange and zero joins: gaps generated, not joined") { sfDir =>
     val plan = planString(StreamQueries.evGapfill(spark, sfDir))
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
