@@ -171,7 +171,9 @@ object Plans {
     "td_curriculum" ->
       "quantile binning without a global sort: one mergeable exact-percentile aggregate, 3 boundary doubles collected as a control row (codebook pattern), then a pure broadcast-literal map — the NTILE alternative is a single-task global sort",
     "dd_prefix_join" ->
-      "EXACT all-pairs similarity join with NO quadratic stage: candidates equi-join on rare-first PREFIX grams only (prefix-df² volume, cut again by the length filter), verify is candidate-bounded; the shared gram partitioning serves df, ranking, and both join sides")
+      "EXACT all-pairs similarity join with NO quadratic stage: candidates equi-join on rare-first PREFIX grams only (prefix-df² volume, cut again by the length filter), verify is candidate-bounded; the shared gram partitioning serves df, ranking, and both join sides",
+    "g_random_walk" ->
+      "derandomized walk corpus: each step ONE frontier⋈edges join on the src-partitioned cache + an argmin aggregate (min(struct(h,dst)) ≡ the oracle's min-h-then-min-dst, so hash ties resolve identically); frontier stays |seeds| rows — walk cost scales with the cohort, not the graph")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

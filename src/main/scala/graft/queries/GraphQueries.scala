@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions.Hashing
 
 /** Graph analytics over the trade graph the star schema implies —
   * supplier ↔ customer edges through orders — extension surface for the
@@ -209,6 +210,46 @@ object GraphQueries {
     visited
   }
 
+  /** Walk length for [[gRandomWalk]] (seeds share [[KhopSeedMax]]). */
+  val WalkSteps = 4
+
+  /** g_random_walk — deterministic hash-seeded random walks from the
+    * seed cohort: the node2vec/DeepWalk-style walk-corpus generator of
+    * graph-embedding pipelines, with the "random" choice derandomized
+    * the library's standard way (td_shuffle, td_split): at step k a
+    * walk at u moves to the neighbor v minimizing
+    * md5Long("k:start:v") — a per-(walk, step) uniform draw that any
+    * engine reproduces bit-for-bit, no RNG state. Output: one row per
+    * (start_node, step 0..[[WalkSteps]], node).
+    *
+    * Each step is ONE join of the walk frontier (|seeds| rows) against
+    * the src-partitioned cached edge table + an argmin aggregate —
+    * `min(struct(h, dst))` — whose lexicographic order equals the
+    * oracle's two-stage min(h)-then-min(dst), so even a 60-bit hash
+    * tie resolves identically in both engines. Walk count scales with
+    * the seed cohort, not the graph.
+    */
+  def gRandomWalk: Q = (s, dir) => {
+    val edges = tradeEdges(s, dir)
+    val seeds = tradeDeg(s, dir)
+      .filter(col("node").startsWith("S") &&
+        substring(col("node"), 2, 18).cast("long") < KhopSeedMax)
+      .select(col("node").as("start"), col("node").as("cur"))
+    val init = seeds.select(col("start"), col("cur"), lit(0).as("step"))
+    val (walks, _) = (1 to WalkSteps).foldLeft((init, seeds)) {
+      case ((acc, frontier), k) =>
+        val next = frontier.join(edges, frontier("cur") === edges("src"))
+          .select(col("start"),
+            Hashing.md5Long(concat_ws(":", lit(k), col("start"), col("dst"))).as("h"),
+            col("dst"))
+          .groupBy(col("start"))
+          .agg(min(struct(col("h"), col("dst"))).as("m"))
+          .select(col("start"), col("m.dst").as("cur"))
+        (acc.union(next.select(col("start"), col("cur"), lit(k).as("step"))), next)
+    }
+    walks.select(col("start").as("start_node"), col("step"), col("cur").as("node"))
+  }
+
   /** g_degree_stats — degree distribution of the trade graph in one
     * aggregation pass: nodes per (side, degree) bucket. The companion
     * sanity report for [[gPagerank]] (rank concentration tracks degree
@@ -224,6 +265,7 @@ object GraphQueries {
     "g_pagerank" -> gPagerank,
     "g_jaccard_sim" -> gJaccardSim,
     "g_khop" -> gKhop,
+    "g_random_walk" -> gRandomWalk,
     "g_degree_stats" -> gDegreeStats)
 
   // ---- DuckDB oracles ------------------------------------------------
@@ -294,6 +336,27 @@ object GraphQueries {
         |       WHERE node LIKE 'S%' AND substr(node, 2)::BIGINT < $KhopSeedMax),
         |${rounds.mkString(",\n")}
         |SELECT node, dist FROM v$KhopRounds""".stripMargin
+    },
+    "g_random_walk" -> {
+      val steps = (1 to WalkSteps).map { k =>
+        s"""c$k AS (
+          |  SELECT w.start, e.dst,
+          |    ('0x' || substr(md5($k || ':' || w.start || ':' || e.dst), 1, 15))::BIGINT AS h
+          |  FROM w${k - 1} w JOIN edges e ON w.cur = e.src),
+          |m$k AS (SELECT start, min(h) AS mh FROM c$k GROUP BY start),
+          |w$k AS (
+          |  SELECT c.start, min(c.dst) AS cur
+          |  FROM c$k c JOIN m$k m ON c.start = m.start AND c.h = m.mh
+          |  GROUP BY c.start)""".stripMargin
+      }
+      val union = (0 to WalkSteps).map(k =>
+        s"SELECT start AS start_node, $k AS step, cur AS node FROM w$k")
+        .mkString("\nUNION ALL ")
+      s"""WITH $duckEdges,
+        |w0 AS (SELECT node AS start, node AS cur FROM deg
+        |       WHERE node LIKE 'S%' AND substr(node, 2)::BIGINT < $KhopSeedMax),
+        |${steps.mkString(",\n")}
+        |$union""".stripMargin
     },
     "g_degree_stats" ->
       s"""WITH $duckEdges

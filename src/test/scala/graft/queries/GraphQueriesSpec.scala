@@ -105,6 +105,30 @@ class GraphQueriesSpec extends AnyFunSuite {
     assert(got.values.exists(_ > 0), "BFS reached beyond the seeds")
   }
 
+  test("g_random_walk follows the argmin-hash neighbor at every step") {
+    import graft.SparkTestBase.sf001
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.functions.SketchOps
+    val edges = GraphQueries.tradeEdges(spark, sf001)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val adj = edges.groupBy(_._1).map { case (s0, es) => s0 -> es.map(_._2) }
+    val seeds = adj.keySet.filter(n =>
+      n.startsWith("S") && n.drop(1).toLong < GraphQueries.KhopSeedMax)
+    def h(k: Int, start: String, dst: String): Long =
+      SketchOps.md5Long60(SketchOps.seedPrefix(k), UTF8String.fromString(s"$start:$dst"))
+    val expect = seeds.flatMap { s0 =>
+      var cur = s0
+      (s0, 0, s0) +: (1 to GraphQueries.WalkSteps).map { k =>
+        cur = adj(cur).minBy(v => (h(k, s0, v), v))
+        (s0, k, cur)
+      }
+    }
+    val got = GraphQueries.gRandomWalk(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSet
+    assert(got == expect.toSet)
+    assert(got.size == seeds.size * (GraphQueries.WalkSteps + 1))
+  }
+
   test("trade-graph face: symmetric edges, mass ~conserved, one row per node") {
     import graft.SparkTestBase.sf001
     val pr = GraphQueries.gPagerank(spark, sf001).collect()
