@@ -173,7 +173,19 @@ object Plans {
     "dd_prefix_join" ->
       "EXACT all-pairs similarity join with NO quadratic stage: candidates equi-join on rare-first PREFIX grams only (prefix-df² volume, cut again by the length filter), verify is candidate-bounded; the shared gram partitioning serves df, ranking, and both join sides",
     "g_random_walk" ->
-      "derandomized walk corpus: each step ONE frontier⋈edges join on the src-partitioned cache + an argmin aggregate (min(struct(h,dst)) ≡ the oracle's min-h-then-min-dst, so hash ties resolve identically); frontier stays |seeds| rows — walk cost scales with the cohort, not the graph")
+      "derandomized walk corpus: each step ONE frontier⋈edges join on the src-partitioned cache + an argmin aggregate (min(struct(h,dst)) ≡ the oracle's min-h-then-min-dst, so hash ties resolve identically); frontier stays |seeds| rows — walk cost scales with the cohort, not the graph",
+    "o8_pareto" ->
+      "2-D skyline as the sweep, not the O(n²) dominance join: one date-keyed aggregate collapses the fact table to per-date maxima, the running strictly-before max windows over that DATE-sized frame (the only partitionless window — thousands of rows by construction), and the surviving frontier broadcasts back onto the fact scan",
+    "u8_mv_delta" ->
+      "incremental view maintenance: agg(delta) + a full-outer merge sized by the VIEW — history is read once at founding, never per refresh; every stored state is mergeable algebra (sum/sum/max) so merged partials ≡ recompute bit-for-bit, and at cluster scale view+delta bucket on the group key for an exchange-free merge",
+    "ta_cooccur" ->
+      "A-Priori pruning keeps the pair stage off the quadratic cliff: pass 1 one combine-heavy aggregation over the shared token stream; pass 2 self-joins only FREQUENT-restricted baskets co-partitioned on doc_id, and the pair aggregate's key space is |frequent|² — map-side combine collapses the shuffle to O(partitions·|frequent|²) regardless of corpus size",
+    "g_triangles" ->
+      "degree-ordered orientation bounds the wedge join by oriented out-degree O(√m) — total wedge volume O(m^{3/2}), hub-proof where Σdeg² is not; the substrate near-dup pair graph is LSH-banded (linear in corpus, never all-pairs); degree table broadcasts, wedge/closing joins are equi-joins on apex/closing keys",
+    "ev_cum_uniques" ->
+      "windowed COUNT(DISTINCT) via the first-seen reduction: one user_id shuffle collapses events to one row per user (map-side combined min), per-day new-user counts are date-range-sized, and the running sum windows over THAT tiny frame — event volume never reaches the window",
+    "g_clustering" ->
+      "reuses the FrameCache'd pair graph and the oriented triangle core; additions are one edge-linear degree aggregate and a LEFT join sized by the triangle table; the micro-ratio is a single integer division — no float can flip the score between engines")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

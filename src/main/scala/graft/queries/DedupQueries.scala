@@ -841,6 +841,35 @@ object DedupQueries {
       |    ELSE [array_to_string(toks, ' ')] END AS shingles
       |  FROM docs)""".stripMargin
 
+  /** The full SimHash candidate-pair chain ending in
+    * `sp(doc_a, doc_b, hamming)` — the exact near-dup pair set of
+    * [[ddSimhashPairs]] (banded-bucket condition spelled out; it is the
+    * pigeonhole image of hamming ≤ [[HammingMax]] over 4 bands). Shared
+    * with [[GraphQueries]]'s triangle oracle so the pair graph the
+    * triangles are counted on can never drift from the dedup family's.
+    */
+  private[queries] val duckSimhashPairsCtes: String =
+    s"""$duckShingles,
+      |hs AS (
+      |  SELECT doc_id,
+      |    list_transform(list_distinct(toks), t -> ${duckHash(99, "t")}) AS hv
+      |  FROM sh),
+      |sim AS (
+      |  SELECT doc_id,
+      |    list_sum(list_transform(generate_series(0, 59), j ->
+      |      CASE WHEN 2 * len(list_filter(hv, h -> ((h >> j) & 1) = 1)) > len(hv)
+      |           THEN (1::BIGINT << j) ELSE 0::BIGINT END))::BIGINT AS simhash
+      |  FROM hs),
+      |sp AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+      |  FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+      |  WHERE bit_count(xor(a.simhash, b.simhash)) <= ${HammingMax}
+      |    AND (((a.simhash >> 0) & 32767) = ((b.simhash >> 0) & 32767)
+      |      OR ((a.simhash >> 15) & 32767) = ((b.simhash >> 15) & 32767)
+      |      OR ((a.simhash >> 30) & 32767) = ((b.simhash >> 30) & 32767)
+      |      OR ((a.simhash >> 45) & 32767) = ((b.simhash >> 45) & 32767)))""".stripMargin
+
   private val duckSigSelect = (0 until K).map { k =>
     s"list_min(list_transform(shingles, x -> ${duckHash(k, "x")})) AS sig_$k"
   }.mkString(",\n    ")
@@ -1008,25 +1037,8 @@ object DedupQueries {
     // the distributed-aggregate form computes the identical sketch
     "dd_simhash_agg" -> duckSimhashSql,
     "dd_simhash_pairs" ->
-      s"""$duckShingles,
-        |hs AS (
-        |  SELECT doc_id,
-        |    list_transform(list_distinct(toks), t -> ${duckHash(99, "t")}) AS hv
-        |  FROM sh),
-        |sim AS (
-        |  SELECT doc_id,
-        |    list_sum(list_transform(generate_series(0, 59), j ->
-        |      CASE WHEN 2 * len(list_filter(hv, h -> ((h >> j) & 1) = 1)) > len(hv)
-        |           THEN (1::BIGINT << j) ELSE 0::BIGINT END))::BIGINT AS simhash
-        |  FROM hs)
-        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |  bit_count(xor(a.simhash, b.simhash))::INT AS hamming
-        |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
-        |WHERE bit_count(xor(a.simhash, b.simhash)) <= ${HammingMax}
-        |  AND (((a.simhash >> 0) & 32767) = ((b.simhash >> 0) & 32767)
-        |    OR ((a.simhash >> 15) & 32767) = ((b.simhash >> 15) & 32767)
-        |    OR ((a.simhash >> 30) & 32767) = ((b.simhash >> 30) & 32767)
-        |    OR ((a.simhash >> 45) & 32767) = ((b.simhash >> 45) & 32767))""".stripMargin,
+      s"""$duckSimhashPairsCtes
+        |SELECT doc_a, doc_b, hamming FROM sp""".stripMargin,
     "dd_containment" ->
       s"""$duckShingles,
         |sig AS (

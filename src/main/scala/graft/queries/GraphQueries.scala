@@ -250,6 +250,94 @@ object GraphQueries {
     walks.select(col("start").as("start_node"), col("step"), col("cur").as("node"))
   }
 
+  /** g_triangles — triangle census of the SimHash near-dup candidate
+    * graph ([[DedupQueries.ddSimhashPairs]] is the edge set): per-doc
+    * triangle counts, the triadic-closure / cluster-cohesion signal —
+    * a near-dup pair supported by a third mutual near-dup is a clique
+    * forming, not a band-collision accident, so this is the cheapest
+    * confidence score over the candidate graph before cluster
+    * resolution commits to components ([[DedupQueries.ddCluster]]).
+    *
+    * Scale: the substrate is linear in the corpus by LSH design (banded
+    * buckets, never all-pairs), and the count uses DEGREE-ORDERED
+    * orientation — each undirected edge points low→high (degree, id)
+    * rank, each triangle is enumerated exactly once from its
+    * lowest-rank apex, and the wedge join fans out on ORIENTED
+    * out-degree, which orientation bounds by O(√m) — total wedge volume
+    * O(m^{3/2}) worst case instead of Σdeg² (the difference between a
+    * hub exploding quadratically and never; the triangle SET is
+    * orientation-independent, which is why the id-ordered oracle
+    * agrees). Two self-joins co-partitioned on the apex/closing keys;
+    * the degree table is edge-aggregated and broadcasts.
+    */
+  def gTriangles: Q = (s, dir) =>
+    triangleCounts(FrameCache.cached(s, s"g_neardup_edges:$dir")(
+      DedupQueries.ddSimhashPairs(s, dir).select(col("doc_a"), col("doc_b"))))
+
+  /** The oriented triangle-count core over unique undirected edges
+    * (doc_a < doc_b) — see [[gTriangles]]; the spec drives it on hand
+    * graphs and against a brute-force driver-side enumeration.
+    */
+  private[queries] def triangleCounts(pairs: DataFrame): DataFrame = {
+    val deg = pairs.select(col("doc_a").as("n"))
+      .union(pairs.select(col("doc_b").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+    val withDeg = pairs
+      .join(broadcast(deg.select(col("n").as("doc_a"), col("deg").as("da"))), Seq("doc_a"))
+      .join(broadcast(deg.select(col("n").as("doc_b"), col("deg").as("db"))), Seq("doc_b"))
+    val ordA = struct(col("da").as("d"), col("doc_a").as("i"))
+    val ordB = struct(col("db").as("d"), col("doc_b").as("i"))
+    val aFirst = ordA < ordB
+    val oriented = withDeg.select(
+      when(aFirst, col("doc_a")).otherwise(col("doc_b")).as("src"),
+      when(aFirst, col("doc_b")).otherwise(col("doc_a")).as("dst"),
+      when(aFirst, ordB).otherwise(ordA).as("dst_ord"))
+    val wedges = oriented.as("e1").join(oriented.as("e2"),
+        col("e1.src") === col("e2.src") && col("e1.dst_ord") < col("e2.dst_ord"))
+      .select(col("e1.src").as("a"), col("e1.dst").as("b"), col("e2.dst").as("c"))
+    val tri = wedges.join(oriented.as("e3"),
+        col("b") === col("e3.src") && col("c") === col("e3.dst"))
+      .select(col("a"), col("b"), col("c"))
+    tri.select(col("a").as("doc_id"))
+      .union(tri.select(col("b").as("doc_id")))
+      .union(tri.select(col("c").as("doc_id")))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_triangles"))
+  }
+
+  /** g_clustering — local clustering coefficient over the near-dup
+    * candidate graph: per node, how close its neighborhood is to a
+    * clique, as the INTEGER micro-ratio
+    * ⌊2·triangles·10⁶ / (deg·(deg−1))⌋ — 10⁶ = my neighbors all
+    * near-duplicate each other (a solid dup cluster), 0 = my candidate
+    * pairs share nothing (band-collision noise). The per-node
+    * continuation of [[gTriangles]]' census, and the standard
+    * graph-cohesion score.
+    *
+    * Scale: reuses the cached pair graph and the oriented triangle core
+    * — the only additions are the degree aggregate (edge-linear) and a
+    * LEFT join of the (smaller) triangle table onto it; integer division
+    * keeps the ratio bit-stable cross-engine. Nodes of degree 1 carry
+    * no defined coefficient and are excluded (deg ≥ 2).
+    */
+  def gClustering: Q = (s, dir) =>
+    clusteringOf(FrameCache.cached(s, s"g_neardup_edges:$dir")(
+      DedupQueries.ddSimhashPairs(s, dir).select(col("doc_a"), col("doc_b"))))
+
+  /** The coefficient core over unique undirected edges (doc_a < doc_b)
+    * — see [[gClustering]]; spec-driven on hand graphs.
+    */
+  private[queries] def clusteringOf(pairs: DataFrame): DataFrame = {
+    val deg = pairs.select(col("doc_a").as("doc_id"))
+      .union(pairs.select(col("doc_b").as("doc_id")))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("deg"))
+    deg.filter(col("deg") >= 2)
+      .join(triangleCounts(pairs), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("deg"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        expr("(2000000L * coalesce(n_triangles, 0L)) div (deg * (deg - 1))")
+          .as("coef_micro"))
+  }
+
   /** g_degree_stats — degree distribution of the trade graph in one
     * aggregation pass: nodes per (side, degree) bucket. The companion
     * sanity report for [[gPagerank]] (rank concentration tracks degree
@@ -266,6 +354,8 @@ object GraphQueries {
     "g_jaccard_sim" -> gJaccardSim,
     "g_khop" -> gKhop,
     "g_random_walk" -> gRandomWalk,
+    "g_triangles" -> gTriangles,
+    "g_clustering" -> gClustering,
     "g_degree_stats" -> gDegreeStats)
 
   // ---- DuckDB oracles ------------------------------------------------
@@ -358,6 +448,43 @@ object GraphQueries {
         |${steps.mkString(",\n")}
         |$union""".stripMargin
     },
+    "g_triangles" ->
+      s"""${DedupQueries.duckSimhashPairsCtes},
+        |tri AS (
+        |  SELECT p1.doc_a AS a, p1.doc_b AS b, p2.doc_b AS c
+        |  FROM sp p1
+        |  JOIN sp p2 ON p2.doc_a = p1.doc_b
+        |  JOIN sp p3 ON p3.doc_a = p1.doc_a AND p3.doc_b = p2.doc_b),
+        |tn AS (
+        |  SELECT a AS doc_id FROM tri
+        |  UNION ALL SELECT b FROM tri
+        |  UNION ALL SELECT c FROM tri)
+        |SELECT doc_id, count(*)::BIGINT AS n_triangles
+        |FROM tn GROUP BY doc_id""".stripMargin,
+    "g_clustering" ->
+      s"""${DedupQueries.duckSimhashPairsCtes},
+        |dg AS (
+        |  SELECT doc_id, count(*)::BIGINT AS deg FROM (
+        |    SELECT doc_a AS doc_id FROM sp
+        |    UNION ALL SELECT doc_b FROM sp)
+        |  GROUP BY doc_id),
+        |tri AS (
+        |  SELECT p1.doc_a AS a, p1.doc_b AS b, p2.doc_b AS c
+        |  FROM sp p1
+        |  JOIN sp p2 ON p2.doc_a = p1.doc_b
+        |  JOIN sp p3 ON p3.doc_a = p1.doc_a AND p3.doc_b = p2.doc_b),
+        |tc AS (
+        |  SELECT doc_id, count(*)::BIGINT AS n_triangles FROM (
+        |    SELECT a AS doc_id FROM tri
+        |    UNION ALL SELECT b FROM tri
+        |    UNION ALL SELECT c FROM tri)
+        |  GROUP BY doc_id)
+        |SELECT dg.doc_id, dg.deg,
+        |  coalesce(tc.n_triangles, 0)::BIGINT AS n_triangles,
+        |  ((2000000 * coalesce(tc.n_triangles, 0)) // (dg.deg * (dg.deg - 1)))::BIGINT
+        |    AS coef_micro
+        |FROM dg LEFT JOIN tc ON dg.doc_id = tc.doc_id
+        |WHERE dg.deg >= 2""".stripMargin,
     "g_degree_stats" ->
       s"""WITH $duckEdges
         |SELECT substr(node, 1, 1) AS side, outdeg AS degree,

@@ -806,6 +806,37 @@ object OlapQueries {
       .agg(count(lit(1)).as("n_active"))
   }
 
+  /** Day length in microseconds — [[evCumUniques]]' bucket. */
+  private val DayUs = 86400000000L
+
+  /** ev_cum_uniques — cumulative distinct users by day (the growth-curve
+    * staple: "total users ever seen, as of each day", plus that day's
+    * new-user count). A windowed COUNT(DISTINCT) is not something any
+    * engine executes directly — the scale form is the FIRST-SEEN
+    * reduction: distinct-count-so-far ≡ running sum of first-seen
+    * counts, because each user contributes exactly once, on their first
+    * day. Days are integer epoch-day indices (unix_micros div 86400·10⁶
+    * — no calendar/timezone arithmetic to diverge between engines).
+    *
+    * Scale: one shuffle on user_id collapses the event stream to one
+    * row per user (min-day, map-side combined), one tiny aggregate to
+    * per-day new-user counts, then the running sum windows over a frame
+    * the size of the DATE RANGE — thousands of rows whatever the event
+    * volume (the deliberate partitionless window, same note as
+    * [[o8Pareto]]). Days with events but no new users are absent by
+    * construction (their cumulative equals the previous emitted day's).
+    */
+  def evCumUniques: Q = (s, dir) => {
+    val firstSeen = Tables.events(s, dir)
+      .select(col("user_id"), expr(s"unix_micros(ts) div ${DayUs}L").as("day"))
+      .groupBy(col("user_id")).agg(min(col("day")).as("first_day"))
+    firstSeen.groupBy(col("first_day").as("day"))
+      .agg(count(lit(1)).as("n_new"))
+      .withColumn("cum_users",
+        sum(col("n_new")).over(Window.orderBy(col("day").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
   /** ev_anomaly — per-user 2σ outlier detection over event values (the
     * telemetry pass that flags users' anomalous events before alerting
     * or filtering). The test |v − μ| > 2σ is evaluated WITHOUT floats:
@@ -1113,7 +1144,95 @@ object OlapQueries {
       .intersect(o.filter(col("o_orderstatus") === "F").select(col("o_custkey")))
   }
 
+  /** o8_pareto — the 2-D skyline (pareto front): orders no other order
+    * dominates on the (earlier date, higher price) tradeoff — the
+    * "best seen so far" frontier query (price in exact integer cents;
+    * dominance can never flip on a float ulp). Same-date same-price
+    * ties are all on the front (neither strictly dominates).
+    *
+    * Scale: the classic sweep, not the O(n²) dominance join — one
+    * aggregation collapses the fact table to per-date maxima (the
+    * frontier can only live there), a window over that DATE-sized
+    * frame computes the strictly-before running max, and the surviving
+    * frontier dates broadcast back onto the fact scan to recover every
+    * tied row. Cost at 100 TB: one shuffle keyed by date + one
+    * broadcast-joined rescan; the window runs over thousands of rows
+    * regardless of fact cardinality. (d > 2 dimensions need the
+    * grid-partition skyline — local fronts per cell, prune cells
+    * dominated by a whole better cell, merge — this operator is the
+    * d = 2 special case where a total order exists.)
+    */
+  def o8Pareto: Q = (s, dir) =>
+    paretoFront(Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderdate"),
+        round(col("o_totalprice") * 100).cast("long").as("price_cents")))
+
+  /** The 2-D skyline core over any (id, date, cents) frame: rows where
+    * cents = max(cents) at their date AND that per-date max strictly
+    * exceeds every earlier date's max — exactly the non-dominated set
+    * for (minimize date, maximize cents). See [[o8Pareto]]; the spec
+    * drives this against a brute-force O(n²) dominance reference.
+    */
+  private[graft] def paretoFront(points: DataFrame): DataFrame = {
+    val Seq(idC, dateC, centsC) = points.columns.toSeq
+    val dmax = points.groupBy(col(dateC))
+      .agg(max(col(centsC)).as("dmax"))
+    val prevW = Window.orderBy(col(dateC).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val front = dmax
+      .withColumn("prevmax", max(col("dmax")).over(prevW))
+      .filter(col("prevmax").isNull || col("dmax") > col("prevmax"))
+      .select(col(dateC).as("f_date"), col("dmax"))
+    points.join(broadcast(front),
+      col(dateC) === col("f_date") && col(centsC) === col("dmax"))
+      .select(col(idC), col(dateC), col(centsC))
+  }
+
+  /** The [[u8MvDelta]] base/delta boundary (oracle shares it). */
+  val MvSplitDate = "1998-01-01"
+
+  /** u8_mv_delta — incremental materialized-view maintenance: a
+    * per-customer order summary (count, revenue in exact cents, last
+    * order date) is materialized over the history BEFORE [[MvSplitDate]],
+    * then brought current by MERGING the delta batch's partial
+    * aggregate states — never rescanning history. Each state is
+    * mergeable algebra (sum+sum, sum+sum, max+max), so merged-partials
+    * ≡ full recompute bit-for-bit — which is exactly what the oracle
+    * checks: it computes the view the naive way, one GROUP BY over all
+    * of orders, a structurally different derivation.
+    *
+    * Scale: THE pattern that keeps a 100 TB rollup fresh — per-refresh
+    * cost is agg(delta) + a merge join sized by the VIEW, not the
+    * history. At cluster scale both the stored view and the delta
+    * aggregate are bucketed on the group key, so the full-outer merge
+    * is exchange-free; history is never touched after its one
+    * founding aggregation. Derived values (averages etc.) come from
+    * the stored sums at read time — only mergeable states are stored.
+    */
+  def u8MvDelta: Q = (s, dir) => {
+    val o = Tables.orders(s, dir).select(col("o_custkey"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"),
+      col("o_orderdate"))
+    def mv(part: DataFrame): DataFrame = part.groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("rev"),
+        max(col("o_orderdate")).as("last"))
+    val base = mv(o.filter(col("o_orderdate") < lit(MvSplitDate).cast("timestamp")))
+      .select(col("o_custkey").as("bk"), col("n").as("bn"),
+        col("rev").as("br"), col("last").as("bl"))
+    val delta = mv(o.filter(col("o_orderdate") >= lit(MvSplitDate).cast("timestamp")))
+      .select(col("o_custkey").as("dk"), col("n").as("dn"),
+        col("rev").as("dr"), col("last").as("dl"))
+    base.join(delta, col("bk") === col("dk"), "full_outer")
+      .select(coalesce(col("bk"), col("dk")).as("cust_key"),
+        (coalesce(col("bn"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n_orders"),
+        (coalesce(col("br"), lit(0L)) + coalesce(col("dr"), lit(0L))).as("revenue_cents"),
+        greatest(coalesce(col("bl"), col("dl")),
+          coalesce(col("dl"), col("bl"))).as("last_order"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "o8_pareto" -> o8Pareto,
+    "u8_mv_delta" -> u8MvDelta,
     "j9_range_join" -> j9RangeJoin,
     "j10_nullsafe_join" -> j10NullsafeJoin,
     "h13_custdist" -> h13Custdist,
@@ -1124,6 +1243,7 @@ object OlapQueries {
     "u7_scd2" -> u7Scd2,
     "ev_anomaly" -> evAnomaly,
     "ev_retention" -> evRetention,
+    "ev_cum_uniques" -> evCumUniques,
     "o7_mom_change" -> o7MomChange,
     "a15_hll_union" -> a15HllUnion,
     "o4_range_frame" -> o4RangeFrame,
@@ -1161,6 +1281,27 @@ object OlapQueries {
     "h5_nation_revenue" -> h5NationRevenue)
 
   val oracle: Map[String, String] = Map(
+    "o8_pareto" ->
+      """WITH p AS (
+        |  SELECT o_orderkey, o_orderdate,
+        |    round(o_totalprice * 100)::BIGINT AS price_cents
+        |  FROM orders),
+        |d AS (SELECT o_orderdate, max(price_cents) AS dmax FROM p GROUP BY 1),
+        |r AS (
+        |  SELECT o_orderdate, dmax,
+        |    max(dmax) OVER (ORDER BY o_orderdate
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prevmax
+        |  FROM d),
+        |f AS (SELECT o_orderdate, dmax FROM r
+        |      WHERE prevmax IS NULL OR dmax > prevmax)
+        |SELECT p.o_orderkey, p.o_orderdate, p.price_cents
+        |FROM p JOIN f ON p.o_orderdate = f.o_orderdate
+        |  AND p.price_cents = f.dmax""".stripMargin,
+    "u8_mv_delta" ->
+      s"""SELECT o_custkey AS cust_key, count(*)::BIGINT AS n_orders,
+        |  sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS revenue_cents,
+        |  max(o_orderdate) AS last_order
+        |FROM orders GROUP BY o_custkey""".stripMargin,
     "sql_tpch_q4" ->
       """SELECT o_orderpriority, count(*) AS order_count
         |FROM orders
@@ -1352,6 +1493,17 @@ object OlapQueries {
         |SELECT nation, ym, rev::DOUBLE AS revenue,
         |  (rev - lag(rev) OVER (PARTITION BY nation ORDER BY ym))::DOUBLE AS mom_delta
         |FROM m""".stripMargin,
+    "ev_cum_uniques" ->
+      """WITH fs AS (
+        |  SELECT user_id, min(epoch_us(ts) // 86400000000) AS first_day
+        |  FROM events GROUP BY user_id),
+        |d AS (SELECT first_day AS day, count(*)::BIGINT AS n_new
+        |      FROM fs GROUP BY 1)
+        |SELECT day, n_new,
+        |  sum(n_new) OVER (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+        |    AS cum_users
+        |FROM d""".stripMargin,
     "ev_retention" ->
       """WITH uw AS (
         |  SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS week

@@ -210,6 +210,53 @@ object TextQueries {
       .limit(100)
   }
 
+  /** [[taCooccur]] support thresholds as integer percent of corpus size
+    * (thresholds are `n_docs·pct div 100` — integer in both engines).
+    */
+  val CoMinSupPct = 10L
+  val CoPairSupPct = 5L
+
+  /** ta_cooccur — frequent token-PAIR mining (the A-Priori/SON
+    * market-basket pass over documents-as-baskets): token pairs that
+    * co-occur in ≥ [[CoPairSupPct]]% of documents, with an integer
+    * association score lift_micro = ⌊10⁶·n_docs·N / (c_a·c_b)⌋ (>10⁶ ⇔
+    * positively associated — the stopword-collocation / boilerplate-
+    * phrase detector of corpus curation, and the first pass of any
+    * frequent-itemset build).
+    *
+    * Scale: textbook A-Priori pruning makes the pair stage tractable —
+    * pass 1 finds frequent TOKENS (one combine-heavy aggregation over
+    * the shared token stream, [[cachedToks]]); only baskets restricted
+    * to that set enter pair generation (monotonicity: a frequent pair's
+    * members are frequent), so the self-join blowup is bounded by
+    * per-doc FREQUENT-distinct count, not document length, and the pair
+    * aggregation's key space by |frequent|² — small enough that map-side
+    * combine collapses the shuffle to O(partitions·|frequent|²) rows
+    * whatever the corpus size. The frequent table broadcasts (it is
+    * ≤ vocabulary-sized); the doc_id self-join co-partitions both sides
+    * on one exchange each. At 100 TB the only full-data pass is the
+    * distinct + semi-join scan — everything downstream lives in
+    * frequent-set space.
+    */
+  def taCooccur: Q = (s, dir) => {
+    val fd = FrameCache.cached(s, s"ta_doc_tok_distinct:$dir")(
+      cachedToks(s, dir).select(col("doc_id"), col("tok")).distinct())
+    val nDocs = FrameCache.cachedCount(s, s"ta_n_docs:$dir")(
+      Tables.documents(s, dir).count())
+    val freq = fd.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= lit(nDocs * CoMinSupPct / 100L))
+    val ff = fd.join(broadcast(freq.select(col("tok"))), Seq("tok"), "left_semi")
+    ff.select(col("doc_id"), col("tok").as("tok_a"))
+      .join(ff.select(col("doc_id"), col("tok").as("tok_b")), Seq("doc_id"))
+      .filter(col("tok_a") < col("tok_b"))
+      .groupBy(col("tok_a"), col("tok_b")).agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= lit(nDocs * CoPairSupPct / 100L))
+      .join(broadcast(freq.select(col("tok").as("tok_a"), col("c").as("c_a"))), Seq("tok_a"))
+      .join(broadcast(freq.select(col("tok").as("tok_b"), col("c").as("c_b"))), Seq("tok_b"))
+      .select(col("tok_a"), col("tok_b"), col("n_docs"),
+        expr(s"(1000000L * n_docs * ${nDocs}L) div (c_a * c_b)").as("lift_micro"))
+  }
+
   /** td_redact — PII scrubbing: email/phone/long-digit-run patterns
     * replaced with typed placeholder tokens, plus per-doc redaction
     * counts. Pure map (scan-throughput at 100 TB); patterns are kept in
@@ -1174,6 +1221,7 @@ object TextQueries {
     "ta_ngram_novelty" -> taNgramNovelty,
     "ta_profile" -> taProfile,
     "ta_vocab" -> taVocab,
+    "ta_cooccur" -> taCooccur,
     "ta_repetition" -> taRepetition,
     "ta_tfidf" -> taTfidf,
     "td_redact" -> tdRedact,
@@ -1218,6 +1266,27 @@ object TextQueries {
       |  GROUP BY b.doc_id)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "ta_cooccur" ->
+      s"""WITH n AS (SELECT count(*) AS nd FROM documents),
+        |d AS (
+        |  SELECT DISTINCT doc_id, tok FROM (
+        |    SELECT doc_id,
+        |      unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+        |    FROM documents)),
+        |f AS (
+        |  SELECT tok, count(*)::BIGINT AS c FROM d GROUP BY tok
+        |  HAVING count(*) >= (SELECT nd * $CoMinSupPct // 100 FROM n)),
+        |p AS (
+        |  SELECT a.tok AS tok_a, b.tok AS tok_b, count(*)::BIGINT AS n_docs
+        |  FROM d a JOIN d b ON a.doc_id = b.doc_id AND a.tok < b.tok
+        |  JOIN f fa ON a.tok = fa.tok JOIN f fb ON b.tok = fb.tok
+        |  GROUP BY 1, 2
+        |  HAVING count(*) >= (SELECT nd * $CoPairSupPct // 100 FROM n))
+        |SELECT p.tok_a, p.tok_b, p.n_docs,
+        |  ((1000000 * p.n_docs * (SELECT nd FROM n)) // (fa.c * fb.c))::BIGINT
+        |    AS lift_micro
+        |FROM p JOIN f fa ON p.tok_a = fa.tok
+        |       JOIN f fb ON p.tok_b = fb.tok""".stripMargin,
     "ta_source_overlap" ->
       """WITH cp AS (
         |  SELECT doc_id, source,

@@ -861,4 +861,48 @@ class CorpusOpsSpec extends AnyFunSuite {
       graft.Tables.documents(spark, sf001)).select("gram").distinct().count()
     assert(totalNovel == distinctGrams)
   }
+
+  test("ta_cooccur equals a driver-side A-Priori recount, integer lift intact") {
+    val docs = graft.Tables.documents(spark, sf001)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val n = docs.length.toLong
+    val sets = docs.map { case (_, t) =>
+      t.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSet
+    }
+    val freq = sets.flatten.groupBy(identity)
+      .map { case (k, v) => k -> v.size.toLong }
+      .filter { case (_, c) => c >= n * TextQueries.CoMinSupPct / 100L }
+    val pairCnt = collection.mutable.Map[(String, String), Long]().withDefaultValue(0L)
+    sets.foreach { st =>
+      val f = st.filter(freq.contains).toSeq.sorted
+      for (i <- f.indices; j <- i + 1 until f.size) pairCnt((f(i), f(j))) += 1L
+    }
+    val want = pairCnt.toMap
+      .filter { case (_, c) => c >= n * TextQueries.CoPairSupPct / 100L }
+      .map { case ((a, b), c) =>
+        (a, b, c, 1000000L * c * n / (freq(a) * freq(b)))
+      }.toSet
+    val got = TextQueries.taCooccur(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == want)
+    assert(got.nonEmpty, "the corpus must produce frequent pairs or the op is untested")
+  }
+
+  test("ev_cum_uniques equals a driver-side first-seen recount; curve is monotone") {
+    val events = graft.Tables.events(spark, sf001)
+      .select("user_id", "ts").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime / 1000 / 86400))
+    val firstDay = events.groupBy(_._1).map { case (_, es) => es.map(_._2).min }
+    val perDay = firstDay.groupBy(identity)
+      .map { case (d, ds) => d -> ds.size.toLong }.toSeq.sortBy(_._1)
+    val want = perDay.scanLeft((0L, 0L, 0L)) { case ((_, _, cum), (d, n)) =>
+      (d, n, cum + n)
+    }.drop(1).toSet
+    val got = OlapQueries.evCumUniques(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want)
+    // final cumulative == total distinct users ever
+    assert(got.map(_._3).max == events.map(_._1).distinct.length.toLong)
+  }
 }

@@ -145,4 +145,65 @@ class GraphQueriesSpec extends AnyFunSuite {
     assert(total > GraphQueries.PrTotalPpb * 9 / 10,
       s"flooring should lose <10% of rank mass, kept $total")
   }
+
+  test("triangle counts: K4 + pendant — every K4 node in C(3,2)=3 triangles") {
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L)).toDF("doc_a", "doc_b")
+    val got = GraphQueries.triangleCounts(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    // node 5 closes no triangle => absent from the census entirely
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("degree-oriented triangle count == brute force on a hash-generated graph") {
+    def h64(s: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+        .take(15), 16)
+    // ~1/4 edge density over 36 nodes, includes hubs and isolated nodes
+    val edges = (for {
+      a <- 0L until 36L; b <- (a + 1) until 36L
+      if math.floorMod(h64(s"tri:$a:$b"), 4L) == 0L
+    } yield (a, b)).toSeq
+    val es = edges.toSet
+    val brute = collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    for {
+      a <- 0L until 36L; b <- (a + 1) until 36L; c <- (b + 1) until 36L
+      if es((a, b)) && es((b, c)) && es((a, c))
+    } Seq(a, b, c).foreach(n => brute(n) += 1L)
+    val got = GraphQueries.triangleCounts(edges.toDF("doc_a", "doc_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == brute.toMap)
+    assert(got.nonEmpty, "the generated graph must actually contain triangles")
+  }
+
+  test("clustering coefficient: K4 nodes are 10^6-cliquey, pendant-degree excluded") {
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L)).toDF("doc_a", "doc_b")
+    val got = GraphQueries.clusteringOf(edges).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // nodes 1..3: deg 3 inside K4, all C(3,2)=3 wedges closed => exactly 1.0
+    Seq(1L, 2L, 3L).foreach(n => assert(got(n) == ((3L, 3L, 1000000L))))
+    // node 4: the pendant opens its neighborhood: 2*3e6/(4*3) = 500000
+    assert(got(4L) == ((4L, 3L, 500000L)))
+    // node 5 has degree 1: no defined coefficient, excluded
+    assert(!got.contains(5L))
+  }
+
+  test("g_triangles on the corpus == brute force over the near-dup pair graph") {
+    import graft.SparkTestBase.sf001
+    val pairs = DedupQueries.ddSimhashPairs(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val es = pairs.toSet
+    val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct.sorted
+    val brute = collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    for {
+      i <- nodes.indices; j <- i + 1 until nodes.length; k <- j + 1 until nodes.length
+      a = nodes(i); b = nodes(j); c = nodes(k)
+      if es((a, b)) && es((b, c)) && es((a, c))
+    } Seq(a, b, c).foreach(n => brute(n) += 1L)
+    val got = GraphQueries.gTriangles(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == brute.toMap)
+  }
 }

@@ -442,4 +442,57 @@ class OlapQueriesSpec extends AnyFunSuite {
     assert(seeded(0).getAs[Int]("lev") == 2 && seeded(0).getAs[Boolean]("is_dup"))
     assert(seeded(1).getAs[Int]("lev") == -1 && !seeded(1).getAs[Boolean]("is_dup"))
   }
+
+  test("o8: sweep skyline == brute-force O(n^2) dominance on adversarial points") {
+    import graft.SparkTestBase.spark.implicits._
+    // deterministic point cloud with repeated dates, repeated cents, and
+    // exact (date, cents) ties — every edge of the dominance definition
+    def h64(s: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+        .take(15), 16)
+    val pts = (0 until 400).map { i =>
+      val h = h64(s"pareto:$i")
+      (i.toLong, math.floorMod(h, 37L), math.floorMod(h >> 8, 53L))
+    }
+    val df = pts.toDF("id", "d", "cents")
+    val got = OlapQueries.paretoFront(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = pts.filter { case (_, d, c) =>
+      !pts.exists { case (_, d2, c2) =>
+        d2 <= d && c2 >= c && (d2 < d || c2 > c)
+      }
+    }.toSet
+    assert(got == want, "sweep front must equal the dominance definition")
+    assert(got.nonEmpty)
+    // ties on the front survive: inject an exact duplicate of a front point
+    val (fid, fd, fc) = want.head
+    val dup = df.union(Seq((9999L, fd, fc)).toDF("id", "d", "cents"))
+    val got2 = OlapQueries.paretoFront(dup).collect().map(_.getLong(0)).toSet
+    assert(got2.contains(fid) && got2.contains(9999L),
+      "equal (date, cents) points dominate neither way; both stay on the front")
+  }
+
+  test("u8: merged base+delta partial states == one-pass full recompute") {
+    import org.apache.spark.sql.functions.{col, lit, max, round, sum, count}
+    val merged = OlapQueries.u8MvDelta(spark, sf001)
+    val full = graft.Tables.orders(spark, sf001).groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("revenue_cents"),
+        max(col("o_orderdate")).as("last_order"))
+      .select(col("o_custkey").as("cust_key"), col("n_orders"),
+        col("revenue_cents"), col("last_order"))
+    assert(merged.exceptAll(full).isEmpty && full.exceptAll(merged).isEmpty,
+      "incremental maintenance must be indistinguishable from recompute")
+    // the split is real: both a base-only and a delta-only customer exist,
+    // so the full-outer merge exercised both null sides
+    val o = graft.Tables.orders(spark, sf001)
+      .select(col("o_custkey"), col("o_orderdate"))
+    val cut = lit(OlapQueries.MvSplitDate).cast("timestamp")
+    assert(o.groupBy(col("o_custkey"))
+      .agg(max(col("o_orderdate") >= cut).as("anyd"),
+        max(col("o_orderdate") < cut).as("anyb"))
+      .filter(!col("anyd") || !col("anyb")).count() > 0,
+      "fixture must contain single-sided groups or the merge is untested")
+  }
 }
