@@ -181,7 +181,7 @@ object Plans {
     "ta_cooccur" ->
       "A-Priori pruning keeps the pair stage off the quadratic cliff: pass 1 one combine-heavy aggregation over the shared token stream; pass 2 self-joins only FREQUENT-restricted baskets co-partitioned on doc_id, and the pair aggregate's key space is |frequent|² — map-side combine collapses the shuffle to O(partitions·|frequent|²) regardless of corpus size",
     "g_triangles" ->
-      "degree-ordered orientation bounds the wedge join by oriented out-degree O(√m) — total wedge volume O(m^{3/2}), hub-proof where Σdeg² is not; the substrate near-dup pair graph is LSH-banded (linear in corpus, never all-pairs); degree table broadcasts, wedge/closing joins are equi-joins on apex/closing keys",
+      "mutual-top-T sparsification caps degree ≤ 8 STRUCTURALLY (dup-cluster cliques otherwise make wedge volume cubic in cluster size), then degree-ordered orientation bounds the wedge join by oriented out-degree — wedge volume ≤ N·C(T,2), linear in the corpus; the substrate pair graph is LSH-banded (never all-pairs); degree table broadcasts, wedge/closing joins are equi-joins on apex/closing keys",
     "ev_cum_uniques" ->
       "windowed COUNT(DISTINCT) via the first-seen reduction: one user_id shuffle collapses events to one row per user (map-side combined min), per-day new-user counts are date-range-sized, and the running sum windows over THAT tiny frame — event volume never reaches the window",
     "g_clustering" ->

@@ -250,29 +250,62 @@ object GraphQueries {
     walks.select(col("start").as("start_node"), col("step"), col("cur").as("node"))
   }
 
-  /** g_triangles — triangle census of the SimHash near-dup candidate
-    * graph ([[DedupQueries.ddSimhashPairs]] is the edge set): per-doc
+  /** Per-node selection bound for [[mutualTopT]] (oracle shares it). */
+  val TriDeg = 8
+
+  /** The MUTUAL top-[[TriDeg]] near-dup graph: each doc keeps its
+    * [[TriDeg]] closest candidates by (hamming asc, id asc) over the
+    * symmetrized [[DedupQueries.ddSimhashPairs]] list, and an edge
+    * survives only if BOTH endpoints selected each other — the
+    * mutual-kNN sparsification every similarity-graph pipeline applies
+    * before structural analysis. It is what makes triangle counting
+    * WELL-POSED here at all: a near-dup CLUSTER is a clique by
+    * construction, so the raw candidate graph carries Θ(c³) triangles
+    * per c-doc cluster (measured: 3104 nodes, avg degree 109, 61M
+    * wedges at sf0.1 — and growing cubically with cluster size). The
+    * mutual rule caps degree at [[TriDeg]] STRUCTURALLY (one-sided
+    * top-T only caps out-degree — a clique's lowest ids collect
+    * unbounded in-selections), so wedge volume is ≤ N·C(T,2): linear
+    * in the corpus at ANY duplication profile. Deterministic: ties
+    * break by id, no scores to drift.
+    */
+  private[queries] def mutualTopT(pairs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sym = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"), col("hamming"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"), col("hamming")))
+    val w = Window.partitionBy(col("src")).orderBy(col("hamming").asc, col("dst").asc)
+    val sel = sym.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= TriDeg).select(col("src"), col("dst"))
+    sel.as("a").join(sel.as("b"),
+        col("a.src") === col("b.dst") && col("a.dst") === col("b.src"))
+      .filter(col("a.src") < col("a.dst"))
+      .select(col("a.src").as("doc_a"), col("a.dst").as("doc_b"))
+  }
+
+  /** g_triangles — triangle census of the mutual near-dup graph
+    * ([[mutualTopT]] over the SimHash candidate pairs): per-doc
     * triangle counts, the triadic-closure / cluster-cohesion signal —
     * a near-dup pair supported by a third mutual near-dup is a clique
     * forming, not a band-collision accident, so this is the cheapest
     * confidence score over the candidate graph before cluster
     * resolution commits to components ([[DedupQueries.ddCluster]]).
     *
-    * Scale: the substrate is linear in the corpus by LSH design (banded
-    * buckets, never all-pairs), and the count uses DEGREE-ORDERED
-    * orientation — each undirected edge points low→high (degree, id)
-    * rank, each triangle is enumerated exactly once from its
-    * lowest-rank apex, and the wedge join fans out on ORIENTED
-    * out-degree, which orientation bounds by O(√m) — total wedge volume
-    * O(m^{3/2}) worst case instead of Σdeg² (the difference between a
-    * hub exploding quadratically and never; the triangle SET is
-    * orientation-independent, which is why the id-ordered oracle
-    * agrees). Two self-joins co-partitioned on the apex/closing keys;
-    * the degree table is edge-aggregated and broadcasts.
+    * Scale: the candidate substrate is linear in the corpus by LSH
+    * design (banded buckets, never all-pairs), the mutual-top-T rule
+    * bounds degree ≤ [[TriDeg]] (see [[mutualTopT]] — without it the
+    * dup-cluster cliques make triangle ENUMERATION itself cubic), and
+    * the count uses DEGREE-ORDERED orientation — each undirected edge
+    * points low→high (degree, id) rank, each triangle is enumerated
+    * exactly once from its lowest-rank apex; the wedge join fans out
+    * on ORIENTED out-degree, O(m^{3/2}) worst case on any input (the
+    * triangle SET is orientation-independent, which is why the
+    * id-ordered oracle agrees). Two equi-joins co-partitioned on the
+    * apex/closing keys; the degree table is edge-aggregated and
+    * broadcasts.
     */
   def gTriangles: Q = (s, dir) =>
     triangleCounts(FrameCache.cached(s, s"g_neardup_edges:$dir")(
-      DedupQueries.ddSimhashPairs(s, dir).select(col("doc_a"), col("doc_b"))))
+      mutualTopT(DedupQueries.ddSimhashPairs(s, dir))))
 
   /** The oriented triangle-count core over unique undirected edges
     * (doc_a < doc_b) — see [[gTriangles]]; the spec drives it on hand
@@ -304,8 +337,8 @@ object GraphQueries {
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_triangles"))
   }
 
-  /** g_clustering — local clustering coefficient over the near-dup
-    * candidate graph: per node, how close its neighborhood is to a
+  /** g_clustering — local clustering coefficient over the mutual
+    * near-dup graph: per node, how close its neighborhood is to a
     * clique, as the INTEGER micro-ratio
     * ⌊2·triangles·10⁶ / (deg·(deg−1))⌋ — 10⁶ = my neighbors all
     * near-duplicate each other (a solid dup cluster), 0 = my candidate
@@ -313,15 +346,16 @@ object GraphQueries {
     * continuation of [[gTriangles]]' census, and the standard
     * graph-cohesion score.
     *
-    * Scale: reuses the cached pair graph and the oriented triangle core
-    * — the only additions are the degree aggregate (edge-linear) and a
-    * LEFT join of the (smaller) triangle table onto it; integer division
-    * keeps the ratio bit-stable cross-engine. Nodes of degree 1 carry
-    * no defined coefficient and are excluded (deg ≥ 2).
+    * Scale: reuses the cached [[mutualTopT]] graph and the oriented
+    * triangle core — the only additions are the degree aggregate
+    * (edge-linear) and a LEFT join of the (smaller) triangle table onto
+    * it; integer division keeps the ratio bit-stable cross-engine.
+    * Nodes of degree 1 carry no defined coefficient and are excluded
+    * (deg ≥ 2).
     */
   def gClustering: Q = (s, dir) =>
     clusteringOf(FrameCache.cached(s, s"g_neardup_edges:$dir")(
-      DedupQueries.ddSimhashPairs(s, dir).select(col("doc_a"), col("doc_b"))))
+      mutualTopT(DedupQueries.ddSimhashPairs(s, dir))))
 
   /** The coefficient core over unique undirected edges (doc_a < doc_b)
     * — see [[gClustering]]; spec-driven on hand graphs.
@@ -359,6 +393,26 @@ object GraphQueries {
     "g_degree_stats" -> gDegreeStats)
 
   // ---- DuckDB oracles ------------------------------------------------
+
+  /** Oracle mirror of [[mutualTopT]] over the shared `sp(doc_a, doc_b,
+    * hamming)` candidate pairs: symmetrize, keep each node's top
+    * [[TriDeg]] by (hamming asc, dst asc), then require both directions
+    * — ends in `me(doc_a, doc_b)` with doc_a < doc_b.
+    */
+  private val duckMutualCtes: String =
+    s"""sym AS (
+      |  SELECT doc_a AS src, doc_b AS dst, hamming FROM sp
+      |  UNION ALL SELECT doc_b AS src, doc_a AS dst, hamming FROM sp),
+      |sel AS (
+      |  SELECT src, dst FROM (
+      |    SELECT src, dst, row_number() OVER (
+      |      PARTITION BY src ORDER BY hamming ASC, dst ASC) AS rn
+      |    FROM sym)
+      |  WHERE rn <= $TriDeg),
+      |me AS (
+      |  SELECT a.src AS doc_a, a.dst AS doc_b
+      |  FROM sel a JOIN sel b ON a.src = b.dst AND a.dst = b.src
+      |  WHERE a.src < a.dst)""".stripMargin
 
   /** One unrolled PageRank round: rank table `prev` → `out`. */
   private def duckPrRound(prev: String, out: String): String =
@@ -450,11 +504,12 @@ object GraphQueries {
     },
     "g_triangles" ->
       s"""${DedupQueries.duckSimhashPairsCtes},
+        |$duckMutualCtes,
         |tri AS (
         |  SELECT p1.doc_a AS a, p1.doc_b AS b, p2.doc_b AS c
-        |  FROM sp p1
-        |  JOIN sp p2 ON p2.doc_a = p1.doc_b
-        |  JOIN sp p3 ON p3.doc_a = p1.doc_a AND p3.doc_b = p2.doc_b),
+        |  FROM me p1
+        |  JOIN me p2 ON p2.doc_a = p1.doc_b
+        |  JOIN me p3 ON p3.doc_a = p1.doc_a AND p3.doc_b = p2.doc_b),
         |tn AS (
         |  SELECT a AS doc_id FROM tri
         |  UNION ALL SELECT b FROM tri
@@ -463,16 +518,17 @@ object GraphQueries {
         |FROM tn GROUP BY doc_id""".stripMargin,
     "g_clustering" ->
       s"""${DedupQueries.duckSimhashPairsCtes},
+        |$duckMutualCtes,
         |dg AS (
         |  SELECT doc_id, count(*)::BIGINT AS deg FROM (
-        |    SELECT doc_a AS doc_id FROM sp
-        |    UNION ALL SELECT doc_b FROM sp)
+        |    SELECT doc_a AS doc_id FROM me
+        |    UNION ALL SELECT doc_b FROM me)
         |  GROUP BY doc_id),
         |tri AS (
         |  SELECT p1.doc_a AS a, p1.doc_b AS b, p2.doc_b AS c
-        |  FROM sp p1
-        |  JOIN sp p2 ON p2.doc_a = p1.doc_b
-        |  JOIN sp p3 ON p3.doc_a = p1.doc_a AND p3.doc_b = p2.doc_b),
+        |  FROM me p1
+        |  JOIN me p2 ON p2.doc_a = p1.doc_b
+        |  JOIN me p3 ON p3.doc_a = p1.doc_a AND p3.doc_b = p2.doc_b),
         |tc AS (
         |  SELECT doc_id, count(*)::BIGINT AS n_triangles FROM (
         |    SELECT a AS doc_id FROM tri

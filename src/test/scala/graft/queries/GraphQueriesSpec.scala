@@ -190,10 +190,19 @@ class GraphQueriesSpec extends AnyFunSuite {
     assert(!got.contains(5L))
   }
 
-  test("g_triangles on the corpus == brute force over the near-dup pair graph") {
+  test("g_triangles on the corpus == brute force over the MUTUAL top-T near-dup graph") {
     import graft.SparkTestBase.sf001
-    val pairs = DedupQueries.ddSimhashPairs(spark, sf001).collect()
-      .map(r => (r.getLong(0), r.getLong(1)))
+    // Independent driver-side re-derivation of the mutual top-T rule
+    // from the raw candidate pairs (also re-verifies mutualTopT itself).
+    val raw = DedupQueries.ddSimhashPairs(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val sym = raw.flatMap { case (a, b, h) => Seq((a, b, h), (b, a, h)) }
+    val sel: Set[(Long, Long)] = sym.groupBy(_._1).iterator.flatMap {
+      case (src, out) =>
+        out.sortBy(e => (e._3, e._2)).take(GraphQueries.TriDeg)
+          .map(e => (src, e._2))
+    }.toSet
+    val pairs = sel.filter { case (a, b) => a < b && sel((b, a)) }.toArray
     val es = pairs.toSet
     val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct.sorted
     val brute = collection.mutable.Map[Long, Long]().withDefaultValue(0L)
