@@ -72,6 +72,25 @@ private[graft] object FrameCache {
     frames.computeIfAbsent(s"${sessionKey(s)}:$key", _ => build.persist())
   }
 
+  /** Like [[cached]], but the stored frame is an EAGER
+    * `localCheckpoint`: its logical plan is a `LogicalRDD` over the
+    * materialized blocks, not the full build lineage. Use for frames
+    * whose consumers SELF-JOIN them — with plain `persist()` the cache
+    * substitution happens only after analysis, so a consumer that
+    * references the frame k times re-analyzes k copies of the entire
+    * build chain on EVERY query construction (g_triangles referenced
+    * the mutual near-dup graph 5× over a 4×-referenced window over the
+    * LSH chain: ~4 s of analyzer time per invocation for an 80 ms
+    * execution). The tradeoff: a `LogicalRDD` reports no size stats, so
+    * downstream joins against it never AUTO-broadcast — callers must
+    * `broadcast()` explicitly where they want it (the graph family
+    * already does).
+    */
+  def cachedCut(s: SparkSession, key: String)(build: => DataFrame): DataFrame = {
+    evictStopped()
+    frames.computeIfAbsent(s"${sessionKey(s)}:$key", _ => build.localCheckpoint())
+  }
+
   /** Driver-side artifacts derived from a cached frame (Bloom sketch
     * serializations, index-sizing counts). They hold no session
     * resources, but they are keyed by the SESSION like the frames:

@@ -304,7 +304,7 @@ object GraphQueries {
     * broadcasts.
     */
   def gTriangles: Q = (s, dir) =>
-    triangleCounts(FrameCache.cached(s, s"g_neardup_edges:$dir")(
+    triangleCounts(FrameCache.cachedCut(s, s"g_neardup_edges:$dir")(
       mutualTopT(DedupQueries.ddSimhashPairs(s, dir))))
 
   /** The oriented triangle-count core over unique undirected edges
@@ -354,7 +354,7 @@ object GraphQueries {
     * (deg ≥ 2).
     */
   def gClustering: Q = (s, dir) =>
-    clusteringOf(FrameCache.cached(s, s"g_neardup_edges:$dir")(
+    clusteringOf(FrameCache.cachedCut(s, s"g_neardup_edges:$dir")(
       mutualTopT(DedupQueries.ddSimhashPairs(s, dir))))
 
   /** The coefficient core over unique undirected edges (doc_a < doc_b)
