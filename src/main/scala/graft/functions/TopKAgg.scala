@@ -1,0 +1,194 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types._
+
+/** Exact per-group top-k as a MERGEABLE aggregate — the sort-free
+  * leaderboard. The standard formulation (`row_number() OVER
+  * (PARTITION BY g ORDER BY s DESC) <= k`) shuffles EVERY row of every
+  * group and sorts each partition; even with Spark's rank-limit pushdown
+  * the exchange still carries up to k rows per group per MAP PARTITION
+  * and the reduce side must sort. This aggregate keeps a k-slot binary
+  * min-heap per group, combines map-side like any partial aggregate, and
+  * its merge is a k·log k heap fold — so the shuffle carries one bounded
+  * buffer per (partition, group), there is NO sort anywhere in the plan
+  * (heaps order only the k survivors at eval), and top-k COMPOSES with
+  * other aggregates in the same single-pass groupBy (count, sum, ... in
+  * one shuffle — impossible in the window form, which needs its own
+  * partitioning pass).
+  *
+  * Exactness: unlike the sketch aggregates next door (SpaceSaving, HLL),
+  * the k-heap loses nothing — top-k is a MONOID on bounded sets
+  * (union-then-truncate is associative given a total order), so the
+  * result is merge-order-independent and DuckDB-oracle-able. The total
+  * order is (score DESC, id ASC): the id tiebreak makes every slot
+  * deterministic, not just the scores.
+  *
+  * Scores and ids are LongType (exact integers; the caller fixes the
+  * decimal point — cross-engine float ordering is a ulp lottery the
+  * integer key sidesteps). Null scores are skipped like every Spark agg;
+  * a group of all-null scores yields an empty array.
+  */
+case class TopKAgg(
+    score: Expression,
+    id: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[TopKAgg.State] {
+
+  import TopKAgg.State
+
+  require(k > 0, s"top-k needs k > 0, got $k")
+
+  override def children: Seq[Expression] = score :: id :: Nil
+  override def nullable: Boolean = false
+  override def dataType: DataType = TopKAgg.resultType
+  override def prettyName: String = "top_k"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (score.dataType, id.dataType) match {
+      case (LongType, LongType) => TypeCheckResult.TypeCheckSuccess
+      case (s, i) => TypeCheckResult.TypeCheckFailure(
+        s"top_k expects (BIGINT score, BIGINT id), got (${s.sql}, ${i.sql})")
+    }
+
+  override def createAggregationBuffer(): State = new State(k)
+
+  /** `true` if (s1, i1) ranks WORSE than (s2, i2) under
+    * (score DESC, id ASC) — the heap's root is the worst kept element.
+    */
+  @inline private def worse(s1: Long, i1: Long, s2: Long, i2: Long): Boolean =
+    s1 < s2 || (s1 == s2 && i1 > i2)
+
+  private def siftDown(st: State, from: Int): Unit = {
+    var i = from
+    while (true) {
+      val l = 2 * i + 1
+      val r = l + 1
+      var w = i
+      if (l < st.size && worse(st.scores(l), st.ids(l), st.scores(w), st.ids(w))) w = l
+      if (r < st.size && worse(st.scores(r), st.ids(r), st.scores(w), st.ids(w))) w = r
+      if (w == i) return
+      val ts = st.scores(i); st.scores(i) = st.scores(w); st.scores(w) = ts
+      val ti = st.ids(i); st.ids(i) = st.ids(w); st.ids(w) = ti
+      i = w
+    }
+  }
+
+  private def siftUp(st: State, from: Int): Unit = {
+    var i = from
+    while (i > 0) {
+      val p = (i - 1) / 2
+      if (!worse(st.scores(i), st.ids(i), st.scores(p), st.ids(p))) return
+      val ts = st.scores(i); st.scores(i) = st.scores(p); st.scores(p) = ts
+      val ti = st.ids(i); st.ids(i) = st.ids(p); st.ids(p) = ti
+      i = p
+    }
+  }
+
+  /** Offer one element: fill while below k, then replace the root iff
+    * the newcomer beats it. O(log k) worst case, O(1) reject — the hot
+    * path for a stream where most elements never crack the board.
+    */
+  private def offer(st: State, s: Long, i: Long): Unit = {
+    if (st.size < k) {
+      st.scores(st.size) = s
+      st.ids(st.size) = i
+      st.size += 1
+      siftUp(st, st.size - 1)
+    } else if (worse(st.scores(0), st.ids(0), s, i)) {
+      st.scores(0) = s
+      st.ids(0) = i
+      siftDown(st, 0)
+    }
+  }
+
+  override def update(st: State, input: InternalRow): State = {
+    val s = score.eval(input)
+    if (s != null) {
+      val i = id.eval(input)
+      offer(st, s.asInstanceOf[Long], if (i == null) Long.MaxValue else i.asInstanceOf[Long])
+    }
+    st
+  }
+
+  override def merge(st: State, other: State): State = {
+    var j = 0
+    while (j < other.size) {
+      offer(st, other.scores(j), other.ids(j))
+      j += 1
+    }
+    st
+  }
+
+  override def eval(st: State): Any = {
+    val idx = Array.range(0, st.size)
+      .sortBy(j => (-st.scores(j), st.ids(j)))
+    new GenericArrayData(idx.map(j =>
+      InternalRow(st.scores(j), st.ids(j)): Any))
+  }
+
+  override def serialize(st: State): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + 16 * st.size)
+    bb.putInt(st.size)
+    var j = 0
+    while (j < st.size) {
+      bb.putLong(st.scores(j)); bb.putLong(st.ids(j))
+      j += 1
+    }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): State = {
+    val bb = ByteBuffer.wrap(bytes)
+    val st = new State(k)
+    val n = bb.getInt()
+    var j = 0
+    while (j < n) {
+      st.scores(j) = bb.getLong()
+      st.ids(j) = bb.getLong()
+      j += 1
+    }
+    st.size = n
+    st
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(score = newChildren(0), id = newChildren(1))
+}
+
+object TopKAgg {
+  /** k-slot binary min-heap keyed worst-first under (score DESC, id
+    * ASC); parallel primitive arrays, zero allocation per offer.
+    */
+  final class State(k: Int) {
+    val scores = new Array[Long](k)
+    val ids = new Array[Long](k)
+    var size: Int = 0
+  }
+
+  val resultType: ArrayType = ArrayType(StructType(Seq(
+    StructField("score", LongType, nullable = false),
+    StructField("id", LongType, nullable = false))), containsNull = false)
+
+  /** Column API: `topK(score, id, k)` — the group's k best (score DESC,
+    * id ASC) as an ordered array of (score, id) structs.
+    */
+  def topK(score: Column, id: Column, k: Int): Column =
+    Bridge.column(TopKAgg(Bridge.expression(score), Bridge.expression(id), k)
+      .toAggregateExpression())
+}

@@ -754,6 +754,34 @@ object OlapQueries {
         sum(col("exact_src")).cast("long").as("sum_source_exact"))
   }
 
+  /** a16_topk_agg — per-user top-3 events by spend as a MERGEABLE
+    * k-heap aggregate ([[graft.functions.TopKAgg]]), composed with a
+    * plain count IN THE SAME groupBy — the single-pass leaderboard.
+    * The window formulation (`row_number() OVER (PARTITION BY user
+    * ORDER BY spend DESC)`, the ev_window_topk shape) needs its own
+    * partitioning pass and a per-partition SORT; here top-k rides the
+    * ONE hash aggregate: map-side partial heaps bound what the
+    * exchange carries to k slots per (group, partition), the reduce
+    * side folds heaps, and no sort exists anywhere in the plan.
+    * Exact, merge-order-independent (top-k under a total order is a
+    * bounded-set monoid), hence DuckDB-oracle-able — unlike the sketch
+    * aggregates. Spend is keyed as ⌊value·100⌋ cents with an event-id
+    * tiebreak: every slot is integer-deterministic cross-engine.
+    */
+  def a16TopkAgg: Q = (s, dir) => {
+    val ev = Tables.events(s, dir).select(
+      col("user_id"),
+      floor(col("value") * 100).cast("long").as("cents"),
+      col("event_id"))
+    ev.groupBy(col("user_id"))
+      .agg(graft.functions.TopKAgg.topK(col("cents"), col("event_id"), 3).as("top"),
+        count(lit(1)).as("n_events"))
+      .select(col("user_id"), posexplode(col("top")), col("n_events"))
+      .select(col("user_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as("event_id"), col("col.score").as("cents"),
+        col("n_events"))
+  }
+
   /** o7_mom_change — month-over-month revenue deltas per nation (the
     * time-series reporting shape: grouped monthly rollup composed with
     * a lag window). Money accumulates in exact DECIMAL and the delta is
@@ -1246,6 +1274,7 @@ object OlapQueries {
     "ev_cum_uniques" -> evCumUniques,
     "o7_mom_change" -> o7MomChange,
     "a15_hll_union" -> a15HllUnion,
+    "a16_topk_agg" -> a16TopkAgg,
     "o4_range_frame" -> o4RangeFrame,
     "o5_dist_stats" -> o5DistStats,
     "o6_first_last" -> o6FirstLast,
@@ -1281,6 +1310,15 @@ object OlapQueries {
     "h5_nation_revenue" -> h5NationRevenue)
 
   val oracle: Map[String, String] = Map(
+    "a16_topk_agg" ->
+      """SELECT user_id, rn AS rank, event_id, cents, n_events FROM (
+        |  SELECT user_id, event_id,
+        |    floor(value * 100)::BIGINT AS cents,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY floor(value * 100)::BIGINT DESC, event_id ASC) AS rn,
+        |    count(*) OVER (PARTITION BY user_id) AS n_events
+        |  FROM events) t
+        |WHERE rn <= 3""".stripMargin,
     "o8_pareto" ->
       """WITH p AS (
         |  SELECT o_orderkey, o_orderdate,
