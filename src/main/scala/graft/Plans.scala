@@ -146,6 +146,8 @@ object Plans {
       "ONE scan: corpus-wide dup-group sizes via count-over-window on the fingerprint shuffle (aggregate-join-back would rescan+rehash), then the per-source rollup",
     "a15_hll_union" ->
       "sketch algebra: per-source HLL sketches partial-aggregate map-side, the union is a k-row register-max merge — the pre-aggregated-rollup pattern that answers any source-subset distinct without raw data",
+    "a17_equidepth" ->
+      "ANALYZE-style equi-depth histogram: global rank from the distributed PrefixSum (ONE range exchange + a #partitions-sized offsets collect + a second pass over the SAME shuffle files) — never Window.orderBy's move-everything-to-one-partition — then a 32-key bucket aggregate; tie-invariant output so the integer-cents histogram oracles exactly",
     "a16_topk_agg" ->
       "sort-free leaderboard: the k-slot heap aggregate rides the ONE hash-aggregate shuffle (map-side partial heaps bound the exchange to k slots per group per partition; reduce folds heaps; NO Sort node in the plan) and composes with count in the same pass — the window row_number form pays its own partitioning pass plus a per-partition sort; exact and merge-order independent, so fully oracled",
     "dd_semdedup" ->

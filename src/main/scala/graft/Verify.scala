@@ -39,7 +39,13 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // Dump only the SELECTED queries' oracle entries: under a
+    // SPARK_GRAFT_ONLY filter the unselected names have no parquet in
+    // outDir, and a full oracle map would make check.py report one
+    // spurious missing-file FAIL per unselected query.
+    val selectedNames = SparkEntry.selectedQueries("verify").keySet
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => selectedNames(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     graft.queries.FrameCache.clear()

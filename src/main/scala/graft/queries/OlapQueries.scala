@@ -782,6 +782,36 @@ object OlapQueries {
         col("n_events"))
   }
 
+  /** a17_equidepth — equi-depth (equal-height) histogram of lineitem
+    * price: 32 buckets of (lo, hi, count), the ANALYZE-statistics shape
+    * every optimizer's selectivity estimation is built on. Bucket
+    * membership is by GLOBAL RANK — bucket = ⌊(rank−1)·B/N⌋ — which is
+    * exactly what `Window.orderBy(price)` cannot provide at scale (no
+    * partition key → every row to one partition), so the rank comes
+    * from [[graft.operators.PrefixSum]]: one range exchange +
+    * per-partition offsets, then a bucket-keyed aggregate. Ties get
+    * arbitrary relative rank, but the OUTPUT is tie-invariant: counts
+    * are fixed by the rank formula alone, and when a tie run straddles
+    * a boundary the left bucket's hi and the right bucket's lo both
+    * equal the tied value regardless of which tied row lands where —
+    * so the integer-cents histogram is deterministic cross-engine and
+    * fully oracled (DuckDB mirrors the same ⌊(rn−1)·B/N⌋ arithmetic,
+    * not `ntile`, whose front-loaded remainder sizing differs).
+    */
+  def a17Equidepth: Q = (s, dir) => {
+    val B = 32
+    val cents = Tables.lineitem(s, dir).select(
+      round(col("l_extendedprice") * 100).cast("long").as("cents"),
+      lit(1L).as("one"))
+    val n = FrameCache.cachedCount(s, s"a17_n_lineitem:$dir")(cents.count())
+    graft.operators.PrefixSum.withRunningSum(cents, "cents", "one", "rank")
+      .select(col("cents"),
+        expr(s"((rank - 1) * $B) div $n").as("bucket_id"))
+      .groupBy(col("bucket_id"))
+      .agg(min(col("cents")).as("lo_cents"), max(col("cents")).as("hi_cents"),
+        count(lit(1)).as("n_rows"))
+  }
+
   /** o7_mom_change — month-over-month revenue deltas per nation (the
     * time-series reporting shape: grouped monthly rollup composed with
     * a lag window). Money accumulates in exact DECIMAL and the delta is
@@ -1275,6 +1305,7 @@ object OlapQueries {
     "o7_mom_change" -> o7MomChange,
     "a15_hll_union" -> a15HllUnion,
     "a16_topk_agg" -> a16TopkAgg,
+    "a17_equidepth" -> a17Equidepth,
     "o4_range_frame" -> o4RangeFrame,
     "o5_dist_stats" -> o5DistStats,
     "o6_first_last" -> o6FirstLast,
@@ -1319,6 +1350,17 @@ object OlapQueries {
         |    count(*) OVER (PARTITION BY user_id) AS n_events
         |  FROM events) t
         |WHERE rn <= 3""".stripMargin,
+    "a17_equidepth" ->
+      """WITH r AS (
+        |  SELECT round(l_extendedprice * 100)::BIGINT AS cents,
+        |    row_number() OVER (
+        |      ORDER BY round(l_extendedprice * 100)::BIGINT) AS rn,
+        |    count(*) OVER () AS n
+        |  FROM lineitem)
+        |SELECT ((rn - 1) * 32) // n AS bucket_id,
+        |  min(cents) AS lo_cents, max(cents) AS hi_cents,
+        |  count(*)::BIGINT AS n_rows
+        |FROM r GROUP BY 1""".stripMargin,
     "o8_pareto" ->
       """WITH p AS (
         |  SELECT o_orderkey, o_orderdate,

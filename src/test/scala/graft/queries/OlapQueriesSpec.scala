@@ -495,4 +495,33 @@ class OlapQueriesSpec extends AnyFunSuite {
       .filter(!col("anyd") || !col("anyb")).count() > 0,
       "fixture must contain single-sided groups or the merge is untested")
   }
+
+  test("a17: equi-depth histogram == driver-side sorted-rank bucketing") {
+    import org.apache.spark.sql.functions.{col, round}
+    val got = OlapQueries.a17Equidepth(spark, sf001).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // independent re-derivation: sort all cents, bucket by the same
+    // ⌊(rank-1)·B/N⌋ formula, take min/max/count per bucket
+    val cents = graft.Tables.lineitem(spark, sf001)
+      .select(round(col("l_extendedprice") * 100).cast("long"))
+      .collect().map(_.getLong(0)).sorted
+    val n = cents.length.toLong
+    val want = cents.zipWithIndex
+      .groupBy { case (_, i) => i.toLong * 32L / n }
+      .map { case (b, vs) =>
+        (b, (vs.map(_._1).min, vs.map(_._1).max, vs.length.toLong)) }
+    assert(got == want)
+    // structural invariants any equi-depth histogram must satisfy
+    assert(got.size == 32)
+    assert(got.values.map(_._3).sum == n, "counts partition the table")
+    assert(got.values.map(_._3).max - got.values.map(_._3).min <= 1L,
+      "equal-height: bucket sizes differ by at most 1")
+    val byB = got.toSeq.sortBy(_._1)
+    assert(byB.forall { case (_, (lo, hi, _)) => lo <= hi })
+    assert(byB.sliding(2).forall {
+      case Seq((_, (_, hi1, _)), (_, (lo2, _, _))) => hi1 <= lo2
+      case _ => true
+    }, "bucket ranges are ordered")
+  }
 }
