@@ -146,6 +146,8 @@ object Plans {
       "ONE scan: corpus-wide dup-group sizes via count-over-window on the fingerprint shuffle (aggregate-join-back would rescan+rehash), then the per-source rollup",
     "a15_hll_union" ->
       "sketch algebra: per-source HLL sketches partial-aggregate map-side, the union is a k-row register-max merge — the pre-aggregated-rollup pattern that answers any source-subset distinct without raw data",
+    "ev_transitions" ->
+      "Markov transition matrix: ONE event-volume shuffle (the per-user lead window); everything after — row totals, the integer micro-probability division — runs over the |event_types|²-row frame, constant-sized at any corpus scale; `div` keeps the matrix bit-stable cross-engine",
     "a17_equidepth" ->
       "ANALYZE-style equi-depth histogram: global rank from the distributed PrefixSum (ONE range exchange + a #partitions-sized offsets collect + a second pass over the SAME shuffle files) — never Window.orderBy's move-everything-to-one-partition — then a 32-key bucket aggregate; tie-invariant output so the integer-cents histogram oracles exactly",
     "a16_topk_agg" ->

@@ -25,6 +25,38 @@ object StreamQueries {
       .select(col("window.start").as("w_start"), col("event_type"),
         col("n"), col("sum_value").cast("double").as("sum_value"))
 
+  /** ev_transitions — the Markov next-event transition matrix: counts
+    * and probabilities of event_type → immediately-following event_type
+    * within each user's (ts, event_id)-ordered stream. The product-path
+    * / "what do users do next" shape behind every funnel-discovery and
+    * session-flow tool — and the order-aware complement of
+    * [[TextQueries ta_cooccur]]'s orderless baskets. Probabilities are
+    * integer micro ( ⌊10⁶·n/row_total⌋ via `div` ) so the matrix is
+    * bit-stable cross-engine.
+    *
+    * Scale: ONE event-volume shuffle (the per-user lead window); the
+    * transition frame after it is |event_types|² rows, so the row-total
+    * window and the division run over a constant-sized frame no matter
+    * the corpus. Event streams at any size reduce to the same tiny
+    * matrix — this never becomes the bottleneck.
+    */
+  def evTransitions: Q = (s, dir) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+    val counts = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val byFrom = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("from_type"))
+    counts
+      .withColumn("tot", sum(col("n")).over(byFrom))
+      .select(col("from_type"), col("to_type"), col("n"),
+        expr("(n * 1000000) div tot").as("p_micro"))
+  }
+
   /** ev_gapfill — time-series gap fill + forward fill: each user's
     * hourly activity densified to a contiguous hourly grid between
     * their first and last active hour, missing hours as explicit rows
@@ -422,6 +454,7 @@ object StreamQueries {
     "ev_enrich" -> evEnrich,
     "ev_window_topk" -> evWindowTopk,
     "ev_tumbling" -> evTumbling,
+    "ev_transitions" -> evTransitions,
     "ev_gapfill" -> evGapfill,
     "ev_cusum" -> evCusum,
     "ev_concurrency" -> evConcurrency,
@@ -508,6 +541,19 @@ object StreamQueries {
       """SELECT time_bucket(INTERVAL 1 HOUR, ts) AS w_start, event_type,
         | count(*) AS n, sum(value::DECIMAL(18,2))::DOUBLE AS sum_value
         | FROM events GROUP BY 1, 2""".stripMargin,
+    "ev_transitions" ->
+      """WITH s AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |c AS (
+        |  SELECT from_type, to_type, count(*)::BIGINT AS n
+        |  FROM s WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT from_type, sum(n)::BIGINT AS tot FROM c GROUP BY 1)
+        |SELECT c.from_type, c.to_type, c.n,
+        |  (c.n * 1000000) // t.tot AS p_micro
+        |FROM c JOIN t USING (from_type)""".stripMargin,
     "ev_gapfill" ->
       """WITH hourly AS (
         |  SELECT user_id, date_trunc('hour', ts) AS bucket,

@@ -905,4 +905,27 @@ class CorpusOpsSpec extends AnyFunSuite {
     // final cumulative == total distinct users ever
     assert(got.map(_._3).max == events.map(_._1).distinct.length.toLong)
   }
+
+  test("ev_transitions equals a driver-side per-user resort; rows are row-stochastic") {
+    val ev = graft.Tables.events(spark, sf001)
+      .select("user_id", "ts", "event_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2), r.getString(3)))
+    val pairs = ev.groupBy(_._1).iterator.flatMap { case (_, es) =>
+      es.sortBy(e => (e._2, e._3)).map(_._4).toSeq.sliding(2)
+        .collect { case Seq(a, b) => (a, b) }
+    }.toSeq
+    val n = pairs.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val tot = pairs.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val want = n.map { case ((a, b), c) =>
+      (a, b, c, 1000000L * c / tot(a)) }.toSet
+    val got = StreamQueries.evTransitions(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == want)
+    // each from-row's floored micro-probabilities sum to 10^6 minus at
+    // most (#targets - 1) units of floor loss
+    got.groupBy(_._1).foreach { case (from, rows) =>
+      val s = rows.toSeq.map(_._4).sum
+      assert(s <= 1000000L && s > 1000000L - rows.size, s"$from: $s")
+    }
+  }
 }
