@@ -367,8 +367,14 @@ object DedupQueries {
       cached.select(col(aCol).cast("long"), col(bCol).cast("long"))
         .collect().foreach { row =>
           val (ra, rb) = (find(row.getLong(0)), find(row.getLong(1)))
+          // Record BOTH roots before merging: a node that only ever
+          // appears as the surviving root would otherwise never enter
+          // `parent` and be dropped from the output — the distributed
+          // path below emits every edge endpoint, and the two paths
+          // must agree row-for-row.
+          parent.getOrElseUpdate(ra, ra)
+          parent.getOrElseUpdate(rb, rb)
           if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
-          else { parent.getOrElseUpdate(ra, ra); () }
         }
       cached.unpersist()
       val members = parent.keySet.toSeq

@@ -372,6 +372,48 @@ object GraphQueries {
           .as("coef_micro"))
   }
 
+  /** Total-quantity threshold defining a STRONG trade edge — pairs at
+    * or above it are sustained relationships, below it casual trades.
+    * 95 fragments the sf0.01 graph into 20 components (the full graph
+    * is one giant component, where the labeling is correct but tells
+    * you nothing). Quantities are small integers stored as double, so
+    * the sum is exact under any reduction order and the threshold
+    * comparison is deterministic cross-engine.
+    */
+  val CcQtyMin = 95
+
+  /** g_concomp — connected components over the strong trade graph:
+    * supplier–customer pairs whose total traded quantity is ≥
+    * [[CcQtyMin]], each node labeled with its component's minimum id.
+    * The "which suppliers and customers form one connected market"
+    * question, and the graph-native face of the same component
+    * machinery [[DedupQueries.ddCluster]] uses for near-dup clusters.
+    * Node ids share one integer namespace: supplier k → 2k, customer
+    * k → 2k+1 (integers end-to-end — no string keys in the shuffle).
+    *
+    * Scale: the threshold is applied inside the ONE pair aggregation
+    * (map-side combined sum over lineitem⋈orders), so the edge list is
+    * sparse by construction before anything graph-shaped runs. Then
+    * [[DedupQueries.connectedComponents]]'s hybrid takes over: sparse
+    * edge lists (≤4M) resolve in one driver union-find pass; bigger
+    * graphs fall back to distributed min-label propagation with
+    * pointer jumping (O(log diameter) rounds, lineage truncated per
+    * round). The oracle is the same fixpoint as a recursive min-label
+    * CTE.
+    */
+  def gConcomp: Q = (s, dir) => {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_quantity"))
+    val ord = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+    val strong = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy((col("l_suppkey") * 2).as("a"), (col("o_custkey") * 2 + 1).as("b"))
+      .agg(sum(col("l_quantity")).as("q"))
+      .filter(col("q") >= CcQtyMin)
+      .select(col("a"), col("b"))
+    DedupQueries.connectedComponents(strong, "a", "b")
+      .select(col("id").as("node"), col("component"))
+  }
+
   /** g_degree_stats — degree distribution of the trade graph in one
     * aggregation pass: nodes per (side, degree) bucket. The companion
     * sanity report for [[gPagerank]] (rank concentration tracks degree
@@ -390,6 +432,7 @@ object GraphQueries {
     "g_random_walk" -> gRandomWalk,
     "g_triangles" -> gTriangles,
     "g_clustering" -> gClustering,
+    "g_concomp" -> gConcomp,
     "g_degree_stats" -> gDegreeStats)
 
   // ---- DuckDB oracles ------------------------------------------------
@@ -545,5 +588,23 @@ object GraphQueries {
       s"""WITH $duckEdges
         |SELECT substr(node, 1, 1) AS side, outdeg AS degree,
         |  count(*)::BIGINT AS n_nodes
-        |FROM deg GROUP BY 1, 2""".stripMargin)
+        |FROM deg GROUP BY 1, 2""".stripMargin,
+    // Min-label fixpoint as a recursive CTE: `reach` accumulates every
+    // (node, label-of-a-node-that-can-reach-it) pair over the
+    // symmetrized strong edges; UNION dedup terminates it, min(label)
+    // per node is the component = min member id — the same fixpoint
+    // the Spark side's union-find / pointer-jumping computes.
+    "g_concomp" ->
+      s"""WITH RECURSIVE strong AS (
+        |  SELECT l_suppkey*2 AS a, o_custkey*2+1 AS b
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2 HAVING sum(l_quantity) >= $CcQtyMin),
+        |cedges AS (SELECT a AS s, b AS d FROM strong
+        |           UNION ALL SELECT b, a FROM strong),
+        |reach(node, label) AS (
+        |  SELECT DISTINCT s, s FROM cedges
+        |  UNION
+        |  SELECT e.d, r.label FROM reach r JOIN cedges e ON r.node = e.s)
+        |SELECT node, min(label)::BIGINT AS component
+        |FROM reach GROUP BY node""".stripMargin)
 }

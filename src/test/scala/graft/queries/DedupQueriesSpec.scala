@@ -24,20 +24,17 @@ class DedupQueriesSpec extends AnyFunSuite {
     10L -> 1L, 11L -> 1L, 12L -> 1L, // merged into the chain's component
     20L -> 20L, 21L -> 20L)
 
-  test("union-find fast path labels components by min id") {
+  test("union-find fast path labels components by min id, every endpoint present") {
     val got = DedupQueries.connectedComponents(edges, "doc_a", "doc_b")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    // roots may be absent (callers coalesce to self); fill them in
-    val full = expected.keys.map(k => k -> got.getOrElse(k, k)).toMap
-    assert(full == expected)
+    assert(got == expected)
   }
 
   test("distributed propagation path (forced) agrees with the fast path") {
     val got = DedupQueries.connectedComponents(edges, "doc_a", "doc_b",
         maxDriverEdges = 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val full = expected.keys.map(k => k -> got.getOrElse(k, k)).toMap
-    assert(full == expected)
+    assert(got == expected)
   }
 
   test("dd_para_dedup: each distinct paragraph survives exactly once, in order") {

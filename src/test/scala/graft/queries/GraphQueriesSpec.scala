@@ -215,4 +215,46 @@ class GraphQueriesSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(got == brute.toMap)
   }
+
+  test("g_concomp == driver union-find over the strong trade graph; labels are component minima") {
+    import graft.SparkTestBase.sf001
+    import org.apache.spark.sql.functions.{col, sum => fsum}
+    val li = graft.Tables.lineitem(spark, sf001)
+      .select("l_orderkey", "l_suppkey", "l_quantity")
+    val ord = graft.Tables.orders(spark, sf001).select("o_orderkey", "o_custkey")
+    val edges = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy((col("l_suppkey") * 2).as("a"), (col("o_custkey") * 2 + 1).as("b"))
+      .agg(fsum(col("l_quantity")).as("q"))
+      .filter(col("q") >= GraphQueries.CcQtyMin)
+      .select(col("a"), col("b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = { var r = x; while (parent.getOrElse(r, r) != r) r = parent(r); r }
+    edges.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    val want = parent.keys.map(k => k -> find(k)).toMap
+    val got = GraphQueries.gConcomp(spark, sf001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+    // every component label is its own minimum member
+    val byComp = got.groupBy(_._2)
+    byComp.foreach { case (c, m) => assert(m.keys.min == c) }
+  }
+
+  test("connectedComponents keeps nodes that only ever appear as surviving roots") {
+    // 1-2, 1-3: node 1 is always the surviving (min) root; before the
+    // round-8 fix the driver union-find path dropped it from the output
+    // while the distributed path kept it.
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("doc_a", "doc_b")
+    val small = DedupQueries.connectedComponents(pairs, "doc_a", "doc_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(small == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    // same edges through the distributed path (maxDriverEdges = 0)
+    val dist = DedupQueries.connectedComponents(pairs, "doc_a", "doc_b", maxDriverEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist == small)
+  }
 }
