@@ -192,6 +192,8 @@ object Plans {
       "windowed COUNT(DISTINCT) via the first-seen reduction: one user_id shuffle collapses events to one row per user (map-side combined min), per-day new-user counts are date-range-sized, and the running sum windows over THAT tiny frame — event volume never reaches the window",
     "g_clustering" ->
       "reuses the FrameCache'd pair graph and the oriented triangle core; additions are one edge-linear degree aggregate and a LEFT join sized by the triangle table; the micro-ratio is a single integer division — no float can flip the score between engines",
+    "ev_rolling_distinct" ->
+      "rolling COUNT(DISTINCT) via interval-merge + sweep, never a 7x rescan: the cached (user, day) dedup and its ONE user_id exchange feed all three consumers (intervals, DAU, grid); both boundary deltas come from a single explode pass (a union of selects would recompute the per-user subtree); deltas collapse to a date-range-sized frame and the running sum windows over the day grid — the deliberate partitionless window over thousands of rows",
     "g_concomp" ->
       "the strong-edge threshold is applied INSIDE the one map-side-combined pair aggregation, so the edge list is sparse before anything graph-shaped runs; then the hybrid component machinery: ≤4M edges resolve in one driver union-find (one job end-to-end), bigger graphs take distributed min-label + pointer jumping (O(log diameter) rounds, per-round localCheckpoint) — integer node ids (2k / 2k+1) keep the shuffle key numeric")
 

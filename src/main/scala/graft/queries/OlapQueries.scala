@@ -895,6 +895,67 @@ object OlapQueries {
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
   }
 
+  /** ev_rolling_distinct — rolling 7-day distinct users for every day
+    * in the data's range (the DAU/WAU dashboard pair, plus the
+    * ⌊10⁶·DAU/WAU⌋ stickiness ratio). Distinct-over-a-sliding-window is
+    * the one windowed aggregate NO engine's window functions express
+    * (COUNT(DISTINCT) OVER a range frame is invalid SQL almost
+    * everywhere) and the naive form — join every day against its
+    * trailing 7 days of events — rescans event volume 7×. The scale
+    * form is the INTERVAL-MERGE + SWEEP reduction: a user active on
+    * days d₁..dₙ is present in exactly the window-ends covered by
+    * ∪[dᵢ, dᵢ+6]; merging those per user (gap > 6 starts a new
+    * interval) turns membership into ±1 boundary deltas, and the
+    * per-day running sum of deltas IS the rolling distinct count.
+    *
+    * Scale: ONE exchange on user_id carries the per-user stage — the
+    * (user, day) dedup, the lag/break windows, and the interval
+    * aggregate all share it (user_id partitioning satisfies every
+    * grouping it prefixes). Deltas then aggregate to a DATE-RANGE-sized
+    * frame, and the final running sum windows over the day grid —
+    * thousands of rows whatever the event volume (the deliberate
+    * partitionless window, same note as [[evCumUniques]]). Event rows
+    * are read once; nothing is rescanned per window position.
+    */
+  def evRollingDistinct: Q = (s, dir) => {
+    // The deduped (user, day) frame feeds three consumers (intervals,
+    // DAU, the day grid) — cached so the event scan and its one
+    // user_id exchange happen once, not per consumer.
+    val ud = FrameCache.cached(s, s"ev_user_day:$dir")(
+      Tables.events(s, dir)
+        .select(col("user_id"), expr(s"unix_micros(ts) div ${DayUs}L").as("day"))
+        .repartition(col("user_id"))
+        .groupBy(col("user_id"), col("day")).agg(count(lit(1)).as("_n")).drop("_n"))
+    val wU = Window.partitionBy(col("user_id")).orderBy(col("day").asc)
+    val prev = lag(col("day"), 1).over(wU)
+    val ivl = ud
+      .withColumn("brk",
+        when(prev.isNull || col("day") > prev + 6, 1L).otherwise(0L))
+      .withColumn("grp", sum(col("brk")).over(
+        wU.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("grp"))
+      .agg(min(col("day")).as("lo"), (max(col("day")) + 6).as("hi"))
+    // both boundary deltas from ONE pass over the interval frame — a
+    // union of two selects would recompute the whole per-user subtree
+    val deltas = ivl
+      .select(explode(array(
+        struct(col("lo").as("day"), lit(1L).as("delta")),
+        struct((col("hi") + 1).as("day"), lit(-1L).as("delta")))).as("d"))
+      .groupBy(col("d.day").as("day")).agg(sum(col("d.delta")).as("net"))
+    val grid = ud.agg(min(col("day")).as("glo"), max(col("day")).as("ghi"))
+      .select(explode(sequence(col("glo"), col("ghi"))).as("day"))
+    val dau = ud.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    grid.join(deltas, Seq("day"), "left").join(dau, Seq("day"), "left")
+      .select(col("day"),
+        coalesce(col("dau"), lit(0L)).as("dau"),
+        coalesce(col("net"), lit(0L)).as("net"))
+      .withColumn("wau", sum(col("net")).over(Window.orderBy(col("day").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("day"), col("dau"), col("wau"),
+        expr("case when wau > 0 then (1000000L * dau) div wau else 0L end")
+          .as("stickiness_micro"))
+  }
+
   /** ev_anomaly — per-user 2σ outlier detection over event values (the
     * telemetry pass that flags users' anomalous events before alerting
     * or filtering). The test |v − μ| > 2σ is evaluated WITHOUT floats:
@@ -1302,6 +1363,7 @@ object OlapQueries {
     "ev_anomaly" -> evAnomaly,
     "ev_retention" -> evRetention,
     "ev_cum_uniques" -> evCumUniques,
+    "ev_rolling_distinct" -> evRollingDistinct,
     "o7_mom_change" -> o7MomChange,
     "a15_hll_union" -> a15HllUnion,
     "a16_topk_agg" -> a16TopkAgg,
@@ -1584,6 +1646,26 @@ object OlapQueries {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
         |    AS cum_users
         |FROM d""".stripMargin,
+    // The oracle takes the form the engine-side reduction avoids: the
+    // day-grid range join against (user, day) with COUNT(DISTINCT) —
+    // correct by definition, 7x-rescanning by construction.
+    "ev_rolling_distinct" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+        |  FROM events),
+        |b AS (SELECT min(day) AS lo, max(day) AS hi FROM ud),
+        |grid AS (SELECT unnest(generate_series(lo, hi)) AS day FROM b),
+        |w AS (SELECT g.day, count(DISTINCT u.user_id)::BIGINT AS wau
+        |      FROM grid g JOIN ud u ON u.day BETWEEN g.day - 6 AND g.day
+        |      GROUP BY 1),
+        |d AS (SELECT day, count(*)::BIGINT AS dau FROM ud GROUP BY 1)
+        |SELECT g.day, coalesce(d.dau, 0)::BIGINT AS dau,
+        |  coalesce(w.wau, 0)::BIGINT AS wau,
+        |  (CASE WHEN coalesce(w.wau, 0) > 0
+        |        THEN (1000000 * coalesce(d.dau, 0)) // w.wau
+        |        ELSE 0 END)::BIGINT AS stickiness_micro
+        |FROM grid g LEFT JOIN w ON g.day = w.day
+        |LEFT JOIN d ON g.day = d.day""".stripMargin,
     "ev_retention" ->
       """WITH uw AS (
         |  SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS week

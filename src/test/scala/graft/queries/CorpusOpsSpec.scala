@@ -906,6 +906,24 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got.map(_._3).max == events.map(_._1).distinct.length.toLong)
   }
 
+  test("ev_rolling_distinct equals a brute-force trailing-7-day recount on every day") {
+    val ud = graft.Tables.events(spark, sf001)
+      .select("user_id", "ts").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime / 1000 / 86400))
+      .distinct
+    val (lo, hi) = (ud.map(_._2).min, ud.map(_._2).max)
+    val want = (lo to hi).map { d =>
+      val dau = ud.count(_._2 == d).toLong
+      val wau = ud.filter(u => u._2 >= d - 6 && u._2 <= d).map(_._1).distinct.length.toLong
+      (d, dau, wau, if (wau > 0) 1000000L * dau / wau else 0L)
+    }.toSet
+    val got = OlapQueries.evRollingDistinct(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == want)
+    // every window is at least as populated as its last day
+    got.foreach { case (_, dau, wau, _) => assert(wau >= dau) }
+  }
+
   test("ev_transitions equals a driver-side per-user resort; rows are row-stochastic") {
     val ev = graft.Tables.events(spark, sf001)
       .select("user_id", "ts", "event_id", "event_type").collect()
