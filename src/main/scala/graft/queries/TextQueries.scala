@@ -579,6 +579,49 @@ object TextQueries {
         col("rn"))
   }
 
+  /** Distinct-document frequency at or above which a chunk counts as
+    * boilerplate ("this exact paragraph appears on ≥ 3 pages").
+    */
+  val BoilerDfMin = 3
+
+  /** td_boilerplate — CCNet-style boilerplate stripping: any paragraph
+    * (fixed 10-word chunk, the corpus convention of [[DedupQueries
+    * .ddParaDedup]]) that appears in ≥ [[BoilerDfMin]] DISTINCT
+    * documents is cut from EVERY document — nav bars, cookie banners,
+    * license footers. The complement of dd_para_dedup's first-occurrence
+    * keep: there the first copy survives, here none does, because a
+    * chunk that common is template noise, not content.
+    *
+    * Scale: ONE chunk-hash shuffle carries the doc-frequency
+    * computation — dense_rank-then-max over the same `para` window
+    * partitioning (COUNT(DISTINCT) over a window, which engines reject,
+    * recast as two window passes on one exchange; an aggregate + join
+    * back would rescan the corpus — the dd_para_dedup note). Then one
+    * doc_id shuffle reassembles, filtering INSIDE collect_list (a CASE
+    * that nulls dropped chunks), so kept and dropped counts and the
+    * rebuilt text all come from the same aggregate.
+    */
+  def tdBoilerplate: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val chunks = Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), posexplode(expr(
+        """transform(sequence(0, cast(ceil(size(ws) / 10.0) as int) - 1),
+          |          g -> array_join(slice(ws, g * 10 + 1, 10), ' '))""".stripMargin)))
+      .withColumnsRenamed(Map("pos" -> "cid", "col" -> "para"))
+    val wp = Window.partitionBy(col("para"))
+    val marked = chunks
+      .withColumn("dr", dense_rank().over(wp.orderBy(col("doc_id"))))
+      .withColumn("df", max(col("dr")).over(wp))
+    marked.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("df") >= BoilerDfMin, 1L).otherwise(0L)).as("n_boiler"),
+        array_join(expr(
+          s"""transform(array_sort(collect_list(
+             |  CASE WHEN df < $BoilerDfMin THEN struct(cid, para) END)),
+             |  x -> x.para)""".stripMargin), " ").as("text"))
+  }
+
   /** td_clean_corpus — the composed training-data cleaning pass: quality
     * gate → language-ID agreement → exact dedup keeping the lowest doc_id
     * per fingerprint. One scan, one shuffle (the dedup groupBy); the
@@ -1235,6 +1278,7 @@ object TextQueries {
     "td_shuffle" -> tdShuffle,
     "td_curriculum" -> tdCurriculum,
     "td_clean_corpus" -> tdCleanCorpus,
+    "td_boilerplate" -> tdBoilerplate,
     "td_pipeline" -> tdPipeline)
 
   private val duckLangScores = langStopwords.map { case (l, words) =>
@@ -1266,6 +1310,21 @@ object TextQueries {
       |  GROUP BY b.doc_id)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "td_boilerplate" ->
+      s"""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |gs AS (SELECT doc_id, ws,
+        |         unnest(range(0, CAST(ceil(len(ws) / 10.0) AS INT))) AS cid FROM ws),
+        |chunks AS (
+        |  SELECT doc_id, cid,
+        |         array_to_string(ws[cid * 10 + 1 : cid * 10 + 10], ' ') AS para
+        |  FROM gs),
+        |df AS (SELECT para, count(DISTINCT doc_id) AS df FROM chunks GROUP BY para)
+        |SELECT c.doc_id, count(*)::BIGINT AS n_chunks,
+        |  sum(CASE WHEN f.df >= $BoilerDfMin THEN 1 ELSE 0 END)::BIGINT AS n_boiler,
+        |  coalesce(string_agg(CASE WHEN f.df < $BoilerDfMin THEN c.para END,
+        |                      ' ' ORDER BY c.cid), '') AS text
+        |FROM chunks c JOIN df f ON c.para = f.para
+        |GROUP BY c.doc_id""".stripMargin,
     "ta_cooccur" ->
       s"""WITH n AS (SELECT count(*) AS nd FROM documents),
         |d AS (

@@ -906,6 +906,30 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got.map(_._3).max == events.map(_._1).distinct.length.toLong)
   }
 
+  test("td_boilerplate == driver-side chunk-df recount; clean docs round-trip verbatim") {
+    val docs = graft.Tables.documents(spark, sf001)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def chunk(t: String): Seq[String] =
+      t.split(" ", -1).grouped(10).map(_.mkString(" ")).toSeq
+    val chunked = docs.map { case (id, t) => id -> chunk(t) }
+    val df = chunked.flatMap { case (id, cs) => cs.distinct.map(_ -> id) }
+      .groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).distinct.size }
+    val want = chunked.map { case (id, cs) =>
+      val kept = cs.filter(c => df(c) < TextQueries.BoilerDfMin)
+      (id, cs.size.toLong, cs.count(c => df(c) >= TextQueries.BoilerDfMin).toLong,
+        kept.mkString(" "))
+    }.toSet
+    val got = TextQueries.tdBoilerplate(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    assert(got == want)
+    // a document with zero boilerplate chunks must survive byte-identical
+    val clean = got.filter(_._3 == 0L)
+    assert(clean.nonEmpty)
+    val byId = docs.toMap
+    clean.foreach { case (id, _, _, t) => assert(t == byId(id)) }
+  }
+
   test("ev_rolling_distinct equals a brute-force trailing-7-day recount on every day") {
     val ud = graft.Tables.events(spark, sf001)
       .select("user_id", "ts").collect()
