@@ -192,6 +192,8 @@ object Plans {
       "windowed COUNT(DISTINCT) via the first-seen reduction: one user_id shuffle collapses events to one row per user (map-side combined min), per-day new-user counts are date-range-sized, and the running sum windows over THAT tiny frame — event volume never reaches the window",
     "g_clustering" ->
       "reuses the FrameCache'd pair graph and the oriented triangle core; additions are one edge-linear degree aggregate and a LEFT join sized by the triangle table; the micro-ratio is a single integer division — no float can flip the score between engines",
+    "dd_typo_pairs" ->
+      "SymSpell deletion-neighborhood blocking: the variant index carries Σ(len+1) keys (LINEAR in the name table, never the N² all-pairs join); candidates equi-join on the variant key, dedup BEFORE the DP, and verify with the banded threshold-1 Levenshtein (O(len) early-exit per candidate)",
     "td_boilerplate" ->
       "ONE chunk-hash shuffle carries the doc-frequency computation (COUNT DISTINCT over a window recast as dense_rank-then-max on the same para partitioning — an aggregate+join-back would rescan the corpus), then one doc_id shuffle reassembles with the drop filter INSIDE collect_list; text volume crosses the wire twice, never more",
     "ev_rolling_distinct" ->

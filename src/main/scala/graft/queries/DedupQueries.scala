@@ -556,6 +556,46 @@ object DedupQueries {
         (col("lev") =!= lit(-1)).as("is_dup")) // lev ≤ 24 of 120 chars
   }
 
+  /** dd_typo_pairs — single-edit identifier pairs via SymSpell
+    * deletion-neighborhood blocking: every customer-name pair at
+    * Levenshtein distance EXACTLY 1 (the record-linkage / key-typo
+    * question — "which identifiers differ by one keystroke"). A pair at
+    * distance 1 must share a blocking key when each string is indexed
+    * under itself plus all its delete-one variants: a substitution pair
+    * shares the variant that deletes the differing position from both,
+    * an insert/delete pair puts the shorter string itself in the
+    * longer's deletion set. Transposition-style false candidates are
+    * killed by the verify.
+    *
+    * Scale (the SymSpell argument): the variant index carries
+    * Σ(len+1) keys — LINEAR in the name table, vs the all-pairs join's
+    * N² — and the equi-join on the variant key touches only names
+    * whose neighborhoods actually collide. Verification runs the
+    * banded threshold-1 Levenshtein (O(len) per candidate, early
+    * exit), on DISTINCT candidates only — the ≤3 shared variants per
+    * true pair are deduped before the DP, not after.
+    */
+  def ddTypoPairs: Q = (s, dir) =>
+    typoPairs(Tables.customer(s, dir).select(col("c_name").as("name")))
+
+  /** The deletion-neighborhood core over any single-column `name` frame
+    * — see [[ddTypoPairs]]; the spec drives it on hand-built edit cases
+    * and against a brute-force driver-side scan.
+    */
+  private[queries] def typoPairs(names: DataFrame): DataFrame = {
+    val vars = names.select(col("name"), explode(array_distinct(expr(
+      """concat(array(name),
+        |  transform(sequence(1, length(name)),
+        |    i -> concat(substring(name, 1, i - 1),
+        |                substring(name, i + 1, length(name)))))""".stripMargin)))
+      .as("v"))
+    vars.as("a").join(vars.as("b"),
+        col("a.v") === col("b.v") && col("a.name") < col("b.name"))
+      .select(col("a.name").as("name_a"), col("b.name").as("name_b"))
+      .distinct()
+      .filter(levenshtein(col("name_a"), col("name_b"), 1) === 1)
+  }
+
   /** Fixed-block embedding-cosine near-dup — SPEC FIXTURE ONLY (not in
     * [[queries]]): blocks the pair join on `label`, a FIXED-cardinality
     * key, so its work grows quadratically with rows-per-label (measured
@@ -822,6 +862,7 @@ object DedupQueries {
     "dd_jaccard_ngram" -> ddJaccardNgram,
     "dd_prefix_join" -> ddPrefixJoin,
     "dd_lev_pairs" -> ddLevPairs,
+    "dd_typo_pairs" -> ddTypoPairs,
     "dd_containment" -> ddContainment,
     "dd_incremental" -> ddIncremental,
     "dd_embed_neardup_lsh" -> ddEmbedNeardupLsh)
@@ -1059,6 +1100,15 @@ object DedupQueries {
         |  len(list_intersect(a.shd, b.shd)) * 5 >= len(a.shd) * 4 AS a_in_b,
         |  len(list_intersect(a.shd, b.shd)) * 5 >= len(b.shd) * 4 AS b_in_a
         |FROM bands a JOIN bands b ON a.doc_id < b.doc_id AND ($duckBandOr)""".stripMargin,
+    // The naive form the blocking avoids: quadratic length-filtered
+    // scan with a full Levenshtein per pair — correct by definition.
+    "dd_typo_pairs" ->
+      """WITH c AS (SELECT c_name FROM customer)
+        |SELECT a.c_name AS name_a, b.c_name AS name_b
+        |FROM c a JOIN c b
+        |  ON abs(length(a.c_name) - length(b.c_name)) <= 1
+        | AND a.c_name < b.c_name
+        | AND levenshtein(a.c_name, b.c_name) = 1""".stripMargin,
     "dd_lev_pairs" ->
       s"""$duckShingles,
         |hs AS (

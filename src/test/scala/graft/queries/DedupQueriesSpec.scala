@@ -37,6 +37,47 @@ class DedupQueriesSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("typo pairs: deletion blocking is COMPLETE for every edit kind; transpositions rejected") {
+    // one substitution pair, one insert/delete pair, one transposition
+    // (lev 2 — must be blocked as a candidate but killed by verify),
+    // one distance-2 pair (must not appear)
+    val names = Seq("cat", "car", "cart", "act", "dog", "dig", "dug", "fish")
+      .toDF("name")
+    val got = DedupQueries.typoPairs(names).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val all = names.collect().map(_.getString(0))
+    val want = (for {
+      a <- all; b <- all if a < b && lev(a, b) == 1
+    } yield (a, b)).toSet
+    assert(got == want)
+    assert(got.contains(("car", "cat")) && got.contains(("car", "cart")))
+    assert(!got.contains(("act", "cat")), "transposition is distance 2")
+  }
+
+  test("dd_typo_pairs == brute-force distance-1 scan over sf0.001 customer names") {
+    import graft.SparkTestBase.sf001
+    val names = graft.Tables.customer(spark, sf001)
+      .select("c_name").collect().map(_.getString(0))
+    val got = DedupQueries.ddTypoPairs(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    // names are fixed-width here, so distance 1 == exactly one
+    // differing position
+    val want = (for {
+      a <- names; b <- names
+      if a < b && a.length == b.length &&
+        a.zip(b).count { case (x, y) => x != y } == 1
+    } yield (a, b)).toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
   test("dd_para_dedup: each distinct paragraph survives exactly once, in order") {
     import graft.SparkTestBase.sf001
     val out = DedupQueries.ddParaDedup(spark, sf001).collect()
