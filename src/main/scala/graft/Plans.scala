@@ -192,6 +192,8 @@ object Plans {
       "windowed COUNT(DISTINCT) via the first-seen reduction: one user_id shuffle collapses events to one row per user (map-side combined min), per-day new-user counts are date-range-sized, and the running sum windows over THAT tiny frame — event volume never reaches the window",
     "g_clustering" ->
       "reuses the FrameCache'd pair graph and the oriented triangle core; additions are one edge-linear degree aggregate and a LEFT join sized by the triangle table; the micro-ratio is a single integer division — no float can flip the score between engines",
+    "g_sssp" ->
+      "Pregel SSSP (no priority queue exists at cluster scale): each relaxation round is ONE join of the node-sized distance frame against the src-partitioned cached weighted edges + one min aggregate; integer min-plus is reduction-order-independent (the pagerank argument), lineage cut per round, rounds a fixed constant",
     "dd_typo_pairs" ->
       "SymSpell deletion-neighborhood blocking: the variant index carries Σ(len+1) keys (LINEAR in the name table, never the N² all-pairs join); candidates equi-join on the variant key, dedup BEFORE the DP, and verify with the banded threshold-1 Levenshtein (O(len) early-exit per candidate)",
     "td_boilerplate" ->

@@ -210,6 +210,64 @@ object GraphQueries {
     visited
   }
 
+  /** Relaxation rounds for [[gSssp]] (fixed — the oracle unrolls them). */
+  val SsspRounds = 4
+
+  /** g_sssp — WEIGHTED shortest path from the seed cohort, as
+    * [[SsspRounds]] Bellman-Ford min-plus relaxations over the strong
+    * trade graph: edge cost = max(1, 10 − n_orders) (sustained
+    * relationships are cheap to traverse, one-off trades expensive) —
+    * the weighted complement of [[gKhop]]'s hop counting, and the
+    * "cheapest trust path from seed domains" curation signal. Output:
+    * (node, dist) for every node within [[SsspRounds]] relaxations,
+    * i.e. the cheapest ≤4-edge path cost. All costs are small positive
+    * integers, so min-plus is reduction-order-independent and the
+    * unrolled DuckDB oracle matches bit-for-bit (the same argument as
+    * [[gPagerank]]'s fixed-point ranks — a float-weighted Dijkstra can
+    * never cross-engine-hash).
+    *
+    * Scale: no priority queue exists at cluster scale — the round-based
+    * relaxation IS the distributed form (Pregel SSSP). Each round is
+    * one join of the current distance frame against the src-partitioned
+    * cached weighted edges + one min aggregate; the distance frame
+    * stays node-sized, lineage is cut per round, rounds are a fixed
+    * constant.
+    */
+  def gSssp: Q = (s, dir) => {
+    val edges = weightedEdges(s, dir)
+    val init = edges
+      .filter(col("src").startsWith("S") &&
+        substring(col("src"), 2, 18).cast("long") < KhopSeedMax)
+      .select(col("src").as("node")).distinct()
+      .withColumn("dist", lit(0L)).localCheckpoint()
+    (1 to SsspRounds).foldLeft(init) { (d, _) =>
+      val relaxed = d.join(edges, d("node") === edges("src"))
+        .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
+      d.select(col("node"), col("dist")).union(relaxed)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint()
+    }
+  }
+
+  /** The weighted symmetrized trade graph for [[gSssp]]: one edge per
+    * distinct supplier–customer pair, cost max(1, 10 − n_orders) —
+    * built once per (session, sf), hash-partitioned on `src` like
+    * [[tradeEdges]] so every relaxation round's join is co-located.
+    */
+  private[queries] def weightedEdges(s: SparkSession, dir: String): DataFrame =
+    FrameCache.cached(s, s"g_weighted_edges:$dir") {
+      val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
+      val ord = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+      val e0 = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(concat(lit("S"), col("l_suppkey")).as("src"),
+          concat(lit("C"), col("o_custkey")).as("dst"))
+        .agg(countDistinct(col("l_orderkey")).as("n"))
+        .select(col("src"), col("dst"),
+          greatest(lit(1L), lit(10L) - col("n")).as("w"))
+      e0.union(e0.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+        .repartition(col("src"))
+    }
+
   /** Walk length for [[gRandomWalk]] (seeds share [[KhopSeedMax]]). */
   val WalkSteps = 4
 
@@ -433,6 +491,7 @@ object GraphQueries {
     "g_triangles" -> gTriangles,
     "g_clustering" -> gClustering,
     "g_concomp" -> gConcomp,
+    "g_sssp" -> gSssp,
     "g_degree_stats" -> gDegreeStats)
 
   // ---- DuckDB oracles ------------------------------------------------
@@ -589,6 +648,30 @@ object GraphQueries {
         |SELECT substr(node, 1, 1) AS side, outdeg AS degree,
         |  count(*)::BIGINT AS n_nodes
         |FROM deg GROUP BY 1, 2""".stripMargin,
+    "g_sssp" -> {
+      val rounds = (1 to SsspRounds).map { i =>
+        s"""d$i AS (
+          |  SELECT node, min(dist)::BIGINT AS dist FROM (
+          |    SELECT node, dist FROM d${i - 1}
+          |    UNION ALL
+          |    SELECT e.d AS node, p.dist + e.w AS dist
+          |    FROM d${i - 1} p JOIN wedges e ON p.node = e.s)
+          |  GROUP BY node)""".stripMargin
+      }
+      s"""WITH we AS (
+        |  SELECT 'S' || l_suppkey AS s, 'C' || o_custkey AS d,
+        |    count(DISTINCT l_orderkey) AS n
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2),
+        |wedges AS (
+        |  SELECT s, d, greatest(1, 10 - n)::BIGINT AS w FROM we
+        |  UNION ALL SELECT d, s, greatest(1, 10 - n)::BIGINT FROM we),
+        |d0 AS (
+        |  SELECT DISTINCT s AS node, 0::BIGINT AS dist FROM wedges
+        |  WHERE s LIKE 'S%' AND substr(s, 2)::BIGINT < $KhopSeedMax),
+        |${rounds.mkString(",\n")}
+        |SELECT node, dist FROM d$SsspRounds""".stripMargin
+    },
     // Min-label fixpoint as a recursive CTE: `reach` accumulates every
     // (node, label-of-a-node-that-can-reach-it) pair over the
     // symmetrized strong edges; UNION dedup terminates it, min(label)

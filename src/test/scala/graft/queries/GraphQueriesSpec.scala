@@ -244,6 +244,34 @@ class GraphQueriesSpec extends AnyFunSuite {
     byComp.foreach { case (c, m) => assert(m.keys.min == c) }
   }
 
+  test("g_sssp equals a sequential Bellman-Ford unrolled the same number of rounds") {
+    import graft.SparkTestBase.sf001
+    import org.apache.spark.sql.functions.col
+    val li = graft.Tables.lineitem(spark, sf001).select("l_orderkey", "l_suppkey")
+    val ord = graft.Tables.orders(spark, sf001).select("o_orderkey", "o_custkey")
+    val raw = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_suppkey"), col("o_custkey"))
+      .agg(org.apache.spark.sql.functions.countDistinct(col("l_orderkey")).as("n"))
+      .collect().map(r => (s"S${r.getLong(0)}", s"C${r.getLong(1)}", math.max(1L, 10L - r.getLong(2))))
+    val edges = raw.flatMap { case (a, b, w) => Seq((a, b, w), (b, a, w)) }
+    var dist: Map[String, Long] = edges.map(_._1).distinct
+      .filter(n => n.startsWith("S") && n.drop(1).toLong < GraphQueries.KhopSeedMax)
+      .map(_ -> 0L).toMap
+    for (_ <- 1 to GraphQueries.SsspRounds) {
+      val relaxed = edges.flatMap { case (s0, d0, w) =>
+        dist.get(s0).map(x => d0 -> (x + w))
+      }
+      dist = (dist.toSeq ++ relaxed).groupBy(_._1)
+        .map { case (n, xs) => n -> xs.map(_._2).min }
+    }
+    val got = GraphQueries.gSssp(spark, sf001).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == dist)
+    // seeds stay at 0; a weighted distance is never below the hop count
+    assert(got.filter(_._1.drop(1).toLong < GraphQueries.KhopSeedMax)
+      .filter(_._1.startsWith("S")).values.forall(_ == 0L))
+  }
+
   test("connectedComponents keeps nodes that only ever appear as surviving roots") {
     // 1-2, 1-3: node 1 is always the surviving (min) root; before the
     // round-8 fix the driver union-find path dropped it from the output
