@@ -57,10 +57,29 @@ object Bench {
       }
       name -> times.min
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def fmt(v: Double): String = f"$v%.3f"
+    // Full per-query map → file: the driver keeps only the last ~2000
+    // chars of stdout, and a 196-entry map (~5 KB) truncates mid-line
+    // there, so its JSON tail-parse came back null in r7/r8. The printed
+    // line stays spec-shaped but bounds `queries` to the slowest entries
+    // so line + sbt's trailing "[success]" banner fit inside the window.
+    val fullJson = results.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString(
+        s"""{"metric":"total","value":$total,"unit":"sec","queries":{""",
+        ",", s"""},"sf":"$sfDir"}""")
+    val fullPath = sys.env.getOrElse(
+      "SPARK_GRAFT_BENCH_OUT", "tools/bench_full_last.json")
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(fullPath),
+      fullJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] could not write $fullPath: $e")
+    }
+    val slowest = results.toSeq.sortBy(-_._2).take(40)
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$slowest,"full":"$fullPath","sf":"$sfDir"}""")
     graft.queries.FrameCache.clear()
     spark.stop()
   }

@@ -131,8 +131,12 @@ case class TopKAgg(
   }
 
   override def eval(st: State): Any = {
-    val idx = Array.range(0, st.size)
-      .sortBy(j => (-st.scores(j), st.ids(j)))
+    // Sort with the same overflow-safe ordering as `worse` — negating the
+    // score key would map Long.MinValue onto itself and rank it best.
+    val idx = Array.range(0, st.size).sortWith { (a, b) =>
+      st.scores(a) > st.scores(b) ||
+        (st.scores(a) == st.scores(b) && st.ids(a) < st.ids(b))
+    }
     new GenericArrayData(idx.map(j =>
       InternalRow(st.scores(j), st.ids(j)): Any))
   }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.Tables
+import graft.{Schemas, Tables}
 import graft.functions.Fns
 import graft.functions.ReplaceFirst.replaceFirst
 import graft.sources.{Layout, Tsv}
@@ -76,6 +76,38 @@ object RefQueries {
     Tsv.writeTsvFile(n.limit(3), s"$tmp/ignore.txt") // must NOT be read
     Tsv.read(s, s"$tmp/*.maf")
       .select(col("n_nationkey").cast(IntegerType), col("n_name"))
+  }
+
+  /** S6 — dict-of-files study load (reference `validate.py:175-195`, via
+    * [[graft.pipelines.StudyValidator.loadAllOutputs]]): materialize a
+    * study package with three of the ten required outputs present, load
+    * the full name→Option[DataFrame] map, and report per-file presence +
+    * row count. Absent files surface as (present=false, -1), the
+    * validator's contract, never an error. The per-file counts union into
+    * ONE plan — each present file is its own TSV scan branch, so at real
+    * scale every branch is an independent distributed count of just that
+    * file, and absent branches are constant-folded single rows.
+    */
+  def s6LoadMap: Q = (s, dir) => {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-s6").toString
+    Tsv.writeTsvFile(
+      Tables.nation(s, dir).select(col("n_nationkey"), col("n_name")),
+      s"$tmp/data_clinical_patient.txt")
+    Tsv.writeTsvFile(
+      Tables.region(s, dir).select(col("r_regionkey"), col("r_name")),
+      s"$tmp/data_clinical_sample.txt")
+    Tsv.writeTsvFile(
+      Tables.supplier(s, dir).select(col("s_suppkey"), col("s_name")),
+      s"$tmp/data_mutations.txt")
+    val loaded = graft.pipelines.StudyValidator.loadAllOutputs(s, tmp)
+    Schemas.RequiredOutputFiles.map { f =>
+      loaded(f) match {
+        case Some(df) => df.agg(count(lit(1)).as("n_rows"))
+          .select(lit(f).as("file"), lit(true).as("present"), col("n_rows"))
+        case None => s.range(1).select(
+          lit(f).as("file"), lit(false).as("present"), lit(-1L).as("n_rows"))
+      }
+    }.reduce(_.unionByName(_))
   }
 
   /** S7 — JSONL sink/scan round-trip (beyond the reference's TSV-only
@@ -753,6 +785,7 @@ object RefQueries {
     "s2_tsv_roundtrip" -> s2TsvRoundtrip,
     "s3_comment_scan" -> s3CommentScan,
     "s5_glob_scan" -> s5GlobScan,
+    "s6_load_map" -> s6LoadMap,
     "s7_jsonl_roundtrip" -> s7JsonlRoundtrip,
     "s8_orc_roundtrip" -> s8OrcRoundtrip,
     "s10_xml_roundtrip" -> s10XmlRoundtrip,
@@ -810,6 +843,16 @@ object RefQueries {
       "SELECT r_regionkey, r_name FROM region",
     "s5_glob_scan" ->
       "SELECT n_nationkey, n_name FROM nation",
+    "s6_load_map" ->
+      """SELECT 'data_clinical_patient.txt' AS file, TRUE AS present,
+        |  count(*)::BIGINT AS n_rows FROM nation
+        |UNION ALL SELECT 'data_clinical_sample.txt', TRUE, count(*)::BIGINT FROM region
+        |UNION ALL SELECT 'data_mutations.txt', TRUE, count(*)::BIGINT FROM supplier
+        |UNION ALL SELECT f, FALSE, -1::BIGINT FROM (VALUES
+        |  ('meta_clinical_patient.txt'), ('meta_clinical_sample.txt'),
+        |  ('meta_mutations.txt'), ('data_gene_signatures.txt'),
+        |  ('meta_gene_signatures.txt'), ('data_rna_seq_mrna.txt'),
+        |  ('meta_rna_seq_mrna.txt')) t(f)""".stripMargin,
     "s7_jsonl_roundtrip" ->
       """SELECT lang, count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS sum_ids,
         | count(DISTINCT source) AS n_sources FROM documents GROUP BY 1""".stripMargin,

@@ -254,7 +254,13 @@ object TextQueries {
       .join(broadcast(freq.select(col("tok").as("tok_a"), col("c").as("c_a"))), Seq("tok_a"))
       .join(broadcast(freq.select(col("tok").as("tok_b"), col("c").as("c_b"))), Seq("tok_b"))
       .select(col("tok_a"), col("tok_b"), col("n_docs"),
-        expr(s"(1000000L * n_docs * ${nDocs}L) div (c_a * c_b)").as("lift_micro"))
+        // 128-bit intermediate: 10⁶·n_docs·N wraps a Long once N exceeds
+        // ~3M docs (and c_a·c_b wraps even earlier at corpus scale), so
+        // both the product and the divisor go through DECIMAL(38,0);
+        // `div` (IntegralDivide) folds the quotient back to BIGINT, which
+        // always fits because lift is bounded by 10⁶·N/max(c_a,c_b) ≤ 10⁶·N.
+        expr(s"CAST(1000000 AS DECIMAL(38,0)) * n_docs * ${nDocs}L" +
+          " div (CAST(c_a AS DECIMAL(38,0)) * c_b)").as("lift_micro"))
   }
 
   /** td_redact — PII scrubbing: email/phone/long-digit-run patterns
@@ -1342,7 +1348,8 @@ object TextQueries {
         |  GROUP BY 1, 2
         |  HAVING count(*) >= (SELECT nd * $CoPairSupPct // 100 FROM n))
         |SELECT p.tok_a, p.tok_b, p.n_docs,
-        |  ((1000000 * p.n_docs * (SELECT nd FROM n)) // (fa.c * fb.c))::BIGINT
+        |  ((1000000::HUGEINT * p.n_docs * (SELECT nd FROM n))
+        |     // (fa.c::HUGEINT * fb.c))::BIGINT
         |    AS lift_micro
         |FROM p JOIN f fa ON p.tok_a = fa.tok
         |       JOIN f fb ON p.tok_b = fb.tok""".stripMargin,
