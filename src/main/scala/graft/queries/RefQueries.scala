@@ -706,6 +706,7 @@ object RefQueries {
     val chrm = pmod(col("l_partkey"), lit(27L)) // 0 and 26 are invalid names
     val a5 = pmod(col("l_suppkey"), lit(5L))    // 4 -> 'R', an invalid base
     val a4 = pmod(col("l_suppkey"), lit(4L))
+    val vt = pmod(col("l_suppkey"), lit(7L))    // 6 -> 'SNV', invalid type
     val maf = Tables.lineitem(s, dir).select(
       concat(lit("S"), pmod(col("l_orderkey"), lit(2347L)).cast(StringType))
         .as("Tumor_Sample_Barcode"),
@@ -720,7 +721,24 @@ object RefQueries {
       when(col("l_returnflag") === "R", "Somatic")
         .when(col("l_returnflag") === "A", "Germline")
         .otherwise("Unknowable").as("Mutation_Status"),
-      lit("GRCh38").as("NCBI_Build"))
+      lit("GRCh38").as("NCBI_Build"),
+      // tier-3 seeded columns: classification invalid on partkey%53==0,
+      // type invalid on suppkey%7==6, extent-vs-type violated wherever
+      // linenumber disagrees with the typed span, status invalid on 'A'
+      // rows, entrez negative on partkey%50021<3, hugo blank on %487==0
+      when(pmod(col("l_partkey"), lit(53L)) === 0L, "Missense_Variant")
+        .otherwise("Missense_Mutation").as("Variant_Classification"),
+      when(vt === 0L, "SNP").when(vt === 1L, "DNP").when(vt === 2L, "TNP")
+        .when(vt === 3L, "ONP").when(vt === 4L, "INS").when(vt === 5L, "DEL")
+        .otherwise("SNV").as("Variant_Type"),
+      when(col("l_returnflag") === "N", "Untested")
+        .when(col("l_returnflag") === "R", "Valid")
+        .otherwise("Wrong_Status").as("Validation_Status"),
+      (pmod(col("l_partkey"), lit(50021L)) - lit(3L)).as("Entrez_Gene_Id"),
+      when(pmod(col("l_partkey"), lit(487L)) === 0L, "")
+        .otherwise(concat(lit("G"),
+          pmod(col("l_partkey"), lit(500L)).cast(StringType)))
+        .as("Hugo_Symbol"))
 
     // a small deterministic study package through the real sinks; the
     // structural rules then audit actual on-disk meta/header/case-list
@@ -728,11 +746,18 @@ object RefQueries {
     val tmp = java.nio.file.Files.createTempDirectory("graft-v18").toString
     val studyId = "graft_v18"
     val samplesSmall = mkSamples(customer.filter(col("c_custkey") <= 500L))
+      // a NUMBER-typed attribute with a seeded parse violation every 89th
+      // key — exercises clinical_number_attrs_numeric data-dependently
+      .withColumn("AGE_MONTHS",
+        when(pmod(expr("CAST(substring(SAMPLE_ID, 2) AS BIGINT)"), lit(89L)) === 0L,
+          lit("ninety")).otherwise(
+          pmod(expr("CAST(substring(SAMPLE_ID, 2) AS BIGINT)"), lit(120L))
+            .cast(StringType)))
     Tsv.writeTsvFile(samplesSmall, s"$tmp/data_clinical_sample.txt", Seq(
-      "#Sample ID\tPatient ID\tCancer Type",
-      "#Sample identifier\tPatient identifier\tCancer type",
-      "#STRING\tSTRING\tSTRING",
-      "#1\t1\t1"))
+      "#Sample ID\tPatient ID\tCancer Type\tAge Months",
+      "#Sample identifier\tPatient identifier\tCancer type\tAge in months",
+      "#STRING\tSTRING\tSTRING\tNUMBER",
+      "#1\t1\t1\t1"))
     Tsv.writeTsvFile(samplesSmall.select(col("PATIENT_ID")).distinct(),
       s"$tmp/data_clinical_patient.txt",
       Seq("#Patient ID", "#Patient identifier", "#STRING", "#1"))
@@ -768,14 +793,18 @@ object RefQueries {
     }
     val dupF = Future(Rules.evaluate(s, samples, Seq(Rules.noKeyedDups("SAMPLE_ID")))
       .head().getLong(1))
+    val numF = Future(PortalRules
+      .numberAttrViolations(s, tmp, "data_clinical_sample.txt").getOrElse(0L))
     val fieldReport = Await.result(fieldF, Duration.Inf)
     val (v1, (v2, v3), dup) = (Await.result(v1F, Duration.Inf),
       Await.result(barcodesF, Duration.Inf), Await.result(dupF, Duration.Inf))
+    val numViol = Await.result(numF, Duration.Inf)
     (structural ++ Seq(
       ("sample_patient_in_patients", v1, v1 == 0L),
       ("maf_barcode_in_samples", v2, v2 == 0L),
       ("case_list_ids_in_samples", v3, v3 == 0L),
-      ("no_dup_sample_id", dup, dup == 0L)))
+      ("no_dup_sample_id", dup, dup == 0L),
+      ("clinical_number_attrs_numeric", numViol, numViol == 0L)))
       .toDF("rule", "value", "passed")
       .unionByName(fieldReport)
   }

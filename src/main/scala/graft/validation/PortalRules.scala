@@ -45,6 +45,42 @@ object PortalRules {
   /** Allele strings: bases, N, or `-` for indel placeholder. */
   val AllelePattern: String = "^[ACGTN-]+$"
 
+  /** Variant_Classification values the importer recognizes (the MAF
+    * spec's controlled vocabulary; anything else draws validateData's
+    * unknown-classification warning).
+    */
+  val ValidVariantClassifications: Set[String] = Set(
+    "Frame_Shift_Del", "Frame_Shift_Ins", "In_Frame_Del", "In_Frame_Ins",
+    "Missense_Mutation", "Nonsense_Mutation", "Silent", "Splice_Site",
+    "Translation_Start_Site", "Nonstop_Mutation", "3'UTR", "3'Flank",
+    "5'UTR", "5'Flank", "IGR", "Intron", "RNA", "Targeted_Region",
+    "De_novo_Start_InFrame", "De_novo_Start_OutOfFrame", "Splice_Region",
+    "Unknown")
+
+  /** Variant_Type controlled vocabulary. */
+  val ValidVariantTypes: Set[String] = Set("SNP", "DNP", "TNP", "ONP",
+    "INS", "DEL")
+
+  /** Validation_Status controlled vocabulary. */
+  val ValidValidationStatus: Set[String] = Set("Valid", "Invalid",
+    "Untested", "Inconclusive", "Redacted", "Unknown")
+
+  /** case_list_category values the importer recognizes. */
+  val ValidCaseListCategories: Set[String] = Set(
+    "all_cases_in_study", "all_cases_with_mutation_data",
+    "all_cases_with_cna_data", "all_cases_with_log2_cna_data",
+    "all_cases_with_methylation_data", "all_cases_with_mrna_array_data",
+    "all_cases_with_mrna_rnaseq_data", "all_cases_with_rppa_data",
+    "all_cases_with_microrna_data", "all_cases_with_mutation_and_cna_data",
+    "all_cases_with_mutation_and_cna_and_mrna_data",
+    "all_cases_with_gsva_data", "all_cases_with_sv_data", "other")
+
+  /** Clinical attribute ids must be SHOUTY_SNAKE (validateData normalizes
+    * and warns on anything else — a lowercase/spaced id silently renames
+    * on import).
+    */
+  val AttrIdPattern: String = "^[A-Z][A-Z0-9_]*$"
+
   /** Datatype line values the clinical header block may carry. */
   val ValidHeaderDatatypes: Set[String] = Set("STRING", "NUMBER", "BOOLEAN")
 
@@ -107,6 +143,42 @@ object PortalRules {
       // countDistinct ignores nulls) is vacuously consistent, not -1
       b += Rules.Rule("maf_ncbi_build_consistent",
         greatest(countDistinct(col("NCBI_Build")) - lit(1L), lit(0L)))
+    if (cols("Variant_Classification"))
+      b += Rules.Rule("maf_variant_classification_valid",
+        violation(!coalesce(col("Variant_Classification")
+          .isin(ValidVariantClassifications.toSeq: _*), lit(false))))
+    if (cols("Variant_Type"))
+      b += Rules.Rule("maf_variant_type_valid",
+        violation(!coalesce(
+          col("Variant_Type").isin(ValidVariantTypes.toSeq: _*), lit(false))))
+    if (cols("Variant_Type") && cols("Start_Position") && cols("End_Position"))
+      // the extent a typed variant must span: SNP 1, DNP 2, TNP 3 bases
+      // (INS/DEL extents are free-form beyond the generic extent rule)
+      b += Rules.Rule("maf_extent_matches_type",
+        violation(
+          (col("Variant_Type") === "SNP" &&
+            col("End_Position") =!= col("Start_Position")) ||
+          (col("Variant_Type") === "DNP" &&
+            col("End_Position") =!= col("Start_Position") + lit(1L)) ||
+          (col("Variant_Type") === "TNP" &&
+            col("End_Position") =!= col("Start_Position") + lit(2L))))
+    if (cols("Reference_Allele") && cols("Tumor_Seq_Allele2"))
+      // tumor allele identical to reference = no variant at all
+      // (validateData's "allele identical" tier)
+      b += Rules.Rule("maf_allele_not_identical",
+        violation(col("Reference_Allele") === col("Tumor_Seq_Allele2")))
+    if (cols("Validation_Status"))
+      b += Rules.Rule("maf_validation_status_valid",
+        violation(!coalesce(col("Validation_Status")
+          .isin(ValidValidationStatus.toSeq: _*), lit(false))))
+    if (cols("Entrez_Gene_Id"))
+      b += Rules.Rule("maf_entrez_nonneg",
+        violation(col("Entrez_Gene_Id") < 0L))
+    if (cols("Hugo_Symbol") && cols("Entrez_Gene_Id"))
+      // a row must carry at least one usable gene identifier
+      b += Rules.Rule("maf_gene_identifier_present",
+        violation((col("Hugo_Symbol").isNull || col("Hugo_Symbol") === "") &&
+          (col("Entrez_Gene_Id").isNull || col("Entrez_Gene_Id") <= 0L)))
     b.result()
   }
 
@@ -190,33 +262,10 @@ object PortalRules {
     val dataOrphans = listFiles(root, "data_")
       .count(p => !referenced(p.getFileName.toString)).toLong
 
-    // a clinical output may be a single file OR a parted cbio dataset
-    // directory (ClinicalPipeline partedSink) — every part file must
-    // carry the full header block
-    def clinicalParts(p: Path): Seq[Path] =
-      if (!Files.isDirectory(p)) Seq(p)
-      else {
-        val s = Files.list(p)
-        try s.iterator().asScala.filter { f =>
-          val n = f.getFileName.toString
-          Files.isRegularFile(f) && !n.startsWith("_") && !n.startsWith(".")
-        }.toSeq.sortBy(_.toString)
-        finally s.close()
-      }
-
-    // only the header block + column line are needed — stream the first
-    // few lines instead of Files.readAllLines (a parted clinical output's
-    // part files are DATA files; loading them whole would put the corpus
-    // on the driver)
-    def headLines(p: Path, n: Int): Seq[String] = {
-      val r = Files.newBufferedReader(p)
-      try Iterator.continually(r.readLine()).takeWhile(_ != null).take(n).toList
-      finally r.close()
-    }
-    // ONE read of each clinical part's header region yields both the
-    // header-block shape check and the duplicate-attribute-column count
-    // (each part of a parted dataset repeats the header and is checked
-    // on its own)
+    // ONE read of each clinical part's header region yields the
+    // header-block shape check, the duplicate-attribute-column count, AND
+    // the attribute-id-format count (each part of a parted dataset repeats
+    // the header and is checked on its own)
     val clinicalHeaderStats = listFiles(root, "data_clinical_")
       .flatMap(clinicalParts).map { p =>
         val lines = headLines(p, 6)
@@ -234,10 +283,12 @@ object PortalRules {
               priorities.exists(pr => scala.util.Try(pr.trim.toInt).isFailure)
             if (bad) 1L else 0L
           }
-        (headerBad, (cols.size - cols.distinct.size).toLong)
+        (headerBad, (cols.size - cols.distinct.size).toLong,
+          cols.count(c => !c.matches(AttrIdPattern)).toLong)
       }
     val headerViolations = clinicalHeaderStats.map(_._1).sum
     val dupAttrViolations = clinicalHeaderStats.map(_._2).sum
+    val attrIdViolations = clinicalHeaderStats.map(_._3).sum
 
     val caseListViolations = caseLists.count { case (_, kv) =>
       CaseListRequiredKeys.exists(k => !kv.contains(k)) ||
@@ -250,6 +301,16 @@ object PortalRules {
     val unknownMetaKeys = metas
       .map(_._2.keysIterator.count(k => !KnownMetaKeys(k)).toLong).sum
 
+    // case_list_ids content checks: the missing-key case already counts
+    // under case_list_fields, so these fire only on a PRESENT key
+    val listIds = caseLists.flatMap(_._2.get("case_list_ids"))
+      .map(_.split("\t", -1).toSeq.map(_.trim).filter(_.nonEmpty))
+    val emptyLists = listIds.count(_.isEmpty).toLong
+    val dupListIds = listIds.map(ids => (ids.size - ids.distinct.size).toLong).sum
+
+    val badCategories = caseLists.count(_._2.get("case_list_category")
+      .exists(c => !ValidCaseListCategories(c))).toLong
+
     Seq(
       ("portal_meta_files_resolve", metaResolve, metaResolve == 0L),
       ("portal_study_id_consistent", idConsistent, idConsistent == 0L),
@@ -258,7 +319,80 @@ object PortalRules {
       ("portal_case_list_fields", caseListViolations, caseListViolations == 0L),
       ("portal_clinical_no_dup_attrs", dupAttrViolations, dupAttrViolations == 0L),
       ("portal_case_list_stable_id_unique", stableIdCollisions, stableIdCollisions == 0L),
-      ("portal_meta_unknown_keys", unknownMetaKeys, unknownMetaKeys == 0L))
+      ("portal_meta_unknown_keys", unknownMetaKeys, unknownMetaKeys == 0L),
+      ("portal_attr_id_format", attrIdViolations, attrIdViolations == 0L),
+      ("portal_case_list_ids_nonempty", emptyLists, emptyLists == 0L),
+      ("portal_case_list_dup_ids", dupListIds, dupListIds == 0L),
+      ("portal_case_list_category_known", badCategories, badCategories == 0L))
+  }
+
+  /** A clinical output may be a single file OR a parted cbio dataset
+    * directory (ClinicalPipeline partedSink) — every part file must
+    * carry the full header block.
+    */
+  private def clinicalParts(p: Path): Seq[Path] =
+    if (!Files.isDirectory(p)) Seq(p)
+    else {
+      val s = Files.list(p)
+      try s.iterator().asScala.filter { f =>
+        val n = f.getFileName.toString
+        Files.isRegularFile(f) && !n.startsWith("_") && !n.startsWith(".")
+      }.toSeq.sortBy(_.toString)
+      finally s.close()
+    }
+
+  /** Only the header block + column line are needed — stream the first
+    * few lines instead of Files.readAllLines (a parted clinical output's
+    * part files are DATA files; loading them whole would put the corpus
+    * on the driver).
+    */
+  private def headLines(p: Path, n: Int): Seq[String] = {
+    val r = Files.newBufferedReader(p)
+    try Iterator.continually(r.readLine()).takeWhile(_ != null).take(n).toList
+    finally r.close()
+  }
+
+  /** Numeric-literal shape a NUMBER-typed clinical value must match
+    * (validateData accepts ints, decimals, scientific notation, and the
+    * portal's `NA` missing marker).
+    */
+  val NumberValuePattern: String =
+    "^(NA|-?[0-9]+(\\.[0-9]+)?([eE][-+]?[0-9]+)?)$"
+
+  /** Datatype-conformance check for one clinical output: every column the
+    * header block declares NUMBER must hold numeric-parseable values.
+    * Header parse is driver-side (4 lines); the value check is ONE
+    * distributed aggregate pass over the file — the clinical table can be
+    * fact-sized. None when the file is absent or its header block is
+    * malformed (the header rule already fires there).
+    */
+  def numberAttrViolations(spark: SparkSession, dir: String,
+                           name: String): Option[Long] = {
+    val p = Paths.get(dir).resolve(name)
+    if (!Files.exists(p)) return None
+    clinicalParts(p).headOption.flatMap { part =>
+      val lines = headLines(part, 6)
+      val block = lines.takeWhile(_.startsWith("#"))
+      if (block.size != 4) None
+      else {
+        val cols = lines.drop(4).headOption.getOrElse("").split("\t", -1).toSeq
+        val datatypes = block(2).stripPrefix("#").split("\t", -1).toSeq
+        val numberCols = cols.zip(datatypes)
+          .collect { case (c, "NUMBER") => c }
+        if (numberCols.isEmpty) Some(0L)
+        else {
+          val df = graft.sources.Tsv.read(spark, p.toString, comment = Some('#'))
+          val present = df.columns.toSet
+          val conds = numberCols.filter(present).map(c =>
+            when(col(c).isNotNull && col(c).cast("string") =!= "" &&
+              !col(c).cast("string").rlike(NumberValuePattern), 1L)
+              .otherwise(0L))
+          if (conds.isEmpty) Some(0L)
+          else Some(df.agg(coalesce(sum(conds.reduce(_ + _)), lit(0L)))
+            .head().getLong(0))
+        }
+      }
+    }
   }
 
   // ---------------------------------------------------------------------
@@ -305,6 +439,15 @@ object PortalRules {
         dataRows += (("maf_barcode_in_samples", v, v == 0L))
       }
     }
+    // NUMBER-typed attribute conformance over every clinical output that
+    // has a well-formed header (one aggregate pass per file)
+    val numberViolations = Seq("data_clinical_sample.txt",
+      "data_clinical_patient.txt")
+      .flatMap(n => numberAttrViolations(spark, dir, n))
+    if (numberViolations.nonEmpty) {
+      val v = numberViolations.sum
+      dataRows += (("clinical_number_attrs_numeric", v, v == 0L))
+    }
     // case-list ids ⊆ clinical sample ids (union of every list's ids)
     for (s <- sample if s.columns.contains("SAMPLE_ID")) {
       val listIds = listFiles(root.resolve("case_lists"), "cases_")
@@ -347,7 +490,17 @@ object PortalRules {
       |           ELSE 'T' END AS tum_allele,
       |         CASE l_returnflag WHEN 'R' THEN 'Somatic' WHEN 'A' THEN 'Germline'
       |           ELSE 'Unknowable' END AS status,
-      |         'GRCh38' AS build
+      |         'GRCh38' AS build,
+      |         CASE WHEN l_partkey % 53 = 0 THEN 'Missense_Variant'
+      |           ELSE 'Missense_Mutation' END AS vclass,
+      |         CASE l_suppkey % 7 WHEN 0 THEN 'SNP' WHEN 1 THEN 'DNP'
+      |           WHEN 2 THEN 'TNP' WHEN 3 THEN 'ONP' WHEN 4 THEN 'INS'
+      |           WHEN 5 THEN 'DEL' ELSE 'SNV' END AS vtype,
+      |         CASE l_returnflag WHEN 'N' THEN 'Untested' WHEN 'R' THEN 'Valid'
+      |           ELSE 'Wrong_Status' END AS vstatus,
+      |         l_partkey % 50021 - 3 AS entrez,
+      |         CASE WHEN l_partkey % 487 = 0 THEN ''
+      |           ELSE 'G' || CAST(l_partkey % 500 AS VARCHAR) END AS hugo
       |  FROM lineitem),
       |r AS (
       |  SELECT 'portal_meta_files_resolve' AS rule, 0 AS value
@@ -358,6 +511,13 @@ object PortalRules {
       |  UNION ALL SELECT 'portal_clinical_no_dup_attrs', 0
       |  UNION ALL SELECT 'portal_case_list_stable_id_unique', 0
       |  UNION ALL SELECT 'portal_meta_unknown_keys', 0
+      |  UNION ALL SELECT 'portal_attr_id_format', 0
+      |  UNION ALL SELECT 'portal_case_list_ids_nonempty', 0
+      |  UNION ALL SELECT 'portal_case_list_dup_ids', 0
+      |  UNION ALL SELECT 'portal_case_list_category_known', 0
+      |  UNION ALL SELECT 'clinical_number_attrs_numeric',
+      |    (SELECT count(*) FROM customer
+      |      WHERE c_custkey <= 500 AND c_custkey % 89 = 0)
       |  UNION ALL SELECT 'sample_patient_in_patients',
       |    (SELECT count(*) FROM samples
       |      WHERE patient_id NOT IN (SELECT patient_id FROM patients))
@@ -386,6 +546,31 @@ object PortalRules {
       |  UNION ALL SELECT 'maf_barcode_present',
       |    (SELECT sum(CASE WHEN barcode IS NULL OR barcode = '' THEN 1 ELSE 0 END) FROM maf)
       |  UNION ALL SELECT 'maf_ncbi_build_consistent',
-      |    (SELECT greatest(count(DISTINCT build) - 1, 0) FROM maf))
+      |    (SELECT greatest(count(DISTINCT build) - 1, 0) FROM maf)
+      |  UNION ALL SELECT 'maf_variant_classification_valid',
+      |    (SELECT sum(CASE WHEN vclass NOT IN ('Frame_Shift_Del','Frame_Shift_Ins',
+      |      'In_Frame_Del','In_Frame_Ins','Missense_Mutation','Nonsense_Mutation',
+      |      'Silent','Splice_Site','Translation_Start_Site','Nonstop_Mutation',
+      |      '3''UTR','3''Flank','5''UTR','5''Flank','IGR','Intron','RNA',
+      |      'Targeted_Region','De_novo_Start_InFrame','De_novo_Start_OutOfFrame',
+      |      'Splice_Region','Unknown') THEN 1 ELSE 0 END) FROM maf)
+      |  UNION ALL SELECT 'maf_variant_type_valid',
+      |    (SELECT sum(CASE WHEN vtype NOT IN ('SNP','DNP','TNP','ONP','INS','DEL')
+      |      THEN 1 ELSE 0 END) FROM maf)
+      |  UNION ALL SELECT 'maf_extent_matches_type',
+      |    (SELECT sum(CASE WHEN (vtype = 'SNP' AND end_pos <> start_pos)
+      |      OR (vtype = 'DNP' AND end_pos <> start_pos + 1)
+      |      OR (vtype = 'TNP' AND end_pos <> start_pos + 2)
+      |      THEN 1 ELSE 0 END) FROM maf)
+      |  UNION ALL SELECT 'maf_allele_not_identical',
+      |    (SELECT sum(CASE WHEN ref_allele = tum_allele THEN 1 ELSE 0 END) FROM maf)
+      |  UNION ALL SELECT 'maf_validation_status_valid',
+      |    (SELECT sum(CASE WHEN vstatus NOT IN ('Valid','Invalid','Untested',
+      |      'Inconclusive','Redacted','Unknown') THEN 1 ELSE 0 END) FROM maf)
+      |  UNION ALL SELECT 'maf_entrez_nonneg',
+      |    (SELECT sum(CASE WHEN entrez < 0 THEN 1 ELSE 0 END) FROM maf)
+      |  UNION ALL SELECT 'maf_gene_identifier_present',
+      |    (SELECT sum(CASE WHEN (hugo IS NULL OR hugo = '')
+      |      AND (entrez IS NULL OR entrez <= 0) THEN 1 ELSE 0 END) FROM maf))
       |SELECT rule, CAST(value AS BIGINT) AS value, value = 0 AS passed FROM r""".stripMargin
 }

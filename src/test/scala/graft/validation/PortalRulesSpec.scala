@@ -166,7 +166,9 @@ class PortalRulesSpec extends AnyFunSuite {
       "portal_study_id_consistent", "portal_data_files_have_meta",
       "portal_clinical_header_block", "portal_case_list_fields",
       "portal_clinical_no_dup_attrs", "portal_case_list_stable_id_unique",
-      "portal_meta_unknown_keys"), rep.keySet)
+      "portal_meta_unknown_keys", "portal_attr_id_format",
+      "portal_case_list_ids_nonempty", "portal_case_list_dup_ids",
+      "portal_case_list_category_known"), rep.keySet)
     rep.values.foreach { case (v, ok) => assert(ok && v == 0L) }
   }
 
@@ -210,6 +212,115 @@ class PortalRulesSpec extends AnyFunSuite {
     val rep = reportMap(dir)
     assert(rep("portal_meta_unknown_keys") == ((1L, false)))
     assert(rep("portal_meta_files_resolve")._2, "the meta still resolves")
+  }
+
+  test("tier-3 strict-MAF columns are each counted per rule") {
+    val dir = healthyPackage()
+    val bad = Seq(
+      // invalid classification, invalid type, ref==tum allele,
+      // invalid validation status, negative entrez + blank hugo
+      ("s1", "SNP", 100L, 100L, "C", "C", "Missense_Variant", "Verified",
+        -5L, ""),
+      // SNP whose extent spans 2 bases -> extent_matches_type only
+      ("s2", "SNP", 100L, 101L, "C", "T", "Missense_Mutation", "Valid",
+        7157L, "TP53"),
+      // fine row: DNP spanning exactly 2 bases
+      ("s3", "DNP", 50L, 51L, "AT", "GC", "Silent", "Untested", 0L, "KRAS"))
+      .toDF("Tumor_Sample_Barcode", "Variant_Type", "Start_Position",
+        "End_Position", "Reference_Allele", "Tumor_Seq_Allele2",
+        "Variant_Classification", "Validation_Status", "Entrez_Gene_Id",
+        "Hugo_Symbol")
+    Tsv.writeTsvFile(bad, s"$dir/data_mutations.txt")
+    val rep = reportMap(dir)
+    assert(rep("maf_variant_classification_valid") == ((1L, false)))
+    assert(rep("maf_variant_type_valid") == ((0L, true)))
+    assert(rep("maf_extent_matches_type") == ((1L, false)), "row 2 SNP spans 2")
+    assert(rep("maf_allele_not_identical") == ((1L, false)))
+    assert(rep("maf_validation_status_valid") == ((1L, false)))
+    assert(rep("maf_entrez_nonneg") == ((1L, false)))
+    // row 1: hugo blank AND entrez negative -> no usable identifier
+    assert(rep("maf_gene_identifier_present") == ((1L, false)))
+  }
+
+  test("unknown Variant_Type is counted and skips the extent rule") {
+    val dir = healthyPackage()
+    val bad = Seq(("s1", "SNV", 100L, 105L))
+      .toDF("Tumor_Sample_Barcode", "Variant_Type", "Start_Position",
+        "End_Position")
+    Tsv.writeTsvFile(bad, s"$dir/data_mutations.txt")
+    val rep = reportMap(dir)
+    assert(rep("maf_variant_type_valid") == ((1L, false)))
+    // extent-vs-type constrains only the typed spans
+    assert(rep("maf_extent_matches_type") == ((0L, true)))
+  }
+
+  test("empty case_list_ids trips portal_case_list_ids_nonempty only") {
+    val dir = healthyPackage()
+    write(Paths.get(dir, "case_lists", "cases_empty.txt"),
+      "cancer_study_identifier: study1\nstable_id: study1_empty\n" +
+        "case_list_name: n\ncase_list_description: d\ncase_list_ids: \n")
+    val rep = reportMap(dir)
+    assert(rep("portal_case_list_ids_nonempty") == ((1L, false)))
+    assert(rep("portal_case_list_fields")._2, "all five keys are present")
+  }
+
+  test("duplicate ids inside one case list trip portal_case_list_dup_ids") {
+    val dir = healthyPackage()
+    write(Paths.get(dir, "case_lists", "cases_dup.txt"),
+      "cancer_study_identifier: study1\nstable_id: study1_dup\n" +
+        "case_list_name: n\ncase_list_description: d\n" +
+        "case_list_ids: s1\ts2\ts1\n")
+    val rep = reportMap(dir)
+    assert(rep("portal_case_list_dup_ids") == ((1L, false)))
+    assert(rep("case_list_ids_in_samples")._2, "both distinct ids resolve")
+  }
+
+  test("unknown case_list_category is flagged; a known one passes") {
+    val dir = healthyPackage()
+    write(Paths.get(dir, "case_lists", "cases_cat.txt"),
+      "cancer_study_identifier: study1\nstable_id: study1_cat\n" +
+        "case_list_name: n\ncase_list_description: d\ncase_list_ids: s1\n" +
+        "case_list_category: all_cases_in_study\n")
+    assert(reportMap(dir)("portal_case_list_category_known") == ((0L, true)))
+    write(Paths.get(dir, "case_lists", "cases_cat.txt"),
+      "cancer_study_identifier: study1\nstable_id: study1_cat\n" +
+        "case_list_name: n\ncase_list_description: d\ncase_list_ids: s1\n" +
+        "case_list_category: every_case_ever\n")
+    assert(reportMap(dir)("portal_case_list_category_known") == ((1L, false)))
+  }
+
+  test("lowercase attribute id trips portal_attr_id_format only") {
+    val dir = healthyPackage()
+    write(Paths.get(s"$dir/data_clinical_lc.txt"),
+      "#A\tB\n#a\tb\n#STRING\tSTRING\n#1\t1\n" +
+        "SAMPLE_ID\tosMonths\ns1\t4\n")
+    Tsv.writeMetaFile(s"$dir/meta_clinical_lc.txt", Seq(
+      "cancer_study_identifier" -> "study1", "datatype" -> "SAMPLE_ATTRIBUTES",
+      "data_filename" -> "data_clinical_lc.txt"))
+    val rep = reportMap(dir)
+    assert(rep("portal_attr_id_format") == ((1L, false)))
+    assert(rep("portal_clinical_header_block")._2, "block itself is well-formed")
+    assert(rep("portal_clinical_no_dup_attrs")._2)
+  }
+
+  test("non-numeric value in a NUMBER attribute trips clinical_number_attrs_numeric") {
+    val dir = healthyPackage()
+    // NA and scientific notation are legal NUMBER values; 'ninety' is not
+    val sample = Seq(("s1", "p1", "Melanoma", "12"),
+      ("s2", "p1", "Melanoma", "NA"), ("s3", "p2", "Lung", "1.5e2"))
+      .toDF("SAMPLE_ID", "PATIENT_ID", "CANCER_TYPE", "AGE_MONTHS")
+    def writeSample(age3: String): Unit =
+      Tsv.writeTsvFile(sample.withColumn("AGE_MONTHS",
+        org.apache.spark.sql.functions.when($"SAMPLE_ID" === "s3",
+          org.apache.spark.sql.functions.lit(age3)).otherwise($"AGE_MONTHS")),
+        s"$dir/data_clinical_sample.txt", Seq(
+          "#Sample ID\tPatient ID\tCancer Type\tAge Months",
+          "#Sample identifier\tPatient identifier\tCancer type\tAge",
+          "#STRING\tSTRING\tSTRING\tNUMBER", "#1\t1\t1\t1"))
+    writeSample("1.5e2")
+    assert(reportMap(dir)("clinical_number_attrs_numeric") == ((0L, true)))
+    writeSample("ninety")
+    assert(reportMap(dir)("clinical_number_attrs_numeric") == ((1L, false)))
   }
 
   test("sample referencing an absent patient trips containment + dup check") {
