@@ -382,6 +382,13 @@ object DedupQueries {
     } else {
       val edges = cached.select(col(aCol).as("src"), col(bCol).as("dst"))
         .unionByName(cached.select(col(bCol).as("src"), col(aCol).as("dst")))
+        // hash-partitioned on dst BEFORE caching (the tradeEdges trick):
+        // every round's neighbor-label join then satisfies
+        // ENSURE_REQUIREMENTS from the cache — only the node-sized label
+        // frame moves per round, never the edge table, which at graph
+        // scale is the difference between one small and two large
+        // shuffles per O(log diameter) round
+        .repartition(col("dst"))
         .persist()
       edges.count() // materialize, then release the upstream chain's cache
       cached.unpersist()
@@ -400,13 +407,7 @@ object DedupQueries {
           s"connectedComponents failed to converge after $rounds rounds " +
             s"($changed labels still changing) — non-convergence must not " +
             "silently split clusters")
-        val nmin = edges.join(labels, edges("dst") === labels("id"))
-          .groupBy(col("src")).agg(min(col("component")).as("ncomp"))
-        val stepped = labels.as("l")
-          .join(nmin, col("l.id") === nmin("src"))
-          .select(col("l.id").as("id"),
-            least(col("l.component"), col("ncomp")).as("component"),
-            col("l.component").as("__old"))
+        val stepped = ccMinLabelRound(edges, labels)
         // localCheckpoint (eager), NOT persist: `stepped` appears twice in
         // this join, so the logical plan DOUBLES per round — caching keeps
         // the data but not the tree, and by round ~20 plan stringification
@@ -430,6 +431,22 @@ object DedupQueries {
       edges.unpersist()
       labels // persisted: the caller's lazy plan reads the cache
     }
+  }
+
+  /** One min-label propagation round of the distributed component loop:
+    * neighbor-min over the dst-partitioned cached edges, folded into the
+    * label frame as (id, component, __old). Split out so PlanChecksSpec
+    * can lock the round's physical shape — the edge cache must serve the
+    * join from its partitioning (only labels shuffle per round).
+    */
+  private[queries] def ccMinLabelRound(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val nmin = edges.join(labels, edges("dst") === labels("id"))
+      .groupBy(col("src")).agg(min(col("component")).as("ncomp"))
+    labels.as("l")
+      .join(nmin, col("l.id") === nmin("src"))
+      .select(col("l.id").as("id"),
+        least(col("l.component"), col("ncomp")).as("component"),
+        col("l.component").as("__old"))
   }
 
   /** dd_jaccard_ngram — character-trigram Jaccard near-dup on a bounded

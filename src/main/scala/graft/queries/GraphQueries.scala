@@ -200,15 +200,22 @@ object GraphQueries {
     val init = seeds.withColumn("dist", lit(0)).localCheckpoint()
     val (visited, _) = (1 to KhopRounds).foldLeft((init, init.select(col("node")))) {
       case ((vis, frontier), i) =>
-        val next = frontier.join(edges, frontier("node") === edges("src"))
-          .select(col("dst").as("node")).distinct()
-          .join(vis, Seq("node"), "left_anti")
-          .withColumn("dist", lit(i))
-          .localCheckpoint()
+        val next = khopExpand(edges, vis, frontier, i).localCheckpoint()
         (vis.union(next), next.select(col("node")))
     }
     visited
   }
+
+  /** One BFS expansion round of [[gKhop]] — split out so PlanChecksSpec
+    * can lock the round's physical shape (the src-partitioned edge cache
+    * serves the join; only the frontier shuffles).
+    */
+  private[queries] def khopExpand(edges: DataFrame, vis: DataFrame,
+                                  frontier: DataFrame, i: Int): DataFrame =
+    frontier.join(edges, frontier("node") === edges("src"))
+      .select(col("dst").as("node")).distinct()
+      .join(vis, Seq("node"), "left_anti")
+      .withColumn("dist", lit(i))
 
   /** Relaxation rounds for [[gSssp]] (fixed — the oracle unrolls them). */
   val SsspRounds = 4
@@ -241,12 +248,19 @@ object GraphQueries {
       .select(col("src").as("node")).distinct()
       .withColumn("dist", lit(0L)).localCheckpoint()
     (1 to SsspRounds).foldLeft(init) { (d, _) =>
-      val relaxed = d.join(edges, d("node") === edges("src"))
-        .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
-      d.select(col("node"), col("dist")).union(relaxed)
-        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
-        .localCheckpoint()
+      ssspRound(edges, d).localCheckpoint()
     }
+  }
+
+  /** One Bellman-Ford relaxation round of [[gSssp]] — split out so
+    * PlanChecksSpec can lock the round's physical shape (edge cache
+    * served from its src partitioning, min map-side combined).
+    */
+  private[queries] def ssspRound(edges: DataFrame, d: DataFrame): DataFrame = {
+    val relaxed = d.join(edges, d("node") === edges("src"))
+      .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
+    d.select(col("node"), col("dist")).union(relaxed)
+      .groupBy(col("node")).agg(min(col("dist")).as("dist"))
   }
 
   /** The weighted symmetrized trade graph for [[gSssp]]: one edge per
@@ -296,17 +310,24 @@ object GraphQueries {
     val init = seeds.select(col("start"), col("cur"), lit(0).as("step"))
     val (walks, _) = (1 to WalkSteps).foldLeft((init, seeds)) {
       case ((acc, frontier), k) =>
-        val next = frontier.join(edges, frontier("cur") === edges("src"))
-          .select(col("start"),
-            Hashing.md5Long(concat_ws(":", lit(k), col("start"), col("dst"))).as("h"),
-            col("dst"))
-          .groupBy(col("start"))
-          .agg(min(struct(col("h"), col("dst"))).as("m"))
-          .select(col("start"), col("m.dst").as("cur"))
+        val next = walkStep(edges, frontier, k)
         (acc.union(next.select(col("start"), col("cur"), lit(k).as("step"))), next)
     }
     walks.select(col("start").as("start_node"), col("step"), col("cur").as("node"))
   }
+
+  /** One derandomized walk step of [[gRandomWalk]] — split out so
+    * PlanChecksSpec can lock the step's physical shape (edge cache served
+    * from its src partitioning, argmin map-side combined).
+    */
+  private[queries] def walkStep(edges: DataFrame, frontier: DataFrame, k: Int): DataFrame =
+    frontier.join(edges, frontier("cur") === edges("src"))
+      .select(col("start"),
+        Hashing.md5Long(concat_ws(":", lit(k), col("start"), col("dst"))).as("h"),
+        col("dst"))
+      .groupBy(col("start"))
+      .agg(min(struct(col("h"), col("dst"))).as("m"))
+      .select(col("start"), col("m.dst").as("cur"))
 
   /** Per-node selection bound for [[mutualTopT]] (oracle shares it). */
   val TriDeg = 8

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.execution.SparkPlan
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
@@ -231,5 +232,91 @@ class PlanChecksSpec extends AnyFunSuite {
     // operator's toString
     assert(df.queryExecution.optimizedPlan.toString.contains("sort_array"),
       "the fold must run over (ts, id)-sorted events")
+  }
+
+  // --- Iterative graph family: the per-round "only the small frame
+  // moves" claims. Each query localCheckpoints between rounds, so the
+  // final frame's plan is just RDD scans — the assertions drive the
+  // extracted round helpers directly, the exact plan every round executes.
+  // A regression that re-shuffles the cached edge table shows up as an
+  // ENSURE_REQUIREMENTS `Exchange hashpartitioning(<edge key>...)` feeding
+  // the in-memory scan. (The rendered InMemoryRelation includes its own
+  // cache-BUILD plan, whose REPARTITION_BY_COL exchange on the same key is
+  // exactly the partitioning the round is supposed to reuse — so the
+  // assertion scopes to ENSURE_REQUIREMENTS, the planner-inserted kind.)
+
+  /** Planner-inserted single-key shuffles on `key`. The rendered
+    * InMemoryRelation embeds its cache-build plan, so the match must
+    * exclude both the build's REPARTITION_BY_COL exchange AND its
+    * internal multi-key aggregates (e.g. tradeEdges' (src, dst)
+    * distinct) — a join-side edge re-shuffle is exactly
+    * `hashpartitioning(key#N, P), ENSURE_REQUIREMENTS`.
+    */
+  private def ensureShuffles(plan: String, key: String): Int =
+    ("Exchange hashpartitioning\\(" + key + "#\\d+, \\d+\\), ENSURE_REQUIREMENTS")
+      .r.findAllIn(plan).size
+
+  ptest("g_sssp round: edge cache serves the relax join; min combines map-side") { sfDir =>
+    val edges = GraphQueries.weightedEdges(spark, sfDir)
+    val d = edges.select(col("src").as("node")).distinct()
+      .withColumn("dist", org.apache.spark.sql.functions.lit(0L))
+      .localCheckpoint()
+    val plan = planString(GraphQueries.ssspRound(edges, d))
+    assert(plan.contains("InMemoryTableScan"), s"edges not cached:\n$plan")
+    assert(ensureShuffles(plan, "src") == 0,
+      s"edge table re-shuffled inside the round:\n$plan")
+    assert(plan.contains("partial_min"), s"no map-side combine:\n$plan")
+  }
+
+  ptest("g_khop round: edge cache serves the expansion; frontier distinct combines map-side") { sfDir =>
+    val edges = GraphQueries.tradeEdges(spark, sfDir)
+    val vis = edges.select(col("src").as("node")).limit(50)
+      .withColumn("dist", org.apache.spark.sql.functions.lit(0))
+      .localCheckpoint()
+    val plan = planString(
+      GraphQueries.khopExpand(edges, vis, vis.select(col("node")), 1))
+    assert(plan.contains("InMemoryTableScan"), s"edges not cached:\n$plan")
+    assert(ensureShuffles(plan, "src") == 0,
+      s"edge table re-shuffled inside the round:\n$plan")
+  }
+
+  ptest("g_random_walk step: edge cache serves the move join; argmin combines map-side") { sfDir =>
+    val edges = GraphQueries.tradeEdges(spark, sfDir)
+    val frontier = edges.select(col("src").as("start"), col("src").as("cur"))
+      .limit(50).localCheckpoint()
+    val plan = planString(GraphQueries.walkStep(edges, frontier, 1))
+    assert(plan.contains("InMemoryTableScan"), s"edges not cached:\n$plan")
+    assert(ensureShuffles(plan, "src") == 0,
+      s"edge table re-shuffled inside the step:\n$plan")
+    assert(plan.contains("partial_min"), s"no map-side combine:\n$plan")
+  }
+
+  test("g_concomp min-label round: edge cache serves the neighbor join") {
+    import org.apache.spark.sql.functions.{lit, pmod}
+    val pairs = spark.range(0, 2000)
+      .select(col("id").as("src"), pmod(col("id") * 7 + 1, lit(2000)).as("dst"))
+    val edges = pairs
+      .unionByName(pairs.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(col("dst")).persist()
+    edges.count()
+    try {
+      val labels = edges.select(col("src").as("id")).distinct()
+        .withColumn("component", col("id"))
+      val plan = planString(DedupQueries.ccMinLabelRound(edges, labels))
+      assert(plan.contains("InMemoryTableScan"), s"edges not cached:\n$plan")
+      assert(ensureShuffles(plan, "dst") == 0,
+        s"edge table re-shuffled inside the round:\n$plan")
+      assert(plan.contains("partial_min"), s"no map-side combine:\n$plan")
+    } finally edges.unpersist()
+  }
+
+  ptest("g_triangles: degree table broadcasts; wedge closure is an equi join") { sfDir =>
+    val plan = planString(GraphQueries.gTriangles(spark, sfDir))
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
+      s"degree annotations must broadcast:\n$plan")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+      s"wedge/closure joins must be shuffled equi joins:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), s"non-equi join crept in:\n$plan")
   }
 }
