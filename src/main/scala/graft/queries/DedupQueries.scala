@@ -600,7 +600,15 @@ object DedupQueries {
     * and against a brute-force driver-side scan.
     */
   private[queries] def typoPairs(names: DataFrame): DataFrame = {
-    val vars = names.select(col("name"), explode(array_distinct(expr(
+    // Dedupe BEFORE indexing: distance-1 pairs are a property of the
+    // distinct name SET, and any duplicated identifier (routine in real
+    // linkage tables — and in the scaled corpus, where replicas reuse
+    // names) would otherwise multiply every colliding candidate by
+    // dup_a × dup_b before the pair-distinct collapses it again
+    // (measured: 4.7 s → 368 s at 10× data with 10 copies per name).
+    // One extra name-keyed exchange, after which all downstream volume
+    // is driven by distinct names only.
+    val vars = names.distinct().select(col("name"), explode(array_distinct(expr(
       """concat(array(name),
         |  transform(sequence(1, length(name)),
         |    i -> concat(substring(name, 1, i - 1),
@@ -1120,7 +1128,7 @@ object DedupQueries {
     // The naive form the blocking avoids: quadratic length-filtered
     // scan with a full Levenshtein per pair — correct by definition.
     "dd_typo_pairs" ->
-      """WITH c AS (SELECT c_name FROM customer)
+      """WITH c AS (SELECT DISTINCT c_name FROM customer)
         |SELECT a.c_name AS name_a, b.c_name AS name_b
         |FROM c a JOIN c b
         |  ON abs(length(a.c_name) - length(b.c_name)) <= 1
