@@ -376,6 +376,7 @@ object ClinicalPipeline {
       "type_of_cancer" -> "mixed",
       "cancer_study_identifier" -> studyId,
       "name" -> s"$studyId ($dataset)",
+      "description" -> s"$studyId ($dataset)",
       "reference_genome" -> "hg38"))
 
     // the metrics were collected during the sample write — no re-scan

@@ -738,7 +738,17 @@ object RefQueries {
       when(pmod(col("l_partkey"), lit(487L)) === 0L, "")
         .otherwise(concat(lit("G"),
           pmod(col("l_partkey"), lit(500L)).cast(StringType)))
-        .as("Hugo_Symbol"))
+        .as("Hugo_Symbol"),
+      // tier-4 seeded columns: reverse strand on linenumber%7==0 rows,
+      // verification status invalid on suppkey%11==0; the allele-length
+      // and indel-shape rules fire data-dependently off the single-base
+      // alleles wherever Variant_Type demands a wider or resized allele
+      when(pmod(col("l_linenumber"), lit(7L)) === 0L, "-").otherwise("+")
+        .as("Strand"),
+      when(pmod(col("l_suppkey"), lit(11L)) === 0L, "Maybe")
+        .when(pmod(col("l_suppkey"), lit(11L)) === 1L, "NA")
+        .when(pmod(pmod(col("l_suppkey"), lit(11L)), lit(2L)) === 0L, "Verified")
+        .otherwise("Unknown").as("Verification_Status"))
 
     // a small deterministic study package through the real sinks; the
     // structural rules then audit actual on-disk meta/header/case-list
@@ -753,14 +763,30 @@ object RefQueries {
           lit("ninety")).otherwise(
           pmod(expr("CAST(substring(SAMPLE_ID, 2) AS BIGINT)"), lit(120L))
             .cast(StringType)))
+      // a BOOLEAN-typed attribute violated every 71st key — exercises
+      // clinical_boolean_attrs_boolean data-dependently
+      .withColumn("IS_PRIMARY",
+        when(pmod(expr("CAST(substring(SAMPLE_ID, 2) AS BIGINT)"), lit(71L)) === 0L,
+          lit("maybe"))
+          .when(pmod(expr("CAST(substring(SAMPLE_ID, 2) AS BIGINT)"), lit(2L)) === 0L,
+            lit("TRUE")).otherwise(lit("FALSE")))
     Tsv.writeTsvFile(samplesSmall, s"$tmp/data_clinical_sample.txt", Seq(
-      "#Sample ID\tPatient ID\tCancer Type\tAge Months",
-      "#Sample identifier\tPatient identifier\tCancer type\tAge in months",
-      "#STRING\tSTRING\tSTRING\tNUMBER",
-      "#1\t1\t1\t1"))
-    Tsv.writeTsvFile(samplesSmall.select(col("PATIENT_ID")).distinct(),
-      s"$tmp/data_clinical_patient.txt",
-      Seq("#Patient ID", "#Patient identifier", "#STRING", "#1"))
+      "#Sample ID\tPatient ID\tCancer Type\tAge Months\tIs Primary",
+      "#Sample identifier\tPatient identifier\tCancer type\tAge in months\tPrimary sample",
+      "#STRING\tSTRING\tSTRING\tNUMBER\tBOOLEAN",
+      "#1\t1\t1\t1\t1"))
+    // OS_STATUS breaks the <0|1>:<LABEL> event coding every 83rd patient
+    // key — exercises clinical_survival_status_format data-dependently
+    val patientSmall = samplesSmall.select(col("PATIENT_ID")).distinct()
+      .withColumn("OS_STATUS", {
+        val pkP = expr("CAST(substring(PATIENT_ID, 2) AS BIGINT)")
+        when(pmod(pkP, lit(83L)) === 0L, lit("LIVING"))
+          .when(pmod(pkP, lit(2L)) === 0L, lit("0:LIVING"))
+          .otherwise(lit("1:DECEASED"))
+      })
+    Tsv.writeTsvFile(patientSmall, s"$tmp/data_clinical_patient.txt",
+      Seq("#Patient ID\tOs Status", "#Patient identifier\tSurvival status",
+        "#STRING\tSTRING", "#1\t1"))
     Tsv.writeMetaFile(s"$tmp/meta_clinical_sample.txt", Seq(
       "cancer_study_identifier" -> studyId,
       "genetic_alteration_type" -> "CLINICAL",
@@ -771,6 +797,11 @@ object RefQueries {
       "genetic_alteration_type" -> "CLINICAL",
       "datatype" -> "PATIENT_ATTRIBUTES",
       "data_filename" -> "data_clinical_patient.txt"))
+    Tsv.writeMetaFile(s"$tmp/meta_study.txt", Seq(
+      "cancer_study_identifier" -> studyId,
+      "type_of_cancer" -> "mixed",
+      "name" -> s"$studyId fixture",
+      "description" -> "portal-rules fixture study"))
     Tsv.writeCaseLists(samplesSmall, "CANCER_TYPE", "SAMPLE_ID", studyId,
       s"$tmp/case_lists")
     val structural = PortalRules.structuralReport(tmp)
@@ -793,18 +824,24 @@ object RefQueries {
     }
     val dupF = Future(Rules.evaluate(s, samples, Seq(Rules.noKeyedDups("SAMPLE_ID")))
       .head().getLong(1))
-    val numF = Future(PortalRules
-      .numberAttrViolations(s, tmp, "data_clinical_sample.txt").getOrElse(0L))
+    val valF = Future(Seq("data_clinical_sample.txt",
+      "data_clinical_patient.txt")
+      .flatMap(n => PortalRules.clinicalValueViolations(s, tmp, n)))
     val fieldReport = Await.result(fieldF, Duration.Inf)
     val (v1, (v2, v3), dup) = (Await.result(v1F, Duration.Inf),
       Await.result(barcodesF, Duration.Inf), Await.result(dupF, Duration.Inf))
-    val numViol = Await.result(numF, Duration.Inf)
+    val valViol = Await.result(valF, Duration.Inf)
+    val numViol = valViol.map(_("number")).sum
+    val boolViol = valViol.map(_("boolean")).sum
+    val survViol = valViol.map(_("survival")).sum
     (structural ++ Seq(
       ("sample_patient_in_patients", v1, v1 == 0L),
       ("maf_barcode_in_samples", v2, v2 == 0L),
       ("case_list_ids_in_samples", v3, v3 == 0L),
       ("no_dup_sample_id", dup, dup == 0L),
-      ("clinical_number_attrs_numeric", numViol, numViol == 0L)))
+      ("clinical_number_attrs_numeric", numViol, numViol == 0L),
+      ("clinical_boolean_attrs_boolean", boolViol, boolViol == 0L),
+      ("clinical_survival_status_format", survViol, survViol == 0L)))
       .toDF("rule", "value", "passed")
       .unionByName(fieldReport)
   }

@@ -65,6 +65,9 @@ object PortalRules {
   val ValidValidationStatus: Set[String] = Set("Valid", "Invalid",
     "Untested", "Inconclusive", "Redacted", "Unknown")
 
+  /** Verification_Status controlled vocabulary (strict MAF check). */
+  val ValidVerificationStatus: Set[String] = Set("Verified", "Unknown", "NA")
+
   /** case_list_category values the importer recognizes. */
   val ValidCaseListCategories: Set[String] = Set(
     "all_cases_in_study", "all_cases_with_mutation_data",
@@ -88,6 +91,20 @@ object PortalRules {
   val CaseListRequiredKeys: Seq[String] = Seq(
     "cancer_study_identifier", "stable_id", "case_list_name",
     "case_list_description", "case_list_ids")
+
+  /** Keys `meta_study.txt` must define (validateData's study-meta tier;
+    * the reference writes exactly these plus citation/pmid placeholders,
+    * `clinical.py:645-656`).
+    */
+  val MetaStudyRequiredKeys: Seq[String] = Seq(
+    "cancer_study_identifier", "type_of_cancer", "name", "description")
+
+  /** Keys a profile meta (one that declares a non-CLINICAL
+    * `genetic_alteration_type`) must define for the importer to build the
+    * genetic profile.
+    */
+  val ProfileMetaRequiredKeys: Seq[String] = Seq(
+    "datatype", "stable_id", "data_filename")
 
   /** Keys validateData recognizes in `meta_*.txt` files (the union over
     * study/clinical/profile meta kinds); anything else draws its
@@ -179,6 +196,45 @@ object PortalRules {
       b += Rules.Rule("maf_gene_identifier_present",
         violation((col("Hugo_Symbol").isNull || col("Hugo_Symbol") === "") &&
           (col("Entrez_Gene_Id").isNull || col("Entrez_Gene_Id") <= 0L)))
+    if (cols("Strand"))
+      // the MAF spec mandates genes be reported on the forward strand
+      b += Rules.Rule("maf_strand_valid",
+        violation(!coalesce(col("Strand") === "+", lit(false))))
+    if (cols("Verification_Status"))
+      b += Rules.Rule("maf_verification_status_valid",
+        violation(!coalesce(col("Verification_Status")
+          .isin(ValidVerificationStatus.toSeq: _*), lit(false))))
+    if (cols("Variant_Type") && cols("Reference_Allele") &&
+        cols("Tumor_Seq_Allele2")) {
+      // typed substitutions must carry alleles of exactly the typed width
+      val w = when(col("Variant_Type") === "SNP", 1)
+        .when(col("Variant_Type") === "DNP", 2)
+        .when(col("Variant_Type") === "TNP", 3)
+      b += Rules.Rule("maf_allele_len_matches_type",
+        violation(w.isNotNull && (length(col("Reference_Allele")) =!= w ||
+          length(col("Tumor_Seq_Allele2")) =!= w)))
+      // an indel's alleles must change length in the typed direction (or
+      // use the `-` placeholder on the absent side)
+      b += Rules.Rule("maf_indel_allele_shape",
+        violation(
+          (col("Variant_Type") === "INS" &&
+            !(col("Reference_Allele") === "-" ||
+              length(col("Tumor_Seq_Allele2")) >
+                length(col("Reference_Allele")))) ||
+          (col("Variant_Type") === "DEL" &&
+            !(col("Tumor_Seq_Allele2") === "-" ||
+              length(col("Reference_Allele")) >
+                length(col("Tumor_Seq_Allele2"))))))
+    }
+    if (cols("Variant_Type") && cols("Start_Position") &&
+        cols("End_Position") && cols("Reference_Allele"))
+      // a deletion's genomic extent must span exactly the deleted bases
+      // (validateData's position-vs-allele-length tier)
+      b += Rules.Rule("maf_del_span_matches_ref",
+        violation(col("Variant_Type") === "DEL" &&
+          col("Reference_Allele") =!= "-" &&
+          col("End_Position") - col("Start_Position") + lit(1L) =!=
+            length(col("Reference_Allele")).cast("long")))
     b.result()
   }
 
@@ -241,6 +297,22 @@ object PortalRules {
     *  - `portal_meta_unknown_keys` — meta files carry only keys
     *    validateData recognizes ([[KnownMetaKeys]]) — its
     *    "unrecognized field" warning tier.
+    *  - `portal_case_list_names_unique` — no two case lists share a
+    *    `case_list_name` (colliding display names are indistinguishable
+    *    in the portal UI).
+    *  - `portal_meta_study_fields` — a present `meta_study.txt` defines
+    *    every [[MetaStudyRequiredKeys]] key (its ABSENCE is V1's
+    *    required-file-set rule, not this one — structural rules stay
+    *    vacuous on an empty package).
+    *  - `portal_meta_profile_fields` — each profile meta (non-CLINICAL
+    *    `genetic_alteration_type`) defines [[ProfileMetaRequiredKeys]].
+    *  - `clinical_required_id_columns` — `data_clinical_sample.txt`
+    *    declares SAMPLE_ID and PATIENT_ID; `data_clinical_patient.txt`
+    *    declares PATIENT_ID (validateData refuses the file outright
+    *    without its id column).
+    *  - `clinical_patient_no_sample_cols` — the patient file must not
+    *    declare SAMPLE_ID (a sample-level attribute in the patient file
+    *    is validateData's wrong-level error).
     */
   def structuralReport(dir: String): Seq[(String, Long, Boolean)] = {
     val root = Paths.get(dir)
@@ -298,6 +370,11 @@ object PortalRules {
     val stableIds = caseLists.flatMap(_._2.get("stable_id"))
     val stableIdCollisions = (stableIds.size - stableIds.distinct.size).toLong
 
+    // display names must also be unique — two lists sharing a name are
+    // indistinguishable in the portal UI (validateData warns)
+    val listNames = caseLists.flatMap(_._2.get("case_list_name"))
+    val nameCollisions = (listNames.size - listNames.distinct.size).toLong
+
     val unknownMetaKeys = metas
       .map(_._2.keysIterator.count(k => !KnownMetaKeys(k)).toLong).sum
 
@@ -311,6 +388,45 @@ object PortalRules {
     val badCategories = caseLists.count(_._2.get("case_list_category")
       .exists(c => !ValidCaseListCategories(c))).toLong
 
+    // study-meta required keys (checked only when the file exists — its
+    // absence is the required-file-set rule V1, keeping this layer
+    // vacuous over an empty package like every other structural rule)
+    val metaStudyMissing = metas
+      .find(_._1.getFileName.toString == "meta_study.txt")
+      .map { case (_, kv) =>
+        MetaStudyRequiredKeys.count(k => !kv.contains(k)).toLong }
+      .getOrElse(0L)
+
+    // profile metas: a non-CLINICAL genetic_alteration_type means the
+    // importer will build a genetic profile and needs the full key set
+    val profileMetaViolations = metas.count { case (_, kv) =>
+      kv.get("genetic_alteration_type").exists(_ != "CLINICAL") &&
+        ProfileMetaRequiredKeys.exists(k => !kv.contains(k))
+    }.toLong
+
+    // id-column presence/level checks off the already-small header reads:
+    // the sample file must declare SAMPLE_ID + PATIENT_ID, the patient
+    // file PATIENT_ID — and the patient file must NOT carry SAMPLE_ID
+    def headerCols(name: String): Option[Seq[String]] = {
+      val p = root.resolve(name)
+      if (!Files.exists(p)) None
+      else clinicalParts(p).headOption.map { part =>
+        val lines = headLines(part, 6)
+        lines.drop(lines.takeWhile(_.startsWith("#")).size)
+          .headOption.getOrElse("").split("\t", -1).toSeq
+      }
+    }
+    val sampleCols = headerCols("data_clinical_sample.txt")
+    val patientCols = headerCols("data_clinical_patient.txt")
+    val missingIdCols =
+      sampleCols.map(cs =>
+        Seq("SAMPLE_ID", "PATIENT_ID").count(c => !cs.contains(c)).toLong)
+        .getOrElse(0L) +
+      patientCols.map(cs => if (cs.contains("PATIENT_ID")) 0L else 1L)
+        .getOrElse(0L)
+    val patientSampleCols = patientCols
+      .map(cs => if (cs.contains("SAMPLE_ID")) 1L else 0L).getOrElse(0L)
+
     Seq(
       ("portal_meta_files_resolve", metaResolve, metaResolve == 0L),
       ("portal_study_id_consistent", idConsistent, idConsistent == 0L),
@@ -319,11 +435,16 @@ object PortalRules {
       ("portal_case_list_fields", caseListViolations, caseListViolations == 0L),
       ("portal_clinical_no_dup_attrs", dupAttrViolations, dupAttrViolations == 0L),
       ("portal_case_list_stable_id_unique", stableIdCollisions, stableIdCollisions == 0L),
+      ("portal_case_list_names_unique", nameCollisions, nameCollisions == 0L),
       ("portal_meta_unknown_keys", unknownMetaKeys, unknownMetaKeys == 0L),
       ("portal_attr_id_format", attrIdViolations, attrIdViolations == 0L),
       ("portal_case_list_ids_nonempty", emptyLists, emptyLists == 0L),
       ("portal_case_list_dup_ids", dupListIds, dupListIds == 0L),
-      ("portal_case_list_category_known", badCategories, badCategories == 0L))
+      ("portal_case_list_category_known", badCategories, badCategories == 0L),
+      ("portal_meta_study_fields", metaStudyMissing, metaStudyMissing == 0L),
+      ("portal_meta_profile_fields", profileMetaViolations, profileMetaViolations == 0L),
+      ("clinical_required_id_columns", missingIdCols, missingIdCols == 0L),
+      ("clinical_patient_no_sample_cols", patientSampleCols, patientSampleCols == 0L))
   }
 
   /** A clinical output may be a single file OR a parted cbio dataset
@@ -359,15 +480,34 @@ object PortalRules {
   val NumberValuePattern: String =
     "^(NA|-?[0-9]+(\\.[0-9]+)?([eE][-+]?[0-9]+)?)$"
 
-  /** Datatype-conformance check for one clinical output: every column the
-    * header block declares NUMBER must hold numeric-parseable values.
-    * Header parse is driver-side (4 lines); the value check is ONE
-    * distributed aggregate pass over the file — the clinical table can be
-    * fact-sized. None when the file is absent or its header block is
-    * malformed (the header rule already fires there).
+  /** BOOLEAN-typed clinical values: TRUE/FALSE plus the NA marker. */
+  val BooleanValuePattern: String = "^(NA|TRUE|FALSE)$"
+
+  /** Survival-status clinical attributes (OS_STATUS and friends) follow
+    * the portal's `<0|1>:<LABEL>` event-coding convention (e.g.
+    * `0:LIVING`, `1:DECEASED`) or the NA marker; a bare label breaks the
+    * portal's survival analysis.
     */
-  def numberAttrViolations(spark: SparkSession, dir: String,
-                           name: String): Option[Long] = {
+  val SurvivalStatusPattern: String = "^(NA|[01]:[A-Za-z_][A-Za-z_ ]*)$"
+
+  /** Clinical attribute ids the survival-status format rule applies to. */
+  val SurvivalStatusAttrPattern: String = "^(OS|DFS|PFS|DSS)_STATUS$"
+
+  /** Datatype/value-conformance checks for one clinical output, as ONE
+    * distributed aggregate pass — the clinical table can be fact-sized:
+    *
+    *  - `number`   — columns the header block declares NUMBER must hold
+    *    numeric-parseable values;
+    *  - `boolean`  — BOOLEAN-declared columns must hold TRUE/FALSE/NA;
+    *  - `survival` — `*_STATUS` survival attributes must follow the
+    *    `<0|1>:<LABEL>` event coding.
+    *
+    * Header parse is driver-side (4 lines). None when the file is absent
+    * or its header block is malformed (the header rule already fires
+    * there).
+    */
+  def clinicalValueViolations(spark: SparkSession, dir: String,
+                              name: String): Option[Map[String, Long]] = {
     val p = Paths.get(dir).resolve(name)
     if (!Files.exists(p)) return None
     clinicalParts(p).headOption.flatMap { part =>
@@ -377,19 +517,30 @@ object PortalRules {
       else {
         val cols = lines.drop(4).headOption.getOrElse("").split("\t", -1).toSeq
         val datatypes = block(2).stripPrefix("#").split("\t", -1).toSeq
-        val numberCols = cols.zip(datatypes)
-          .collect { case (c, "NUMBER") => c }
-        if (numberCols.isEmpty) Some(0L)
+        def badValue(c: String, pattern: String): Column =
+          when(col(c).isNotNull && col(c).cast("string") =!= "" &&
+            !col(c).cast("string").rlike(pattern), 1L).otherwise(0L)
+        val typed = cols.zip(datatypes)
+        val patterns = Map("number" -> NumberValuePattern,
+          "boolean" -> BooleanValuePattern,
+          "survival" -> SurvivalStatusPattern)
+        val colsPer: Map[String, Seq[String]] = Map(
+          "number" -> typed.collect { case (c, "NUMBER") => c },
+          "boolean" -> typed.collect { case (c, "BOOLEAN") => c },
+          "survival" -> cols.filter(_.matches(SurvivalStatusAttrPattern)))
+        if (colsPer.values.forall(_.isEmpty))
+          Some(Map("number" -> 0L, "boolean" -> 0L, "survival" -> 0L))
         else {
-          val df = graft.sources.Tsv.read(spark, p.toString, comment = Some('#'))
-          val present = df.columns.toSet
-          val conds = numberCols.filter(present).map(c =>
-            when(col(c).isNotNull && col(c).cast("string") =!= "" &&
-              !col(c).cast("string").rlike(NumberValuePattern), 1L)
-              .otherwise(0L))
-          if (conds.isEmpty) Some(0L)
-          else Some(df.agg(coalesce(sum(conds.reduce(_ + _)), lit(0L)))
-            .head().getLong(0))
+          val dfr = graft.sources.Tsv.read(spark, p.toString, comment = Some('#'))
+          val present = dfr.columns.toSet
+          val aggs = Seq("number", "boolean", "survival").map { k =>
+            val conds = colsPer(k).filter(present).map(badValue(_, patterns(k)))
+            if (conds.isEmpty) lit(0L)
+            else coalesce(sum(conds.reduce(_ + _)), lit(0L))
+          }
+          val r = dfr.agg(aggs.head, aggs.tail: _*).head()
+          Some(Map("number" -> r.getLong(0), "boolean" -> r.getLong(1),
+            "survival" -> r.getLong(2)))
         }
       }
     }
@@ -439,14 +590,19 @@ object PortalRules {
         dataRows += (("maf_barcode_in_samples", v, v == 0L))
       }
     }
-    // NUMBER-typed attribute conformance over every clinical output that
-    // has a well-formed header (one aggregate pass per file)
-    val numberViolations = Seq("data_clinical_sample.txt",
+    // Datatype/value conformance over every clinical output that has a
+    // well-formed header (one aggregate pass per file covers NUMBER,
+    // BOOLEAN, and survival-status checks together)
+    val valueViolations = Seq("data_clinical_sample.txt",
       "data_clinical_patient.txt")
-      .flatMap(n => numberAttrViolations(spark, dir, n))
-    if (numberViolations.nonEmpty) {
-      val v = numberViolations.sum
-      dataRows += (("clinical_number_attrs_numeric", v, v == 0L))
+      .flatMap(n => clinicalValueViolations(spark, dir, n))
+    if (valueViolations.nonEmpty) {
+      val num = valueViolations.map(_("number")).sum
+      val bool = valueViolations.map(_("boolean")).sum
+      val surv = valueViolations.map(_("survival")).sum
+      dataRows += (("clinical_number_attrs_numeric", num, num == 0L))
+      dataRows += (("clinical_boolean_attrs_boolean", bool, bool == 0L))
+      dataRows += (("clinical_survival_status_format", surv, surv == 0L))
     }
     // case-list ids ⊆ clinical sample ids (union of every list's ids)
     for (s <- sample if s.columns.contains("SAMPLE_ID")) {
@@ -500,7 +656,11 @@ object PortalRules {
       |           ELSE 'Wrong_Status' END AS vstatus,
       |         l_partkey % 50021 - 3 AS entrez,
       |         CASE WHEN l_partkey % 487 = 0 THEN ''
-      |           ELSE 'G' || CAST(l_partkey % 500 AS VARCHAR) END AS hugo
+      |           ELSE 'G' || CAST(l_partkey % 500 AS VARCHAR) END AS hugo,
+      |         CASE WHEN l_linenumber % 7 = 0 THEN '-' ELSE '+' END AS strand,
+      |         CASE l_suppkey % 11 WHEN 0 THEN 'Maybe' WHEN 1 THEN 'NA'
+      |           ELSE CASE WHEN (l_suppkey % 11) % 2 = 0 THEN 'Verified'
+      |             ELSE 'Unknown' END END AS verst
       |  FROM lineitem),
       |r AS (
       |  SELECT 'portal_meta_files_resolve' AS rule, 0 AS value
@@ -510,14 +670,25 @@ object PortalRules {
       |  UNION ALL SELECT 'portal_case_list_fields', 0
       |  UNION ALL SELECT 'portal_clinical_no_dup_attrs', 0
       |  UNION ALL SELECT 'portal_case_list_stable_id_unique', 0
+      |  UNION ALL SELECT 'portal_case_list_names_unique', 0
       |  UNION ALL SELECT 'portal_meta_unknown_keys', 0
       |  UNION ALL SELECT 'portal_attr_id_format', 0
       |  UNION ALL SELECT 'portal_case_list_ids_nonempty', 0
       |  UNION ALL SELECT 'portal_case_list_dup_ids', 0
       |  UNION ALL SELECT 'portal_case_list_category_known', 0
+      |  UNION ALL SELECT 'portal_meta_study_fields', 0
+      |  UNION ALL SELECT 'portal_meta_profile_fields', 0
+      |  UNION ALL SELECT 'clinical_required_id_columns', 0
+      |  UNION ALL SELECT 'clinical_patient_no_sample_cols', 0
       |  UNION ALL SELECT 'clinical_number_attrs_numeric',
       |    (SELECT count(*) FROM customer
       |      WHERE c_custkey <= 500 AND c_custkey % 89 = 0)
+      |  UNION ALL SELECT 'clinical_boolean_attrs_boolean',
+      |    (SELECT count(*) FROM customer
+      |      WHERE c_custkey <= 500 AND c_custkey % 71 = 0)
+      |  UNION ALL SELECT 'clinical_survival_status_format',
+      |    (SELECT count(*) FROM (SELECT DISTINCT c_custkey % 1000 AS pk
+      |      FROM customer WHERE c_custkey <= 500) t WHERE pk % 83 = 0)
       |  UNION ALL SELECT 'sample_patient_in_patients',
       |    (SELECT count(*) FROM samples
       |      WHERE patient_id NOT IN (SELECT patient_id FROM patients))
@@ -571,6 +742,28 @@ object PortalRules {
       |    (SELECT sum(CASE WHEN entrez < 0 THEN 1 ELSE 0 END) FROM maf)
       |  UNION ALL SELECT 'maf_gene_identifier_present',
       |    (SELECT sum(CASE WHEN (hugo IS NULL OR hugo = '')
-      |      AND (entrez IS NULL OR entrez <= 0) THEN 1 ELSE 0 END) FROM maf))
+      |      AND (entrez IS NULL OR entrez <= 0) THEN 1 ELSE 0 END) FROM maf)
+      |  UNION ALL SELECT 'maf_strand_valid',
+      |    (SELECT sum(CASE WHEN strand <> '+' THEN 1 ELSE 0 END) FROM maf)
+      |  UNION ALL SELECT 'maf_verification_status_valid',
+      |    (SELECT sum(CASE WHEN verst NOT IN ('Verified','Unknown','NA')
+      |      THEN 1 ELSE 0 END) FROM maf)
+      |  UNION ALL SELECT 'maf_allele_len_matches_type',
+      |    (SELECT sum(CASE WHEN
+      |      (vtype = 'SNP' AND (length(ref_allele) <> 1 OR length(tum_allele) <> 1))
+      |      OR (vtype = 'DNP' AND (length(ref_allele) <> 2 OR length(tum_allele) <> 2))
+      |      OR (vtype = 'TNP' AND (length(ref_allele) <> 3 OR length(tum_allele) <> 3))
+      |      THEN 1 ELSE 0 END) FROM maf)
+      |  UNION ALL SELECT 'maf_indel_allele_shape',
+      |    (SELECT sum(CASE WHEN
+      |      (vtype = 'INS' AND NOT (ref_allele = '-'
+      |        OR length(tum_allele) > length(ref_allele)))
+      |      OR (vtype = 'DEL' AND NOT (tum_allele = '-'
+      |        OR length(ref_allele) > length(tum_allele)))
+      |      THEN 1 ELSE 0 END) FROM maf)
+      |  UNION ALL SELECT 'maf_del_span_matches_ref',
+      |    (SELECT sum(CASE WHEN vtype = 'DEL' AND ref_allele <> '-'
+      |      AND end_pos - start_pos + 1 <> length(ref_allele)
+      |      THEN 1 ELSE 0 END) FROM maf))
       |SELECT rule, CAST(value AS BIGINT) AS value, value = 0 AS passed FROM r""".stripMargin
 }

@@ -47,8 +47,13 @@ class PortalRulesSpec extends AnyFunSuite {
       "cancer_study_identifier" -> "study1", "datatype" -> "PATIENT_ATTRIBUTES",
       "data_filename" -> "data_clinical_patient.txt"))
     Tsv.writeMetaFile(s"$dir/meta_mutations.txt", Seq(
-      "cancer_study_identifier" -> "study1", "datatype" -> "MAF",
+      "cancer_study_identifier" -> "study1",
+      "genetic_alteration_type" -> "MUTATION_EXTENDED",
+      "datatype" -> "MAF", "stable_id" -> "mutations",
       "data_filename" -> "data_mutations.txt"))
+    Tsv.writeMetaFile(s"$dir/meta_study.txt", Seq(
+      "cancer_study_identifier" -> "study1", "type_of_cancer" -> "mixed",
+      "name" -> "Study One", "description" -> "healthy fixture study"))
     Tsv.writeCaseLists(sample, "CANCER_TYPE", "SAMPLE_ID", "study1",
       s"$dir/case_lists")
     dir
@@ -166,9 +171,12 @@ class PortalRulesSpec extends AnyFunSuite {
       "portal_study_id_consistent", "portal_data_files_have_meta",
       "portal_clinical_header_block", "portal_case_list_fields",
       "portal_clinical_no_dup_attrs", "portal_case_list_stable_id_unique",
+      "portal_case_list_names_unique",
       "portal_meta_unknown_keys", "portal_attr_id_format",
       "portal_case_list_ids_nonempty", "portal_case_list_dup_ids",
-      "portal_case_list_category_known"), rep.keySet)
+      "portal_case_list_category_known", "portal_meta_study_fields",
+      "portal_meta_profile_fields", "clinical_required_id_columns",
+      "clinical_patient_no_sample_cols"), rep.keySet)
     rep.values.foreach { case (v, ok) => assert(ok && v == 0L) }
   }
 
@@ -321,6 +329,144 @@ class PortalRulesSpec extends AnyFunSuite {
     assert(reportMap(dir)("clinical_number_attrs_numeric") == ((0L, true)))
     writeSample("ninety")
     assert(reportMap(dir)("clinical_number_attrs_numeric") == ((1L, false)))
+  }
+
+  test("case_list_name collision trips portal_case_list_names_unique only") {
+    val dir = healthyPackage()
+    def list(stableId: String): String =
+      s"""cancer_study_identifier: study1
+         |stable_id: study1_$stableId
+         |case_list_name: Shared Display Name
+         |case_list_description: seeded name collision
+         |case_list_ids: s1\ts2""".stripMargin
+    write(Paths.get(s"$dir/case_lists/cases_n1.txt"), list("n1"))
+    write(Paths.get(s"$dir/case_lists/cases_n2.txt"), list("n2"))
+    val rep = reportMap(dir)
+    assert(rep("portal_case_list_names_unique") == ((1L, false)))
+    assert(rep("portal_case_list_stable_id_unique")._2, "stable ids differ")
+    assert(rep("portal_case_list_fields")._2, "both lists are individually valid")
+  }
+
+  test("tier-4 strict-MAF columns are each counted per rule") {
+    val dir = healthyPackage()
+    val bad = Seq(
+      // reverse strand + invalid verification status
+      ("s1", "SNP", "C", "T", "-", "Maybe"),
+      // DNP carrying single-base alleles -> allele_len_matches_type
+      ("s2", "DNP", "C", "T", "+", "Verified"),
+      // DEL whose alleles are same-length (no '-' placeholder, no shrink)
+      ("s3", "DEL", "AT", "GC", "+", "NA"),
+      // fine rows: SNP 1-base, INS growing through '-' placeholder
+      ("s1", "SNP", "G", "A", "+", "Unknown"),
+      ("s2", "INS", "-", "TTAG", "+", "Verified"))
+      .toDF("Tumor_Sample_Barcode", "Variant_Type", "Reference_Allele",
+        "Tumor_Seq_Allele2", "Strand", "Verification_Status")
+    Tsv.writeTsvFile(bad, s"$dir/data_mutations.txt")
+    val rep = reportMap(dir)
+    assert(rep("maf_strand_valid") == ((1L, false)))
+    assert(rep("maf_verification_status_valid") == ((1L, false)))
+    assert(rep("maf_allele_len_matches_type") == ((1L, false)))
+    assert(rep("maf_indel_allele_shape") == ((1L, false)))
+    // the healthy rows don't double-count anywhere
+    assert(rep("maf_allele_not_identical")._2)
+  }
+
+  test("non-boolean value in a BOOLEAN attribute trips clinical_boolean_attrs_boolean") {
+    val dir = healthyPackage()
+    def writeSample(third: String): Unit =
+      Tsv.writeTsvFile(Seq(("s1", "p1", "Melanoma", "TRUE"),
+        ("s2", "p1", "Melanoma", "NA"), ("s3", "p2", "Lung", third))
+        .toDF("SAMPLE_ID", "PATIENT_ID", "CANCER_TYPE", "IS_PRIMARY"),
+        s"$dir/data_clinical_sample.txt", Seq(
+          "#Sample ID\tPatient ID\tCancer Type\tIs Primary",
+          "#Sample identifier\tPatient identifier\tCancer type\tPrimary",
+          "#STRING\tSTRING\tSTRING\tBOOLEAN", "#1\t1\t1\t1"))
+    writeSample("FALSE")
+    assert(reportMap(dir)("clinical_boolean_attrs_boolean") == ((0L, true)))
+    writeSample("maybe")
+    val rep = reportMap(dir)
+    assert(rep("clinical_boolean_attrs_boolean") == ((1L, false)))
+    assert(rep("clinical_number_attrs_numeric")._2, "no NUMBER column involved")
+  }
+
+  test("bare survival label trips clinical_survival_status_format") {
+    val dir = healthyPackage()
+    def writePatient(second: String): Unit =
+      Tsv.writeTsvFile(Seq(("p1", "0:LIVING"), ("p2", second))
+        .toDF("PATIENT_ID", "OS_STATUS"),
+        s"$dir/data_clinical_patient.txt", Seq(
+          "#Patient ID\tOs Status", "#Patient identifier\tSurvival status",
+          "#STRING\tSTRING", "#1\t1"))
+    writePatient("1:DECEASED")
+    assert(reportMap(dir)("clinical_survival_status_format") == ((0L, true)))
+    writePatient("DECEASED")
+    assert(reportMap(dir)("clinical_survival_status_format") == ((1L, false)))
+  }
+
+  test("meta_study missing required keys trips portal_meta_study_fields") {
+    val dir = healthyPackage()
+    Tsv.writeMetaFile(s"$dir/meta_study.txt", Seq(
+      "cancer_study_identifier" -> "study1", "type_of_cancer" -> "mixed"))
+    val rep = reportMap(dir)
+    assert(rep("portal_meta_study_fields") == ((2L, false)),
+      "name and description both missing")
+    assert(rep("portal_meta_unknown_keys")._2)
+  }
+
+  test("profile meta without stable_id trips portal_meta_profile_fields; CLINICAL metas exempt") {
+    val dir = healthyPackage()
+    Tsv.writeMetaFile(s"$dir/meta_mutations.txt", Seq(
+      "cancer_study_identifier" -> "study1",
+      "genetic_alteration_type" -> "MUTATION_EXTENDED",
+      "datatype" -> "MAF",
+      "data_filename" -> "data_mutations.txt"))
+    val rep = reportMap(dir)
+    assert(rep("portal_meta_profile_fields") == ((1L, false)))
+    // the CLINICAL metas never carried stable_id and must not count
+    assert(rep("portal_meta_files_resolve")._2)
+  }
+
+  test("missing PATIENT_ID column trips clinical_required_id_columns") {
+    val dir = healthyPackage()
+    Tsv.writeTsvFile(Seq(("s1", "Melanoma"), ("s2", "Lung"))
+      .toDF("SAMPLE_ID", "CANCER_TYPE"),
+      s"$dir/data_clinical_sample.txt", Seq(
+        "#Sample ID\tCancer Type", "#Sample identifier\tCancer type",
+        "#STRING\tSTRING", "#1\t1"))
+    val rep = reportMap(dir)
+    assert(rep("clinical_required_id_columns") == ((1L, false)))
+    assert(rep("portal_clinical_header_block")._2, "header itself well-formed")
+  }
+
+  test("SAMPLE_ID in the patient file trips clinical_patient_no_sample_cols") {
+    val dir = healthyPackage()
+    Tsv.writeTsvFile(Seq(("p1", "s1"), ("p2", "s3"))
+      .toDF("PATIENT_ID", "SAMPLE_ID"),
+      s"$dir/data_clinical_patient.txt", Seq(
+        "#Patient ID\tSample ID", "#Patient identifier\tSample identifier",
+        "#STRING\tSTRING", "#1\t1"))
+    val rep = reportMap(dir)
+    assert(rep("clinical_patient_no_sample_cols") == ((1L, false)))
+    assert(rep("clinical_required_id_columns")._2, "both ids still declared")
+  }
+
+  test("DEL not spanning its reference allele trips maf_del_span_matches_ref") {
+    val dir = healthyPackage()
+    val maf = Seq(
+      // spans 2 bases for a 2-base deletion — fine
+      ("s1", "DEL", 100L, 101L, "AT", "-"),
+      // claims 3 bases but deletes 2 — violation
+      ("s2", "DEL", 200L, 202L, "AT", "-"),
+      // placeholder-ref deletion exempt from the span rule
+      ("s3", "DEL", 300L, 300L, "-", "A"),
+      // insertions never counted here
+      ("s1", "INS", 400L, 401L, "-", "GGG"))
+      .toDF("Tumor_Sample_Barcode", "Variant_Type", "Start_Position",
+        "End_Position", "Reference_Allele", "Tumor_Seq_Allele2")
+    Tsv.writeTsvFile(maf, s"$dir/data_mutations.txt")
+    val rep = reportMap(dir)
+    assert(rep("maf_del_span_matches_ref") == ((1L, false)))
+    assert(rep("maf_extent_valid")._2)
   }
 
   test("sample referencing an absent patient trips containment + dup check") {
