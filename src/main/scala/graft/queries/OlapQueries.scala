@@ -408,9 +408,30 @@ object OlapQueries {
     * filter references a CORRELATED scalar subquery (here: suppliers
     * shipping >4× a part's fair per-supplier share — "dominant
     * suppliers"; the reference Q20 compares availability to half the
-    * shipped quantity the same way). Two aggregation levels deep, both
-    * must decorrelate: the inner scalar to an aggregate-join on
-    * l_partkey, the IN to a left-semi join on s_suppkey.
+    * shipped quantity the same way). The oracle keeps the user-facing
+    * nested form; the engine runs the algebraic single-scan plan:
+    * Spark's decorrelation of the nested form materializes the fact
+    * TWICE (the IN's (partkey, suppkey) aggregate, plus the correlated
+    * scalar's per-partkey aggregate with an Expand for the
+    * count(DISTINCT)) — but the inner aggregate is derivable from the
+    * outer one (suppkeys are unique within it: sum(q) ≡ the partkey's
+    * shipped total, count(*) ≡ its distinct-supplier count), so a
+    * window over the aggregated frame computes the same threshold with
+    * ONE fact scan. The REPARTITION(l_partkey) hint on that scan is
+    * load-bearing: (l_partkey, l_suppkey) groups are ~98.5% unique in
+    * this corpus, so the default plan's map-side partial aggregate
+    * builds a row-sized hash table per task that combines nothing and
+    * then shuffles ~every row anyway; hinting the exchange onto the
+    * raw rows BY THE WINDOW'S KEY makes the aggregation run
+    * post-shuffle (HashPartitioning(pk) satisfies the (pk, sk)
+    * clustering requirement) and the window inherit the partitioning —
+    * one exchange total instead of two plus a wasted partial
+    * (measured 2.17 s → 1.10 s at sf1; the same reasoning holds at any
+    * scale because group uniqueness is a property of the schema, not
+    * the SF). Bit-safe across plans: quantities are small integers, so
+    * the double sums are exact in either grouping order. (Correlated
+    * decorrelation stays exercised by h17_small_quantity / the
+    * EXISTS family.)
     */
   def sqlTpchQ20: Q = (s, dir) => {
     registerSqlViews(s, dir)
@@ -418,11 +439,15 @@ object OlapQueries {
       SELECT s_name, s_nationkey
       FROM supp_sql
       WHERE s_suppkey IN (
-        SELECT sp.l_suppkey FROM
-          (SELECT l_partkey, l_suppkey, sum(l_quantity) AS q
-           FROM li_sql GROUP BY l_partkey, l_suppkey) sp
-        WHERE sp.q > (SELECT 4.0 * sum(l2.l_quantity) / count(DISTINCT l2.l_suppkey)
-                      FROM li_sql l2 WHERE l2.l_partkey = sp.l_partkey))
+        SELECT l_suppkey FROM (
+          SELECT l_suppkey, q,
+                 sum(q)   OVER (PARTITION BY l_partkey) AS part_total,
+                 count(*) OVER (PARTITION BY l_partkey) AS n_supp
+          FROM (SELECT l_partkey, l_suppkey, sum(l_quantity) AS q
+                FROM (SELECT /*+ REPARTITION(l_partkey) */
+                        l_partkey, l_suppkey, l_quantity FROM li_sql)
+                GROUP BY l_partkey, l_suppkey))
+        WHERE q > 4.0 * part_total / n_supp)
     """)
   }
 

@@ -171,7 +171,11 @@ object StreamQueries {
     * (2·micros + isStart) so ends at t process before starts at t —
     * half-open semantics — and ties within a key can only be
     * same-sign, so the hourly MAX is order-independent. Boundary
-    * volume is 2 rows per session.
+    * volume is 2 rows per session, emitted by ONE explode over each
+    * session row — not a self-union, whose two branches would execute
+    * the upstream session-window aggregation twice (measured: the
+    * union form re-ran the 1 M-event session sort-agg per branch,
+    * 2.11 s vs 1.2 s at sf1).
     */
   def evConcurrency: Q = (s, dir) =>
     concurrencyOf(EventStreams.sessionCounts(Tables.events(s, dir)))
@@ -181,8 +185,10 @@ object StreamQueries {
     * [[evConcurrency]].
     */
   private[graft] def concurrencyOf(sess: DataFrame): DataFrame = {
-    val pts = sess.select(unix_micros(col("session_start")).as("t"), lit(1L).as("delta"))
-      .unionAll(sess.select(unix_micros(col("session_end")).as("t"), lit(-1L).as("delta")))
+    val pts = sess.select(explode(array(
+        struct(unix_micros(col("session_start")).as("t"), lit(1L).as("delta")),
+        struct(unix_micros(col("session_end")).as("t"), lit(-1L).as("delta")))).as("b"))
+      .select(col("b.t").as("t"), col("b.delta").as("delta"))
       .withColumn("k", col("t") * 2 + when(col("delta") === 1L, 1L).otherwise(0L))
     graft.operators.PrefixSum.withRunningSum(pts, "k", "delta", "conc")
       .groupBy(timestamp_micros(col("t") - pmod(col("t"), lit(3600000000L))).as("w_start"))
