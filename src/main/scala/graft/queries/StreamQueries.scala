@@ -262,6 +262,58 @@ object StreamQueries {
           lit(0).cast("decimal(18,2)")).cast("double").as("sum_value"))
   }
 
+  /** ev_attribution — multi-touch (linear) purchase attribution: each
+    * purchase's value splits equally across the same user's clicks in
+    * the preceding hour (click_ts ∈ (purchase_ts − 1h, purchase_ts]);
+    * a purchase with no qualifying click lands in the `-1`
+    * ("unattributed") bucket with its full value. Output: per click
+    * hour-of-day, touch count and integer-micro credit — the marketing
+    * "which hours' clicks drive revenue" report, and the fractional-
+    * credit complement of [[evAsof]]'s winner-takes-all last-touch.
+    *
+    * Scale: the only shuffle is the user-keyed range equi-join (the
+    * [[evIntervalJoin]] shape — the 1-hour bound caps per-purchase
+    * fan-out, and on a stream it is exactly the watermarked interval
+    * join's state bound). The per-purchase touch count k is a window
+    * over (user_id, p_id) — HashPartitioning(user_id) already
+    * satisfies that clustering, so the window adds a sort but NO new
+    * exchange, and its frame is one purchase's matched clicks (≤ the
+    * hour's click volume for one user). Credit is integer micros with
+    * `div` — floor(value·10⁶) is the same IEEE multiply in both
+    * engines, so no float ever crosses an aggregation.
+    */
+  def evAttribution: Q = (s, dir) => attributionOf(Tables.events(s, dir))
+
+  /** The linear-attribution core over any events frame — split out so
+    * the spec can drive constructed histories; see [[evAttribution]].
+    */
+  private[graft] def attributionOf(ev: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_uid"), col("ts").as("click_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_uid"),
+        col("ts").as("p_ts"),
+        floor(col("value") * lit(1000000L)).cast("long").as("v_micros"))
+    val joined = purchases.join(clicks,
+      col("p_uid") === col("c_uid") &&
+        col("click_ts") <= col("p_ts") &&
+        col("click_ts") > col("p_ts") - expr("INTERVAL 1 HOUR"),
+      "left")
+    val w = Window.partitionBy(col("p_uid"), col("p_id"))
+    joined
+      .withColumn("k", count(col("click_ts")).over(w))
+      .withColumn("hour_of_day",
+        when(col("click_ts").isNull, lit(-1L))
+          .otherwise(hour(col("click_ts")).cast("long")))
+      .withColumn("credit",
+        when(col("click_ts").isNull, col("v_micros"))
+          .otherwise(expr("v_micros div k")))
+      .groupBy(col("hour_of_day"))
+      .agg(count(lit(1)).as("n_touches"),
+        sum(col("credit")).as("credit_micros"))
+  }
+
   /** ev_asof — as-of join: each click picks up the most recent purchase
     * value at-or-before it, per user ([[graft.operators.AsofJoin]]: one
     * shuffle + one sort, no range cross product). The right side is
@@ -470,6 +522,7 @@ object StreamQueries {
     "ev_json_agg" -> evJsonAgg,
     "ev_interval_join" -> evIntervalJoin,
     "ev_left_interval" -> evLeftInterval,
+    "ev_attribution" -> evAttribution,
     "ev_asof" -> evAsof)
 
   /** Shared gaps-and-islands session CTE (10-minute gap, the
@@ -492,6 +545,29 @@ object StreamQueries {
       |  FROM o)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "ev_attribution" ->
+      """WITH p AS (
+        |  SELECT event_id AS p_id, user_id, ts AS p_ts,
+        |         CAST(floor(value * 1000000) AS BIGINT) AS v_micros
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT user_id, ts AS click_ts FROM events
+        |  WHERE event_type = 'click'),
+        |j AS (
+        |  SELECT p.p_id, p.v_micros, c.click_ts
+        |  FROM p LEFT JOIN c ON p.user_id = c.user_id
+        |    AND c.click_ts <= p.p_ts
+        |    AND c.click_ts > p.p_ts - INTERVAL 1 HOUR),
+        |k AS (
+        |  SELECT p_id, v_micros, click_ts,
+        |         count(click_ts) OVER (PARTITION BY p_id) AS k
+        |  FROM j)
+        |SELECT CAST(CASE WHEN click_ts IS NULL THEN -1
+        |            ELSE hour(click_ts) END AS BIGINT) AS hour_of_day,
+        |       count(*) AS n_touches,
+        |       CAST(sum(CASE WHEN click_ts IS NULL THEN v_micros
+        |                ELSE v_micros // k END) AS BIGINT) AS credit_micros
+        |FROM k GROUP BY 1""".stripMargin,
     "ev_rate_limit" -> {
       val cap = RlCapacity * RlRefillUs
       s"""WITH RECURSIVE ev AS (

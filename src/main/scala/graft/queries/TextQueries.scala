@@ -903,6 +903,107 @@ object TextQueries {
   val ChunkWindow = 128L
   val ChunkStride = 96L
 
+  /** td_winsorize — per-source outlier clamping of document length (the
+    * winsorization pass corpus pipelines run before length-based mixture
+    * weighting, so one 500 MB crawl artifact can't dominate a source's
+    * token budget): per source, the exact P1/P99 length cutoffs by the
+    * nearest-rank rule k = ⌊(n−1)·p/100⌋ + 1, then every doc's length
+    * clamps into [p01, p99].
+    *
+    * Scale: documents are never sorted — the percentile is read off the
+    * (source, n_chars) HISTOGRAM (one shuffle; rows = distinct lengths
+    * per source, bounded by the length domain, not the corpus), the
+    * cumulative rank is a window over that histogram, and clamp counts
+    * and the winsorized total are Σ c·clamp(len) over the same frame —
+    * no second corpus scan, all integer arithmetic.
+    */
+  def tdWinsorize: Q = (s, dir) => winsorizeOf(Tables.documents(s, dir))
+
+  /** The winsorize core over any (source, n_chars) frame — split out so
+    * the spec can drive constructed length profiles; see [[tdWinsorize]].
+    */
+  private[graft] def winsorizeOf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wCum = Window.partitionBy(col("source")).orderBy(col("n_chars"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("source"))
+    docs
+      .groupBy(col("source"), col("n_chars")).agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("n", sum(col("c")).over(wAll))
+      .withColumn("k_lo", expr("(n - 1) div 100 + 1"))
+      .withColumn("k_hi", expr("((n - 1) * 99) div 100 + 1"))
+      .withColumn("p01",
+        min(when(col("cum") >= col("k_lo"), col("n_chars"))).over(wAll))
+      .withColumn("p99",
+        min(when(col("cum") >= col("k_hi"), col("n_chars"))).over(wAll))
+      .groupBy(col("source"))
+      .agg(max(col("p01")).as("p01"), max(col("p99")).as("p99"),
+        coalesce(sum(when(col("n_chars") < col("p01"), col("c"))), lit(0L))
+          .as("n_low"),
+        coalesce(sum(when(col("n_chars") > col("p99"), col("c"))), lit(0L))
+          .as("n_high"),
+        sum(col("c") * greatest(col("p01"), least(col("p99"), col("n_chars"))))
+          .as("sum_winsorized"),
+        sum(col("c")).as("n_docs"))
+  }
+
+  /** ta_keyness — distinctive vocabulary per source: the top-10 tokens
+    * whose in-source rate most exceeds their rest-of-corpus rate
+    * (relative-rate ratio in integer micros, +1-smoothed on the
+    * complement count so a source-exclusive token is finite), with a
+    * min-count floor of 5 so one-off strings can't top the list. The
+    * "what makes crawl A read differently from the rest" report that
+    * drives source weighting and contamination triage — the per-token
+    * complement of [[taKlDrift]]'s whole-distribution number.
+    *
+    * Scale: one (source, tok) count shuffle off the shared token scan;
+    * the token's corpus total is a window over the tok partition of
+    * that vocab×source-sized frame (frame height ≤ |sources|, never
+    * corpus-sized); source totals and N ride the same frame via a
+    * source-partition window (frame ≤ the source's vocab). The ratio is
+    * DECIMAL(38,0) cross-multiplication with integral `div` — exact in
+    * both engines at any corpus size (10⁶·a·rest ≤ 10⁶·N² needs ~2·
+    * log₁₀N+6 digits: fine through N = 10¹⁵ tokens).
+    */
+  def taKeyness: Q = (s, dir) => {
+    // the corpus token count is one bounded scalar, cached per
+    // (session, sf) like every other control artifact (g_trade_n
+    // pattern) — a count over the PERSISTED token frame, so no second
+    // tokenize pass and no global window in the query plan
+    val nAll = FrameCache.cachedCount(s, s"ta_n_tokens:$dir")(
+      cachedToks(s, dir).count())
+    keynessOf(cachedToks(s, dir), nAll)
+  }
+
+  /** The keyness core over any (source, tok) stream and its total count
+    * — split out so the spec can drive constructed corpora; see
+    * [[taKeyness]].
+    */
+  private[graft] def keynessOf(toks: DataFrame, nAll: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = toks
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("a"))
+    val wTok = Window.partitionBy(col("tok"))
+    val wSrc = Window.partitionBy(col("source"))
+    val wRank = Window.partitionBy(col("source"))
+      .orderBy(col("ratio_micro").desc, col("tok").asc)
+    counts
+      .withColumn("tok_total", sum(col("a")).over(wTok))
+      .withColumn("src_total", sum(col("a")).over(wSrc))
+      .withColumn("n_all", lit(nAll))
+      .filter(col("a") >= 5)
+      .withColumn("ratio_micro", expr(
+        """(CAST(1000000 AS DECIMAL(38,0)) * a * (n_all - src_total))
+           div (CAST(tok_total - a + 1 AS DECIMAL(38,0)) * src_total)"""))
+      .withColumn("rn", row_number().over(wRank))
+      .filter(col("rn") <= 10)
+      .select(col("source"), col("rn").cast("long").as("rn"), col("tok"),
+        col("a").as("n_in_source"),
+        (col("tok_total") - col("a")).as("n_elsewhere"),
+        col("ratio_micro").cast("long").as("ratio_micro"))
+  }
+
   /** td_chunk — context-length document chunking (the batch-prep op
     * that slices long documents into overlapping model-context windows
     * before packing): each document with n tokens yields chunks at
@@ -1270,6 +1371,8 @@ object TextQueries {
     "ta_ngram_novelty" -> taNgramNovelty,
     "ta_profile" -> taProfile,
     "ta_vocab" -> taVocab,
+    "ta_keyness" -> taKeyness,
+    "td_winsorize" -> tdWinsorize,
     "ta_cooccur" -> taCooccur,
     "ta_repetition" -> taRepetition,
     "ta_tfidf" -> taTfidf,
@@ -1316,6 +1419,55 @@ object TextQueries {
       |  GROUP BY b.doc_id)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "td_winsorize" ->
+      """WITH hist AS (
+        |  SELECT source, n_chars, count(*) AS c FROM documents GROUP BY 1, 2),
+        |r AS (
+        |  SELECT source, n_chars, c,
+        |    CAST(sum(c) OVER (PARTITION BY source ORDER BY n_chars
+        |                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+        |    CAST(sum(c) OVER (PARTITION BY source) AS BIGINT) AS n
+        |  FROM hist),
+        |r2 AS (
+        |  SELECT *, (n - 1) // 100 + 1 AS k_lo,
+        |         ((n - 1) * 99) // 100 + 1 AS k_hi FROM r),
+        |r3 AS (
+        |  SELECT *,
+        |    min(CASE WHEN cum >= k_lo THEN n_chars END)
+        |      OVER (PARTITION BY source) AS p01,
+        |    min(CASE WHEN cum >= k_hi THEN n_chars END)
+        |      OVER (PARTITION BY source) AS p99
+        |  FROM r2)
+        |SELECT source, max(p01) AS p01, max(p99) AS p99,
+        |  CAST(coalesce(sum(CASE WHEN n_chars < p01 THEN c END), 0) AS BIGINT) AS n_low,
+        |  CAST(coalesce(sum(CASE WHEN n_chars > p99 THEN c END), 0) AS BIGINT) AS n_high,
+        |  CAST(sum(c * greatest(p01, least(p99, n_chars))) AS BIGINT) AS sum_winsorized,
+        |  CAST(sum(c) AS BIGINT) AS n_docs
+        |FROM r3 GROUP BY source""".stripMargin,
+    "ta_keyness" ->
+      """WITH toks AS (
+        |  SELECT source, tok FROM (
+        |    SELECT source, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |    FROM documents)
+        |  WHERE length(tok) > 0),
+        |counts AS (SELECT source, tok, count(*) AS a FROM toks GROUP BY 1, 2),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_all FROM toks),
+        |e AS (
+        |  SELECT source, tok, a,
+        |    CAST(sum(a) OVER (PARTITION BY tok) AS BIGINT) AS tok_total,
+        |    CAST(sum(a) OVER (PARTITION BY source) AS BIGINT) AS src_total
+        |  FROM counts),
+        |r AS (
+        |  SELECT source, tok, a, tok_total, src_total,
+        |    (CAST(1000000 AS HUGEINT) * a * (n_all - src_total))
+        |      // (CAST(tok_total - a + 1 AS HUGEINT) * src_total) AS ratio_micro
+        |  FROM e, tot WHERE a >= 5),
+        |rk AS (
+        |  SELECT *, row_number() OVER (PARTITION BY source
+        |    ORDER BY ratio_micro DESC, tok ASC) AS rn FROM r)
+        |SELECT source, CAST(rn AS BIGINT) AS rn, tok, a AS n_in_source,
+        |  tok_total - a AS n_elsewhere, CAST(ratio_micro AS BIGINT) AS ratio_micro
+        |FROM rk WHERE rn <= 10""".stripMargin,
     "td_boilerplate" ->
       s"""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
         |gs AS (SELECT doc_id, ws,

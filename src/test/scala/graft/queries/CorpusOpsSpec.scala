@@ -970,4 +970,142 @@ class CorpusOpsSpec extends AnyFunSuite {
       assert(s <= 1000000L && s > 1000000L - rows.size, s"$from: $s")
     }
   }
+
+  // ---- ev_attribution -------------------------------------------------
+
+  test("ev_attribution splits credit across in-window clicks; orphans land in -1") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // user 1: purchase 10.00 at 12:00 with clicks at 11:10 (hour 11) and
+    //         11:59 (hour 11) in-window, 10:59 OUT (> 1h before);
+    // user 2: purchase 5.00 at 09:30, no clicks -> unattributed;
+    // user 1's second purchase 2.40 at 11:30: clicks 10:59 (hour 10)
+    //         AND 11:10 (hour 11) both in its (10:30, 11:30] window ->
+    //         1_200_000 micros each.
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:59:00"), 1L, "click", 0.0),
+      (2L, ts("2024-01-01 11:10:00"), 1L, "click", 0.0),
+      (3L, ts("2024-01-01 11:59:00"), 1L, "click", 0.0),
+      (4L, ts("2024-01-01 12:00:00"), 1L, "purchase", 10.0),
+      (5L, ts("2024-01-01 11:30:00"), 1L, "purchase", 2.40),
+      (6L, ts("2024-01-01 09:30:00"), 2L, "purchase", 5.0),
+      (7L, ts("2024-01-01 09:00:00"), 2L, "view", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = StreamQueries.attributionOf(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // purchase 4: 10e6 div 2 = 5_000_000 to each of clicks 2,3 (hour 11)
+    // purchase 5: floor(2.4·1e6) = 2_400_000 (the double product rounds
+    //   to exactly 2400000.0) div 2 clicks = 1_200_000 each
+    assert(got == Set((11L, 3L, 5000000L + 5000000L + 1200000L),
+      (10L, 1L, 1200000L), (-1L, 1L, 5000000L)))
+  }
+
+  test("ev_attribution on the corpus conserves credit vs a driver recount") {
+    val ev = graft.Tables.events(spark, sf001)
+      .select("event_id", "user_id", "ts", "event_type", "value").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2).getTime * 1000L +
+        r.getTimestamp(2).getNanos / 1000L % 1000L, r.getString(3), r.getDouble(4)))
+    def micros(t: java.sql.Timestamp): Long =
+      t.getTime / 1000L * 1000000L + t.getNanos / 1000L
+    val rows = graft.Tables.events(spark, sf001)
+      .select("event_id", "user_id", "ts", "event_type", "value").collect()
+      .map(r => (r.getLong(0), r.getLong(1), micros(r.getTimestamp(2)),
+        r.getString(3), r.getDouble(4)))
+    val clicks = rows.filter(_._4 == "click")
+    val purchases = rows.filter(_._4 == "purchase")
+    val want = scala.collection.mutable.Map[Long, (Long, Long)]()
+    purchases.foreach { case (_, uid, pt, _, v) =>
+      val vm = math.floor(v * 1000000L).toLong
+      val ks = clicks.filter(c => c._2 == uid && c._3 <= pt &&
+        c._3 > pt - 3600000000L)
+      if (ks.isEmpty) {
+        val (n0, c0) = want.getOrElse(-1L, (0L, 0L))
+        want(-1L) = (n0 + 1L, c0 + vm)
+      } else ks.foreach { c =>
+        val hour = (c._3 / 3600000000L) % 24L
+        val (n0, c0) = want.getOrElse(hour, (0L, 0L))
+        want(hour) = (n0 + 1L, c0 + vm / ks.size)
+      }
+    }
+    val got = StreamQueries.evAttribution(spark, sf001).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == want.toMap)
+    assert(ev.nonEmpty)
+  }
+
+  // ---- td_winsorize ---------------------------------------------------
+
+  test("td_winsorize clamps at exact nearest-rank P1/P99 on a hand profile") {
+    // source s: lengths 1..100 once each -> n=100, k_lo=⌊99/100⌋+1=1 (P1
+    // = 1st smallest = 1), k_hi=⌊99·99/100⌋+1=99 (P99 = 99th = 99); so
+    // only len=100 clamps down, nothing clamps up.
+    val docs = (1 to 100).map(i => ("s", i.toLong)).toDF("source", "n_chars")
+    val got = TextQueries.winsorizeOf(docs).collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    val sumW = (1 to 99).map(_.toLong).sum + 99L
+    assert(got.toSeq == Seq(("s", 1L, 99L, 0L, 1L, sumW, 100L)))
+  }
+
+  test("td_winsorize on the corpus equals a driver-side percentile recount") {
+    val docs = graft.Tables.documents(spark, sf001)
+      .select("source", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val want = docs.groupBy(_._1).map { case (src, ds) =>
+      val lens = ds.map(_._2).sorted
+      val n = lens.length
+      val p01 = lens(((n - 1) / 100 + 1) - 1)
+      val p99 = lens((((n - 1) * 99) / 100 + 1) - 1)
+      (src, p01, p99, lens.count(_ < p01).toLong, lens.count(_ > p99).toLong,
+        lens.map(l => math.max(p01, math.min(p99, l))).sum, n.toLong)
+    }.toSet
+    val got = TextQueries.tdWinsorize(spark, sf001).collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSet
+    assert(got == want)
+  }
+
+  // ---- ta_keyness -----------------------------------------------------
+
+  test("ta_keyness ranks source-exclusive tokens top, smoothing keeps them finite") {
+    val toks = (Seq.fill(5)(("a", "zonly")) ++ Seq.fill(50)(("a", "common")) ++
+      Seq.fill(50)(("b", "common")) ++ Seq.fill(7)(("b", "bword")))
+      .toDF("source", "tok")
+    val n = 112L
+    val got = TextQueries.keynessOf(toks, n).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    // source a: src_total=55, rest=57. zonly: a=5, elsewhere 0 ->
+    //   ratio = 1e6·5·57 div (1·55) = 5181818; common: a=50, c=50 ->
+    //   ratio = 1e6·50·57 div (51·55) = 1016042
+    val aRows = got.filter(_._1 == "a").sortBy(_._2).toSeq
+    assert(aRows == Seq(("a", 1L, "zonly", 5L, 0L, 5181818L),
+      ("a", 2L, "common", 50L, 50L, 1016042L)))
+    // source b: bword 7 exclusive beats shared common
+    val bRows = got.filter(_._1 == "b").sortBy(_._2)
+    assert(bRows.head._3 == "bword" && bRows(1)._3 == "common")
+  }
+
+  test("ta_keyness on the corpus equals a driver-side recount") {
+    val docs = graft.Tables.documents(spark, sf001)
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val toks = docs.flatMap { case (s, t) =>
+      t.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).map(s -> _) }
+    val nAll = toks.length.toLong
+    val counts = toks.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val tokTotal = counts.groupBy(_._1._2).map { case (t, m) => t -> m.values.sum }
+    val srcTotal = counts.groupBy(_._1._1).map { case (s, m) => s -> m.values.sum }
+    val want = counts.toSeq.filter(_._2 >= 5L).map { case ((s, t), a) =>
+      val ratio = (BigInt(1000000) * a * (nAll - srcTotal(s)) /
+        (BigInt(tokTotal(t) - a + 1) * srcTotal(s))).toLong
+      (s, t, a, tokTotal(t) - a, ratio)
+    }.groupBy(_._1).flatMap { case (_, rows) =>
+      rows.sortBy(r => (-r._5, r._2)).take(10).zipWithIndex.map {
+        case ((s, t, a, c, ratio), i) => (s, (i + 1).toLong, t, a, c, ratio) }
+    }.toSet
+    val got = TextQueries.taKeyness(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    assert(got == want)
+  }
 }
