@@ -748,7 +748,12 @@ object RefQueries {
       when(pmod(col("l_suppkey"), lit(11L)) === 0L, "Maybe")
         .when(pmod(col("l_suppkey"), lit(11L)) === 1L, "NA")
         .when(pmod(pmod(col("l_suppkey"), lit(11L)), lit(2L)) === 0L, "Verified")
-        .otherwise("Unknown").as("Verification_Status"))
+        .otherwise("Unknown").as("Verification_Status"),
+      // tier-5 seeded read-support columns: a negative alt count every
+      // 19th suppkey exercises maf_allele_counts_valid data-dependently
+      pmod(col("l_partkey"), lit(1000L)).as("t_ref_count"),
+      when(pmod(col("l_suppkey"), lit(19L)) === 0L, lit(-1L))
+        .otherwise(pmod(col("l_orderkey"), lit(500L))).as("t_alt_count"))
 
     // a small deterministic study package through the real sinks; the
     // structural rules then audit actual on-disk meta/header/case-list

@@ -106,6 +106,16 @@ object PortalRules {
   val ProfileMetaRequiredKeys: Seq[String] = Seq(
     "datatype", "stable_id", "data_filename")
 
+  /** Profile `stable_id` values (or `_`-suffixes) the portal's importer
+    * recognizes — an unknown suffix draws validateData's unrecognized-
+    * stable-id warning and the profile won't surface in the UI tabs.
+    */
+  val KnownProfileStableIdSuffixes: Set[String] = Set(
+    "mutations", "cna", "log2CNA", "gistic", "rna_seq_mrna",
+    "rna_seq_v2_mrna", "mrna", "mrna_median_Zscores",
+    "methylation_hm27", "methylation_hm450", "protein_quantification",
+    "structural_variants", "sv", "fusion", "mirna", "rppa")
+
   /** Keys validateData recognizes in `meta_*.txt` files (the union over
     * study/clinical/profile meta kinds); anything else draws its
     * "unrecognized field" warning.
@@ -235,6 +245,13 @@ object PortalRules {
           col("Reference_Allele") =!= "-" &&
           col("End_Position") - col("Start_Position") + lit(1L) =!=
             length(col("Reference_Allele")).cast("long")))
+    if (cols("t_ref_count") && cols("t_alt_count"))
+      // sequencing read support must be non-negative on both alleles
+      // (validateData's numeric-column sanity tier; nulls pass — the
+      // columns are optional per-row in real MAFs)
+      b += Rules.Rule("maf_allele_counts_valid",
+        violation(coalesce(col("t_ref_count") < 0L, lit(false)) ||
+          coalesce(col("t_alt_count") < 0L, lit(false))))
     b.result()
   }
 
@@ -355,12 +372,20 @@ object PortalRules {
               priorities.exists(pr => scala.util.Try(pr.trim.toInt).isFailure)
             if (bad) 1L else 0L
           }
+        // display names (header row 1) must be unique too — two
+        // attributes rendering under one label are indistinguishable in
+        // the portal's clinical tables (validateData warns)
+        val displayNames =
+          if (block.isEmpty) Seq.empty
+          else block.head.stripPrefix("#").split("\t", -1).toSeq
         (headerBad, (cols.size - cols.distinct.size).toLong,
-          cols.count(c => !c.matches(AttrIdPattern)).toLong)
+          cols.count(c => !c.matches(AttrIdPattern)).toLong,
+          (displayNames.size - displayNames.distinct.size).toLong)
       }
     val headerViolations = clinicalHeaderStats.map(_._1).sum
     val dupAttrViolations = clinicalHeaderStats.map(_._2).sum
     val attrIdViolations = clinicalHeaderStats.map(_._3).sum
+    val dupDisplayViolations = clinicalHeaderStats.map(_._4).sum
 
     val caseListViolations = caseLists.count { case (_, kv) =>
       CaseListRequiredKeys.exists(k => !kv.contains(k)) ||
@@ -399,10 +424,19 @@ object PortalRules {
 
     // profile metas: a non-CLINICAL genetic_alteration_type means the
     // importer will build a genetic profile and needs the full key set
-    val profileMetaViolations = metas.count { case (_, kv) =>
-      kv.get("genetic_alteration_type").exists(_ != "CLINICAL") &&
-        ProfileMetaRequiredKeys.exists(k => !kv.contains(k))
+    val profileMetas = metas.filter { case (_, kv) =>
+      kv.get("genetic_alteration_type").exists(_ != "CLINICAL") }
+    val profileMetaViolations = profileMetas.count { case (_, kv) =>
+      ProfileMetaRequiredKeys.exists(k => !kv.contains(k))
     }.toLong
+
+    // profile stable_id must be (or end with) a suffix the importer
+    // recognizes — unknown ids draw validateData's warning and the
+    // profile never surfaces in the portal tabs
+    val badStableIdSuffix = profileMetas.count(_._2.get("stable_id").exists(
+      sid => !KnownProfileStableIdSuffixes(sid) &&
+        !KnownProfileStableIdSuffixes.exists(sfx => sid.endsWith("_" + sfx))))
+      .toLong
 
     // id-column presence/level checks off the already-small header reads:
     // the sample file must declare SAMPLE_ID + PATIENT_ID, the patient
@@ -418,6 +452,25 @@ object PortalRules {
     }
     val sampleCols = headerCols("data_clinical_sample.txt")
     val patientCols = headerCols("data_clinical_patient.txt")
+
+    // a clinical meta's declared datatype must match the id LEVEL of the
+    // file it references: SAMPLE_ATTRIBUTES data carries SAMPLE_ID,
+    // PATIENT_ATTRIBUTES data carries PATIENT_ID (and never SAMPLE_ID) —
+    // validateData's wrong-level error, generalized beyond the two
+    // well-known filenames
+    val datatypeLevelViolations = metas.count { case (_, kv) =>
+      kv.get("genetic_alteration_type").contains("CLINICAL") &&
+        kv.get("data_filename").exists { f =>
+          headerCols(f).exists { cs =>
+            kv.get("datatype") match {
+              case Some("SAMPLE_ATTRIBUTES")  => !cs.contains("SAMPLE_ID")
+              case Some("PATIENT_ATTRIBUTES") =>
+                !cs.contains("PATIENT_ID") || cs.contains("SAMPLE_ID")
+              case _ => false
+            }
+          }
+        }
+    }.toLong
     val missingIdCols =
       sampleCols.map(cs =>
         Seq("SAMPLE_ID", "PATIENT_ID").count(c => !cs.contains(c)).toLong)
@@ -443,8 +496,11 @@ object PortalRules {
       ("portal_case_list_category_known", badCategories, badCategories == 0L),
       ("portal_meta_study_fields", metaStudyMissing, metaStudyMissing == 0L),
       ("portal_meta_profile_fields", profileMetaViolations, profileMetaViolations == 0L),
+      ("portal_profile_stable_id_suffix", badStableIdSuffix, badStableIdSuffix == 0L),
+      ("portal_meta_datatype_level", datatypeLevelViolations, datatypeLevelViolations == 0L),
       ("clinical_required_id_columns", missingIdCols, missingIdCols == 0L),
-      ("clinical_patient_no_sample_cols", patientSampleCols, patientSampleCols == 0L))
+      ("clinical_patient_no_sample_cols", patientSampleCols, patientSampleCols == 0L),
+      ("clinical_dup_display_names", dupDisplayViolations, dupDisplayViolations == 0L))
   }
 
   /** A clinical output may be a single file OR a parted cbio dataset
@@ -660,7 +716,9 @@ object PortalRules {
       |         CASE WHEN l_linenumber % 7 = 0 THEN '-' ELSE '+' END AS strand,
       |         CASE l_suppkey % 11 WHEN 0 THEN 'Maybe' WHEN 1 THEN 'NA'
       |           ELSE CASE WHEN (l_suppkey % 11) % 2 = 0 THEN 'Verified'
-      |             ELSE 'Unknown' END END AS verst
+      |             ELSE 'Unknown' END END AS verst,
+      |         CASE WHEN l_suppkey % 19 = 0 THEN -1
+      |           ELSE l_orderkey % 500 END AS t_alt
       |  FROM lineitem),
       |r AS (
       |  SELECT 'portal_meta_files_resolve' AS rule, 0 AS value
@@ -678,8 +736,11 @@ object PortalRules {
       |  UNION ALL SELECT 'portal_case_list_category_known', 0
       |  UNION ALL SELECT 'portal_meta_study_fields', 0
       |  UNION ALL SELECT 'portal_meta_profile_fields', 0
+      |  UNION ALL SELECT 'portal_profile_stable_id_suffix', 0
+      |  UNION ALL SELECT 'portal_meta_datatype_level', 0
       |  UNION ALL SELECT 'clinical_required_id_columns', 0
       |  UNION ALL SELECT 'clinical_patient_no_sample_cols', 0
+      |  UNION ALL SELECT 'clinical_dup_display_names', 0
       |  UNION ALL SELECT 'clinical_number_attrs_numeric',
       |    (SELECT count(*) FROM customer
       |      WHERE c_custkey <= 500 AND c_custkey % 89 = 0)
@@ -764,6 +825,8 @@ object PortalRules {
       |  UNION ALL SELECT 'maf_del_span_matches_ref',
       |    (SELECT sum(CASE WHEN vtype = 'DEL' AND ref_allele <> '-'
       |      AND end_pos - start_pos + 1 <> length(ref_allele)
-      |      THEN 1 ELSE 0 END) FROM maf))
+      |      THEN 1 ELSE 0 END) FROM maf)
+      |  UNION ALL SELECT 'maf_allele_counts_valid',
+      |    (SELECT sum(CASE WHEN t_alt < 0 THEN 1 ELSE 0 END) FROM maf))
       |SELECT rule, CAST(value AS BIGINT) AS value, value = 0 AS passed FROM r""".stripMargin
 }

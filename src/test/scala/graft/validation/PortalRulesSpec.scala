@@ -175,8 +175,10 @@ class PortalRulesSpec extends AnyFunSuite {
       "portal_meta_unknown_keys", "portal_attr_id_format",
       "portal_case_list_ids_nonempty", "portal_case_list_dup_ids",
       "portal_case_list_category_known", "portal_meta_study_fields",
-      "portal_meta_profile_fields", "clinical_required_id_columns",
-      "clinical_patient_no_sample_cols"), rep.keySet)
+      "portal_meta_profile_fields", "portal_profile_stable_id_suffix",
+      "portal_meta_datatype_level", "clinical_required_id_columns",
+      "clinical_patient_no_sample_cols", "clinical_dup_display_names"),
+      rep.keySet)
     rep.values.foreach { case (v, ok) => assert(ok && v == 0L) }
   }
 
@@ -467,6 +469,71 @@ class PortalRulesSpec extends AnyFunSuite {
     val rep = reportMap(dir)
     assert(rep("maf_del_span_matches_ref") == ((1L, false)))
     assert(rep("maf_extent_valid")._2)
+  }
+
+  test("duplicate display names trip clinical_dup_display_names only") {
+    val dir = healthyPackage()
+    Tsv.writeTsvFile(Seq(("s1", "p1", "Melanoma"), ("s2", "p2", "Lung"))
+      .toDF("SAMPLE_ID", "PATIENT_ID", "CANCER_TYPE"),
+      s"$dir/data_clinical_sample.txt", Seq(
+        "#Sample ID\tPatient ID\tSample ID", // display dup, ids unique
+        "#Sample identifier\tPatient identifier\tCancer type",
+        "#STRING\tSTRING\tSTRING", "#1\t1\t1"))
+    val rep = reportMap(dir)
+    assert(rep("clinical_dup_display_names") == ((1L, false)))
+    assert(rep("portal_clinical_no_dup_attrs")._2, "attr ids stay unique")
+    assert(rep("portal_clinical_header_block")._2, "block itself well-formed")
+  }
+
+  test("unknown profile stable_id trips portal_profile_stable_id_suffix") {
+    val dir = healthyPackage()
+    Tsv.writeMetaFile(s"$dir/meta_mutations.txt", Seq(
+      "cancer_study_identifier" -> "study1",
+      "genetic_alteration_type" -> "MUTATION_EXTENDED",
+      "datatype" -> "MAF", "stable_id" -> "my_custom_calls",
+      "data_filename" -> "data_mutations.txt"))
+    val rep = reportMap(dir)
+    assert(rep("portal_profile_stable_id_suffix") == ((1L, false)))
+    assert(rep("portal_meta_profile_fields")._2, "all required keys present")
+    // a study-prefixed known suffix passes
+    Tsv.writeMetaFile(s"$dir/meta_mutations.txt", Seq(
+      "cancer_study_identifier" -> "study1",
+      "genetic_alteration_type" -> "MUTATION_EXTENDED",
+      "datatype" -> "MAF", "stable_id" -> "study1_mutations",
+      "data_filename" -> "data_mutations.txt"))
+    assert(reportMap(dir)("portal_profile_stable_id_suffix")._2)
+  }
+
+  test("SAMPLE_ATTRIBUTES meta over a patient-level file trips portal_meta_datatype_level") {
+    val dir = healthyPackage()
+    Tsv.writeTsvFile(Seq(("p1", "x"), ("p2", "y")).toDF("PATIENT_ID", "NOTE"),
+      s"$dir/data_clinical_extra.txt", Seq(
+        "#Patient ID\tNote", "#Patient identifier\tFree note",
+        "#STRING\tSTRING", "#1\t1"))
+    Tsv.writeMetaFile(s"$dir/meta_clinical_extra.txt", Seq(
+      "cancer_study_identifier" -> "study1",
+      "genetic_alteration_type" -> "CLINICAL",
+      "datatype" -> "SAMPLE_ATTRIBUTES",
+      "data_filename" -> "data_clinical_extra.txt"))
+    val rep = reportMap(dir)
+    assert(rep("portal_meta_datatype_level") == ((1L, false)))
+    assert(rep("clinical_required_id_columns")._2,
+      "canonical files still carry their id columns")
+    assert(rep("portal_meta_files_resolve")._2)
+  }
+
+  test("negative read support trips maf_allele_counts_valid; nulls pass") {
+    val dir = healthyPackage()
+    val maf = Seq(
+      ("s1", "SNP", "C", "T", 10L, 5L),
+      ("s2", "SNP", "G", "A", 0L, -2L), // violation
+      ("s3", "SNP", "A", "G", 3L, 0L))
+      .toDF("Tumor_Sample_Barcode", "Variant_Type", "Reference_Allele",
+        "Tumor_Seq_Allele2", "t_ref_count", "t_alt_count")
+    Tsv.writeTsvFile(maf, s"$dir/data_mutations.txt")
+    val rep = reportMap(dir)
+    assert(rep("maf_allele_counts_valid") == ((1L, false)))
+    assert(rep("maf_allele_not_identical")._2)
   }
 
   test("sample referencing an absent patient trips containment + dup check") {
