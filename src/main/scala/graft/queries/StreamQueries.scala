@@ -275,10 +275,14 @@ object StreamQueries {
     * [[evIntervalJoin]] shape — the 1-hour bound caps per-purchase
     * fan-out, and on a stream it is exactly the watermarked interval
     * join's state bound). The per-purchase touch count k is a window
-    * over (user_id, p_id) — HashPartitioning(user_id) already
-    * satisfies that clustering, so the window adds a sort but NO new
-    * exchange, and its frame is one purchase's matched clicks (≤ the
-    * hour's click volume for one user). Credit is integer micros with
+    * over (user_id, p_id) — when the join shuffles (the cluster-scale
+    * regime), HashPartitioning(user_id) already satisfies that
+    * clustering and the window adds a sort but NO new exchange; when
+    * the click side broadcasts (toy scale) the window's exchange is the
+    * purchase stream's ONLY shuffle. Either way purchases cross the
+    * wire at most once (PlanChecksSpec locks this), and the window
+    * frame is one purchase's matched clicks (≤ the hour's click volume
+    * for one user). Credit is integer micros with
     * `div` — floor(value·10⁶) is the same IEEE multiply in both
     * engines, so no float ever crosses an aggregation.
     */

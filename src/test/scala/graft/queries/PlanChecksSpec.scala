@@ -319,4 +319,54 @@ class PlanChecksSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin") &&
       !plan.contains("CartesianProduct"), s"non-equi join crept in:\n$plan")
   }
+
+  ptest("sql_tpch_q20: one l_partkey exchange feeds agg AND window; no partial-agg waste") { sfDir =>
+    val plan = planString(OlapQueries.sqlTpchQ20(spark, sfDir))
+    // the REPARTITION hint's exchange is the ONLY l_partkey shuffle —
+    // the (pk, sk) aggregate and the pk window both ride it
+    val pkExchanges = "Exchange hashpartitioning\\(l_partkey"
+      .r.findAllIn(plan).size
+    assert(pkExchanges == 1,
+      s"expected exactly one l_partkey exchange, got $pkExchanges:\n$plan")
+    assert(plan.contains("REPARTITION_BY_COL"), s"hint lost:\n$plan")
+    assert(!plan.contains("Expand"),
+      s"count(DISTINCT) Expand resurfaced — double-scan plan is back:\n$plan")
+  }
+
+  ptest("ev_attribution: purchases shuffle at most once for join + window") { sfDir =>
+    val plan = planString(StreamQueries.evAttribution(spark, sfDir))
+    // Two regimes, one invariant: when clicks broadcast (toy scale) the
+    // only purchase-side exchange is the window's (p_uid, p_id); when
+    // the join shuffles (cluster scale) the window reuses the join's
+    // HashPartitioning(p_uid) via subset clustering. Either way the
+    // purchase stream crosses the wire at most ONCE before the final
+    // hour rollup — two p_uid-keyed exchanges mean the reuse regressed.
+    val purchaseExchanges = "Exchange hashpartitioning\\(p_uid"
+      .r.findAllIn(plan).size
+    assert(purchaseExchanges <= 1,
+      s"purchases shuffled $purchaseExchanges times:\n$plan")
+    assert(plan.contains("Window"), s"no window in plan:\n$plan")
+  }
+
+  ptest("td_winsorize never sorts documents: histogram agg + source windows only") { sfDir =>
+    val plan = planString(TextQueries.tdWinsorize(spark, sfDir))
+    // one exchange for the (source, n_chars) histogram, one for the
+    // source-partition windows; the final per-source aggregate reuses
+    // the window partitioning
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 2, s"expected two shuffles, got $exchanges:\n$plan")
+    assert(!plan.contains("Exchange SinglePartition") &&
+      !plan.contains("Exchange rangepartitioning"),
+      s"global sort/single-partition crept into the percentile plan:\n$plan")
+    assert(plan.contains("partial_count"),
+      s"histogram lost its map-side combine:\n$plan")
+  }
+
+  ptest("ta_keyness windows stay partitioned; no single-partition funnel") { sfDir =>
+    val plan = planString(TextQueries.taKeyness(spark, sfDir))
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"a global window crept into keyness:\n$plan")
+    assert("Window".r.findAllIn(plan).size >= 2,
+      s"expected tok/src/rank windows:\n$plan")
+  }
 }
