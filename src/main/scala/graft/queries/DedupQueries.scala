@@ -270,20 +270,65 @@ object DedupQueries {
       .select(col("doc_id"),
         SketchExprs.simhash60(array_distinct(col("toks")), 99).as("simhash"))
 
-  /** dd_simhash_pairs — near-dup pairs by SimHash: 15-bit-banded join
-    * (pigeonhole: hamming ≤ 3 over 4 bands guarantees ≥ 1 equal band),
-    * then exact hamming filter. The banded join is the scale path — the
-    * shuffle key is (band index, band value), never all-pairs.
+  /** Corpus size above which [[ddSimhashPairs]] switches from 4×15-bit
+    * bands to Manku–Jain–Sarma block-combination keys: random 15-bit
+    * collisions grow as C(N,2)/2¹⁵ (measured 60× runtime for 10× docs
+    * at N = 500k — the round-9 sf10 decade caught it), while the wide
+    * keys' fixed 20-rows-per-doc overhead only wins once that quadratic
+    * term dominates.
+    */
+  val SimhashWideKeysMinDocs = 100000L
+
+  /** dd_simhash_pairs — near-dup pairs by SimHash-keyed bucketing, then
+    * exact hamming filter; the shuffle key is (key index, key value),
+    * never all-pairs. The bucketing adapts to corpus size (the same
+    * N-adaptive-ladder rule as [[lshPlanesPerBand]]):
+    *
+    *  - N < [[SimhashWideKeysMinDocs]]: 4 bands × 15 bits (pigeonhole:
+    *    hamming ≤ 3 over 4 bands guarantees ≥ 1 equal band). Cheapest
+    *    explode, and random band collisions C(N,2)/2¹⁵ are still noise.
+    *  - N ≥ threshold: the Manku–Jain–Sarma (WWW'07) block-combination
+    *    scheme — 6 blocks of 10 bits, one 30-bit key per 3-of-6 block
+    *    subset (C(6,3) = 20 keys/doc). Hamming ≤ 3 flips at most 3
+    *    blocks, so ≥ 3 blocks are equal and THAT triple's key matches —
+    *    the same exact-recall guarantee with 2¹⁵× fewer random
+    *    collisions per key, which is what survives the next two decades
+    *    of N.
+    *
+    * Both generators are supersets of the true hamming ≤ 3 pair set and
+    * the final exact filter is unchanged, so the output (and the
+    * quadratic-form oracle) is identical on either path.
     */
   def ddSimhashPairs: Q = (s, dir) => {
     // One simhash pass, reused by both sides of the banded self-join.
     val sh = FrameCache.cached(s, s"dd_simhash:$dir")(ddSimhash(s, dir))
-    val bands = (0 until 4).map { i =>
-      struct(lit(i).as("band"),
-        shiftright(col("simhash"), i * 15).bitwiseAND(lit(32767L)).as("bv"))
-    }
+    val nDocs = FrameCache.cachedCount(s, s"dd_n_docs:$dir")(
+      Tables.documents(s, dir).count())
+    simhashPairsOf(sh, wide = nDocs >= SimhashWideKeysMinDocs)
+  }
+
+  /** The bucketed pair join over any (doc_id, simhash) frame — split out
+    * so the spec can prove wide ≡ narrow on one corpus; see
+    * [[ddSimhashPairs]].
+    */
+  private[graft] def simhashPairsOf(sh: DataFrame, wide: Boolean): DataFrame = {
+    val keys =
+      if (!wide)
+        (0 until 4).map { i =>
+          struct(lit(i).as("band"),
+            shiftright(col("simhash"), i * 15).bitwiseAND(lit(32767L)).as("bv"))
+        }
+      else
+        (0 until 6).combinations(3).toSeq.zipWithIndex.map { case (t, idx) =>
+          val key = t.zipWithIndex.map { case (blk, pos) =>
+            shiftleft(
+              shiftright(col("simhash"), blk * 10).bitwiseAND(lit(1023L)),
+              20 - 10 * pos)
+          }.reduce(_ bitwiseOR _)
+          struct(lit(idx).as("band"), key.as("bv"))
+        }
     val buckets = sh
-      .select(col("doc_id"), col("simhash"), explode(array(bands: _*)).as("bd"))
+      .select(col("doc_id"), col("simhash"), explode(array(keys: _*)).as("bd"))
       .select(col("doc_id"), col("simhash"), col("bd.band").as("band"), col("bd.bv").as("bv"))
     buckets.as("a").join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&

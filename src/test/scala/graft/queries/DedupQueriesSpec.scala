@@ -2,7 +2,7 @@ package graft.queries
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.SparkTestBase.spark
+import graft.SparkTestBase.{sf001, spark}
 
 /** Cluster-resolution semantics: the driver union-find fast path and the
   * distributed min-label-propagation path must agree — same components,
@@ -318,5 +318,48 @@ class DedupQueriesSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got.values.toSet == Set(0L), s"chain must be ONE component, got ${got.values.toSet}")
     assert(got.keySet == (0L to 40L).toSet)
+  }
+
+  test("simhash wide block-combination keys ≡ narrow bands ≡ brute force") {
+    // hand simhashes at hamming 0..4 with flipped bits spread across
+    // DIFFERENT 10-bit blocks and 15-bit bands: both key schemes must
+    // recover exactly the hamming ≤ 3 pairs (pigeonhole), and drop the
+    // hamming-4 ones even when some bucket collides.
+    val mask60 = (1L << 60) - 1
+    val base = 0x0FAB34C9D2E57L & mask60
+    def flip(v: Long, bits: Int*): Long = bits.foldLeft(v)((a, b) => a ^ (1L << b))
+    val rows = Seq(
+      1L -> base,
+      2L -> flip(base, 3),              // hamming 1 vs base
+      3L -> flip(base, 9, 22),          // hamming 2, distinct blocks+bands
+      4L -> flip(base, 5, 31, 58),      // hamming 3 across three blocks
+      5L -> flip(base, 0, 15, 30, 45),  // hamming 4 vs base (one per band!)
+      6L -> (~base & mask60))           // far away
+    val sh = rows.toDF("doc_id", "simhash")
+    def run(wide: Boolean): Set[(Long, Long, Int)] =
+      DedupQueries.simhashPairsOf(sh, wide).collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          r.getAs[Number]("hamming").intValue)).toSet
+    val narrow = run(wide = false)
+    val wideSet = run(wide = true)
+    val brute = (for {
+      (a, va) <- rows; (b, vb) <- rows if a < b
+      h = java.lang.Long.bitCount(va ^ vb) if h <= DedupQueries.HammingMax
+    } yield (a, b, h)).toSet
+    assert(narrow == brute, s"narrow missed/invented pairs: $narrow vs $brute")
+    assert(wideSet == brute, s"wide missed/invented pairs: $wideSet vs $brute")
+    // doc 5 differs from base in one bit PER 15-bit band — the narrow
+    // scheme only drops it at the final hamming filter; presence of the
+    // equal-band collision is exactly why the assertion above is not
+    // vacuous for the narrow path.
+    assert(!brute.exists(p => p._1 == 1L && p._2 == 5L))
+  }
+
+  test("dd_simhash_pairs on the corpus matches under both key ladders") {
+    val sh = DedupQueries.ddSimhash(spark, sf001)
+    def canon(wide: Boolean) =
+      DedupQueries.simhashPairsOf(sh, wide).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(canon(wide = false) == canon(wide = true))
   }
 }
