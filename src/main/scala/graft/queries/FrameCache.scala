@@ -55,6 +55,7 @@ private[graft] object FrameCache {
       if (e.getKey.sparkContext.isStopped) {
         val prefix = e.getValue + ":"
         frames.keySet.removeIf(_.startsWith(prefix))
+        ownedIdsCache.keySet.removeIf(_.startsWith(prefix))
         bytesCache.keySet.removeIf(_.startsWith(prefix))
         countCache.keySet.removeIf(_.startsWith(prefix))
         stringsCache.keySet.removeIf(_.startsWith(prefix))
@@ -130,6 +131,49 @@ private[graft] object FrameCache {
     countCache.computeIfAbsent(s"${sessionKey(s)}:$key", _ => build)
   }
 
+  /** Memoized persisted-ancestor ids per frame entry ([[ownedRddIds]]).
+    * A frame's backing storage (the InMemoryRelation's cached-batch RDD
+    * for [[cached]], the checkpointed RDD for [[cachedCut]]) is created
+    * once and never replaced, so the set is stable after first
+    * computation. */
+  private val ownedIdsCache = new ConcurrentHashMap[String, Set[Int]]()
+
+  /** Ids of every persisted RDD that BACKS a live FrameCache frame of
+    * session `s` — the storage a suite-wide bench must NOT evict
+    * between queries (shared index/sketch artifacts), as opposed to
+    * query-private persists/localCheckpoints (iterative-round frontier
+    * frames, one-shot edge caches) that would otherwise accumulate
+    * across a 200-query suite and evict each other's hot frames,
+    * turning committed suite numbers into storage-eviction artifacts
+    * instead of plan costs. Found by walking the frame's physical RDD
+    * DAG: a cached frame's scan reads through the cached-batch RDD, a
+    * cut frame's through its checkpointed RDD, so both appear as
+    * persisted ancestors (nested FrameCache reads are captured
+    * transitively).
+    */
+  def ownedRddIds(s: SparkSession): Set[Int] = {
+    evictStopped()
+    val prefix = sessionKey(s) + ":"
+    val out = scala.collection.mutable.Set.empty[Int]
+    frames.forEach { (key, df) =>
+      if (key.startsWith(prefix))
+        out ++= ownedIdsCache.computeIfAbsent(key, _ => persistedAncestors(df))
+    }
+    out.toSet
+  }
+
+  private def persistedAncestors(df: DataFrame): Set[Int] = {
+    val seen = scala.collection.mutable.Set.empty[Int]
+    def walk(r: org.apache.spark.rdd.RDD[_]): Unit =
+      if (seen.add(r.id)) r.dependencies.foreach(d => walk(d.rdd))
+    // toRdd plans through the cache lookup, forcing creation (and
+    // persistent-registration) of the backing RDD if the frame has not
+    // been materialized yet — so the intersection below cannot miss it.
+    walk(df.queryExecution.toRdd)
+    seen.toSet.intersect(
+      df.sparkSession.sparkContext.getPersistentRDDs.keySet.toSet)
+  }
+
   /** Drop every cached frame (test isolation, driver shutdown). */
   def clear(): Unit = {
     frames.values.forEach { df =>
@@ -137,6 +181,7 @@ private[graft] object FrameCache {
       ()
     }
     frames.clear()
+    ownedIdsCache.clear()
     bytesCache.clear()
     countCache.clear()
     stringsCache.clear()

@@ -69,11 +69,18 @@ object RefQueries {
     * listing.
     */
   def s5GlobScan: Q = (s, dir) => {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-s5").toString
-    val n = Tables.nation(s, dir).select(col("n_nationkey"), col("n_name"))
-    Tsv.writeTsvFile(n.filter(col("n_nationkey") % 2 === 0), s"$tmp/even.maf")
-    Tsv.writeTsvFile(n.filter(col("n_nationkey") % 2 === 1), s"$tmp/odd.maf")
-    Tsv.writeTsvFile(n.limit(3), s"$tmp/ignore.txt") // must NOT be read
+    // The fixture package is memoized per (session, sf): the operator
+    // under test is the GLOB SCAN, and re-writing the fixtures per
+    // invocation both leaked one temp dir per bench rep and billed the
+    // driver-side writes to the scan's timing.
+    val tmp = FrameCache.cachedStrings(s, s"s5pkg:$dir") {
+      val t = java.nio.file.Files.createTempDirectory("graft-s5").toString
+      val n = Tables.nation(s, dir).select(col("n_nationkey"), col("n_name"))
+      Tsv.writeTsvFile(n.filter(col("n_nationkey") % 2 === 0), s"$t/even.maf")
+      Tsv.writeTsvFile(n.filter(col("n_nationkey") % 2 === 1), s"$t/odd.maf")
+      Tsv.writeTsvFile(n.limit(3), s"$t/ignore.txt") // must NOT be read
+      Array(t)
+    }.head
     Tsv.read(s, s"$tmp/*.maf")
       .select(col("n_nationkey").cast(IntegerType), col("n_name"))
   }
@@ -89,16 +96,23 @@ object RefQueries {
     * file, and absent branches are constant-folded single rows.
     */
   def s6LoadMap: Q = (s, dir) => {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-s6").toString
-    Tsv.writeTsvFile(
-      Tables.nation(s, dir).select(col("n_nationkey"), col("n_name")),
-      s"$tmp/data_clinical_patient.txt")
-    Tsv.writeTsvFile(
-      Tables.region(s, dir).select(col("r_regionkey"), col("r_name")),
-      s"$tmp/data_clinical_sample.txt")
-    Tsv.writeTsvFile(
-      Tables.supplier(s, dir).select(col("s_suppkey"), col("s_name")),
-      s"$tmp/data_mutations.txt")
+    // Fixture package memoized per (session, sf) — same rationale as
+    // [[s5GlobScan]]: the operator under test is the dict-of-files LOAD;
+    // per-invocation fixture writes leaked temp dirs across bench reps
+    // and polluted the load's timed region.
+    val tmp = FrameCache.cachedStrings(s, s"s6pkg:$dir") {
+      val t = java.nio.file.Files.createTempDirectory("graft-s6").toString
+      Tsv.writeTsvFile(
+        Tables.nation(s, dir).select(col("n_nationkey"), col("n_name")),
+        s"$t/data_clinical_patient.txt")
+      Tsv.writeTsvFile(
+        Tables.region(s, dir).select(col("r_regionkey"), col("r_name")),
+        s"$t/data_clinical_sample.txt")
+      Tsv.writeTsvFile(
+        Tables.supplier(s, dir).select(col("s_suppkey"), col("s_name")),
+        s"$t/data_mutations.txt")
+      Array(t)
+    }.head
     val loaded = graft.pipelines.StudyValidator.loadAllOutputs(s, tmp)
     Schemas.RequiredOutputFiles.map { f =>
       loaded(f) match {

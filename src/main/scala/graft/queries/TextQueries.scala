@@ -490,9 +490,13 @@ object TextQueries {
     * quality filter proxy: docs whose tokens are improbable under the
     * corpus unigram distribution are gibberish/noise candidates). Corpus
     * term frequencies via one token aggregate; per-doc mean log-prob via
-    * a second. Both shuffles key on bounded sets (vocab, doc_id); the
-    * frequency table broadcasts into the scoring join at this
-    * vocabulary size — at web scale it stays an equi-join on token.
+    * a second. Both shuffles key on bounded sets (vocab, doc_id). The
+    * frequency join is deliberately UNHINTED — the ta_tfidf rule: the
+    * unigram vocabulary GROWS with the corpus (heavy-tailed, but
+    * unbounded), so the planner broadcasts it below the threshold (the
+    * plan at bench scale) and degrades honestly to a shuffle join on
+    * `tok` past it, where a forced broadcast() would OOM the driver on
+    * a web-scale vocab. Only the 1-row scalar total keeps its hint.
     */
   def taUnigramLp: Q = (s, dir) => {
     val toks = cachedToks(s, dir).select(col("doc_id"), col("tok"))
@@ -502,7 +506,7 @@ object TextQueries {
     // at plan-construction time and AGAIN in the join — ReuseExchange
     // shares the freq shuffle between the two uses inside one plan
     val total = freq.agg(sum(col("cnt")).cast("double").as("total"))
-    toks.join(broadcast(freq), Seq("tok"))
+    toks.join(freq, Seq("tok"))
       .crossJoin(broadcast(total))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_toks"),
@@ -1126,19 +1130,25 @@ object TextQueries {
     * Scale: the bigram stream is materialized once (FrameCache) and
     * read twice (count table + scoring join) — the same two-pass shape
     * as the exact heavy hitters. Both shuffles key on bounded sets
-    * (distinct bigrams; doc_id). Context counts and vocab size derive
-    * from the BIGRAM table (vocab-sized aggregations), never a second
-    * corpus pass; the context table and the scalar vocab broadcast into
-    * the scoring join.
+    * (distinct bigrams; doc_id). The context-count table `c1` is NOT a
+    * second join: it is derivable from `c2` (c1(v) = Σ_w c2(v,w)), so a
+    * `v`-partitioned window over the aggregated `c2` frame computes it
+    * in place — the sql_tpch_q20 derived-aggregate trick — and the
+    * scoring join touches the token-volume bigram stream exactly once,
+    * on (v,w), UNHINTED. Both c2 and c1 are bigram-VOCABULARY-sized
+    * frames that grow with the corpus, so a forced broadcast() here
+    * would OOM the driver at web scale (the ta_tfidf rule); the planner
+    * broadcasts the joined table below its threshold and degrades to a
+    * shuffle join above it. Only the 1-row vocab scalar keeps its hint.
     */
   def taBigramLm: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
     val bi = cachedBigrams(s, dir)
     val c2 = bi.groupBy(col("v"), col("w")).agg(count(lit(1)).as("c2"))
-    val c1 = c2.groupBy(col("v")).agg(sum(col("c2")).as("c1"))
+      .withColumn("c1", sum(col("c2")).over(Window.partitionBy(col("v"))))
     val vocab = cachedToks(s, dir)
       .agg(countDistinct(col("tok")).cast("double").as("vsz"))
     bi.join(c2, Seq("v", "w"))
-      .join(broadcast(c1), Seq("v"))
       .crossJoin(broadcast(vocab))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"),

@@ -136,6 +136,16 @@ object PortalRules {
   private def violation(cond: Column): Column =
     sum(when(cond, 1L).otherwise(0L))
 
+  /** Non-null value OUTSIDE the vocabulary. NULL is exempt by design:
+    * an empty cell is a presence concern (its own rules), not a
+    * vocabulary one — and SQL's `x NOT IN (...)` (the oracle form)
+    * yields NULL for NULL input, counting nothing, so engine and oracle
+    * must agree in that direction or a blank Variant_Classification /
+    * Strand cell would hash-mismatch the DuckDB oracle.
+    */
+  private def notInVocab(c: Column, vocab: Seq[String]): Column =
+    coalesce(!c.isin(vocab: _*), lit(false))
+
   /** The strict-MAF field checks present in `maf`'s schema, as rules for
     * ONE aggregate pass (Rules.evaluate) — never one scan per rule.
     * Column subset is honored because pipeline-internal MAF frames carry
@@ -146,21 +156,19 @@ object PortalRules {
     val b = Seq.newBuilder[Rules.Rule]
     if (cols("Chromosome"))
       b += Rules.Rule("maf_chromosome_valid",
-        violation(!coalesce(
-          normChromosome(col("Chromosome")).isin(ValidChromosomes.toSeq: _*),
-          lit(false))))
+        violation(notInVocab(
+          normChromosome(col("Chromosome")), ValidChromosomes.toSeq)))
     if (cols("Start_Position") && cols("End_Position"))
       b += Rules.Rule("maf_extent_valid",
         violation(col("Start_Position") <= 0L ||
           col("End_Position") < col("Start_Position")))
     if (cols("Reference_Allele") && cols("Tumor_Seq_Allele2"))
       b += Rules.Rule("maf_allele_valid",
-        violation(!coalesce(col("Reference_Allele").rlike(AllelePattern), lit(false)) ||
-          !coalesce(col("Tumor_Seq_Allele2").rlike(AllelePattern), lit(false))))
+        violation(coalesce(!col("Reference_Allele").rlike(AllelePattern), lit(false)) ||
+          coalesce(!col("Tumor_Seq_Allele2").rlike(AllelePattern), lit(false))))
     if (cols("Mutation_Status"))
       b += Rules.Rule("maf_mutation_status_valid",
-        violation(!coalesce(
-          col("Mutation_Status").isin(ValidMutationStatus.toSeq: _*), lit(false))))
+        violation(notInVocab(col("Mutation_Status"), ValidMutationStatus.toSeq)))
     if (cols("Tumor_Sample_Barcode"))
       b += Rules.Rule("maf_barcode_present",
         violation(col("Tumor_Sample_Barcode").isNull ||
@@ -172,12 +180,11 @@ object PortalRules {
         greatest(countDistinct(col("NCBI_Build")) - lit(1L), lit(0L)))
     if (cols("Variant_Classification"))
       b += Rules.Rule("maf_variant_classification_valid",
-        violation(!coalesce(col("Variant_Classification")
-          .isin(ValidVariantClassifications.toSeq: _*), lit(false))))
+        violation(notInVocab(col("Variant_Classification"),
+          ValidVariantClassifications.toSeq)))
     if (cols("Variant_Type"))
       b += Rules.Rule("maf_variant_type_valid",
-        violation(!coalesce(
-          col("Variant_Type").isin(ValidVariantTypes.toSeq: _*), lit(false))))
+        violation(notInVocab(col("Variant_Type"), ValidVariantTypes.toSeq)))
     if (cols("Variant_Type") && cols("Start_Position") && cols("End_Position"))
       // the extent a typed variant must span: SNP 1, DNP 2, TNP 3 bases
       // (INS/DEL extents are free-form beyond the generic extent rule)
@@ -196,8 +203,8 @@ object PortalRules {
         violation(col("Reference_Allele") === col("Tumor_Seq_Allele2")))
     if (cols("Validation_Status"))
       b += Rules.Rule("maf_validation_status_valid",
-        violation(!coalesce(col("Validation_Status")
-          .isin(ValidValidationStatus.toSeq: _*), lit(false))))
+        violation(notInVocab(col("Validation_Status"),
+          ValidValidationStatus.toSeq)))
     if (cols("Entrez_Gene_Id"))
       b += Rules.Rule("maf_entrez_nonneg",
         violation(col("Entrez_Gene_Id") < 0L))
@@ -209,11 +216,11 @@ object PortalRules {
     if (cols("Strand"))
       // the MAF spec mandates genes be reported on the forward strand
       b += Rules.Rule("maf_strand_valid",
-        violation(!coalesce(col("Strand") === "+", lit(false))))
+        violation(coalesce(col("Strand") =!= "+", lit(false))))
     if (cols("Verification_Status"))
       b += Rules.Rule("maf_verification_status_valid",
-        violation(!coalesce(col("Verification_Status")
-          .isin(ValidVerificationStatus.toSeq: _*), lit(false))))
+        violation(notInVocab(col("Verification_Status"),
+          ValidVerificationStatus.toSeq)))
     if (cols("Variant_Type") && cols("Reference_Allele") &&
         cols("Tumor_Seq_Allele2")) {
       // typed substitutions must carry alleles of exactly the typed width
@@ -587,7 +594,13 @@ object PortalRules {
         if (colsPer.values.forall(_.isEmpty))
           Some(Map("number" -> 0L, "boolean" -> 0L, "survival" -> 0L))
         else {
-          val dfr = graft.sources.Tsv.read(spark, p.toString, comment = Some('#'))
+          // inferSchema=false: values must be validated against their RAW
+          // text. Inference would re-render them — a clean BOOLEAN column
+          // holding only TRUE/FALSE infers BooleanType, whose string cast
+          // is lowercase "true"/"false", failing '^(NA|TRUE|FALSE)$' on
+          // every row of a perfectly valid column.
+          val dfr = graft.sources.Tsv.read(spark, p.toString,
+            comment = Some('#'), inferSchema = false)
           val present = dfr.columns.toSet
           val aggs = Seq("number", "boolean", "survival").map { k =>
             val conds = colsPer(k).filter(present).map(badValue(_, patterns(k)))

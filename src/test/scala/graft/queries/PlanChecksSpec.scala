@@ -369,4 +369,31 @@ class PlanChecksSpec extends AnyFunSuite {
     assert("Window".r.findAllIn(plan).size >= 2,
       s"expected tok/src/rank windows:\n$plan")
   }
+
+  ptest("LM scoring family: broadcast hints only on 1-row scalars, never vocab frames") { sfDir =>
+    // The ta_tfidf rule, structurally enforced: a unigram/bigram vocab
+    // table GROWS with the corpus, so a forced broadcast() of one OOMs
+    // the driver at web scale. The only hints these plans may carry are
+    // the 1-row corpus-total / vocab-size scalars (maxRows == 1); the
+    // vocab joins must stay unhinted so the planner can degrade them to
+    // shuffle joins past the broadcast threshold.
+    import org.apache.spark.sql.catalyst.plans.logical.{ResolvedHint, Window => LWindow}
+    for ((name, df) <- Seq(
+        "ta_unigram_lp" -> TextQueries.taUnigramLp(spark, sfDir),
+        "ta_bigram_lm" -> TextQueries.taBigramLm(spark, sfDir),
+        "ta_fluency_outliers" -> TextQueries.taFluencyOutliers(spark, sfDir))) {
+      val hints = df.queryExecution.analyzed.collect { case h: ResolvedHint => h }
+      assert(hints.nonEmpty, s"$name: expected the scalar-total broadcast hint")
+      hints.foreach { h =>
+        assert(h.child.maxRows.contains(1L),
+          s"$name: broadcast hint on a non-scalar (maxRows=${h.child.maxRows}) frame:\n${h.child}")
+      }
+    }
+    // taBigramLm's context counts must come from the v-partitioned window
+    // over the aggregated c2 frame (the sql_tpch_q20 derived-aggregate
+    // trick), not a second vocab join against the bigram stream.
+    val bi = TextQueries.taBigramLm(spark, sfDir)
+    assert(bi.queryExecution.analyzed.collect { case w: LWindow => w }.nonEmpty,
+      "ta_bigram_lm: c1 should be a window over c2, not a join")
+  }
 }
