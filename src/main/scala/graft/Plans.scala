@@ -117,7 +117,9 @@ object Plans {
     "ta_bpe_pairs" ->
       "the corpus contributes ONE map-side-combined vocabulary aggregation; pair explosion and counting run over the VOCAB table (bounded by distinct words × word length, independent of corpus size) — the shape real BPE trainers use",
     "ta_bigram_lm" ->
-      "the bigram stream materializes once (InMemoryTableScan reuse) and feeds both the count table and the scoring join; context counts and vocab size derive from the BIGRAM table, never a second corpus pass",
+      "the bigram stream materializes once (InMemoryTableScan reuse); the c2+c1 model table is a MATERIALIZED cache artifact (c1 = v-partitioned window over c2, not a join) whose TRUE size drives an UNHINTED stats-based broadcast — no forced broadcast of a vocab-sized frame anywhere, so past the threshold the scoring join degrades to shuffle instead of OOMing the driver",
+    "ta_unigram_lp" ->
+      "the unigram frequency table is a MATERIALIZED cache artifact joined UNHINTED: exact stats put the initial plan on BroadcastHashJoin below the threshold (the token stream never exchanges), and a web-scale vocab would honestly degrade to a shuffle join — the only hint left is the 1-row corpus total",
     "sim_inertia" ->
       "map-only until the k-row aggregate: centroid literals ride the same codegen'd argmax fold as sim_kmeans, and the inertia sum is INTEGER floor(d2*1e6) — order-independent, so map-side combine cannot drift the result",
     "ev_rate_limit" ->

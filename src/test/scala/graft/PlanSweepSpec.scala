@@ -26,8 +26,6 @@ class PlanSweepSpec extends AnyFunSuite {
     "sim_ivf_probe2", // probe × broadcast nprobe-bucket table (bounded by nlist)
     "sim_pq_topk", // probe × broadcast PQ codebook constants
     "ta_unigram_lp", "ta_tfidf", // 1-row corpus totals broadcast to every row
-    "ta_bigram_lm", // 1-row vocabulary-size scalar broadcast into the scoring join
-    "ta_fluency_outliers", // embeds ta_bigram_lm's scored frame (same 1-row vocab scalar)
     "ta_kl_drift", // k-source totals × broadcast (V+1)-cell table: the dense smoothing grid, bounded by KlTopV
     "dd_jaccard_ngram" // DOCUMENTED bounded brute-force (doc_id < 50 ⇒ ≤ 1225 pairs): the exact-verification primitive whose scale path is the LSH candidate join
   )
