@@ -703,9 +703,9 @@ object DedupQueries {
     * p is the scale knob the round-6 docstring named, now actually
     * turned: log₂(planes per band) must grow with log N to keep
     * pairs-per-bucket constant, so p climbs an integer threshold ladder
-    * on the corpus size — p = 3 + #{k ≤ 4 : N > 1000·2^k}, i.e. 3
-    * planes (8 buckets/band) through N = 1000, one more plane per
-    * doubling, capped at 8 (256 buckets/band) from N > 16000. Candidate
+    * on the corpus size — p = 3 + #{t ∈ [[LshLadderThresholds]] :
+    * N > t}, i.e. 3 planes (8 buckets/band) through N = 1000, one more
+    * plane per doubling, capped at 14 from N > 1024000. Candidate
     * dot products stay ≈ bands·N·occupancy/2 with occupancy pinned,
     * instead of N²/16 with fixed buckets (which measured 34× wall at
     * 10× rows before the ladder). The ladder is integer-only and
@@ -729,13 +729,30 @@ object DedupQueries {
   def ddEmbedNeardupLsh: Q = (s, dir) =>
     embedNeardupLshPairs(Tables.embeddings(s, dir), 0.35)
 
-  /** The planes-per-band ladder: one plane per corpus-size doubling
-    * past 1000 vectors, floor 3, cap 8 (2 bands × 8 = the
+  /** Integer thresholds of the planes-per-band ladder — one plane per
+    * corpus-size doubling past 1000 vectors. SINGLE SOURCE OF TRUTH:
+    * both [[lshPlanesPerBand]] and the DuckDB `prm` mirror
+    * ([[SimQueries.duckPrmLadder]]) are generated from this list, so
+    * the two engines cannot disagree at a boundary.
+    *
+    * Round 10 extended the ladder past its former 16k cap: the round-9
+    * accounting measured sim_knn_graph's bucket occupancy at 78 (20k
+    * vectors, p=8) vs 781 (200k vectors, still p=8) — candidate pairs
+    * 1.84M → 185.5M, i.e. quadratic growth exactly where the ladder
+    * stopped climbing. With the extension, occupancy is pinned through
+    * N ≈ 2M and the cap moves up with [[SimQueries.MaxPlanes]].
+    */
+  private[queries] val LshLadderThresholds: Seq[Long] =
+    Seq(1000L, 2000L, 4000L, 8000L, 16000L, 32000L, 64000L,
+      128000L, 256000L, 512000L, 1024000L)
+
+  /** The planes-per-band ladder: floor 3, +1 per doubling past 1000,
+    * cap 3 + #thresholds = 14 (2 bands × 14 = the
     * [[SimQueries.MaxPlanes]] pool). Integer-only so the DuckDB oracle
     * can mirror it without a float boundary.
     */
   private[queries] def lshPlanesPerBand(n: Long): Int =
-    3 + Seq(1000L, 2000L, 4000L, 8000L, 16000L).count(n > _)
+    3 + LshLadderThresholds.count(n > _)
 
   /** Banded-LSH candidate generation + exact cosine verify over any
     * frame with (vec_id, label, embedding) — the reusable core of

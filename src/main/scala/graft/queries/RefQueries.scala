@@ -843,12 +843,20 @@ object RefQueries {
     }
     val dupF = Future(Rules.evaluate(s, samples, Seq(Rules.noKeyedDups("SAMPLE_ID")))
       .head().getLong(1))
+    // tier 6: patient-key uniqueness + orphan patients (patients with no
+    // sample), both over the same small frames
+    val dupPatF = Future(Rules.evaluate(s, patients,
+      Seq(Rules.noKeyedDups("PATIENT_ID"))).head().getLong(1))
+    val orphanF = Future(PortalRules.subsetViolations(
+      patients, "PATIENT_ID", samples, "PATIENT_ID", distinctChild = true))
     val valF = Future(Seq("data_clinical_sample.txt",
       "data_clinical_patient.txt")
       .flatMap(n => PortalRules.clinicalValueViolations(s, tmp, n)))
     val fieldReport = Await.result(fieldF, Duration.Inf)
     val (v1, (v2, v3), dup) = (Await.result(v1F, Duration.Inf),
       Await.result(barcodesF, Duration.Inf), Await.result(dupF, Duration.Inf))
+    val (dupPat, orphans) =
+      (Await.result(dupPatF, Duration.Inf), Await.result(orphanF, Duration.Inf))
     val valViol = Await.result(valF, Duration.Inf)
     val numViol = valViol.map(_("number")).sum
     val boolViol = valViol.map(_("boolean")).sum
@@ -858,6 +866,8 @@ object RefQueries {
       ("maf_barcode_in_samples", v2, v2 == 0L),
       ("case_list_ids_in_samples", v3, v3 == 0L),
       ("no_dup_sample_id", dup, dup == 0L),
+      ("clinical_no_dup_patient_id", dupPat, dupPat == 0L),
+      ("clinical_orphan_patients", orphans, orphans == 0L),
       ("clinical_number_attrs_numeric", numViol, numViol == 0L),
       ("clinical_boolean_attrs_boolean", boolViol, boolViol == 0L),
       ("clinical_survival_status_format", survViol, survViol == 0L)))

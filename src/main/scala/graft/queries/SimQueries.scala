@@ -35,12 +35,14 @@ object SimQueries {
 
   /** The full deterministic plane pool: the ANN index uses the first
     * [[LshPlanes]]; the embedding near-dup's ADAPTIVE banding
-    * ([[DedupQueries.embedNeardupLshPairs]]) draws up to 2 bands × 8
+    * ([[DedupQueries.embedNeardupLshPairs]]) draws up to 2 bands × 14
     * planes from the same pool, so a bigger corpus gets finer buckets
     * without changing any small-N semantics (plane j is the same
-    * vector at every pool size).
+    * vector at every pool size — extending the pool is prefix-stable
+    * by construction, which is what let round 10 raise it from 16
+    * when the ladder grew past its 16k-vector cap).
     */
-  val MaxPlanes = 16
+  val MaxPlanes = 28
 
   /** Deterministic ±1 hyperplane weights from md5 parity — computed once
     * driver-side and embedded as literals in both engines' plans.
@@ -614,12 +616,15 @@ object SimQueries {
     * sim_knn_graph) so the integer ladder and bv extraction cannot
     * drift between them or from the Spark side.
     */
-  private[queries] val duckPrmLadder: String =
-    """prm AS (
-      |  SELECT 3 + (count(*) > 1000)::INT + (count(*) > 2000)::INT
-      |           + (count(*) > 4000)::INT + (count(*) > 8000)::INT
-      |           + (count(*) > 16000)::INT AS p
+  private[queries] val duckPrmLadder: String = {
+    // generated from the SAME threshold list the Scala ladder uses —
+    // the two engines cannot disagree at a boundary
+    val terms = DedupQueries.LshLadderThresholds
+      .map(t => s"(count(*) > $t)::INT").mkString(" + ")
+    s"""prm AS (
+      |  SELECT 3 + $terms AS p
       |  FROM embeddings)""".stripMargin
+  }
 
   private[queries] def duckBanded(from: String, cols: String): String =
     s"""banded AS (

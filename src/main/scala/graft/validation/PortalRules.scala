@@ -116,6 +116,20 @@ object PortalRules {
     "methylation_hm27", "methylation_hm450", "protein_quantification",
     "structural_variants", "sv", "fusion", "mirna", "rppa")
 
+  /** Reference genomes the portal's importer ships support for — an
+    * unknown build makes every genomic coordinate uninterpretable
+    * (validateData's genome check; the reference pipeline always writes
+    * hg38, `clinical.py:646-656`).
+    */
+  val KnownReferenceGenomes: Set[String] = Set(
+    "hg19", "hg38", "GRCh37", "GRCh38", "mm10", "GRCm38")
+
+  /** Meta keys whose values must be the literal `true`/`false`
+    * (validateData parses them as booleans and errors on anything else).
+    */
+  val BooleanMetaKeys: Seq[String] =
+    Seq("show_profile_in_analysis_tab", "add_global_case_list")
+
   /** Keys validateData recognizes in `meta_*.txt` files (the union over
     * study/clinical/profile meta kinds); anything else draws its
     * "unrecognized field" warning.
@@ -487,6 +501,27 @@ object PortalRules {
     val patientSampleCols = patientCols
       .map(cs => if (cs.contains("SAMPLE_ID")) 1L else 0L).getOrElse(0L)
 
+    // tier 6: an attribute declared at BOTH levels is ambiguous — the
+    // portal shows patient attrs on sample pages already, so a repeat
+    // at sample level silently shadows it (validateData warns). Only
+    // the PATIENT_ID link column legitimately appears in both headers.
+    val levelOverlap = (for (sc <- sampleCols; pc <- patientCols)
+      yield ((sc.toSet intersect pc.toSet) - "PATIENT_ID").size.toLong)
+      .getOrElse(0L)
+
+    // tier 6: boolean-typed meta keys must be literal true/false
+    val badBoolMeta = metas.map { case (_, kv) =>
+      BooleanMetaKeys.count(k =>
+        kv.get(k).exists(v => v != "true" && v != "false")).toLong
+    }.sum
+
+    // tier 6: declared reference genome must be a build the importer
+    // supports
+    val badRefGenome = metas.map { case (_, kv) =>
+      Seq("reference_genome", "reference_genome_id").count(k =>
+        kv.get(k).exists(v => !KnownReferenceGenomes(v))).toLong
+    }.sum
+
     Seq(
       ("portal_meta_files_resolve", metaResolve, metaResolve == 0L),
       ("portal_study_id_consistent", idConsistent, idConsistent == 0L),
@@ -507,7 +542,10 @@ object PortalRules {
       ("portal_meta_datatype_level", datatypeLevelViolations, datatypeLevelViolations == 0L),
       ("clinical_required_id_columns", missingIdCols, missingIdCols == 0L),
       ("clinical_patient_no_sample_cols", patientSampleCols, patientSampleCols == 0L),
-      ("clinical_dup_display_names", dupDisplayViolations, dupDisplayViolations == 0L))
+      ("clinical_dup_display_names", dupDisplayViolations, dupDisplayViolations == 0L),
+      ("clinical_attr_no_level_overlap", levelOverlap, levelOverlap == 0L),
+      ("portal_meta_boolean_values", badBoolMeta, badBoolMeta == 0L),
+      ("portal_meta_reference_genome", badRefGenome, badRefGenome == 0L))
   }
 
   /** A clinical output may be a single file OR a parted cbio dataset
@@ -648,6 +686,22 @@ object PortalRules {
         .head().getLong(1)
       dataRows += (("no_dup_sample_id", dups, dups == 0L))
     }
+    // tier 6: the patient file's key must be unique too — a duplicated
+    // PATIENT_ID row makes attribute values nondeterministic on import
+    for (p <- patient if p.columns.contains("PATIENT_ID")) {
+      val dups = Rules.evaluate(spark, p, Seq(Rules.noKeyedDups("PATIENT_ID")))
+        .head().getLong(1)
+      dataRows += (("clinical_no_dup_patient_id", dups, dups == 0L))
+    }
+    // tier 6: a patient with no sample never surfaces anywhere in the
+    // portal — validateData's orphan-patient warning, as a containment
+    // anti-join in the sample→patient direction's mirror
+    for (s <- sample; p <- patient if s.columns.contains("PATIENT_ID") &&
+           p.columns.contains("PATIENT_ID")) {
+      val orphans = subsetViolations(p, "PATIENT_ID", s, "PATIENT_ID",
+        distinctChild = true)
+      dataRows += (("clinical_orphan_patients", orphans, orphans == 0L))
+    }
     for (m <- maf) {
       val fieldRules = mafFieldRules(m)
       if (fieldRules.nonEmpty)
@@ -754,6 +808,14 @@ object PortalRules {
       |  UNION ALL SELECT 'clinical_required_id_columns', 0
       |  UNION ALL SELECT 'clinical_patient_no_sample_cols', 0
       |  UNION ALL SELECT 'clinical_dup_display_names', 0
+      |  UNION ALL SELECT 'clinical_attr_no_level_overlap', 0
+      |  UNION ALL SELECT 'portal_meta_boolean_values', 0
+      |  UNION ALL SELECT 'portal_meta_reference_genome', 0
+      |  UNION ALL SELECT 'clinical_no_dup_patient_id',
+      |    (SELECT count(*) - count(DISTINCT patient_id) FROM patients)
+      |  UNION ALL SELECT 'clinical_orphan_patients',
+      |    (SELECT count(*) FROM patients
+      |      WHERE patient_id NOT IN (SELECT patient_id FROM samples))
       |  UNION ALL SELECT 'clinical_number_attrs_numeric',
       |    (SELECT count(*) FROM customer
       |      WHERE c_custkey <= 500 AND c_custkey % 89 = 0)

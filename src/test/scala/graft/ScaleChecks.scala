@@ -64,7 +64,7 @@ object ScaleChecks {
       count(lit(1)).as("n_buckets"),
       max(col("sz")).as("max_occ"),
       avg(col("sz")).as("avg_occ"),
-      sum(col("sz") * (col("sz") - 1) / 2).as("cand_pairs")).head()
+      sum(expr("sz * (sz - 1) DIV 2")).as("cand_pairs")).head()
     println(s"[scale] knn: occupied_buckets=${stats.getLong(0)} " +
       s"max_occ=${stats.getLong(1)} avg_occ=${"%.1f".format(stats.getDouble(2))} " +
       s"candidate_pairs=${stats.getLong(3)}")

@@ -187,18 +187,28 @@ class DedupQueriesSpec extends AnyFunSuite {
     assert(recall >= 0.75, f"recall $recall%.3f below the documented 75%% floor")
   }
 
-  test("planes-per-band ladder: floor 3, +1 per doubling past 1000, cap 8") {
-    // The scale knob behind dd_embed_neardup_lsh: integer thresholds so
-    // the DuckDB oracle mirrors every boundary exactly. The boundary
-    // semantics are strict-greater: N = 1000 still runs 3 planes.
+  test("planes-per-band ladder: floor 3, +1 per doubling past 1000, cap 14") {
+    // The scale knob behind dd_embed_neardup_lsh / sim_knn_graph:
+    // integer thresholds so the DuckDB oracle mirrors every boundary
+    // exactly. The boundary semantics are strict-greater: N = 1000
+    // still runs 3 planes. Round 10 extended the ladder past its former
+    // 16k cap (occupancy was growing linearly with N there — 78 at 20k
+    // vectors vs 781 at 200k, candidate pairs 1.84M vs 185.5M).
     val expect = Seq(1L -> 3, 500L -> 3, 1000L -> 3, 1001L -> 4,
       2000L -> 4, 2001L -> 5, 4000L -> 5, 4001L -> 6, 8000L -> 6,
-      8001L -> 7, 16000L -> 7, 16001L -> 8, 1000000L -> 8)
+      8001L -> 7, 16000L -> 7, 16001L -> 8, 20000L -> 8,
+      32001L -> 9, 64001L -> 10, 128001L -> 11, 200000L -> 11,
+      256001L -> 12, 512001L -> 13, 1024001L -> 14, 100000000L -> 14)
     expect.foreach { case (n, p) =>
       assert(DedupQueries.lshPlanesPerBand(n) == p, s"N=$n")
     }
-    // the cap must fit the prefix-stable plane pool: 2 bands x 8 planes
-    assert(2 * 8 <= graft.queries.SimQueries.MaxPlanes)
+    // the cap must fit the prefix-stable plane pool: 2 bands x 14 planes
+    assert(2 * 14 <= graft.queries.SimQueries.MaxPlanes)
+    // and the DuckDB prm mirror must carry every threshold of the list
+    DedupQueries.LshLadderThresholds.foreach { t =>
+      assert(graft.queries.SimQueries.duckPrmLadder.contains(s"count(*) > $t"),
+        s"duck prm mirror is missing threshold $t")
+    }
   }
 
   test("adaptive banding (N > 1000 -> p = 4) still verifies exactly: subset of brute force") {

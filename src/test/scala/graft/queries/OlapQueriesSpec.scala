@@ -404,6 +404,25 @@ class OlapQueriesSpec extends AnyFunSuite {
       s"semi-join build must read the persisted bench grams:\n$plan")
   }
 
+  test("td_decontaminate_probe: durable index face equals the session-cached face") {
+    // Same corpus, two index paths (FrameCache vs the on-disk
+    // gram+bloom artifact) — the flagged sets must be identical, and a
+    // second invocation must REUSE the persisted index (no rebuild).
+    val spark = graft.SparkTestBase.spark
+    val cached = TextQueries.tdDecontaminate(spark, sf001)
+      .collect().map(_.getLong(0)).toSet
+    val probed = TextQueries.tdDecontaminateProbe(spark, sf001)
+      .collect().map(_.getLong(0)).toSet
+    assert(probed == cached, "durable-index face diverged from the cached face")
+    // idempotent: the index root is stable and the second call loads it
+    import org.apache.spark.sql.functions.col
+    val r1 = TextQueries.decontIndexRoot(spark, sf001, 8, "mod23",
+      col("doc_id") % 23 === 0)
+    val r2 = TextQueries.decontIndexRoot(spark, sf001, 8, "mod23",
+      col("doc_id") % 23 === 0)
+    assert(r1 == r2 && java.nio.file.Files.exists(r1.resolve("bloom.bin")))
+  }
+
   test("decontaminate: empty benchmark side yields no flags and no crash") {
     import graft.SparkTestBase.spark.implicits._
     import org.apache.spark.sql.functions.col

@@ -177,7 +177,9 @@ class PortalRulesSpec extends AnyFunSuite {
       "portal_case_list_category_known", "portal_meta_study_fields",
       "portal_meta_profile_fields", "portal_profile_stable_id_suffix",
       "portal_meta_datatype_level", "clinical_required_id_columns",
-      "clinical_patient_no_sample_cols", "clinical_dup_display_names"),
+      "clinical_patient_no_sample_cols", "clinical_dup_display_names",
+      "clinical_attr_no_level_overlap", "portal_meta_boolean_values",
+      "portal_meta_reference_genome"),
       rep.keySet)
     rep.values.foreach { case (v, ok) => assert(ok && v == 0L) }
   }
@@ -548,5 +550,73 @@ class PortalRulesSpec extends AnyFunSuite {
     val rep = reportMap(dir)
     assert(rep("sample_patient_in_patients") == ((1L, false)))
     assert(rep("no_dup_sample_id") == ((1L, false)))
+  }
+
+  // ---- tier 6 -----------------------------------------------------------
+
+  test("non-boolean add_global_case_list trips portal_meta_boolean_values only") {
+    val dir = healthyPackage()
+    Tsv.writeMetaFile(s"$dir/meta_study.txt", Seq(
+      "cancer_study_identifier" -> "study1", "type_of_cancer" -> "mixed",
+      "name" -> "Study One", "description" -> "healthy fixture study",
+      "add_global_case_list" -> "yes")) // must be literal true/false
+    val rep = reportMap(dir)
+    assert(rep("portal_meta_boolean_values") == ((1L, false)))
+    assert(rep("portal_meta_unknown_keys")._2, "the key itself is recognized")
+    assert(rep("portal_meta_study_fields")._2)
+  }
+
+  test("unknown reference genome trips portal_meta_reference_genome only") {
+    val dir = healthyPackage()
+    Tsv.writeMetaFile(s"$dir/meta_study.txt", Seq(
+      "cancer_study_identifier" -> "study1", "type_of_cancer" -> "mixed",
+      "name" -> "Study One", "description" -> "healthy fixture study",
+      "reference_genome" -> "hg99"))
+    val rep = reportMap(dir)
+    assert(rep("portal_meta_reference_genome") == ((1L, false)))
+    assert(rep("portal_meta_unknown_keys")._2)
+    // a supported build passes
+    Tsv.writeMetaFile(s"$dir/meta_study.txt", Seq(
+      "cancer_study_identifier" -> "study1", "type_of_cancer" -> "mixed",
+      "name" -> "Study One", "description" -> "healthy fixture study",
+      "reference_genome" -> "hg38"))
+    assert(reportMap(dir)("portal_meta_reference_genome")._2)
+  }
+
+  test("attribute declared at both levels trips clinical_attr_no_level_overlap only") {
+    val dir = healthyPackage()
+    // CANCER_TYPE already lives in the sample file; repeating it at the
+    // patient level shadows it
+    val patient = Seq(("p1", "Melanoma"), ("p2", "Lung"))
+      .toDF("PATIENT_ID", "CANCER_TYPE")
+    Tsv.writeTsvFile(patient, s"$dir/data_clinical_patient.txt", Seq(
+      "#Patient ID\tCancer Type", "#Patient identifier\tCancer type",
+      "#STRING\tSTRING", "#1\t1"))
+    val rep = reportMap(dir)
+    assert(rep("clinical_attr_no_level_overlap") == ((1L, false)))
+    assert(rep("clinical_patient_no_sample_cols")._2, "PATIENT_ID link is exempt")
+    assert(rep("clinical_required_id_columns")._2)
+  }
+
+  test("duplicated PATIENT_ID row trips clinical_no_dup_patient_id only") {
+    val dir = healthyPackage()
+    val patient = Seq("p1", "p1", "p2").toDF("PATIENT_ID")
+    Tsv.writeTsvFile(patient, s"$dir/data_clinical_patient.txt",
+      Seq("#Patient ID", "#Patient identifier", "#STRING", "#1"))
+    val rep = reportMap(dir)
+    assert(rep("clinical_no_dup_patient_id") == ((1L, false)))
+    assert(rep("clinical_orphan_patients")._2, "both patients still have samples")
+    assert(rep("sample_patient_in_patients")._2)
+  }
+
+  test("patient with no sample trips clinical_orphan_patients only") {
+    val dir = healthyPackage()
+    val patient = Seq("p1", "p2", "p3").toDF("PATIENT_ID") // p3 has no sample
+    Tsv.writeTsvFile(patient, s"$dir/data_clinical_patient.txt",
+      Seq("#Patient ID", "#Patient identifier", "#STRING", "#1"))
+    val rep = reportMap(dir)
+    assert(rep("clinical_orphan_patients") == ((1L, false)))
+    assert(rep("clinical_no_dup_patient_id")._2)
+    assert(rep("sample_patient_in_patients")._2, "every sample's patient exists")
   }
 }
