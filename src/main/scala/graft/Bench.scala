@@ -20,14 +20,15 @@ object Bench {
     // Optional comma-separated query filter for local iteration
     // (e.g. SPARK_GRAFT_ONLY=dd_minhash_pairs,sim_ivf_topk).
     val selected = SparkEntry.selectedQueries("bench")
-    // Per-plan untimed warmup (JMH-style): run every query once before
-    // timing so whole-stage codegen + JIT compile outside the measured
-    // window — the timed pass then reports steady-state engine
-    // throughput, not Janino compile time (~0.5-1.5 s per distinct
-    // plan, pure noise at any real scale where a plan runs for
-    // minutes). Warmup runs at the SAME sfDir: AQE re-plans (and
-    // re-codegens) differently per data size, so a smaller-SF warmup
-    // only partially transfers. Disable: SPARK_GRAFT_WARMUP=0.
+    // Per-plan untimed warmup (JMH-style): run each query once just
+    // before its timed reps so whole-stage codegen + JIT compile
+    // outside the measured window — the timed pass then reports
+    // steady-state engine throughput, not Janino compile time
+    // (~0.5-1.5 s per distinct plan, pure noise at any real scale
+    // where a plan runs for minutes). Warmup runs at the SAME sfDir:
+    // AQE re-plans (and re-codegens) differently per data size, so a
+    // smaller-SF warmup only partially transfers. Disable:
+    // SPARK_GRAFT_WARMUP=0.
     // Per-query storage sweep: unpersist every RDD that is NOT backing
     // a shared FrameCache artifact (index/sketch/edge-cache frames keyed
     // by input identity). Query-PRIVATE persists and localCheckpoints
@@ -47,19 +48,27 @@ object Bench {
       } catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] storage sweep failed: $e")
       }
-    if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0") {
-      selected.foreach { case (name, fn) =>
-        try { fn(spark, sfDir).queryExecution.toRdd.count(); () }
-        catch { case scala.util.control.NonFatal(e) =>
-          System.err.println(s"[bench] warmup $name failed: $e")
-        }
-        sweepPrivateStorage()
-      }
-    }
+    // Warmup and timed reps are FUSED per query (warm up q, time q,
+    // THEN sweep) rather than warmup-all-then-time-all: the sweep
+    // between a query's warmup and its timed pass would force every
+    // reps=1 timed run (the driver's mode) to rebuild its own
+    // query-private persists inside the measured window — a cost
+    // neither a solo warm-min measurement nor the pre-sweep harness
+    // paid, so round-over-round diffs would show phantom regressions.
+    // Fused, a query's timed run rides exactly its own warmup's frames
+    // (the solo-run semantics) while other queries' private storage is
+    // still gone before it starts.
+    val doWarmup = sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0"
     // SPARK_GRAFT_REPS=N → report the min over N runs (local iteration
     // only; the driver leaves it unset → single timed run per query).
     val reps = sys.env.get("SPARK_GRAFT_REPS").map(_.toInt).getOrElse(1)
     val results = selected.map { case (name, fn) =>
+      if (doWarmup) {
+        try { fn(spark, sfDir).queryExecution.toRdd.count(); () }
+        catch { case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[bench] warmup $name failed: $e")
+        }
+      }
       val times = (0 until reps).map { _ =>
         val t0 = System.nanoTime()
         // Materialize FULL output rows, not df.count(): an Aggregate on
