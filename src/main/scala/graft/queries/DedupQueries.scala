@@ -1034,7 +1034,7 @@ object DedupQueries {
         |nv AS (
         |  SELECT e.vec_id, a.cid AS cluster, e.embedding,
         |    list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE)) AS nrm,
-        |    (${SimQueries.duckSigBits(16)}) AS sig
+        |    (${SimQueries.duckSigBits(SimQueries.MaxPlanes)}) AS sig
         |  FROM embeddings e JOIN ${SimQueries.duckKmFinal} a ON e.vec_id = a.vec_id),
         |${SimQueries.duckBanded("nv", "vec_id, cluster, embedding, nrm")},
         |cand AS (
@@ -1285,7 +1285,7 @@ object DedupQueries {
         |n AS (
         |  SELECT vec_id, label, embedding,
         |    list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)) AS nrm,
-        |    (${SimQueries.duckSigBits(16)}) AS sig
+        |    (${SimQueries.duckSigBits(SimQueries.MaxPlanes)}) AS sig
         |  FROM embeddings),
         |${SimQueries.duckBanded("n", "vec_id, label, embedding, nrm")},
         |cand AS (

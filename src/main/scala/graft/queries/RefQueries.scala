@@ -382,28 +382,48 @@ object RefQueries {
     * through [[graft.pipelines.LiveAnnotator]]: a once-per-partition
     * client, fixed-size request batches, per-item FAILED rows (reference
     * `maf.py:95-130`'s pooled Genome Nexus calls). The in-process client
-    * here stands in for the HTTP service — the SERVICE owns the lookup
-    * data (collected to the driver only because the fake is local; a
-    * real client holds a connection, not data). Oracle: identical SQL to
-    * j5_annotation_join — live mode must be indistinguishable from the
-    * join form.
+    * stands in for the HTTP service, and is shaped like one: the
+    * SERVICE owns the lookup data — a [[graft.sources.KeyedStore]]
+    * (sorted on-disk shards, built once as a distributed Spark job,
+    * probed via mmap binary search). The task closure carries a PATH
+    * string; driver and executor memory are O(1) in the scale factor.
+    * Oracle: identical SQL to j5_annotation_join — live mode must be
+    * indistinguishable from the join form.
     */
   def j5LiveAnnotate: Q = (s, dir) => {
     import graft.pipelines.LiveAnnotator
+    import graft.sources.KeyedStore
     val li = Tables.lineitem(s, dir).select(col("l_partkey"), col("l_returnflag"))
-    val lookup: Map[String, String] = Tables.part(s, dir)
-      .filter(col("p_size") > 25)
-      .select(col("p_partkey").cast("string"), col("p_type"))
-      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val storePath = annStoreRoot(s, dir).toString
     val annotated = LiveAnnotator.annotateLive(
       li, Seq("l_partkey"), Seq("annotation"),
       () => new LiveAnnotator.Client {
+        private val store = KeyedStore.open(storePath) // per-JVM mmap cache
         def annotateBatch(keys: Seq[String]): Seq[Option[Seq[String]]] =
-          keys.map(k => lookup.get(k).map(Seq(_)))
+          keys.map(k => store.lookup(k).map(Seq(_)))
       }, batchSize = 256)
     annotated.groupBy(col("l_returnflag"))
       .agg(count(col("annotation")).as("n_annotated"),
         sum(when(col("annotation").isNull, 1L).otherwise(0L)).as("n_failed"))
+  }
+
+  /** Build-once location of the mock annotation service's keyed store
+    * for `dir`'s part table (identity = source file size + mtime, the
+    * [[graft.queries.TextQueries]] decont-index idiom): the service's
+    * data outlives any one query session.
+    */
+  private def annStoreRoot(s: SparkSession, dir: String): java.nio.file.Path = {
+    import java.nio.file.{Files, Paths}
+    val src = Paths.get(dir).resolve("part.parquet")
+    val ident = s"$src:${Files.size(src)}:${Files.getLastModifiedTime(src).toMillis}:annp25"
+    val hash = java.security.MessageDigest.getInstance("MD5")
+      .digest(ident.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val root = Paths.get(System.getProperty("java.io.tmpdir"), "graft-ann-store", hash)
+    graft.sources.KeyedStore.build(
+      Tables.part(s, dir).filter(col("p_size") > 25)
+        .select(col("p_partkey"), col("p_type")),
+      "p_partkey", "p_type", root)
+    root
   }
 
   /** J6 — semi-join case list: entities retained iff present in the fact

@@ -877,7 +877,7 @@ object SimQueries {
       s"""WITH $duckPrmLadder,
         |n AS (
         |  SELECT vec_id, embedding, ${duckDot("embedding", "embedding")} AS nrm,
-        |    (${duckSigBits(16)}) AS sig
+        |    (${duckSigBits(MaxPlanes)}) AS sig
         |  FROM embeddings),
         |${duckBanded("n", "vec_id, embedding, nrm")},
         |pairs AS (

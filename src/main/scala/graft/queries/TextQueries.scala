@@ -843,9 +843,13 @@ object TextQueries {
         }
       Files.write(tmp.resolve("bloom.bin"), bytes)
       try { Files.move(tmp, root, StandardCopyOption.ATOMIC_MOVE); () }
-      catch { case _: java.nio.file.FileAlreadyExistsException |
-                   _: java.nio.file.AccessDeniedException =>
-        // another session won the race — use its index; drop our build
+      catch { case e: java.nio.file.FileSystemException
+                   if Files.exists(root) || e.isInstanceOf[java.nio.file.FileAlreadyExistsException] =>
+        // another session won the race — use its index; drop our build.
+        // On Linux the lost race onto a non-empty dir surfaces as
+        // DirectoryNotEmptyException (a FileSystemException), not
+        // FileAlreadyExistsException; catch the family, but only when
+        // the winner's index is actually there.
         def del(p: java.nio.file.Path): Unit = {
           if (Files.isDirectory(p)) {
             val s0 = Files.list(p)

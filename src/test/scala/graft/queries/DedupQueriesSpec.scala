@@ -209,6 +209,22 @@ class DedupQueriesSpec extends AnyFunSuite {
       assert(graft.queries.SimQueries.duckPrmLadder.contains(s"count(*) > $t"),
         s"duck prm mirror is missing threshold $t")
     }
+    // the DuckDB oracle's signature must be as wide as the widest sig
+    // the ladder can ask for (2 bands x p_max planes) — duckBanded
+    // extracts band 1 as (sig >> p) & mask, needing bits up to 2p-1.
+    // Hardcoding a narrower width (the r10 bug: duckSigBits(16)) makes
+    // the two engines diverge exactly at the >32k-vector regime the
+    // ladder extension targets.
+    val pMax = 3 + DedupQueries.LshLadderThresholds.size
+    val topBit = 1L << (2 * pMax - 1)
+    assert(graft.queries.SimQueries.duckSigBits(graft.queries.SimQueries.MaxPlanes)
+      .contains(s"THEN $topBit ELSE"),
+      s"duck sig oracle must reach bit ${2 * pMax - 1} (value $topBit)")
+    // ...and all three banded-LSH oracles must actually USE that width
+    Seq("sim_knn_graph", "dd_semdedup", "dd_embed_neardup_lsh").foreach { q =>
+      assert(graft.SparkEntry.oracleSql(q).contains(s"THEN $topBit ELSE"),
+        s"$q oracle sig is narrower than 2*p_max = ${2 * pMax} bits")
+    }
   }
 
   test("adaptive banding (N > 1000 -> p = 4) still verifies exactly: subset of brute force") {

@@ -68,6 +68,17 @@ class RefQueriesSpec extends AnyFunSuite {
     assert(n == matched + leftOnly + rightOnly)
   }
 
+  test("j5 live mode is bit-identical to the broadcast-join form") {
+    // The r11 KeyedStore rewrite (driver O(1) — no collect().toMap):
+    // the live client must remain indistinguishable from the join face.
+    val live = RefQueries.j5LiveAnnotate(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val join = RefQueries.j5AnnotationJoin(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(live == join)
+    assert(live.nonEmpty)
+  }
+
   test("f9 chunks are consecutive and sized ≤ 400") {
     val rows = RefQueries.f9Chunks(spark, sf001).orderBy("chunk").collect()
     assert(rows.forall(_.getAs[Long]("n") <= 400))
