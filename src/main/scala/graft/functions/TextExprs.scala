@@ -506,6 +506,44 @@ object TextOps {
     if (sb.length() > 0 && words.contains(sb.toString)) n += 1
     n
   }
+
+  private val EmptyLongArray =
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(Array.emptyLongArray)
+
+  /** One byte-scan heavy-hitter counting kernel (ta_heavy_hitters_exact
+    * pass 2): token boundaries are [[wsSplit]]'s EXACTLY (the same
+    * maximal non-whitespace-run scanner), each run is probed into the
+    * row's source-specific candidate map (UTF8String wraps the slice —
+    * no byte copy), and the result is one long[|candidates(source)|]
+    * count vector per document. Replaces the exploded-token-stream ⋈
+    * broadcast-candidates pass: same counts, zero explode rows, one
+    * scan of `text`.
+    */
+  def tokenSetCounts(src: UTF8String, s: UTF8String,
+                     idx: TokenSetIndex): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val per = idx.bySource.get(src)
+    if (per == null || per.n == 0) return EmptyLongArray
+    val counts = new Array[Long](per.n)
+    val bytes = s.getBytes
+    var start = -1
+    var i = 0
+    while (i < bytes.length) {
+      val ws = !isCont(bytes(i)) && isWs(bytes(i))
+      if (!ws && start < 0) start = i
+      else if (ws && start >= 0) {
+        val slot = per.slots.get(UTF8String.fromBytes(bytes, start, i - start))
+        if (slot != null) counts(slot.intValue()) += 1L
+        start = -1
+      }
+      i += 1
+    }
+    if (start >= 0) {
+      val slot = per.slots.get(UTF8String.fromBytes(bytes, start, bytes.length - start))
+      if (slot != null) counts(slot.intValue()) += 1L
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(counts)
+  }
 }
 
 /** `ws_token_count(string)` → int. */
@@ -665,6 +703,45 @@ case class WordSetCount(child: Expression, words: Seq[String]) extends UnaryExpr
     copy(child = newChild)
 }
 
+/** `token_set_counts(source, text)` → array<long>: per-candidate exact
+  * token counts against the source's candidate list (see
+  * [[TextOps.tokenSetCounts]]; expects already-normalized text — the
+  * caller composes `lower(trim(text))` so the boundaries and byte
+  * equality are identical to the `ws_split` token stream the candidates
+  * came from).
+  */
+case class TokenSetCounts(left: Expression, right: Expression,
+                          index: TokenSetIndex)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "token_set_counts"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (_: StringType, _: StringType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"token_set_counts expects (string, string), got ($l, $r)")
+    }
+
+  override protected def nullSafeEval(src: Any, s: Any): Any =
+    TextOps.tokenSetCounts(src.asInstanceOf[UTF8String],
+      s.asInstanceOf[UTF8String], index)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("idx", index,
+      "graft.functions.TokenSetIndex")
+    defineCodeGen(ctx, ev, (src, s) =>
+      s"graft.functions.TextOps.tokenSetCounts($src, $s, $ref)")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** `bpe_token_count(string)` → int (see [[TextOps.bpeTokenCount]];
   * expects already-lowercased input).
   */
@@ -797,4 +874,29 @@ object TextExprs {
     Bridge.column(DocVecHash(Bridge.expression(c), dim, seed))
   def piiRedact(c: Column): Column =
     Bridge.column(PiiRedact(Bridge.expression(c)))
+  def tokenSetCounts(src: Column, text: Column, idx: TokenSetIndex): Column =
+    Bridge.column(TokenSetCounts(Bridge.expression(src), Bridge.expression(text), idx))
+}
+
+/** Per-source candidate index for [[TextOps.tokenSetCounts]]: source →
+  * (token → slot, slot count). Built once on the driver from a bounded
+  * control table (≤ sketch-capacity × |sources| rows) and shipped as an
+  * expression reference object — top-level so codegen can name the type.
+  */
+final class TokenSetIndex(entries: Map[String, Array[String]]) extends Serializable {
+  @transient lazy val bySource: java.util.HashMap[UTF8String, TokenSetIndex.PerSource] = {
+    val m = new java.util.HashMap[UTF8String, TokenSetIndex.PerSource]()
+    entries.foreach { case (src, toks) =>
+      val tm = new java.util.HashMap[UTF8String, Integer]()
+      toks.zipWithIndex.foreach { case (t, i) =>
+        tm.put(UTF8String.fromString(t), Integer.valueOf(i))
+      }
+      m.put(UTF8String.fromString(src), new TokenSetIndex.PerSource(tm, toks.length))
+    }
+    m
+  }
+}
+
+object TokenSetIndex {
+  final class PerSource(val slots: java.util.HashMap[UTF8String, Integer], val n: Int)
 }

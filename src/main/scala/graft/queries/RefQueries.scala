@@ -149,10 +149,14 @@ object RefQueries {
     */
   def s10XmlRoundtrip: Q = (s, dir) => {
     val tmp = java.nio.file.Files.createTempDirectory("graft-s10").toString
-    Tables.customer(s, dir).select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
-      .write.mode("overwrite").format("xml").option("rowTag", "customer")
+    val out = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+    out.write.mode("overwrite").format("xml").option("rowTag", "customer")
       .save(s"$tmp/cust")
-    s.read.format("xml").option("rowTag", "customer").load(s"$tmp/cust")
+    // read with the KNOWN write schema — XML schema inference is a
+    // second full pass over the written files (r10: half the sf10 cost)
+    s.read.format("xml").option("rowTag", "customer").schema(out.schema)
+      .load(s"$tmp/cust")
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n"), sum(col("c_custkey")).as("sum_keys"),
         bround(sum(col("c_acctbal")), 2).as("sum_bal"))

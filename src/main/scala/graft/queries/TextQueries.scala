@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
 
 import graft.Tables
 import graft.functions.{Hashing, TextExprs}
@@ -368,14 +369,17 @@ object TextQueries {
     * sketch per source; its guarantee (every item with true count >
     * n/capacity is reported) makes the ≤16-per-source candidate list a
     * SUPERSET of the true heavy-hitter set regardless of merge order.
-    * Pass 2 rescans the token stream against the broadcast candidate
-    * table and keeps candidates whose EXACT count clears the n/16
-    * threshold — the output is the unique truth set with exact counts,
-    * so it is DuckDB-oracle-able where the sketch face (est/err,
-    * merge-order-dependent) is spec-bounded only. At 100 TB: pass 2 is
-    * a broadcast hash join of the token stream against ≤ cap×|sources|
-    * rows plus one combine-heavy count — no new shuffle shape beyond
-    * the sketch pass itself. Capacity 64 (threshold 1/64 of the source's
+    * Pass 2 counts the candidates EXACTLY in one compiled byte-scan
+    * over `text` ([[graft.functions.TokenSetCounts]]: each ws-run
+    * probed into the source's candidate map, one count vector per doc)
+    * and keeps those clearing the n/cap threshold — the output is the
+    * unique truth set with exact counts, so it is DuckDB-oracle-able
+    * where the sketch face (est/err, merge-order-dependent) is
+    * spec-bounded only. At 100 TB: pass 2 is map-side-combined partials
+    * over ≤ cap×|sources| keys — it never re-explodes the token stream
+    * and shuffles O(candidates), not O(tokens) (the r10 join form paid
+    * a second exploded-stream scan; 3× DuckDB at sf10).
+    * Capacity 64 (threshold 1/64 of the source's
     * stream): the corpus' flat synthetic vocabulary tops out near a 4.6%
     * token share, so the sketch face's 1/16 would certify an empty set —
     * true but vacuous; 1/64 exercises the threshold against real data.
@@ -394,17 +398,41 @@ object TextQueries {
     val toks = cachedToks(s, dir).select(col("source"), col("tok"))
     // the per-source stream length rides in the SAME aggregate as the
     // sketch (count next to spaceSaving), so pass 1 is one tokenize scan
-    // and pass 2 (below) the only other — not a third totals scan
-    val cands = toks.groupBy(col("source"))
+    val candRows = toks.groupBy(col("source"))
       .agg(graft.functions.SpaceSavingAgg.spaceSaving(col("tok"), sketchCap).as("hh"),
         count(lit(1)).as("n"))
-      .select(col("source"), col("n"), explode(col("hh")).as("e"))
-      .select(col("source"), col("n"), col("e.item").as("tok"))
-    toks.join(broadcast(cands), Seq("source", "tok"))
-      .groupBy(col("source"), col("tok"))
-      .agg(count(lit(1)).as("cnt"), max(col("n")).as("n"))
+      .select(col("source"), col("n"), explode(col("hh.item")).as("tok"))
+      .collect() // bounded control table: ≤ sketchCap × |sources| rows
+    val candsBySource: Map[String, Array[String]] = candRows
+      .groupBy(_.getString(0))
+      .map { case (src, rs) => src -> rs.map(_.getString(2)).sorted }
+    val nBySource: Map[String, Long] =
+      candRows.map(r => r.getString(0) -> r.getLong(1)).toMap
+    // pass 2 — ONE compiled byte-scan over `text` (no token explode, no
+    // join with the token stream): TokenSetCounts probes each ws-run of
+    // lower(trim(text)) into the row's source's candidate map and emits
+    // a count vector; only ≤ sketchCap tiny (source, slot, cnt) partials
+    // per doc reach the (map-side-combined) aggregate.
+    val idx = new graft.functions.TokenSetIndex(candsBySource)
+    val slotTok = s.createDataFrame(
+      s.sparkContext.parallelize(candsBySource.toSeq.flatMap { case (src, ts) =>
+        ts.zipWithIndex.map { case (t, i) =>
+          org.apache.spark.sql.Row(src, i, t, nBySource(src))
+        }
+      }, 1),
+      StructType(Seq(
+        StructField("source", StringType), StructField("pos", IntegerType),
+        StructField("item", StringType), StructField("n", LongType))))
+    Tables.documents(s, dir)
+      .select(col("source"), graft.functions.TextExprs.tokenSetCounts(
+        col("source"), lower(trim(col("text"))), idx).as("c"))
+      .groupBy(col("source"))
+      .agg(graft.functions.LongVecSumAgg.vecSum(col("c")).as("cnts"))
+      .select(col("source"), posexplode(col("cnts")))
+      .withColumnRenamed("col", "cnt")
+      .join(broadcast(slotTok), Seq("source", "pos"))
       .filter(col("cnt") * cap > col("n"))
-      .select(col("source"), col("tok").as("item"), col("cnt"))
+      .select(col("source"), col("item"), col("cnt"))
   }
 
   /** ta_quality_model — model-based quality filtering (the fastText /

@@ -120,4 +120,41 @@ class TextExprsSpec extends AnyFunSuite {
         regexp_count(lower($"t"), lit("\\b(?:the|and|of|to|in)\\b"))).collect()
     assert(bad.isEmpty, s"mismatch on: ${bad.map(_.getString(0)).toSeq}")
   }
+
+  test("tokenSetCounts == explode(wsSplit) ⋈ candidates groupBy counts") {
+    // The ta_heavy_hitters_exact pass-2 kernel must reproduce the
+    // exploded-stream join form it replaced, per source: same slots,
+    // same counts — including docs with zero matches, multibyte
+    // whitespace neighbors, and a source absent from the index.
+    val docs = Seq(
+      ("s1", "the cat  and THE dog	the"),
+      ("s1", ""),
+      ("s1", "  catx cat CAT. ça the"),
+      ("s2", "and and and"),
+      ("s2", "héllo the wörld"),
+      ("s3", "no candidates for this source"))
+    val cands = Map(
+      "s1" -> Array("cat", "the"),
+      "s2" -> Array("and", "hx"))
+    val idx = new TokenSetIndex(cands)
+    val df = docs.toDF("source", "text")
+    val got = df
+      .select($"source", TextExprs.tokenSetCounts(
+        $"source", lower(trim($"text")), idx).as("c"))
+      .select($"source", posexplode($"c"))
+      .groupBy($"source", $"pos").agg(sum($"col").as("cnt"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    val want = (for {
+      (src, ts) <- cands.toSeq
+      (t, i) <- ts.zipWithIndex
+    } yield {
+      val cnt = docs.filter(_._1 == src).map { case (_, text) =>
+        text.toLowerCase.trim.split("\\s+").count(_ == t).toLong
+      }.sum
+      (src, i, cnt)
+    }).toSet
+    assert(got == want)
+    // source with no candidate entry emits an empty vector -> no rows
+    assert(!got.exists(_._1 == "s3"))
+  }
 }

@@ -135,6 +135,23 @@ class PlanChecksSpec extends AnyFunSuite {
       s"f9_chunks should materialize over the PrefixSum RDD:\n${plan.take(600)}")
   }
 
+  ptest("ta_heavy_hitters_exact pass 2: one text scan, no token-stream join") { sfDir =>
+    // The r11 kernel rewrite: pass 2 is token_set_counts over the
+    // documents scan. The final plan must contain exactly one parquet
+    // scan (documents; pass 1 ran eagerly at build time), exactly one
+    // join (the slot->token decode against the tiny local candidate
+    // table), and the compiled kernel itself.
+    val df = TextQueries.taHeavyHittersExact(spark, sfDir)
+    val plan = planString(df)
+    val scans = plan.linesIterator.count(l =>
+      l.contains("Scan parquet") || l.contains("FileScan parquet"))
+    assert(scans == 1, s"expected 1 parquet scan in pass 2, got $scans:\n$plan")
+    assert(plan.contains("token_set_counts"),
+      s"pass 2 must run the compiled kernel, got:\n$plan")
+    val joins = plan.linesIterator.count(_.contains("Join"))
+    assert(joins <= 1, s"pass 2 must not join the token stream:\n$plan")
+  }
+
   ptest("Q16's NOT IN plans as an anti join, never a nested loop") { sfDir =>
     val plan = planString(OlapQueries.sqlTpchQ16(spark, sfDir))
     assert(plan.contains("LeftAnti"),
