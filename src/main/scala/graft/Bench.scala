@@ -102,8 +102,13 @@ object Bench {
       .mkString(
         s"""{"metric":"total","value":$total,"unit":"sec","queries":{""",
         ",", s"""},"sf":"$sfDir"}""")
-    val fullPath = sys.env.getOrElse(
-      "SPARK_GRAFT_BENCH_OUT", "tools/bench_full_last.json")
+    // A SPARK_GRAFT_ONLY-filtered run must not overwrite the full-suite
+    // artifact: round-over-round totals diffed from bench_full_last.json
+    // are meaningless if a 4-query targeted run replaced the 196-query
+    // suite result there.
+    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      if (sys.env.contains("SPARK_GRAFT_ONLY")) "tools/bench_targeted_last.json"
+      else "tools/bench_full_last.json")
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(fullPath),
       fullJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))

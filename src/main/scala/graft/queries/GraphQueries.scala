@@ -103,15 +103,25 @@ object GraphQueries {
     val teleport = (PrTotalPpb - PrDampNum * PrTotalPpb / PrDampDen) / n
     val init = deg.withColumn("rank", lit(PrTotalPpb / n))
     val fin = (1 to PrIters).foldLeft(init) { (r, _) =>
-      val inbound = r.join(edges, r("node") === edges("src"))
-        .select(col("dst"), expr("rank div outdeg").as("c"))
-        .groupBy(col("dst")).agg(sum(col("c")).as("m"))
-      deg.join(inbound, deg("node") === inbound("dst"), "left")
-        .select(col("node"), col("outdeg"),
-          (lit(teleport) +
-            expr(s"($PrDampNum * coalesce(m, 0L)) div $PrDampDen")).as("rank"))
+      pagerankRound(edges, deg, r, teleport)
     }
     fin.select(col("node"), col("rank").as("rank_ppb"))
+  }
+
+  /** One power-iteration round of [[pagerank]] — split out so the
+    * ScaleChecks graph accounting can materialize and cost each round
+    * separately with the exact production plan shape (one co-located
+    * join against the src-partitioned edge cache + one aggregate).
+    */
+  private[queries] def pagerankRound(edges: DataFrame, deg: DataFrame,
+                                     r: DataFrame, teleport: Long): DataFrame = {
+    val inbound = r.join(edges, r("node") === edges("src"))
+      .select(col("dst"), expr("rank div outdeg").as("c"))
+      .groupBy(col("dst")).agg(sum(col("c")).as("m"))
+    deg.join(inbound, deg("node") === inbound("dst"), "left")
+      .select(col("node"), col("outdeg"),
+        (lit(teleport) +
+          expr(s"($PrDampNum * coalesce(m, 0L)) div $PrDampDen")).as("rank"))
   }
 
   /** Per-node neighbor count for [[gJaccardSim]]'s top-k, and the pilot

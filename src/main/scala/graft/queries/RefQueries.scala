@@ -417,9 +417,12 @@ object RefQueries {
     * data outlives any one query session.
     */
   private def annStoreRoot(s: SparkSession, dir: String): java.nio.file.Path = {
-    import java.nio.file.{Files, Paths}
+    import java.nio.file.Paths
     val src = Paths.get(dir).resolve("part.parquet")
-    val ident = s"$src:${Files.size(src)}:${Files.getLastModifiedTime(src).toMillis}:annp25"
+    // identity = hash of the contained part files' names+sizes+mtimes
+    // (ContentIdent), not the directory's own metadata — an in-place
+    // same-name rewrite must invalidate the store
+    val ident = s"$src:${graft.sources.ContentIdent.of(src)}:annp25"
     val hash = java.security.MessageDigest.getInstance("MD5")
       .digest(ident.getBytes("UTF-8")).map("%02x".format(_)).mkString
     val root = Paths.get(System.getProperty("java.io.tmpdir"), "graft-ann-store", hash)
@@ -744,7 +747,14 @@ object RefQueries {
     val chrm = pmod(col("l_partkey"), lit(27L)) // 0 and 26 are invalid names
     val a5 = pmod(col("l_suppkey"), lit(5L))    // 4 -> 'R', an invalid base
     val a4 = pmod(col("l_suppkey"), lit(4L))
+    val a3 = pmod(col("l_suppkey"), lit(3L))
     val vt = pmod(col("l_suppkey"), lit(7L))    // 6 -> 'SNV', invalid type
+    // tier-5/7 seeded read-support: ref support always >= 0, alt support
+    // negative every 19th suppkey, total depth 5 reads short of ref+alt
+    // every 29th orderkey (maf_read_support_consistent)
+    val tRef = pmod(col("l_partkey"), lit(1000L))
+    val tAlt = when(pmod(col("l_suppkey"), lit(19L)) === 0L, lit(-1L))
+      .otherwise(pmod(col("l_orderkey"), lit(500L)))
     val maf = Tables.lineitem(s, dir).select(
       concat(lit("S"), pmod(col("l_orderkey"), lit(2347L)).cast(StringType))
         .as("Tumor_Sample_Barcode"),
@@ -752,10 +762,19 @@ object RefQueries {
         .otherwise(chrm.cast(StringType)).as("Chromosome"),
       col("l_orderkey").as("Start_Position"),
       (col("l_orderkey") + col("l_linenumber") - lit(3L)).as("End_Position"),
-      when(a5 === 0L, "A").when(a5 === 1L, "C").when(a5 === 2L, "G")
+      // tier-7 presence seeding: a NULL reference allele every
+      // suppkey≡5 (mod 23) row — exempt from the vocabulary rules (both
+      // engine and oracle agree NULL is not a *format* violation) but
+      // counted by maf_allele_present
+      when(pmod(col("l_suppkey"), lit(23L)) === 5L, lit(null).cast(StringType))
+        .when(a5 === 0L, "A").when(a5 === 1L, "C").when(a5 === 2L, "G")
         .when(a5 === 3L, "T").otherwise("R").as("Reference_Allele"),
       when(a4 === 0L, "A").when(a4 === 1L, "C").when(a4 === 2L, "G")
         .otherwise("T").as("Tumor_Seq_Allele2"),
+      // tier-7: second tumor allele, invalid ('?') every 13th partkey
+      when(pmod(col("l_partkey"), lit(13L)) === 0L, "?")
+        .when(a3 === 0L, "A").when(a3 === 1L, "C").otherwise("G")
+        .as("Tumor_Seq_Allele1"),
       when(col("l_returnflag") === "R", "Somatic")
         .when(col("l_returnflag") === "A", "Germline")
         .otherwise("Unknowable").as("Mutation_Status"),
@@ -781,17 +800,20 @@ object RefQueries {
       // verification status invalid on suppkey%11==0; the allele-length
       // and indel-shape rules fire data-dependently off the single-base
       // alleles wherever Variant_Type demands a wider or resized allele
-      when(pmod(col("l_linenumber"), lit(7L)) === 0L, "-").otherwise("+")
-        .as("Strand"),
+      // reverse strand on linenumber%7==0, NULL (presence violation,
+      // vocabulary-exempt) on %7==1
+      when(pmod(col("l_linenumber"), lit(7L)) === 0L, "-")
+        .when(pmod(col("l_linenumber"), lit(7L)) === 1L,
+          lit(null).cast(StringType))
+        .otherwise("+").as("Strand"),
       when(pmod(col("l_suppkey"), lit(11L)) === 0L, "Maybe")
         .when(pmod(col("l_suppkey"), lit(11L)) === 1L, "NA")
         .when(pmod(pmod(col("l_suppkey"), lit(11L)), lit(2L)) === 0L, "Verified")
         .otherwise("Unknown").as("Verification_Status"),
-      // tier-5 seeded read-support columns: a negative alt count every
-      // 19th suppkey exercises maf_allele_counts_valid data-dependently
-      pmod(col("l_partkey"), lit(1000L)).as("t_ref_count"),
-      when(pmod(col("l_suppkey"), lit(19L)) === 0L, lit(-1L))
-        .otherwise(pmod(col("l_orderkey"), lit(500L))).as("t_alt_count"))
+      tRef.as("t_ref_count"),
+      tAlt.as("t_alt_count"),
+      (tRef + tAlt - when(pmod(col("l_orderkey"), lit(29L)) === 0L, lit(5L))
+        .otherwise(lit(0L))).as("t_depth"))
 
     // a small deterministic study package through the real sinks; the
     // structural rules then audit actual on-disk meta/header/case-list

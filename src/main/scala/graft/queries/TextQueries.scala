@@ -846,8 +846,10 @@ object TextQueries {
       java.nio.file.Path = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val src = Paths.get(dir).resolve("documents.parquet")
-    val ident = s"$src:${Files.size(src)}:" +
-      s"${Files.getLastModifiedTime(src).toMillis}:$n:$predTag"
+    // identity = hash of the contained part files' names+sizes+mtimes
+    // (ContentIdent), not the directory's own metadata — an in-place
+    // same-name rewrite must invalidate the index
+    val ident = s"$src:${graft.sources.ContentIdent.of(src)}:$n:$predTag"
     val hash = java.security.MessageDigest.getInstance("MD5")
       .digest(ident.getBytes("UTF-8")).map("%02x".format(_)).mkString
     val base = Paths.get(System.getProperty("java.io.tmpdir"), "graft-decont-index")

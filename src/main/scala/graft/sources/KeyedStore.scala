@@ -7,7 +7,7 @@ import java.nio.file.{Files, Path, Paths, StandardCopyOption, StandardOpenOption
 import java.util.concurrent.ConcurrentHashMap
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.{col, concat_ws}
+import org.apache.spark.sql.functions.{col, concat, concat_ws, lit, raise_error, when}
 
 /** A sorted on-disk key→value store: built ONCE as a distributed Spark
   * job (global range-sort → ordered TSV shards), probed by executors
@@ -25,8 +25,10 @@ import org.apache.spark.sql.functions.{col, concat_ws}
   * Layout: `part-*` text shards, each internally sorted, globally
   * ordered across shard file names (Spark's range partitioner + the
   * part-NNNNN naming). Record = `key \t value \n` in UTF-8. Keys and
-  * values must be tab/newline-free; a NULL value is stored as the
-  * empty string. Key order is raw-byte order — identical to Spark's
+  * values must be tab/newline-free — the build raises on a violation
+  * rather than corrupt the framing. NULL-keyed and NULL-valued rows
+  * are not stored (see [[build]]: absent ≡ null-annotated under the
+  * join face). Key order is raw-byte order — identical to Spark's
   * UTF8String sort, so the range routing and the in-shard bisection
   * agree with the build's `orderBy`.
   *
@@ -47,8 +49,24 @@ object KeyedStore {
     val tmp = Files.createTempDirectory(dir.getParent, s"build-${dir.getFileName}-")
     val out = tmp.resolve("data")
     df.select(col(keyCol).cast("string").as("k"), col(valueCol).cast("string").as("v"))
+      // NULL-valued keys are NOT stored: under the equivalent left-join
+      // face a key mapped to NULL and an absent key both yield a null
+      // annotation, so dropping them here makes lookup(k).isDefined ⟺
+      // "the join's annotation is non-null" on ANY data — the two j5
+      // faces stay bit-identical without a null marker in the record
+      // format. NULL keys can never match an equi-probe either.
+      .filter(col("k").isNotNull && col("v").isNotNull)
       .orderBy(col("k"))
-      .select(concat_ws("\t", col("k"), col("v")))
+      // record layout is delimiter-framed, so a stray '\t'/'\n' in a key
+      // or value would silently corrupt neighboring records' framing —
+      // fail the BUILD loudly instead (codegen'd check, no extra scan)
+      .select(when(
+          col("k").contains("\t") || col("k").contains("\n") ||
+          col("v").contains("\t") || col("v").contains("\n"),
+          raise_error(concat(
+            lit("KeyedStore.build: tab/newline in key or value; key="),
+            col("k"))))
+        .otherwise(concat_ws("\t", col("k"), col("v"))))
       .write.mode("overwrite").text(out.toString)
     try { Files.move(out, dir, StandardCopyOption.ATOMIC_MOVE); () }
     catch { case e: java.nio.file.FileSystemException
@@ -64,6 +82,18 @@ object KeyedStore {
       }
       del(tmp)
     }
+  }
+
+  /** Numeric part index of a Spark output shard ("part-00042-uuid…" →
+    * 42). Raw lexicographic filename order breaks at ≥100k build
+    * partitions — Spark pads to 5 digits, so "part-100000" sorts BEFORE
+    * "part-99999" textually — which would silently break the global
+    * order the range routing bisects over. Non-conforming names sort
+    * last, stably by name.
+    */
+  private[sources] def shardIndex(name: String): Long = {
+    val digits = name.stripPrefix("part-").takeWhile(_.isDigit)
+    if (digits.isEmpty || digits.length > 18) Long.MaxValue else digits.toLong
   }
 
   private val readers = new ConcurrentHashMap[String, Reader]()
@@ -86,7 +116,8 @@ object KeyedStore {
           val n = p.getFileName.toString
           if (n.startsWith("part-") && !n.endsWith(".crc") && Files.size(p) > 0) b += p
         }
-        b.result().sortBy(_.getFileName.toString)
+        b.result().sortBy(p =>
+          (shardIndex(p.getFileName.toString), p.getFileName.toString))
       } finally s.close()
     }
 
@@ -189,7 +220,7 @@ object KeyedStore {
 
     private def valueOf(b: MappedByteBuffer, start: Int, size: Int, keyLen: Int): String = {
       var p = start + keyLen
-      if (p < size && b.get(p) == '\t') p += 1 // else: null value stored keyless-tab
+      if (p < size && b.get(p) == '\t') p += 1 // tab always present (build never stores nulls)
       var e = p
       while (e < size && b.get(e) != '\n') e += 1
       val v = new Array[Byte](e - p)

@@ -273,6 +273,50 @@ object PortalRules {
       b += Rules.Rule("maf_allele_counts_valid",
         violation(coalesce(col("t_ref_count") < 0L, lit(false)) ||
           coalesce(col("t_alt_count") < 0L, lit(false))))
+    // ---- tier 7: presence rules + validateData's warning long tail ----
+    // The vocabulary/format rules above exempt NULL by design (a blank
+    // cell is not a *vocabulary* violation), which means an ALL-blank
+    // column would sail through them. Presence is therefore its own rule
+    // tier — validateData's required-field errors.
+    def blank(c: Column): Column = c.isNull || c.cast("string") === ""
+    if (cols("Reference_Allele") && cols("Tumor_Seq_Allele2"))
+      b += Rules.Rule("maf_allele_present",
+        violation(blank(col("Reference_Allele")) ||
+          blank(col("Tumor_Seq_Allele2"))))
+    if (cols("Strand"))
+      b += Rules.Rule("maf_strand_present", violation(blank(col("Strand"))))
+    if (cols("Chromosome"))
+      b += Rules.Rule("maf_chromosome_present",
+        violation(blank(col("Chromosome"))))
+    if (cols("Start_Position") && cols("End_Position"))
+      b += Rules.Rule("maf_position_present",
+        violation(col("Start_Position").isNull ||
+          col("End_Position").isNull))
+    if (cols("Tumor_Seq_Allele1"))
+      // validateData checks BOTH tumor alleles against the base alphabet
+      b += Rules.Rule("maf_tumor_allele1_valid",
+        violation(coalesce(!col("Tumor_Seq_Allele1").rlike(AllelePattern),
+          lit(false))))
+    if (cols("t_depth") && cols("t_ref_count") && cols("t_alt_count"))
+      // total depth must cover the ref+alt read support (validateData's
+      // read-count consistency warning; nulls pass — optional columns)
+      b += Rules.Rule("maf_read_support_consistent",
+        violation(coalesce(
+          col("t_depth") < col("t_ref_count") + col("t_alt_count"),
+          lit(false))))
+    if (cols("Tumor_Sample_Barcode") && cols("Chromosome") &&
+        cols("Start_Position") && cols("End_Position") &&
+        cols("Tumor_Seq_Allele2"))
+      // the same variant reported twice for one sample (validateData's
+      // duplicate-mutation warning). NULL-robust: every key component is
+      // coalesced to a sentinel so null==null groups, matching SQL
+      // DISTINCT semantics (Spark's countDistinct would DROP null-keyed
+      // rows and silently under-count duplicates otherwise).
+      b += Rules.Rule("maf_no_dup_variants",
+        count(lit(1)) - countDistinct(concat_ws("\u0001",
+          Seq("Tumor_Sample_Barcode", "Chromosome", "Start_Position",
+            "End_Position", "Tumor_Seq_Allele2")
+            .map(c => coalesce(col(c).cast("string"), lit("\u0000"))): _*)))
     b.result()
   }
 
@@ -763,10 +807,15 @@ object PortalRules {
       |           ELSE CAST(l_partkey % 27 AS VARCHAR) END AS chrom,
       |         l_orderkey AS start_pos,
       |         l_orderkey + l_linenumber - 3 AS end_pos,
-      |         CASE l_suppkey % 5 WHEN 0 THEN 'A' WHEN 1 THEN 'C' WHEN 2 THEN 'G'
-      |           WHEN 3 THEN 'T' ELSE 'R' END AS ref_allele,
+      |         CASE WHEN l_suppkey % 23 = 5 THEN NULL
+      |           WHEN l_suppkey % 5 = 0 THEN 'A' WHEN l_suppkey % 5 = 1 THEN 'C'
+      |           WHEN l_suppkey % 5 = 2 THEN 'G' WHEN l_suppkey % 5 = 3 THEN 'T'
+      |           ELSE 'R' END AS ref_allele,
       |         CASE l_suppkey % 4 WHEN 0 THEN 'A' WHEN 1 THEN 'C' WHEN 2 THEN 'G'
       |           ELSE 'T' END AS tum_allele,
+      |         CASE WHEN l_partkey % 13 = 0 THEN '?'
+      |           WHEN l_suppkey % 3 = 0 THEN 'A' WHEN l_suppkey % 3 = 1 THEN 'C'
+      |           ELSE 'G' END AS tum_allele1,
       |         CASE l_returnflag WHEN 'R' THEN 'Somatic' WHEN 'A' THEN 'Germline'
       |           ELSE 'Unknowable' END AS status,
       |         'GRCh38' AS build,
@@ -780,12 +829,17 @@ object PortalRules {
       |         l_partkey % 50021 - 3 AS entrez,
       |         CASE WHEN l_partkey % 487 = 0 THEN ''
       |           ELSE 'G' || CAST(l_partkey % 500 AS VARCHAR) END AS hugo,
-      |         CASE WHEN l_linenumber % 7 = 0 THEN '-' ELSE '+' END AS strand,
+      |         CASE WHEN l_linenumber % 7 = 0 THEN '-'
+      |           WHEN l_linenumber % 7 = 1 THEN NULL ELSE '+' END AS strand,
       |         CASE l_suppkey % 11 WHEN 0 THEN 'Maybe' WHEN 1 THEN 'NA'
       |           ELSE CASE WHEN (l_suppkey % 11) % 2 = 0 THEN 'Verified'
       |             ELSE 'Unknown' END END AS verst,
+      |         l_partkey % 1000 AS t_ref,
       |         CASE WHEN l_suppkey % 19 = 0 THEN -1
-      |           ELSE l_orderkey % 500 END AS t_alt
+      |           ELSE l_orderkey % 500 END AS t_alt,
+      |         (l_partkey % 1000)
+      |           + (CASE WHEN l_suppkey % 19 = 0 THEN -1 ELSE l_orderkey % 500 END)
+      |           - (CASE WHEN l_orderkey % 29 = 0 THEN 5 ELSE 0 END) AS t_depth
       |  FROM lineitem),
       |r AS (
       |  SELECT 'portal_meta_files_resolve' AS rule, 0 AS value
@@ -902,6 +956,27 @@ object PortalRules {
       |      AND end_pos - start_pos + 1 <> length(ref_allele)
       |      THEN 1 ELSE 0 END) FROM maf)
       |  UNION ALL SELECT 'maf_allele_counts_valid',
-      |    (SELECT sum(CASE WHEN t_alt < 0 THEN 1 ELSE 0 END) FROM maf))
+      |    (SELECT sum(CASE WHEN t_alt < 0 THEN 1 ELSE 0 END) FROM maf)
+      |  UNION ALL SELECT 'maf_allele_present',
+      |    (SELECT sum(CASE WHEN ref_allele IS NULL OR ref_allele = ''
+      |      OR tum_allele IS NULL OR tum_allele = '' THEN 1 ELSE 0 END) FROM maf)
+      |  UNION ALL SELECT 'maf_strand_present',
+      |    (SELECT sum(CASE WHEN strand IS NULL OR strand = ''
+      |      THEN 1 ELSE 0 END) FROM maf)
+      |  UNION ALL SELECT 'maf_chromosome_present',
+      |    (SELECT sum(CASE WHEN chrom IS NULL OR chrom = ''
+      |      THEN 1 ELSE 0 END) FROM maf)
+      |  UNION ALL SELECT 'maf_position_present',
+      |    (SELECT sum(CASE WHEN start_pos IS NULL OR end_pos IS NULL
+      |      THEN 1 ELSE 0 END) FROM maf)
+      |  UNION ALL SELECT 'maf_tumor_allele1_valid',
+      |    (SELECT sum(CASE WHEN NOT regexp_matches(tum_allele1, '^[ACGTN-]+$')
+      |      THEN 1 ELSE 0 END) FROM maf)
+      |  UNION ALL SELECT 'maf_read_support_consistent',
+      |    (SELECT sum(CASE WHEN t_depth < t_ref + t_alt THEN 1 ELSE 0 END) FROM maf)
+      |  UNION ALL SELECT 'maf_no_dup_variants',
+      |    (SELECT count(*) FROM maf) - (SELECT count(*) FROM
+      |      (SELECT DISTINCT barcode, chrom, start_pos, end_pos, tum_allele
+      |       FROM maf) t))
       |SELECT rule, CAST(value AS BIGINT) AS value, value = 0 AS passed FROM r""".stripMargin
 }

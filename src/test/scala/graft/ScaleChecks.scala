@@ -37,6 +37,7 @@ object ScaleChecks {
     if (what == "knn" || what == "all") knnAccounting(spark, dir)
     if (what == "simhash" || what == "all") simhashEquivalence(spark, dir)
     if (what == "prefix" || what == "all") prefixStability(spark, dir)
+    if (what == "graph" || what == "all") graphAccounting(spark, dir)
     spark.stop()
   }
 
@@ -116,5 +117,81 @@ object ScaleChecks {
       (if (bad.isEmpty) "ALL-STABLE"
        else s"MISMATCH at ${bad.map(_._1).mkString(",")}"))
     require(bad.isEmpty, "lshSigBits prefix stability violated")
+  }
+
+  /** Per-round cost accounting for the iterative graph family
+    * (g_pagerank / g_sssp / g_khop / g_random_walk): materialize every
+    * round separately with the EXACT production round plan (the
+    * private[queries] round functions the queries themselves fold
+    * over) and report (round, rows, wall). The claim under audit: total
+    * cost = rounds × (one join against the src-partitioned cached edge
+    * table + one aggregate), with per-round data volume bounded by the
+    * frontier/rank frame, never re-deriving prior rounds — so the
+    * family's wall time is round count × frontier-join cost, the shape
+    * that survives a 100× scale-up.
+    */
+  def graphAccounting(spark: SparkSession, dir: String): Unit = {
+    import GraphQueries._
+    def round(tag: String, i: Int)(f: => DataFrame): DataFrame = {
+      val t0 = System.nanoTime()
+      val out = f.localCheckpoint()
+      val rows = out.count()
+      println(f"[scale] graph $tag%-12s round $i: rows=$rows%-10d " +
+        f"${(System.nanoTime() - t0) / 1e9}%7.3f s")
+      out
+    }
+    val edges = tradeEdges(spark, dir)
+    val ne = time("graph edge cache build+count (shared)")(edges.count())
+    val deg = tradeDeg(spark, dir)
+    val n = deg.count()
+    println(s"[scale] graph: edges=$ne nodes=$n")
+
+    // g_pagerank — dense iteration: every round's frame is all N nodes,
+    // join input is the full edge cache (rank moves, edges do not)
+    val teleport = (PrTotalPpb - PrDampNum * PrTotalPpb / PrDampDen) / n
+    var rank = deg.withColumn("rank", lit(PrTotalPpb / n)).localCheckpoint()
+    (1 to PrIters).foreach { i =>
+      rank = round("pagerank", i)(pagerankRound(edges, deg, rank, teleport))
+    }
+
+    // g_sssp — the distance frame grows toward N then saturates;
+    // relaxation input per round = |frontier ⋈ edges|
+    val wedges = weightedEdges(spark, dir)
+    time("graph weighted edge cache build+count")(wedges.count())
+    var dist = wedges
+      .filter(col("src").startsWith("S") &&
+        substring(col("src"), 2, 18).cast("long") < KhopSeedMax)
+      .select(col("src").as("node")).distinct()
+      .withColumn("dist", lit(0L)).localCheckpoint()
+    println(s"[scale] graph sssp seeds=${dist.count()}")
+    (1 to SsspRounds).foreach { i =>
+      dist = round("sssp", i)(ssspRound(wedges, dist))
+    }
+
+    // g_khop — BFS frontier: reported rows are the NEW nodes per hop
+    // (the anti-join output), the quantity that bounds the next round
+    val seeds = tradeDeg(spark, dir)
+      .filter(col("node").startsWith("S") &&
+        substring(col("node"), 2, 18).cast("long") < KhopSeedMax)
+      .select(col("node"))
+    var vis = seeds.withColumn("dist", lit(0)).localCheckpoint()
+    var frontier = vis.select(col("node"))
+    println(s"[scale] graph khop seeds=${vis.count()}")
+    (1 to KhopRounds).foreach { i =>
+      val next = round("khop", i)(khopExpand(edges, vis, frontier, i))
+      vis = vis.union(next).localCheckpoint()
+      frontier = next.select(col("node"))
+    }
+
+    // g_random_walk — frontier is walk-count-sized (seed cohort) at
+    // every step: per-round cost is constant in the graph size
+    var walkers = tradeDeg(spark, dir)
+      .filter(col("node").startsWith("S") &&
+        substring(col("node"), 2, 18).cast("long") < KhopSeedMax)
+      .select(col("node").as("start"), col("node").as("cur"))
+      .localCheckpoint()
+    (1 to WalkSteps).foreach { i =>
+      walkers = round("random_walk", i)(walkStep(edges, walkers, i))
+    }
   }
 }

@@ -50,19 +50,53 @@ class KeyedStoreSpec extends AnyFunSuite {
     assert(r.lookup("anything").isEmpty)
   }
 
-  test("null values round-trip as empty string; rebuild is a no-op") {
+  test("null-valued keys are NOT stored (absent ≡ null-annotated); " +
+    "rebuild is a no-op") {
     val dir = freshDir()
     val df = Seq((1L, "one"), (2L, null.asInstanceOf[String]), (3L, "three"))
       .toDF("k", "v")
     KeyedStore.build(df, "k", "v", dir)
     val r = KeyedStore.open(dir.toString)
     assert(r.lookup("1") == Some("one"))
-    assert(r.lookup("2") == Some(""))
+    // a key whose value is NULL behaves exactly like an absent key —
+    // under the broadcast-join face both produce a null annotation, so
+    // the live face must report a miss, never Some("")
+    assert(r.lookup("2").isEmpty)
     assert(r.lookup("3") == Some("three"))
     // second build against an existing store returns without touching it
     val before = Files.getLastModifiedTime(dir)
     KeyedStore.build(Seq((9L, "nine")).toDF("k", "v"), "k", "v", dir)
     assert(Files.getLastModifiedTime(dir) == before)
     assert(KeyedStore.open(dir.toString).lookup("9").isEmpty)
+  }
+
+  test("a tab or newline in key/value fails the build loudly") {
+    // surfaces as SparkRuntimeException (raise_error) or SparkException
+    // (wrapped task failure) depending on where the projection runs
+    val tab = freshDir()
+    val e1 = intercept[Exception] {
+      KeyedStore.build(Seq((1L, "a\tb")).toDF("k", "v"), "k", "v", tab)
+    }
+    def mentions(t: Throwable): Boolean =
+      t != null && (Option(t.getMessage).exists(_.contains("KeyedStore.build"))
+        || mentions(t.getCause))
+    assert(mentions(e1), s"unexpected failure: $e1")
+    val nl = freshDir()
+    val e2 = intercept[Exception] {
+      KeyedStore.build(Seq(("x\ny", "v")).toDF("k", "v"), "k", "v", nl)
+    }
+    assert(mentions(e2), s"unexpected failure: $e2")
+  }
+
+  test("shards order numerically, not lexicographically (part-100000)") {
+    // at >=100k build partitions Spark emits 6-digit part numbers;
+    // 'part-100000' < 'part-99999' textually would break global order
+    val names = Seq("part-100000-uuid.txt", "part-00000-uuid.txt",
+      "part-99999-uuid.txt", "part-00010-uuid.txt")
+    val sorted = names.sortBy(n => (KeyedStore.shardIndex(n), n))
+    assert(sorted == Seq("part-00000-uuid.txt", "part-00010-uuid.txt",
+      "part-99999-uuid.txt", "part-100000-uuid.txt"))
+    // non-conforming names sort last rather than as shard 0
+    assert(KeyedStore.shardIndex("data.txt") == Long.MaxValue)
   }
 }

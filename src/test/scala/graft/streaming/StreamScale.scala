@@ -14,12 +14,19 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * event-time timeouts actually fire), and report throughput + state
   * rows + RocksDB footprint from the query's progress metrics.
   *
-  * Run: sbt "Test/runMain graft.streaming.StreamScale <sfDir> [nSplits]"
+  * Run: sbt "Test/runMain graft.streaming.StreamScale <sfDir> [nSplits] [repl]"
+  *
+  * `repl` > 1 synthesizes one more decade in-harness: the event table is
+  * replicated `repl`× with DISJOINT user/event id spaces (copy r shifts
+  * ids by r·max), so both event volume AND the session-key universe grow
+  * `repl`× — the honest next decade for keyed state, since open-session
+  * state scales with users, not events.
   */
 object StreamScale {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/repo/testdata-sf1")
     val nSplits = args.lift(1).map(_.toInt).getOrElse(20)
+    val repl = args.lift(2).map(_.toInt).getOrElse(1)
     implicit val spark: SparkSession = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.extensions", "graft.GraftExtensions")
@@ -35,9 +42,20 @@ object StreamScale {
     // time-ordered splits: the file stream source processes oldest-mod-
     // time first, so writing slices sequentially gives in-order batches
     // and a genuinely advancing watermark
-    val events = graft.Tables.events(spark, dir)
+    val base = graft.Tables.events(spark, dir)
       .select(col("event_id"), col("ts"), col("user_id"),
         col("event_type"), col("value"))
+    val events =
+      if (repl <= 1) base
+      else {
+        val m = base.agg(max(col("event_id")), max(col("user_id"))).head()
+        val (maxE, maxU) = (m.getLong(0) + 1L, m.getLong(1) + 1L)
+        (0 until repl).map { r =>
+          base.select((col("event_id") + lit(r * maxE)).as("event_id"),
+            col("ts"), (col("user_id") + lit(r * maxU)).as("user_id"),
+            col("event_type"), col("value"))
+        }.reduce(_ union _)
+      }
     val n = events.count()
     val Array(tMin, tMax) = events
       .agg(min(col("ts")).cast("long"), max(col("ts")).cast("long"))
@@ -52,7 +70,7 @@ object StreamScale {
       ()
     }
     val sliceFiles = s"$streamDir/slice_*"
-    println(s"[stream] sfDir=$dir events=$n splits=$nSplits")
+    println(s"[stream] sfDir=$dir events=$n splits=$nSplits repl=$repl")
 
     def drive(name: String, out: Dataset[_]): Unit = {
       val ckpt = Files.createTempDirectory(s"graft-ckpt-$name").toString
@@ -74,9 +92,18 @@ object StreamScale {
       val sst = st.flatMap(s0 => Option(s0.customMetrics)
         .map(m => Option(m.get("rocksdbSstFileSize")).map(_.longValue).getOrElse(-1L)))
         .getOrElse(-1L)
+      // final-watermark lag behind the stream's max event time: how far
+      // event-time processing trails the data's frontier once the last
+      // batch lands (bounded by the withWatermark delay + one batch)
+      val wmLagSec = progs.reverseIterator
+        .flatMap(p => Option(p.eventTime).flatMap(m => Option(m.get("watermark"))))
+        .find(_ => true)
+        .map(w => tMax - java.time.Instant.parse(w).getEpochSecond)
+        .getOrElse(-1L)
       println(f"[stream] $name%-10s wall=$wall%8.2f s rows=$rows " +
         f"batches=$batches thrpt=${rows / wall}%,.0f ev/s " +
-        f"state_rows=$stateRows state_mem=$mem sst_bytes=$sst")
+        f"state_rows=$stateRows state_mem=$mem sst_bytes=$sst " +
+        f"wm_lag=${wmLagSec}s")
     }
 
     def src: Dataset[Event] = spark.readStream

@@ -619,4 +619,85 @@ class PortalRulesSpec extends AnyFunSuite {
     assert(rep("clinical_no_dup_patient_id")._2)
     assert(rep("sample_patient_in_patients")._2, "every sample's patient exists")
   }
+
+  // ---- tier 7: presence rules + validateData's warning long tail ----
+
+  test("ALL-blank allele/strand columns pass the vocabulary rules but " +
+    "trip the presence rules") {
+    // the NULL exemption in the vocabulary rules means an all-blank
+    // Reference_Allele/Tumor_Seq_Allele2/Strand file would pass
+    // maf_allele_valid / maf_strand_valid outright — presence is its
+    // own rule tier, so the file still fails
+    val dir = healthyPackage()
+    val maf = Seq(("s1", "", "", ""), ("s2", "", "", ""))
+      .toDF("Tumor_Sample_Barcode", "Reference_Allele", "Tumor_Seq_Allele2",
+        "Strand")
+    Tsv.writeTsvFile(maf, s"$dir/data_mutations.txt")
+    val rep = reportMap(dir)
+    assert(rep("maf_allele_valid")._2, "vocabulary rule exempts blanks")
+    assert(rep("maf_strand_valid")._2, "vocabulary rule exempts blanks")
+    assert(rep("maf_allele_present") == ((2L, false)))
+    assert(rep("maf_strand_present") == ((2L, false)))
+  }
+
+  test("blank chromosome / null position trip their presence rules") {
+    val dir = healthyPackage()
+    val maf = Seq(
+      ("s1", "17", Some(100L), Some(101L)),
+      ("s2", "", Some(50L), Some(50L)),   // blank chromosome
+      ("s3", "X", None, Some(7L)))        // null Start_Position
+      .toDF("Tumor_Sample_Barcode", "Chromosome", "Start_Position",
+        "End_Position")
+    Tsv.writeTsvFile(maf, s"$dir/data_mutations.txt")
+    val rep = reportMap(dir)
+    assert(rep("maf_chromosome_present") == ((1L, false)))
+    assert(rep("maf_position_present") == ((1L, false)))
+    assert(rep("maf_chromosome_valid")._2, "blank is exempt from vocabulary")
+    assert(rep("maf_extent_valid")._2, "null extent is exempt from ordering")
+  }
+
+  test("non-base Tumor_Seq_Allele1 trips maf_tumor_allele1_valid; " +
+    "nulls exempt") {
+    val dir = healthyPackage()
+    val maf = Seq(
+      ("s1", "C", "A", "T"),
+      ("s2", "?", "G", "A"),  // violation
+      ("s3", null, "C", "G"))
+      .toDF("Tumor_Sample_Barcode", "Tumor_Seq_Allele1", "Reference_Allele",
+        "Tumor_Seq_Allele2")
+    Tsv.writeTsvFile(maf, s"$dir/data_mutations.txt")
+    val rep = reportMap(dir)
+    assert(rep("maf_tumor_allele1_valid") == ((1L, false)))
+  }
+
+  test("t_depth short of ref+alt trips maf_read_support_consistent; " +
+    "nulls pass") {
+    val dir = healthyPackage()
+    val maf = Seq(
+      ("s1", Some(10L), Some(5L), Some(15L)),  // exactly covered
+      ("s2", Some(10L), Some(5L), Some(20L)),  // slack is fine
+      ("s3", Some(10L), Some(5L), Some(14L)),  // violation: 1 read short
+      ("s1", Some(3L), Some(2L), None))        // optional column: exempt
+      .toDF("Tumor_Sample_Barcode", "t_ref_count", "t_alt_count", "t_depth")
+    Tsv.writeTsvFile(maf, s"$dir/data_mutations.txt")
+    val rep = reportMap(dir)
+    assert(rep("maf_read_support_consistent") == ((1L, false)))
+    assert(rep("maf_allele_counts_valid")._2)
+  }
+
+  test("same variant twice for one sample trips maf_no_dup_variants; " +
+    "null components group as equal (SQL DISTINCT semantics)") {
+    val dir = healthyPackage()
+    val maf = Seq(
+      ("s1", "17", Some(100L), Some(101L), "T"),
+      ("s1", "17", Some(100L), Some(101L), "T"),  // exact dup
+      ("s1", "17", Some(100L), Some(101L), "A"),  // different allele: fine
+      ("s2", "X", None, Some(7L), "G"),
+      ("s2", "X", None, Some(7L), "G"))           // null-keyed dup still counts
+      .toDF("Tumor_Sample_Barcode", "Chromosome", "Start_Position",
+        "End_Position", "Tumor_Seq_Allele2")
+    Tsv.writeTsvFile(maf, s"$dir/data_mutations.txt")
+    val rep = reportMap(dir)
+    assert(rep("maf_no_dup_variants") == ((2L, false)))
+  }
 }
