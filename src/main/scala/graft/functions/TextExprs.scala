@@ -54,6 +54,61 @@ object TextOps {
     */
   def wsTokenCount(s: UTF8String): Int = tokenRunCount(s.getBytes)
 
+  /** Mixing finalizer for [[tokenHash]] (murmur3's avalanche), so the
+    * rolling byte hash distributes well as a hash-table bucket key. */
+  @inline def mixHash(h0: Int): Int = {
+    var h = h0
+    h ^= h >>> 16; h *= 0x85ebca6b
+    h ^= h >>> 13; h *= 0xc2b2ae35
+    h ^ (h >>> 16)
+  }
+
+  /** Hash of a UTF8String's bytes under the SAME function
+    * [[foreachWsTokenHashed]] computes inline during its scan — the one
+    * token-hash every SpaceSaving state operation uses, so a hash
+    * computed by either path always matches.
+    */
+  def tokenHash(s: UTF8String): Int = {
+    var h = 1
+    var i = 0
+    val n = s.numBytes()
+    while (i < n) { h = h * 31 + (s.getByte(i) & 0xff); i += 1 }
+    mixHash(h)
+  }
+
+  /** Visit each maximal non-whitespace run of `s` as a UTF8String slice
+    * plus its [[tokenHash]], computed DURING the boundary scan (one pass
+    * over the bytes total — the consumer never re-reads token bytes just
+    * to hash them). Token boundaries identical to [[wsSplit]] — same
+    * isWs/isCont scanner, so a consumer can never disagree with the
+    * exploded-stream form on what a token is. Slices alias `s`'s byte
+    * array: a consumer that retains one must clone it.
+    */
+  def foreachWsTokenHashed(s: UTF8String, f: (UTF8String, Int) => Unit): Unit = {
+    val bytes = s.getBytes
+    var start = -1
+    var h = 1
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i)
+      val ws = !isCont(b) && isWs(b)
+      if (!ws) {
+        if (start < 0) { start = i; h = 1 }
+        h = h * 31 + (b & 0xff)
+      } else if (start >= 0) {
+        f(UTF8String.fromBytes(bytes, start, i - start), mixHash(h))
+        start = -1
+      }
+      i += 1
+    }
+    if (start >= 0)
+      f(UTF8String.fromBytes(bytes, start, bytes.length - start), mixHash(h))
+  }
+
+  /** [[foreachWsTokenHashed]] without the hash. */
+  def foreachWsToken(s: UTF8String, f: UTF8String => Unit): Unit =
+    foreachWsTokenHashed(s, (t, _) => f(t))
+
   /** Maximal non-whitespace byte runs as an array — exactly
     * `filter(split(trim(s), "\s+"), t -> length(t) > 0)` (empty array
     * for blank s). The regex-split + interpreted HOF-filter form walks

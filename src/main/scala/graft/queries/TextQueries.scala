@@ -356,9 +356,12 @@ object TextQueries {
     * guarantees against exact counts instead.
     */
   def taHeavyHitters: Q = (s, dir) => {
-    val toks = cachedToks(s, dir).select(col("source"), col("tok"))
-    toks.groupBy(col("source"))
-      .agg(graft.functions.SpaceSavingAgg.spaceSaving(col("tok"), 16).as("hh"))
+    // text-mode sketch: tokenize inside the aggregate's update (one
+    // corpus scan, r12) — the exploded cachedToks stream at sf10 is
+    // 128M rows whose only consumer here is a 16-counter sketch
+    Tables.documents(s, dir).groupBy(col("source"))
+      .agg(graft.functions.SpaceSavingAgg
+        .spaceSavingText(lower(trim(col("text"))), 16).as("hh"))
       .select(col("source"), posexplode(col("hh")))
       .select(col("source"), (col("pos") + 1).as("pos"),
         col("col.item").as("item"), col("col.est").as("est"), col("col.err").as("err"))
@@ -395,12 +398,16 @@ object TextQueries {
     // list a superset with margin; pass 2's exact n/64 threshold (and
     // the oracle) are unchanged.
     val sketchCap = 4 * cap
-    val toks = cachedToks(s, dir).select(col("source"), col("tok"))
-    // the per-source stream length rides in the SAME aggregate as the
-    // sketch (count next to spaceSaving), so pass 1 is one tokenize scan
-    val candRows = toks.groupBy(col("source"))
-      .agg(graft.functions.SpaceSavingAgg.spaceSaving(col("tok"), sketchCap).as("hh"),
-        count(lit(1)).as("n"))
+    // pass 1 — ONE corpus scan: the sketch tokenizes inside its update
+    // (spaceSavingText, r12 — the r11 form still read the 128M-row
+    // exploded cachedToks stream through the aggregate iterator, which
+    // was the pass's whole cost at sf10), and the per-source stream
+    // length rides in the SAME aggregate (sum of the codegen'd ws token
+    // count ≡ count over the exploded stream — shared scanner).
+    val candRows = Tables.documents(s, dir).groupBy(col("source"))
+      .agg(graft.functions.SpaceSavingAgg
+          .spaceSavingText(lower(trim(col("text"))), sketchCap).as("hh"),
+        sum(TextExprs.wsTokenCount(col("text")).cast("long")).as("n"))
       .select(col("source"), col("n"), explode(col("hh.item")).as("tok"))
       .collect() // bounded control table: ≤ sketchCap × |sources| rows
     val candsBySource: Map[String, Array[String]] = candRows

@@ -308,15 +308,17 @@ object PortalRules {
         cols("Start_Position") && cols("End_Position") &&
         cols("Tumor_Seq_Allele2"))
       // the same variant reported twice for one sample (validateData's
-      // duplicate-mutation warning). NULL-robust: every key component is
-      // coalesced to a sentinel so null==null groups, matching SQL
-      // DISTINCT semantics (Spark's countDistinct would DROP null-keyed
-      // rows and silently under-count duplicates otherwise).
+      // duplicate-mutation warning). The key is a STRUCT, not a string
+      // concat (no per-row allocation over a fact-sized MAF), and a
+      // struct is never null even when a component is — so unlike
+      // multi-column countDistinct (which DROPS null-keyed rows and
+      // under-counts duplicates), null components group as equal,
+      // matching SQL DISTINCT-tuple semantics.
       b += Rules.Rule("maf_no_dup_variants",
-        count(lit(1)) - countDistinct(concat_ws("\u0001",
-          Seq("Tumor_Sample_Barcode", "Chromosome", "Start_Position",
-            "End_Position", "Tumor_Seq_Allele2")
-            .map(c => coalesce(col(c).cast("string"), lit("\u0000"))): _*)))
+        count(lit(1)) - countDistinct(struct(
+          col("Tumor_Sample_Barcode"), col("Chromosome"),
+          col("Start_Position"), col("End_Position"),
+          col("Tumor_Seq_Allele2"))))
     b.result()
   }
 

@@ -43,6 +43,28 @@ class SpaceSavingAggSpec extends AnyFunSuite {
     assert(byItem.contains("warm"))
   }
 
+  test("spaceSavingText == spaceSaving over exploded tokens " +
+    "(single partition: identical offer order => identical sketch)") {
+    // in one partition + one group the update order is row/token order,
+    // so the two forms must produce the SAME sketch bit-for-bit — this
+    // pins the in-aggregate tokenizer to the wsSplit scanner
+    val docs = Seq("the cat sat on the mat", "THE Dog", "", "   ",
+      "tail one  two\tthe\nthe", "unicode καλά καλά x")
+      .toDF("text").coalesce(1)
+    val k = 4
+    def run(df: org.apache.spark.sql.DataFrame) = reported(
+      df.select(explode(col("hh")).as("e"))
+        .select(col("e.item").as("item"), col("e.est").as("est"),
+          col("e.err").as("err")))
+    val viaText = run(docs.agg(
+      SpaceSavingAgg.spaceSavingText(lower(trim(col("text"))), k).as("hh")))
+    val viaToks = run(docs
+      .select(explode(TextExprs.wsSplit(lower(trim(col("text"))))).as("tok"))
+      .agg(SpaceSavingAgg.spaceSaving(col("tok"), k).as("hh")))
+    assert(viaText == viaToks)
+    assert(viaText.nonEmpty)
+  }
+
   test("ta_heavy_hitters: per-source guarantees hold on the real corpus") {
     import graft.SparkTestBase.sf001
     val toks = graft.Tables.documents(spark, sf001)
