@@ -324,6 +324,34 @@ object TextOps {
     Array(nTok, ids.size(), maxFreq, bigrams.size())
   }
 
+  /** Per-document term frequencies — one `(tok, tf)` struct per DISTINCT
+    * token, in first-occurrence order, from a single byte scan.
+    * Equivalent to `explode(wsSplit(s))` followed by a per-document
+    * `groupBy(tok).count()`, but the repeat-collapsing happens inside
+    * the scan: the exploded form ships the FULL token stream (every
+    * repeat a row) into a hash aggregate, which at corpus scale is the
+    * dominant shuffle of the tf-idf / inverted-index builds — this
+    * kernel hands downstream operators the already-collapsed pair
+    * stream, so nothing token-volume ever moves.
+    */
+  def tokTf(s: UTF8String): GenericArrayData = {
+    val counts = new java.util.LinkedHashMap[UTF8String, Array[Long]]()
+    foreachWsToken(s, { tok =>
+      var e = counts.get(tok)
+      if (e == null) { e = Array(0L); counts.put(tok, e) }
+      e(0) += 1L
+    })
+    val out = new Array[Any](counts.size())
+    var k = 0
+    val it = counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      out(k) = new GenericInternalRow(Array[Any](e.getKey, e.getValue()(0)))
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** xxhash64 (seed 42 — Spark's `xxhash64`) of every word n-gram of an
     * ALREADY whitespace-normalized string (single spaces, the
     * `regexp_replace(\s+ → ' ')` form), without materializing a single
@@ -848,6 +876,36 @@ case class TokenRepStats(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `tok_tf(string)` → array<struct<tok:string, tf:bigint>>: per-document
+  * distinct-token term frequencies in one byte scan (see
+  * [[TextOps.tokTf]]).
+  */
+case class TokTf(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("tok", StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("tf",
+          org.apache.spark.sql.types.LongType, nullable = false))),
+      containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "tok_tf"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"tok_tf expects string, got $t")
+  }
+
+  override protected def nullSafeEval(s: Any): Any =
+    TextOps.tokTf(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextOps.tokTf($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** `word_gram_hashes(string, n)` → array<long>: xxhash64 of each word
   * n-gram of a whitespace-normalized string, hashed in place (see
   * [[TextOps.wordGramHashes]]).
@@ -919,6 +977,8 @@ object TextExprs {
     Bridge.column(WordSetCount(Bridge.expression(c), words))
   def tokenRepStats(c: Column): Column =
     Bridge.column(TokenRepStats(Bridge.expression(c)))
+  def tokTf(c: Column): Column =
+    Bridge.column(TokTf(Bridge.expression(c)))
   def wordGramHashes(c: Column, n: Int): Column =
     Bridge.column(WordGramHashes(Bridge.expression(c), n))
   def bpeTokenCount(c: Column): Column =

@@ -794,6 +794,10 @@ object OlapQueries {
     * tiebreak: every slot is integer-deterministic cross-engine.
     */
   def a16TopkAgg: Q = (s, dir) => {
+    // user-cardinality group key under a typed-imperative agg: raise
+    // the object-hash-agg fallback valve (bounded k-heap states; see
+    // TopKAgg.ensureHashAggCapacity)
+    graft.functions.TopKAgg.ensureHashAggCapacity(s)
     val ev = Tables.events(s, dir).select(
       col("user_id"),
       floor(col("value") * 100).cast("long").as("cents"),

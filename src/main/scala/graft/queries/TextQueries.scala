@@ -604,18 +604,21 @@ object TextQueries {
     * instead die at the size limit, so the hint is deliberately absent.
     * This replaced a 3-shuffle plan — (doc,tok) agg, tok join, doc
     * window — that re-shuffled token-scale data twice; 6.5 s → ~2.3 s
-    * at sf1.
+    * at sf1. r12: the term-frequency aggregate itself moved INTO the
+    * scan — [[graft.functions.TextExprs.tokTf]] emits each document's
+    * already-collapsed (tok, tf) pairs from one compiled byte scan
+    * (equivalence spec: TextExprsSpec), so the full token stream (every
+    * repeat a row) is never materialized at all; the surviving
+    * exchanges carry only distinct-(doc,tok)-pair volume.
     * Ranking is integer-deterministic — (tf desc, df asc, tok asc) — so
     * float idf noise can never reorder rows; the tfidf score itself is
     * informational output, rounded to 4.
     */
   def taTfidf: Q = (s, dir) => {
     val docs = Tables.documents(s, dir)
-    val toks = docs.select(col("doc_id"),
-      explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
-      .filter(length(col("tok")) > 0)
-      .repartition(col("doc_id"))
-    val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val tf = docs.select(col("doc_id"),
+      explode(graft.functions.TextExprs.tokTf(lower(trim(col("text"))))).as("p"))
+      .select(col("doc_id"), col("p.tok").as("tok"), col("p.tf").as("tf"))
     val dfreq = tf.select(col("tok")).groupBy(col("tok"))
       .agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(countDistinct(col("doc_id")).as("n_docs"))
@@ -1506,19 +1509,45 @@ object TextQueries {
     * (token, doc) pre-aggregate collapses each document's repeats
     * map-side before anything moves, and the posting-list agg then
     * handles one row per distinct (token, doc) pair — the classic
-    * two-level distributed index build. The df filter is a HAVING on
-    * the second agg; truncation to a prefix bounds the report row
-    * width (a full index would stream the complete lists to a sink
-    * instead of truncating).
+    * two-level distributed index build. r12: the first level (per-doc
+    * repeat collapse) moved into the scan — [[graft.functions.TextExprs
+    * .tokTf]] emits each document's (tok, tf) pairs directly
+    * (equivalence spec: TextExprsSpec), so the single surviving shuffle is
+    * the posting-list aggregate over distinct (token, doc) pairs; the
+    * exploded token stream never exists. The df filter is a HAVING on
+    * that agg. The posting prefix itself is a BOUNDED k-heap aggregate
+    * ([[graft.functions.TopKAgg]] under (−doc_id DESC, doc_id ASC) ==
+    * the [[InvPostings]] smallest doc ids): the
+    * `slice(sort_array(collect_list(doc_id)))` form it replaced
+    * collected and sorted the FULL posting list per token before
+    * truncating — for stop-word-class tokens df ≈ corpus size, an
+    * unbounded per-group state that is exactly the shape that dies at
+    * 100 TB, and measured as the dominant cost of the whole query at
+    * sf10 (29 s full vs 8 s for the same agg without postings; the
+    * k-heap runs the full query at the agg's own cost). It also
+    * composes with df/tf_total in the SAME single-pass aggregate, so
+    * the map-side combine ships one bounded buffer per (partition,
+    * token). A full index would stream complete lists to a sink
+    * instead of truncating.
     */
   def taInvertedIndex: Q = (s, dir) => {
-    cachedToks(s, dir)
-      .groupBy(col("tok"), col("doc_id")).agg(count(lit(1)).as("tf"))
+    // vocab-cardinality group key under a typed-imperative agg: raise
+    // the object-hash-agg fallback valve (bounded k-heap states; see
+    // TopKAgg.ensureHashAggCapacity — sort fallback measured 21 s vs
+    // 8 s at sf10)
+    graft.functions.TopKAgg.ensureHashAggCapacity(s)
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        explode(graft.functions.TextExprs.tokTf(lower(trim(col("text"))))).as("p"))
+      .select(col("doc_id"), col("p.tok").as("tok"), col("p.tf").as("tf"))
       .groupBy(col("tok"))
       .agg(count(lit(1)).as("df"), sum(col("tf")).cast("long").as("tf_total"),
-        expr(s"array_join(transform(slice(sort_array(collect_list(doc_id)), 1, $InvPostings), x -> cast(x AS STRING)), ',')")
-          .as("postings"))
+        graft.functions.TopKAgg.topK(-col("doc_id"), col("doc_id"), InvPostings)
+          .as("top"))
       .filter(col("df") >= InvMinDf)
+      .select(col("tok"), col("df"), col("tf_total"),
+        expr("array_join(transform(top, x -> cast(x.id AS STRING)), ',')")
+          .as("postings"))
   }
 
   val queries: Map[String, Q] = Map(

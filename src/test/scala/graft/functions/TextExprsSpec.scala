@@ -91,6 +91,49 @@ class TextExprsSpec extends AnyFunSuite {
     assert(bad.isEmpty, s"mismatch on: ${bad.map(_.getString(0)).toSeq}")
   }
 
+  test("tokTf == explode(wsSplit) + per-doc groupBy count — edge cases, generated inputs, corpus") {
+    // the exploded reference form, as a sorted pair list per input
+    def expected(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("tok", explode(TextExprs.wsSplit($"t")))
+      .groupBy($"t", $"tok").agg(count(lit(1)).as("tf"))
+      .groupBy($"t")
+      .agg(sort_array(collect_list(struct($"tok", $"tf"))).as("pairs"))
+    def actual(df: org.apache.spark.sql.DataFrame) = df
+      .select($"t", explode(TextExprs.tokTf($"t")).as("p"))
+      .groupBy($"t")
+      .agg(sort_array(collect_list(struct($"p.tok".as("tok"), $"p.tf".as("tf"))))
+        .as("pairs"))
+    def check(df: org.apache.spark.sql.DataFrame): Unit = {
+      val a = actual(df).withColumnRenamed("pairs", "a_pairs")
+      val e = expected(df).withColumnRenamed("pairs", "e_pairs")
+      val bad = a.join(e, Seq("t")).filter($"a_pairs" =!= $"e_pairs").collect()
+      assert(bad.isEmpty, s"mismatch on: ${bad.map(_.getString(0)).toSeq}")
+      // zero-token inputs: the kernel must emit an EMPTY array (the
+      // exploded form drops the row entirely, so the join above never
+      // sees it)
+      val blanks = df.filter(size(TextExprs.wsSplit($"t")) === 0 &&
+        size(TextExprs.tokTf($"t")) =!= 0).collect()
+      assert(blanks.isEmpty, s"non-empty tokTf on blank: ${blanks.toSeq}")
+    }
+    check(cases.toDF("t"))
+    // adversarial generated inputs: ws runs, multibyte, repeats
+    val tokc = org.scalacheck.Gen.frequency(
+      (4, org.scalacheck.Gen.oneOf("a", "b", "ab", "é", "wörld", "_x", "9")),
+      (3, org.scalacheck.Gen.oneOf(" ", "\t", "\n", "", "\f", "\r")),
+      (1, org.scalacheck.Gen.oneOf("", "  ", "a a")))
+    val strGen = for {
+      n <- org.scalacheck.Gen.choose(0, 30)
+      cs <- org.scalacheck.Gen.listOfN(n, tokc)
+    } yield cs.mkString
+    val gen = (0 until 300).map(i => strGen.pureApply(
+      org.scalacheck.Gen.Parameters.default,
+      org.scalacheck.rng.Seed(i.toLong))).distinct
+    check(gen.toDF("t"))
+    // the real corpus surface (what the oracle gate exercises)
+    check(graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(lower(trim($"text")).as("t")).distinct())
+  }
+
   test("wordGramHashes == xxhash64(concat_ws of split-by-space grams), empties included") {
     // the kernel runs on ALREADY-normalized text but must replicate
     // split(s, " ") exactly — including empty tokens from leading /
