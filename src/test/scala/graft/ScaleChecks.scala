@@ -38,6 +38,7 @@ object ScaleChecks {
     if (what == "simhash" || what == "all") simhashEquivalence(spark, dir)
     if (what == "prefix" || what == "all") prefixStability(spark, dir)
     if (what == "graph" || what == "all") graphAccounting(spark, dir)
+    if (what == "ppjoin" || what == "all") ppjoinAccounting(spark, dir)
     spark.stop()
   }
 
@@ -193,5 +194,64 @@ object ScaleChecks {
     (1 to WalkSteps).foreach { i =>
       walkers = round("random_walk", i)(walkStep(edges, walkers, i))
     }
+  }
+
+  /** Stage accounting for dd_prefix_join (the PPJoin family): the claim
+    * under audit is candidate volume = Σ_gram prefix-df(gram)² bounded by
+    * the rare-first canonical order. Reports gram/prefix/candidate/verify
+    * volumes plus per-stage wall time, so a corpus whose duplication
+    * structure defeats the prefix filter (candidates ≫ output) is visible
+    * as data, not as an opaque slow query.
+    */
+  def ppjoinAccounting(spark: SparkSession, dir: String): Unit = {
+    import DedupQueries.{PjNum, PjDen}
+    val grams = FrameCache.cached(spark, s"ta_grams_stream:$dir")(
+      TextQueries.gramStream(graft.Tables.documents(spark, dir))
+        .repartition(col("gram")))
+    val ng = time("gram stream build+count")(grams.count())
+    val nd = grams.select(col("doc_id")).distinct().count()
+    println(s"[scale] ppjoin: grams=$ng docs=$nd avg_grams_per_doc=${ng / math.max(nd, 1)}")
+
+    import org.apache.spark.sql.expressions.Window
+    val freq = grams.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+    val wd = Window.partitionBy(col("doc_id"))
+    val wr = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("gram"))
+    val ranked = grams.join(freq, Seq("gram"))
+      .withColumn("sz", count(lit(1)).over(wd))
+      .withColumn("rnk", row_number().over(wr))
+    val prefix = ranked.filter(
+      col("rnk") <= col("sz") - expr(s"($PjNum * sz + $PjDen - 1) div $PjDen") + 1)
+      .localCheckpoint()
+    val np = time("prefix build (df + rank + filter)")(prefix.count())
+    val pstats = prefix.groupBy(col("gram")).agg(count(lit(1)).as("pdf"))
+      .agg(max(col("pdf")).as("max_pdf"),
+        sum(col("pdf") * (col("pdf") - 1) / 2).as("cand_bound")).head()
+    println(s"[scale] ppjoin: prefix_rows=$np max_prefix_df=${pstats.getLong(0)} " +
+      s"sum_pdf_choose2=${pstats.getDouble(1).toLong}")
+
+    val matches = prefix.select(col("doc_id").as("doc_a"), col("gram"),
+        col("sz").as("sa"), col("rnk").as("ra"))
+      .join(prefix.select(col("doc_id").as("doc_b"), col("gram"),
+        col("sz").as("sb"), col("rnk").as("rb")), Seq("gram"))
+      .filter(col("doc_a") < col("doc_b") &&
+        lit(PjNum) * col("sa") <= lit(PjDen) * col("sb") &&
+        lit(PjNum) * col("sb") <= lit(PjDen) * col("sa"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(max(col("sa")).as("sa"), max(col("sb")).as("sb"),
+        count(lit(1)).as("cnt"), max(col("ra")).as("mi"), max(col("rb")).as("mj"))
+      .localCheckpoint()
+    val nPlain = time("candidate pairs (plain prefix filter)")(matches.count())
+    val cand = matches.filter(
+      (lit(PjNum + PjDen) * (col("cnt") +
+        least(col("sa") - col("mi"), col("sb") - col("mj")))) >=
+        lit(PjNum) * (col("sa") + col("sb")))
+      .localCheckpoint()
+    val nc = time("candidates after POSITION filter")(cand.count())
+    val vin = cand.agg(sum(col("sa") + col("sb"))).head().getLong(0)
+    println(s"[scale] ppjoin: plain_candidates=$nPlain post_position=$nc " +
+      s"hash_verify_gram_rows≈$vin")
+    val out = time("full dd_prefix_join query")(
+      DedupQueries.queries("dd_prefix_join")(spark, dir).count())
+    println(s"[scale] ppjoin: output_pairs=$out")
   }
 }

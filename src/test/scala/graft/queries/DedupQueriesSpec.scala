@@ -334,6 +334,49 @@ class DedupQueriesSpec extends AnyFunSuite {
     assert(got.nonEmpty, "the corpus contains true near-dup pairs")
   }
 
+  test("dd_prefix_join replica-structured corpus: position filter + hash verify lose nothing") {
+    // The scaled corpus's adversarial shape: replicas of a base text with
+    // every 4th word mutated per replica — rare grams survive across many
+    // replicas, so the PLAIN prefix filter admits quadratically many
+    // J≈0.1 pairs (measured 22.3M candidates at sf10) that the position
+    // filter must prune WITHOUT losing any true pair; some replica pairs
+    // are exact duplicates (J=1) and must all surface. Brute force is the
+    // ground truth, exactly like the corpus spec above.
+    val words = (1 to 40).map(i => s"w$i")
+    val docs = (0 until 24).map { i =>
+      val w = words.zipWithIndex.map { case (x, p) =>
+        if (i > 0 && (p + i) % 4 == 0) x + ('a' + (i + p) % 5).toChar else x
+      }
+      (i.toLong, w.mkString(" "))
+    }.toDF("doc_id", "text")
+    val gsets = TextQueries.gramStream(docs).collect()
+      .groupBy(_.getLong(0)).map { case (id, rs) => id -> rs.map(_.getString(1)).toSet }
+    val brute = (for {
+      x <- gsets.keys; y <- gsets.keys; if x < y
+      i = gsets(x).intersect(gsets(y)).size; u = gsets(x).size + gsets(y).size - i
+      if DedupQueries.PjDen * i >= DedupQueries.PjNum * u
+    } yield (x, y, i.toLong, u.toLong)).toSet
+    val got = DedupQueries.prefixJoinOf(TextQueries.gramStream(docs)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(brute.nonEmpty, "the constructed corpus must contain true pairs")
+    assert(got == brute, "position filter / hash verify must be lossless")
+  }
+
+  test("sorted_intersect_count: multiset two-pointer semantics") {
+    import graft.functions.VecExprs.sortedIntersectCount
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      (Array(1L, 2L, 3L), Array(2L, 3L, 4L), 2),   // plain overlap
+      (Array(1L, 1L, 2L), Array(1L, 2L, 2L), 2),   // multiset: min counts
+      (Array.empty[Long], Array(1L), 0),           // empty side
+      (Array(5L), Array(5L), 1),
+      (Array(1L, 3L, 5L), Array(2L, 4L, 6L), 0)    // disjoint
+    ).toDF("a", "b", "want")
+    val bad = df.filter(
+      sortedIntersectCount(col("a"), col("b")) =!= col("want")).count()
+    assert(bad == 0L)
+  }
+
   test("distributed path converges on a chain with diameter > 30") {
     // chain 0-1-2-...-40: plain min-label propagation needs ~40 rounds —
     // the old fixed 30-round cap silently split this into two clusters;
