@@ -112,13 +112,23 @@ object GraphQueries {
     * ScaleChecks graph accounting can materialize and cost each round
     * separately with the exact production plan shape (one co-located
     * join against the src-partitioned edge cache + one aggregate).
+    *
+    * The rank side carries a `shuffle_hash` hint: without it Spark plans
+    * a SortMergeJoin whose edge-side Sort re-sorts the ENTIRE cached
+    * edge table every round (the cache's hash(src) partitioning
+    * satisfies the distribution requirement but not the ordering one) —
+    * measured as the dominant per-round cost at sf10 (117M edges,
+    * ScaleChecks graph mode). A shuffled hash join builds on the
+    * node-sized rank frame and STREAMS the edge cache unsorted, which is
+    * the iteration shape that scales: per-round cost = one pass over the
+    * co-located edges + a build of rank/numPartitions rows.
     */
   private[queries] def pagerankRound(edges: DataFrame, deg: DataFrame,
                                      r: DataFrame, teleport: Long): DataFrame = {
-    val inbound = r.join(edges, r("node") === edges("src"))
+    val inbound = r.hint("shuffle_hash").join(edges, r("node") === edges("src"))
       .select(col("dst"), expr("rank div outdeg").as("c"))
       .groupBy(col("dst")).agg(sum(col("c")).as("m"))
-    deg.join(inbound, deg("node") === inbound("dst"), "left")
+    deg.join(inbound.hint("shuffle_hash"), deg("node") === inbound("dst"), "left")
       .select(col("node"), col("outdeg"),
         (lit(teleport) +
           expr(s"($PrDampNum * coalesce(m, 0L)) div $PrDampDen")).as("rank"))
@@ -222,7 +232,10 @@ object GraphQueries {
     */
   private[queries] def khopExpand(edges: DataFrame, vis: DataFrame,
                                   frontier: DataFrame, i: Int): DataFrame =
-    frontier.join(edges, frontier("node") === edges("src"))
+    // shuffle_hash on the frontier: stream the cached edges unsorted
+    // into a hash join built from the frontier (see pagerankRound — the
+    // SortMergeJoin alternative re-sorts the full edge cache per hop)
+    frontier.hint("shuffle_hash").join(edges, frontier("node") === edges("src"))
       .select(col("dst").as("node")).distinct()
       .join(vis, Seq("node"), "left_anti")
       .withColumn("dist", lit(i))
@@ -267,7 +280,9 @@ object GraphQueries {
     * served from its src partitioning, min map-side combined).
     */
   private[queries] def ssspRound(edges: DataFrame, d: DataFrame): DataFrame = {
-    val relaxed = d.join(edges, d("node") === edges("src"))
+    // shuffle_hash: build on the distance frame, stream the edge cache
+    // unsorted (see pagerankRound)
+    val relaxed = d.hint("shuffle_hash").join(edges, d("node") === edges("src"))
       .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
     d.select(col("node"), col("dist")).union(relaxed)
       .groupBy(col("node")).agg(min(col("dist")).as("dist"))
@@ -331,7 +346,9 @@ object GraphQueries {
     * from its src partitioning, argmin map-side combined).
     */
   private[queries] def walkStep(edges: DataFrame, frontier: DataFrame, k: Int): DataFrame =
-    frontier.join(edges, frontier("cur") === edges("src"))
+    // shuffle_hash: build on the walk frontier, stream the edge cache
+    // unsorted (see pagerankRound)
+    frontier.hint("shuffle_hash").join(edges, frontier("cur") === edges("src"))
       .select(col("start"),
         Hashing.md5Long(concat_ws(":", lit(k), col("start"), col("dst"))).as("h"),
         col("dst"))
