@@ -882,9 +882,13 @@ object RefQueries {
     // containment share ONE anti-join: count + count-distinct over the
     // same unmatched slice instead of two shuffles of the fact side
     val barcodesF = Future {
-      val r = maf.select(col("Tumor_Sample_Barcode").as("bk"))
+      // aggregate barcodes to (key, n) BEFORE the anti-join (the
+      // subsetViolations shape): the map-side combine moves |barcodes|
+      // rows instead of the 60M-row fact column
+      val r = maf.groupBy(col("Tumor_Sample_Barcode").as("bk"))
+        .agg(count(lit(1)).as("n"))
         .join(samples.select(col("SAMPLE_ID").as("bk")).distinct(), Seq("bk"), "left_anti")
-        .agg(count(lit(1)), countDistinct(col("bk"))).head()
+        .agg(coalesce(sum(col("n")), lit(0L)), count(col("bk"))).head()
       (r.getLong(0), r.getLong(1))
     }
     val dupF = Future(Rules.evaluate(s, samples, Seq(Rules.noKeyedDups("SAMPLE_ID")))

@@ -45,6 +45,15 @@ object PortalRules {
   /** Allele strings: bases, N, or `-` for indel placeholder. */
   val AllelePattern: String = "^[ACGTN-]+$"
 
+  /** `c` matches [[AllelePattern]] — as a `translate` emptiness test
+    * instead of `rlike`: the java.util.regex engine costs ~100 ns per
+    * call and the allele rules evaluate it once per allele column per
+    * MAF row (180M calls at sf10); `translate` is a codegen'd char-table
+    * scan. NULL propagates like rlike's (callers coalesce).
+    */
+  private def alleleValid(c: Column): Column =
+    length(c) > 0 && length(translate(c, "ACGTN-", "")) === 0
+
   /** Variant_Classification values the importer recognizes (the MAF
     * spec's controlled vocabulary; anything else draws validateData's
     * unknown-classification warning).
@@ -178,8 +187,8 @@ object PortalRules {
           col("End_Position") < col("Start_Position")))
     if (cols("Reference_Allele") && cols("Tumor_Seq_Allele2"))
       b += Rules.Rule("maf_allele_valid",
-        violation(coalesce(!col("Reference_Allele").rlike(AllelePattern), lit(false)) ||
-          coalesce(!col("Tumor_Seq_Allele2").rlike(AllelePattern), lit(false))))
+        violation(coalesce(!alleleValid(col("Reference_Allele")), lit(false)) ||
+          coalesce(!alleleValid(col("Tumor_Seq_Allele2")), lit(false))))
     if (cols("Mutation_Status"))
       b += Rules.Rule("maf_mutation_status_valid",
         violation(notInVocab(col("Mutation_Status"), ValidMutationStatus.toSeq)))
@@ -295,7 +304,7 @@ object PortalRules {
     if (cols("Tumor_Seq_Allele1"))
       // validateData checks BOTH tumor alleles against the base alphabet
       b += Rules.Rule("maf_tumor_allele1_valid",
-        violation(coalesce(!col("Tumor_Seq_Allele1").rlike(AllelePattern),
+        violation(coalesce(!alleleValid(col("Tumor_Seq_Allele1")),
           lit(false))))
     if (cols("t_depth") && cols("t_ref_count") && cols("t_alt_count"))
       // total depth must cover the ref+alt read support (validateData's
@@ -330,10 +339,18 @@ object PortalRules {
   def subsetViolations(child: DataFrame, childKey: String,
                        parent: DataFrame, parentKey: String,
                        distinctChild: Boolean = false): Long = {
+    // Aggregate the child to (key, row-count) BEFORE the anti-join: the
+    // child is the fact side (a 60M-row MAF barcode column at sf10) and
+    // its key cardinality is sample-scale, so the partial aggregate
+    // map-side-combines the shuffle down to |keys| rows where the plain
+    // anti-join would move every fact row. The anti-join then runs on
+    // key-sized frames and sum(n) restores the row-level count.
     val c0 = child.select(col(childKey).cast("string").as("k")).na.drop()
-    val c = if (distinctChild) c0.distinct() else c0
-    c.join(parent.select(col(parentKey).cast("string").as("k")).na.drop().distinct(),
-      Seq("k"), "left_anti").count()
+    val agg = if (distinctChild) c0.distinct().withColumn("n", lit(1L))
+              else c0.groupBy(col("k")).agg(count(lit(1)).as("n"))
+    agg.join(parent.select(col(parentKey).cast("string").as("k")).na.drop().distinct(),
+        Seq("k"), "left_anti")
+      .agg(coalesce(sum(col("n")), lit(0L))).head().getLong(0)
   }
 
   // ---------------------------------------------------------------------

@@ -77,15 +77,46 @@ object Rules {
     observedRows(obs, rules).toDF("rule", "value", "passed")
   }
 
-  /** Evaluate a set of rules over one frame in a single aggregate pass,
-    * returning (rule, value, passed) rows.
+  /** Does this aggregate column contain a DISTINCT aggregate? */
+  private def hasDistinctAgg(c: Column): Boolean =
+    org.apache.spark.sql.graftbridge.Bridge.expression(c).exists {
+      case ae: org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression =>
+        ae.isDistinct
+      case _ => false
+    }
+
+  /** Evaluate a set of rules over one frame, returning (rule, value,
+    * passed) rows in the rules' order.
+    *
+    * Distinct-free rules fuse into ONE aggregate pass (pure map-side
+    * partial aggregation — the cheap shape). Each DISTINCT-containing
+    * rule runs as its OWN job, concurrently: two-plus distinct aggregates
+    * in one Aggregate make Spark plan an Expand that replicates every
+    * input row once per distinct group — over a fact-sized frame that
+    * multiplies the shuffle by the rule count (measured 60M→180M rows on
+    * the sf10 MAF report, the dominant cost of the whole report), where
+    * a lone countDistinct plans a two-level partial-distinct aggregate
+    * that collapses map-side.
     */
   def evaluate(spark: SparkSession, df: DataFrame, rules: Seq[Rule]): DataFrame = {
     import spark.implicits._
-    val row = df.agg(rules.head.agg.as(rules.head.name),
-      rules.tail.map(r => r.agg.as(r.name)): _*).head()
-    rules.zipWithIndex.map { case (r, i) =>
-      val v = row.getLong(i)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val (distinctRules, plainRules) = rules.partition(r => hasDistinctAgg(r.agg))
+    val plainF: Future[Map[String, Long]] =
+      if (plainRules.isEmpty) Future.successful(Map.empty)
+      else Future {
+        val row = df.agg(plainRules.head.agg.as(plainRules.head.name),
+          plainRules.tail.map(r => r.agg.as(r.name)): _*).head()
+        plainRules.zipWithIndex.map { case (r, i) => r.name -> row.getLong(i) }.toMap
+      }
+    val distinctF = distinctRules.map(r =>
+      r.name -> Future(df.agg(r.agg.as(r.name)).head().getLong(0)))
+    val vals = Await.result(plainF, Duration.Inf) ++
+      distinctF.map { case (n, f) => n -> Await.result(f, Duration.Inf) }
+    rules.map { r =>
+      val v = vals(r.name)
       (r.name, v, if (r.passWhenZero) v == 0L else v > 0L)
     }.toDF("rule", "value", "passed")
   }
