@@ -77,7 +77,7 @@ object Plans {
     "td_decontaminate" ->
       "native might_contain over the benchmark sketch filters training grams INSIDE the scan stage, BEFORE the shuffle; the exact LeftSemi above removes bloom false positives",
     "ev_funnel" ->
-      "one exchange on user_id; the view→click→purchase pattern scan is a codegen'd higher-order aggregate over each user's sorted event array — no per-stage self-joins",
+      "one exchange on user_id; staged conditional minima (two chained unbounded windows + one rollup, all on the same partitioning) — no per-stage self-joins, no per-user event arrays",
     "sql_tpch_q7" ->
       "both nation dims + supplier + customer broadcast; the only real shuffle is orders⋈lineitem on orderkey; the disjunctive nation-pair predicate stays a residual, money sums accumulate in exact DECIMAL",
     "sql_tpch_q16" ->

@@ -430,34 +430,58 @@ object StreamQueries {
   }
 
   /** ev_funnel — ordered-sequence funnel (view → click → purchase per
-    * user): ONE shuffle on user_id, then a codegen'd higher-order
-    * `aggregate` scan over each user's time-sorted event array advances a
-    * stage counter on first match — the sequential-pattern operator that
-    * a self-join-per-stage formulation would pay one shuffle PER STAGE
-    * for. Greedy first-occurrence advance ≡ subsequence membership, which
-    * is what the oracle tests with an ordered-string regex. Tie order
-    * (same ts) is pinned by sorting (ts, event_type) structs on both
-    * sides.
+    * user): ONE shuffle on user_id, ZERO arrays. Greedy first-occurrence
+    * advance over the (ts, event_type)-sorted sequence ≡ subsequence
+    * membership (the oracle's ordered-string regex), and the greedy
+    * match reduces to staged conditional minima over plain timestamps:
+    * fv = min ts among views; fc = min ts among clicks with ts > fv
+    * (a same-ts click sorts BEFORE its view — 'click' < 'view' — so
+    * strict >); stage 3 iff any purchase has ts ≥ fc (a same-ts
+    * purchase sorts AFTER its click — 'purchase' > 'click' — so ≥).
+    * Two chained unbounded windows on user_id compute fv then fc on one
+    * exchange + one sort; the per-user rollup reuses that partitioning
+    * exchange-free. The previous form materialized and sorted a per-user
+    * `collect_list(struct)` just to fold a 3-state machine — per-user
+    * array allocation that cost 3× the oracle at sf10; the staged-min
+    * form is pure codegen'd aggregation, no allocation per event.
     */
   def evFunnel: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
     // qualifying events only (cheap views, cheap clicks, big purchases) —
     // the funnel is over a predicate per stage, as real funnels are
     val qualifying =
       (col("event_type") === "view" && col("value") < 50) ||
         (col("event_type") === "click" && col("value") < 20) ||
         (col("event_type") === "purchase" && col("value") > 150)
-    Tables.events(s, dir)
-      .filter(qualifying)
-      .groupBy(col("user_id"))
-      .agg(sort_array(collect_list(struct(col("ts"), col("event_type")))).as("evs"))
-      .withColumn("stage", expr(
-        """aggregate(evs, 0, (st, e) ->
-             CASE WHEN st = 0 AND e.event_type = 'view' THEN 1
-                  WHEN st = 1 AND e.event_type = 'click' THEN 2
-                  WHEN st = 2 AND e.event_type = 'purchase' THEN 3
-                  ELSE st END)"""))
+    funnelStagesOf(Tables.events(s, dir).filter(qualifying))
       .groupBy(col("stage"))
       .agg(count(lit(1)).as("n_users"))
+  }
+
+  /** The staged-minima funnel core over any (user_id, ts, event_type)
+    * frame of already-qualifying events — split out so the spec can
+    * drive constructed tie corpora; see [[evFunnel]] for the tie-order
+    * argument. Returns one (user_id, stage) row per user.
+    */
+  private[graft] def funnelStagesOf(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+    events
+      .select(col("user_id"), col("ts"), col("event_type"))
+      .withColumn("fv",
+        min(when(col("event_type") === "view", col("ts"))).over(w))
+      .withColumn("fc",
+        min(when(col("event_type") === "click" && col("ts") > col("fv"),
+          col("ts"))).over(w))
+      .groupBy(col("user_id"))
+      .agg(max(col("fv")).as("fv"), max(col("fc")).as("fc"),
+        max(when(col("event_type") === "purchase" && col("ts") >= col("fc"),
+          1).otherwise(0)).as("hp"))
+      .select(col("user_id"),
+        when(col("fv").isNull, 0)
+          .when(col("fc").isNull, 1)
+          .when(col("hp") === 1, 3)
+          .otherwise(2).as("stage"))
   }
 
   /** Token-bucket parameters for ev_rate_limit: bucket capacity in

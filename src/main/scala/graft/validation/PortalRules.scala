@@ -317,17 +317,21 @@ object PortalRules {
         cols("Start_Position") && cols("End_Position") &&
         cols("Tumor_Seq_Allele2"))
       // the same variant reported twice for one sample (validateData's
-      // duplicate-mutation warning). The key is a STRUCT, not a string
-      // concat (no per-row allocation over a fact-sized MAF), and a
-      // struct is never null even when a component is — so unlike
-      // multi-column countDistinct (which DROPS null-keyed rows and
-      // under-counts duplicates), null components group as equal,
-      // matching SQL DISTINCT-tuple semantics.
+      // duplicate-mutation warning). The distinct key is the 128-bit
+      // [[Rules.tupleHash128]] fingerprint of the 5-column variant tuple,
+      // not the tuple itself: the MAF is the fact table and the key is
+      // mostly unique, so partial aggregation cannot collapse it and the
+      // distinct shuffle moves every row — 16-byte fingerprints instead
+      // of wide structs cut that shuffle's bytes ~5× (the dominant cost
+      // of the whole sf10 report). Null components group as equal and
+      // null-position swaps stay distinct (the bitmap word), matching
+      // SQL DISTINCT-tuple semantics; hash↔tuple agreement is
+      // collision-audited in RulesSpec/PortalRulesSpec.
       b += Rules.Rule("maf_no_dup_variants",
-        count(lit(1)) - countDistinct(struct(
+        count(lit(1)) - countDistinct(Rules.tupleHash128(Seq(
           col("Tumor_Sample_Barcode"), col("Chromosome"),
           col("Start_Position"), col("End_Position"),
-          col("Tumor_Seq_Allele2"))))
+          col("Tumor_Seq_Allele2")))))
     b.result()
   }
 

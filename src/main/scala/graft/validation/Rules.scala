@@ -30,6 +30,32 @@ object Rules {
   def rowCount(label: String): Rule =
     Rule(s"rows_$label", count(lit(1)), passWhenZero = false)
 
+  /** A 128-bit tuple fingerprint (two independently-salted xxhash64
+    * words) that is SAFE to count distinct in place of the tuple itself:
+    * equal tuples always collide, unequal tuples collide with
+    * probability ~n²/2¹²⁹ (~10⁻²³ at 60M rows). Spark's hash functions
+    * skip null inputs entirely — ('A', null) and (null, 'A') would fold
+    * identically — so a null-position bitmap leads the hash input and
+    * restores SQL DISTINCT-tuple semantics: null components group as
+    * equal, tuples differing only in WHICH field is null stay distinct.
+    *
+    * Why: `countDistinct(struct(...))` over a mostly-unique fact-wide
+    * key shuffles the full tuple bytes — on the sf10 MAF dup-variant
+    * rule that is 60M wide-struct rows and the dominant cost of the
+    * whole report. Counting distinct fingerprints shuffles 16 bytes per
+    * row instead, with the same two-level partial-distinct plan. The
+    * hash↔tuple agreement is collision-audited in RulesSpec against
+    * adversarial null placements and the sf corpus.
+    */
+  def tupleHash128(cols: Seq[Column]): Column = {
+    val bitmap = cols.zipWithIndex
+      .map { case (c, i) => when(c.isNull, lit(1L << i)).otherwise(lit(0L)) }
+      .reduce(_ + _)
+    struct(
+      xxhash64((bitmap +: cols): _*).as("h1"),
+      xxhash64((lit("graft-tuple-salt") +: bitmap +: cols): _*).as("h2"))
+  }
+
   /** V7: all-NA column check — non-null count of a column (pass when > 0,
     * reported as the count of MISSING values being less than rows).
     */
@@ -77,39 +103,56 @@ object Rules {
     observedRows(obs, rules).toDF("rule", "value", "passed")
   }
 
-  /** Does this aggregate column contain a DISTINCT aggregate? */
+  /** Does this aggregate column contain a DISTINCT aggregate? Delegates
+    * to the bridge: the naive Catalyst-tree check silently answered
+    * false for every DSL-built `countDistinct` since the Spark 4
+    * Column/ColumnNode split (the unresolved tree hides behind a leaf
+    * wrapper), which made EVERY rule fuse — including multi-distinct
+    * sets, the exact Expand shape this routing exists to avoid.
+    */
   private def hasDistinctAgg(c: Column): Boolean =
-    org.apache.spark.sql.graftbridge.Bridge.expression(c).exists {
-      case ae: org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression =>
-        ae.isDistinct
-      case _ => false
-    }
+    org.apache.spark.sql.graftbridge.Bridge.hasDistinctAggregate(c)
 
   /** Evaluate a set of rules over one frame, returning (rule, value,
     * passed) rows in the rules' order.
     *
-    * Distinct-free rules fuse into ONE aggregate pass (pure map-side
-    * partial aggregation — the cheap shape). Each DISTINCT-containing
-    * rule runs as its OWN job, concurrently: two-plus distinct aggregates
-    * in one Aggregate make Spark plan an Expand that replicates every
-    * input row once per distinct group — over a fact-sized frame that
-    * multiplies the shuffle by the rule count (measured 60M→180M rows on
-    * the sf10 MAF report, the dominant cost of the whole report), where
-    * a lone countDistinct plans a two-level partial-distinct aggregate
-    * that collapses map-side.
+    * Distinct-free rules — plus the FIRST distinct-containing rule —
+    * fuse into ONE aggregate pass: Spark only plans the row-replicating
+    * Expand at ≥2 distinct groups in one Aggregate (a single distinct
+    * alongside plain aggregates is the two-level partial-distinct
+    * shape), so one distinct always rides the fused scan for free where
+    * splitting it out would pay an extra full pass of an uncached frame.
+    * Each ADDITIONAL distinct rule runs as its OWN job, concurrently:
+    * fusing two-plus distinct aggregates makes Spark plan an Expand that
+    * replicates every input row once per distinct group — over a
+    * fact-sized frame that multiplies the shuffle by the rule count
+    * (measured 60M→180M rows on the sf10 MAF report, the dominant cost
+    * of the whole report).
     */
+  /** The pass routing [[evaluate]] uses: (fused single-scan rules,
+    * rules that get their own job). One distinct rule always rides the
+    * fused pass (no Expand below 2 distinct groups); only the 2nd+
+    * split. Exposed for the RulesSpec routing lock.
+    */
+  private[validation] def splitForEvaluation(rules: Seq[Rule]): (Seq[Rule], Seq[Rule]) = {
+    val (distinctAll, plainRules) = rules.partition(r => hasDistinctAgg(r.agg))
+    (plainRules ++ distinctAll.take(1), distinctAll.drop(1))
+  }
+
   def evaluate(spark: SparkSession, df: DataFrame, rules: Seq[Rule]): DataFrame = {
     import spark.implicits._
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
-    val (distinctRules, plainRules) = rules.partition(r => hasDistinctAgg(r.agg))
+    require(rules.map(_.name).distinct.size == rules.size,
+      s"duplicate rule names: ${rules.groupBy(_.name).filter(_._2.size > 1).keys.mkString(", ")}")
+    val (fused, distinctRules) = splitForEvaluation(rules)
     val plainF: Future[Map[String, Long]] =
-      if (plainRules.isEmpty) Future.successful(Map.empty)
+      if (fused.isEmpty) Future.successful(Map.empty)
       else Future {
-        val row = df.agg(plainRules.head.agg.as(plainRules.head.name),
-          plainRules.tail.map(r => r.agg.as(r.name)): _*).head()
-        plainRules.zipWithIndex.map { case (r, i) => r.name -> row.getLong(i) }.toMap
+        val row = df.agg(fused.head.agg.as(fused.head.name),
+          fused.tail.map(r => r.agg.as(r.name)): _*).head()
+        fused.zipWithIndex.map { case (r, i) => r.name -> row.getLong(i) }.toMap
       }
     val distinctF = distinctRules.map(r =>
       r.name -> Future(df.agg(r.agg.as(r.name)).head().getLong(0)))

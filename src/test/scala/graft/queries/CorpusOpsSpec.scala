@@ -387,6 +387,58 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  // ---- ev_funnel -------------------------------------------------------
+
+  test("ev_funnel staged minima ≡ greedy fold over the (ts,event_type)-sorted sequence, ties included") {
+    // The reference semantics: sort each user's events by (ts, event_type)
+    // and run the 3-state greedy machine. Recomputed driver-side here and
+    // compared against the array-free staged-min plan on a corpus built to
+    // hit every tie shape: click-at-view-ts (must NOT count — 'click' <
+    // 'view'), purchase-at-click-ts (MUST count — 'purchase' > 'click'),
+    // duplicate timestamps, stage events missing entirely, and events
+    // arriving out of order.
+    val t0 = 1700000000000L
+    def ts(s: Long) = new java.sql.Timestamp(t0 + s * 1000)
+    val events = Seq(
+      // u1: plain complete funnel, out-of-order input
+      (1L, ts(30), "purchase"), (1L, ts(10), "view"), (1L, ts(20), "click"),
+      // u2: click ties the view's ts -> sorts before it -> stage 1 only
+      (2L, ts(10), "view"), (2L, ts(10), "click"),
+      // u3: purchase ties the qualifying click's ts -> sorts after -> stage 3
+      (3L, ts(10), "view"), (3L, ts(20), "click"), (3L, ts(20), "purchase"),
+      // u4: purchase BEFORE the click -> stage 2
+      (4L, ts(10), "view"), (4L, ts(15), "purchase"), (4L, ts(20), "click"),
+      // u5: no view at all -> stage 0 despite click+purchase
+      (5L, ts(10), "click"), (5L, ts(20), "purchase"),
+      // u6: earliest click is too early; a later one qualifies; purchase
+      // sits between them -> stage 2 (greedy must pick fc > fv, and the
+      // purchase at ts 18 < fc=25 must not count)
+      (6L, ts(5), "click"), (6L, ts(10), "view"), (6L, ts(18), "purchase"),
+      (6L, ts(25), "click"),
+      // u7: duplicate views and clicks at the same ts
+      (7L, ts(10), "view"), (7L, ts(10), "view"), (7L, ts(12), "click"),
+      (7L, ts(12), "click"), (7L, ts(12), "purchase"))
+      .toDF("user_id", "ts", "event_type")
+    val expected = events.collect()
+      .map(r => (r.getLong(0), (r.getTimestamp(1).getTime, r.getString(2))))
+      .groupBy(_._1)
+      .map { case (u, rs) =>
+        val sorted = rs.map(_._2).sortBy(identity)
+        val stage = sorted.foldLeft(0) { case (st, (_, e)) =>
+          if (st == 0 && e == "view") 1
+          else if (st == 1 && e == "click") 2
+          else if (st == 2 && e == "purchase") 3
+          else st
+        }
+        u -> stage
+      }
+    val got = StreamQueries.funnelStagesOf(events).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got === expected)
+    assert(got === Map(1L -> 3, 2L -> 1, 3L -> 3, 4L -> 2, 5L -> 0,
+      6L -> 2, 7L -> 3))
+  }
+
   // ---- sim_recall_report ----------------------------------------------
 
   test("sim_recall_report agrees with a join of the two ranking queries it evaluates") {

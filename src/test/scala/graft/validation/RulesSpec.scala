@@ -133,4 +133,78 @@ class RulesSpec extends AnyFunSuite {
     assert(rep("orderkeys_a_minus_b")._1 > 0 && !rep("orderkeys_a_minus_b")._2)
     assert(rep("orderkeys_b_minus_a") == (0L, true))
   }
+
+  test("evaluate rejects duplicate rule names instead of silently collapsing them") {
+    val df = Seq("a", "b").toDF("k")
+    val dup = Seq(Rules.rowCount("x"), Rules.rowCount("x"))
+    val e = intercept[IllegalArgumentException](Rules.evaluate(spark, df, dup))
+    assert(e.getMessage.contains("rows_x"))
+  }
+
+  test("evaluate fuses a lone distinct rule into the plain pass (no Expand), splits only the 2nd+") {
+    import org.apache.spark.sql.functions.{countDistinct, col}
+    val plain = Seq(Rules.rowCount("t"), Rules.noNulls("k"))
+    val d1 = Rules.Rule("d1", countDistinct(col("k")), passWhenZero = false)
+    val d2 = Rules.Rule("d2", countDistinct(col("v")), passWhenZero = false)
+    // routing: one distinct rides the fused scan; only the 2nd+ split
+    val (fused1, split1) = Rules.splitForEvaluation(plain :+ d1)
+    assert(fused1.map(_.name) == Seq("rows_t", "no_null_k", "d1") && split1.isEmpty)
+    // the detection itself: the naive Catalyst-tree check silently
+    // answered false for DSL countDistinct since the Spark 4 ColumnNode
+    // split (every rule fused -> multi-distinct Expand); lock the bridge
+    import org.apache.spark.sql.functions.{expr, greatest, lit, sum}
+    import org.apache.spark.sql.graftbridge.Bridge
+    assert(Bridge.hasDistinctAggregate(countDistinct(col("k"))))
+    assert(Bridge.hasDistinctAggregate(
+      greatest(countDistinct(col("k")) - lit(1L), lit(0L))))
+    assert(Bridge.hasDistinctAggregate(expr("count(DISTINCT k)")))
+    assert(!Bridge.hasDistinctAggregate(sum(col("k"))))
+    assert(!Bridge.hasDistinctAggregate(expr("sum(k)")))
+    val (fused2, split2) = Rules.splitForEvaluation(plain ++ Seq(d1, d2))
+    assert(fused2.map(_.name) == Seq("rows_t", "no_null_k", "d1") &&
+      split2.map(_.name) == Seq("d2"))
+    // the Spark contract the routing relies on: plains + ONE distinct in
+    // a single Aggregate plans the two-level partial-distinct shape with
+    // NO row-replicating Expand; a second distinct group introduces it.
+    // Checked on the OPTIMIZED LOGICAL plan (RewriteDistinctAggregates
+    // runs there) — the executed plan hides behind AdaptiveSparkPlanExec.
+    val df = Seq(("a", 1), ("a", 2), ("b", 2)).toDF("k", "v")
+    def hasExpand(frame: org.apache.spark.sql.DataFrame): Boolean =
+      frame.queryExecution.optimizedPlan.exists(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Expand])
+    val oneD = df.agg(fused1.head.agg.as(fused1.head.name),
+      fused1.tail.map(r => r.agg.as(r.name)): _*)
+    assert(!hasExpand(oneD), "lone distinct must not plan an Expand")
+    val twoD = df.agg(countDistinct(col("k")), countDistinct(col("v")))
+    assert(hasExpand(twoD), "the >=2-distinct Expand premise no longer holds")
+    // values unchanged by the routing
+    val r1 = Rules.evaluate(spark, df, plain ++ Seq(d1, d2)).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(r1 == Map("rows_t" -> 3L, "no_null_k" -> 0L, "d1" -> 2L, "d2" -> 2L))
+  }
+
+  test("tupleHash128 distinct count ≡ tuple distinct count: adversarial nulls + corpus audit") {
+    import org.apache.spark.sql.functions.{countDistinct, struct, col}
+    // adversarial null placements: ('A',null) vs (null,'A') must stay
+    // DISTINCT (the bitmap word); equal tuples with nulls must collide
+    val adv = Seq(
+      (Some("A"), None: Option[String]), (None: Option[String], Some("A")),
+      (Some("A"), None), (None, None), (None, None),
+      (Some("A"), Some("A")), (Some("AA"), Some("")), (Some(""), Some("AA")))
+      .toDF("x", "y")
+    def both(df: org.apache.spark.sql.DataFrame, cols: Seq[String]): (Long, Long) = {
+      val r = df.agg(
+        countDistinct(struct(cols.map(col): _*)).as("tuple"),
+        countDistinct(Rules.tupleHash128(cols.map(col))).as("hash")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val (t0, h0) = both(adv, Seq("x", "y"))
+    assert(t0 == 6L && h0 == 6L)
+    // corpus audit: the exact 5-column variant key the MAF dup rule
+    // fingerprints, over the real sf0.001 fact table
+    val li = graft.Tables.lineitem(spark, graft.SparkTestBase.sf001)
+    val key = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_returnflag")
+    val (t1, h1) = both(li, key)
+    assert(t1 == h1, s"fingerprint collision on the corpus: tuple=$t1 hash=$h1")
+  }
 }
