@@ -546,39 +546,37 @@ object DedupQueries {
     * while this plan stays near-linear.
     */
   def ddPrefixJoin: Q = (s, dir) =>
-    prefixJoinOf(FrameCache.cached(s, s"ta_grams_stream:$dir")(
-      TextQueries.gramStream(Tables.documents(s, dir)).repartition(col("gram"))))
+    prefixJoinOf(TextQueries.sharedGramStream(s, dir))
 
   /** The prefix-filtered exact similarity join over any distinct
     * (doc_id, gram) stream — split out so the spec can drive
     * constructed corpora; see [[ddPrefixJoin]].
     */
-  private[graft] def prefixJoinOf(grams: DataFrame): DataFrame = {
+  /** Stage 1 of the candidate pipeline: each doc's grams ranked in the
+    * GLOBAL canonical order (document frequency asc, then gram — rarest
+    * first) and cut to the required prefix length |g| − ⌈θ·|g|⌉ + 1.
+    * Split out (with [[plainCandidates]] / [[positionFiltered]]) so the
+    * ScaleChecks stage accounting measures the PRODUCTION pipeline —
+    * an inlined copy would silently drift from the plan it audits.
+    */
+  private[graft] def rankedPrefix(grams: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val freq = grams.groupBy(col("gram")).agg(count(lit(1)).as("df"))
     val wd = Window.partitionBy(col("doc_id"))
     val wr = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("gram"))
-    val ranked = grams.join(freq, Seq("gram"))
+    grams.join(freq, Seq("gram"))
       .withColumn("sz", count(lit(1)).over(wd))
       .withColumn("rnk", row_number().over(wr))
-    val prefix = ranked.filter(
-      col("rnk") <= col("sz") - expr(s"($PjNum * sz + $PjDen - 1) div $PjDen") + 1)
-    // Candidate generation with the PPJoin POSITION filter (Xiao et al.
-    // 2008): grams are globally ordered (df asc, gram), so two docs'
-    // common grams appear in the SAME relative order in both — for a
-    // pair the last matched prefix positions (mi, mj) bound the total
-    // overlap by cnt + min(sa − mi, sb − mj) (every uncounted common
-    // gram sits beyond BOTH), and a pair that cannot reach the required
-    // overlap O ≥ ⌈θ/(1+θ)·(sa+sb)⌉ dies before verification. This is
-    // what keeps candidates output-bounded when the corpus duplication
-    // structure defeats the plain prefix filter: measured at sf10
-    // (500k docs), 22.3M prefix-only candidates → 7.0M, with pairs
-    // sharing only deep-prefix rare-ish grams (true J ≈ 0.1) pruned.
-    val required = // (PjNum+PjDen)·bound ≥ PjNum·(sa+sb) ⟺ bound ≥ O_min
-      (lit(PjNum + PjDen) * (col("cnt") +
-        least(col("sa") - col("mi"), col("sb") - col("mj")))) >=
-        lit(PjNum) * (col("sa") + col("sb"))
-    val cand = prefix.select(col("doc_id").as("doc_a"), col("gram"),
+      .filter(col("rnk") <= col("sz") - expr(s"($PjNum * sz + $PjDen - 1) div $PjDen") + 1)
+  }
+
+  /** Stage 2: the plain prefix-filtered candidate pairs — an equi-join
+    * on prefix grams cut by the length filter θ·|a| ≤ |b| ≤ |a|/θ,
+    * grouped per pair with the matched-prefix statistics the position
+    * filter needs (cnt, last matched positions mi/mj).
+    */
+  private[graft] def plainCandidates(prefix: DataFrame): DataFrame =
+    prefix.select(col("doc_id").as("doc_a"), col("gram"),
         col("sz").as("sa"), col("rnk").as("ra"))
       .join(prefix.select(col("doc_id").as("doc_b"), col("gram"),
         col("sz").as("sb"), col("rnk").as("rb")), Seq("gram"))
@@ -588,7 +586,27 @@ object DedupQueries {
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(max(col("sa")).as("sa"), max(col("sb")).as("sb"),
         count(lit(1)).as("cnt"), max(col("ra")).as("mi"), max(col("rb")).as("mj"))
-      .filter(required)
+
+  /** Stage 3: the PPJoin POSITION filter (Xiao et al. 2008): grams are
+    * globally ordered (df asc, gram), so two docs' common grams appear
+    * in the SAME relative order in both — for a pair the last matched
+    * prefix positions (mi, mj) bound the total overlap by
+    * cnt + min(sa − mi, sb − mj) (every uncounted common gram sits
+    * beyond BOTH), and a pair that cannot reach the required overlap
+    * O ≥ ⌈θ/(1+θ)·(sa+sb)⌉ dies before verification. This is what keeps
+    * candidates output-bounded when the corpus duplication structure
+    * defeats the plain prefix filter: measured at sf10 (500k docs),
+    * 22.3M prefix-only candidates → 7.0M, with pairs sharing only
+    * deep-prefix rare-ish grams (true J ≈ 0.1) pruned.
+    */
+  private[graft] def positionFiltered(matches: DataFrame): DataFrame =
+    matches.filter( // (PjNum+PjDen)·bound ≥ PjNum·(sa+sb) ⟺ bound ≥ O_min
+      (lit(PjNum + PjDen) * (col("cnt") +
+        least(col("sa") - col("mi"), col("sb") - col("mj")))) >=
+        lit(PjNum) * (col("sa") + col("sb")))
+
+  private[graft] def prefixJoinOf(grams: DataFrame): DataFrame = {
+    val cand = positionFiltered(plainCandidates(rankedPrefix(grams)))
       .select(col("doc_a"), col("doc_b"), col("sa"), col("sb"))
     // Two-stage verify. Stage 1 joins each candidate to per-doc SORTED
     // 60-bit gram-hash arrays (one doc-sized frame, built once) and

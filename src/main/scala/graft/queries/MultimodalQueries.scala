@@ -29,7 +29,12 @@ object MultimodalQueries {
 
   /** mm_embed_agg — batched per-partition "inference" (stubbed decoder),
     * then an aggregate so the output is small and stable: count + per-dim
-    * checksum of the deterministic embeddings.
+    * checksum of the deterministic embeddings. ORACLE-INFEASIBLE by
+    * nature: the embedding values come from the JVM-side model stub
+    * (in production, a real encoder) — there is no SQL that reproduces a
+    * model forward pass, so the driver's rows-only check plus the
+    * determinism/shape specs in MultimodalSpec are the correctness
+    * surface, as they would be for any inference stage.
     */
   def mmEmbedAgg: Q = (s, dir) =>
     Multimodal.embedFeatures(Tables.documents(s, dir))

@@ -759,24 +759,42 @@ object OlapQueries {
   }
 
   /** a15_hll_union — sketch ALGEBRA (the 100 TB rollup capability the
-    * single-shot a2_approx_distinct doesn't show): per-source HLL
-    * sketches built once, then MERGED to the corpus-level distinct
-    * estimate — the pre-aggregated-sketch pattern that lets a warehouse
-    * answer "distinct across any source subset" without rescanning raw
-    * data. Union is register-wise max: commutative and associative, so
-    * the estimate is deterministic under any merge order — but DuckDB's
-    * HLL is a different implementation, so the driver records a
-    * rows-only check and the accuracy bound is spec-locked instead
-    * (union estimate vs exact countDistinct).
+    * single-shot a2_approx_distinct doesn't show): per-source
+    * distinct-3-gram HLL sketches built once over the shared gram
+    * stream, then MERGED (register-wise max — commutative, associative,
+    * idempotent) to the corpus-level content-diversity estimate — the
+    * pre-aggregated-sketch pattern that lets a warehouse answer
+    * "distinct across any source subset" without rescanning raw data.
+    * Built on the engine-portable explicit-register HLL
+    * ([[graft.functions.PortableHll]], p=7 ⇒ m=128/source), so the
+    * per-source sketches, the merge, AND both estimates hash-match a
+    * DuckDB oracle — the previous native-DataSketches face could only
+    * be rows-checked. sum_source_estimates − union_estimate exposes the
+    * cross-source overlap, all sketch-side: no exact distinct pass
+    * anywhere. The two rollups (per-source, merged) share one shuffle:
+    * both aggregate the same (source, bucket) register exchange.
     */
   def a15HllUnion: Q = (s, dir) => {
-    Tables.documents(s, dir)
-      .groupBy(col("source"))
-      .agg(expr("hll_sketch_agg(doc_id, 12)").as("sk"),
-        countDistinct(col("doc_id")).as("exact_src"))
+    import graft.functions.PortableHll
+    val P = 7
+    val srcOf = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+    val h = TextQueries.sharedGramStream(s, dir)
+      .join(broadcast(srcOf), Seq("doc_id"))
+      .select(col("source"), graft.functions.Hashing.md5Long(col("gram")).as("h"))
+    val regs = h
+      .select(col("source"), PortableHll.bucket(col("h"), P).as("b"),
+        PortableHll.rho(col("h"), P).as("rho"))
+      .groupBy(col("source"), col("b")).agg(max(col("rho")).as("reg"))
+    val perSource = regs.groupBy(col("source"))
+      .agg(PortableHll.z48(col("reg"), P).as("z48"))
+      .select(PortableHll.estimate(col("z48"), P).as("est"))
       .agg(count(lit(1)).as("n_sources"),
-        expr("hll_sketch_estimate(hll_union_agg(sk, true))").as("union_estimate"),
-        sum(col("exact_src")).cast("long").as("sum_source_exact"))
+        sum(col("est")).cast("long").as("sum_source_estimates"))
+    val merged = regs.groupBy(col("b")).agg(max(col("reg")).as("reg"))
+      .agg(PortableHll.z48(col("reg"), P).as("z48"))
+      .select(PortableHll.estimate(col("z48"), P).as("union_estimate"))
+    perSource.crossJoin(merged) // two 1-row frames
+      .select(col("n_sources"), col("union_estimate"), col("sum_source_estimates"))
   }
 
   /** a16_topk_agg — per-user top-3 events by spend as a MERGEABLE
@@ -1432,6 +1450,27 @@ object OlapQueries {
     "h5_nation_revenue" -> h5NationRevenue)
 
   val oracle: Map[String, String] = Map(
+    "a15_hll_union" -> {
+      import graft.functions.PortableHll._
+      val p = 7
+      s"""${DedupQueries.duckShingles},
+        |g AS (SELECT doc_id, unnest(list_distinct(shingles)) AS gram FROM sh),
+        |h AS (SELECT d.source AS source, ${duckH("g.gram")} AS h
+        |      FROM g JOIN documents d USING (doc_id)),
+        |w AS (SELECT source, h >> ${60 - p} AS b, ${duckWindow("h", p)} AS w FROM h),
+        |r AS (SELECT source, b, ${duckRho("w", p)} AS rho FROM w),
+        |regs AS (SELECT source, b, max(rho) AS reg FROM r GROUP BY 1, 2),
+        |per_src AS (
+        |  SELECT count(*) AS n_sources,
+        |    sum(est)::BIGINT AS sum_source_estimates
+        |  FROM (SELECT source, ${duckEstimate(duckZ48(p), p)} AS est
+        |        FROM regs GROUP BY 1)),
+        |merged AS (
+        |  SELECT ${duckEstimate(duckZ48(p), p)} AS union_estimate
+        |  FROM (SELECT b, max(reg) AS reg FROM regs GROUP BY 1) m)
+        |SELECT n_sources, union_estimate, sum_source_estimates
+        |FROM per_src, merged""".stripMargin
+    },
     "a16_topk_agg" ->
       """SELECT user_id, rn AS rank, event_id, cents, n_events FROM (
         |  SELECT user_id, event_id,

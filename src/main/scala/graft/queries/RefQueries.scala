@@ -533,25 +533,40 @@ object RefQueries {
         count(col("o_orderpriority")).as("n_priority_nonnull"))
   }
 
-  /** A2b — APPROXIMATE distinct count (HyperLogLog++): the scale
-    * companion to A2. The reference's validations need exact equality, so
-    * exact countDistinct stays the parity operator — but at 100 TB the
-    * profiling/monitoring side of a pipeline runs on sketches: fixed-size
-    * state, one pass, mergeable across partitions. No DuckDB oracle
-    * (sketch estimates are engine-specific) → driver rows-only check;
-    * the error bound is asserted in RefQueriesSpec instead.
+  /** A2b — APPROXIMATE distinct count: the scale companion to A2. The
+    * reference's validations need exact equality, so exact countDistinct
+    * stays the parity operator — but at 100 TB the profiling/monitoring
+    * side of a pipeline runs on sketches: fixed-size state, one pass,
+    * mergeable across partitions. This face runs the engine-portable
+    * explicit-register HLL ([[graft.functions.PortableHll]], p=8 ⇒
+    * m=256 registers, rsd ≈ 6.5%): ONE fact scan fans each row into two
+    * tagged hash streams (orderkey, partkey), registers fold by MAX
+    * (map-side-combinable to ≤ 2·m rows per partition), and the
+    * all-integer register algebra plus the IEEE-safe estimator make the
+    * result bit-identical in any engine — this query hash-matches a
+    * DuckDB oracle computing the same registers, where the previous
+    * native-HLL++ face could only be rows-checked (engine-specific bias
+    * tables). Raw estimator domain: cardinality ≥ 2.5·m = 640 — both
+    * key columns clear it from sf0.01 up; the accuracy bound is
+    * spec-locked at controlled cardinalities in RefQueriesSpec.
     */
   def a2ApproxDistinct: Q = (s, dir) => {
-    // rsd=0.02, not tighter: HLL++ per-row cost scales with register
-    // count (measured at sf0.1: rsd 0.01 ≈ 1.5 s vs 0.02 ≈ 0.45 s for
-    // this two-sketch agg — tighter than exact countDistinct is the
-    // wrong trade). 2% rsd is 4 KB of state per sketch and <1% observed
-    // error at this cardinality.
-    Tables.lineitem(s, dir)
-      .agg(
-        approx_count_distinct(col("l_orderkey"), rsd = 0.02).as("approx_orders"),
-        approx_count_distinct(col("l_partkey"), rsd = 0.02).as("approx_parts"),
-        count(lit(1)).as("n_rows"))
+    import graft.functions.PortableHll
+    val P = 8
+    val tagged = Tables.lineitem(s, dir).select(explode(array(
+        struct(lit("orders").as("k"), col("l_orderkey").cast("string").as("v")),
+        struct(lit("parts").as("k"), col("l_partkey").cast("string").as("v")))).as("e"))
+      .select(col("e.k").as("k"), graft.functions.Hashing.md5Long(col("e.v")).as("h"))
+    tagged
+      .select(col("k"), PortableHll.bucket(col("h"), P).as("b"),
+        PortableHll.rho(col("h"), P).as("rho"))
+      .groupBy(col("k"), col("b")).agg(max(col("rho")).as("reg"))
+      .groupBy(col("k"))
+      .agg(PortableHll.z48(col("reg"), P).as("z48"))
+      .select(col("k"),
+        PortableHll.estimate(col("z48"), P).as("approx_distinct"),
+        col("z48"))
+      .orderBy(col("k"))
   }
 
   /** A4b — full-row duplicate detection (reference `maf.py:238-240`:
@@ -841,7 +856,14 @@ object RefQueries {
       "#STRING\tSTRING\tSTRING\tNUMBER\tBOOLEAN",
       "#1\t1\t1\t1\t1"))
     // OS_STATUS breaks the <0|1>:<LABEL> event coding every 83rd patient
-    // key — exercises clinical_survival_status_format data-dependently
+    // key — exercises clinical_survival_status_format data-dependently.
+    // OS_MONTHS (declared NUMBER) carries the tier-8 seeds, one per
+    // rule, in priority order: an alternate NA spelling every 79th key
+    // (clinical_na_spellings; also a NUMBER-parse violation), leading
+    // whitespace every 73rd (clinical_value_whitespace; also a
+    // NUMBER-parse violation), a negative survival time every 67th
+    // (clinical_survival_months_nonneg — numerically valid, so ONLY the
+    // months rule fires).
     val patientSmall = samplesSmall.select(col("PATIENT_ID")).distinct()
       .withColumn("OS_STATUS", {
         val pkP = expr("CAST(substring(PATIENT_ID, 2) AS BIGINT)")
@@ -849,9 +871,17 @@ object RefQueries {
           .when(pmod(pkP, lit(2L)) === 0L, lit("0:LIVING"))
           .otherwise(lit("1:DECEASED"))
       })
+      .withColumn("OS_MONTHS", {
+        val pkP = expr("CAST(substring(PATIENT_ID, 2) AS BIGINT)")
+        when(pmod(pkP, lit(79L)) === 0L, lit("N/A"))
+          .when(pmod(pkP, lit(73L)) === 0L, lit(" 12.5"))
+          .when(pmod(pkP, lit(67L)) === 0L, lit("-3"))
+          .otherwise(concat(pmod(pkP, lit(240L)).cast(StringType), lit(".5")))
+      })
     Tsv.writeTsvFile(patientSmall, s"$tmp/data_clinical_patient.txt",
-      Seq("#Patient ID\tOs Status", "#Patient identifier\tSurvival status",
-        "#STRING\tSTRING", "#1\t1"))
+      Seq("#Patient ID\tOs Status\tOs Months",
+        "#Patient identifier\tSurvival status\tSurvival months",
+        "#STRING\tSTRING\tNUMBER", "#1\t1\t1"))
     Tsv.writeMetaFile(s"$tmp/meta_clinical_sample.txt", Seq(
       "cancer_study_identifier" -> studyId,
       "genetic_alteration_type" -> "CLINICAL",
@@ -869,6 +899,23 @@ object RefQueries {
       "description" -> "portal-rules fixture study"))
     Tsv.writeCaseLists(samplesSmall, "CANCER_TYPE", "SAMPLE_ID", studyId,
       s"$tmp/case_lists")
+    // tier-8 fixture: a cases_sequenced list that DISAGREES with the MAF
+    // both ways — every 6th sample id is left off the list (mutated but
+    // unlisted wherever the MAF carries its barcode), and three ghost
+    // ids claim sequencing that produced no mutations
+    val sequencedIds = samplesSmall.select(col("SAMPLE_ID")).collect()
+      .map(_.getString(0))
+      .filter(id => id.stripPrefix("S").toLong % 6L != 0L)
+      .sorted.toSeq ++ Seq("SEQGHOST1", "SEQGHOST2", "SEQGHOST3")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$tmp/case_lists/cases_sequenced.txt"),
+      (s"cancer_study_identifier: $studyId\n" +
+        s"stable_id: ${studyId}_sequenced\n" +
+        "case_list_name: Sequenced samples\n" +
+        "case_list_description: Samples with mutation data\n" +
+        "case_list_category: all_cases_with_mutation_data\n" +
+        s"case_list_ids: ${sequencedIds.mkString("\t")}\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val structural = PortalRules.structuralReport(tmp)
 
     // the five rule groups are independent jobs over different frames —
@@ -902,6 +949,11 @@ object RefQueries {
     val valF = Future(Seq("data_clinical_sample.txt",
       "data_clinical_patient.txt")
       .flatMap(n => PortalRules.clinicalValueViolations(s, tmp, n)))
+    // tier 8: gene-identifier consistency + the cases_sequenced ↔ MAF
+    // contract (list ids read back from the real on-disk case list)
+    val geneF = Future(PortalRules.hugoEntrezInconsistencies(maf))
+    val seqF = Future(PortalRules.casesSequencedViolations(
+      s, maf, sequencedIds, samplesSmall, "SAMPLE_ID"))
     val fieldReport = Await.result(fieldF, Duration.Inf)
     val (v1, (v2, v3), dup) = (Await.result(v1F, Duration.Inf),
       Await.result(barcodesF, Duration.Inf), Await.result(dupF, Duration.Inf))
@@ -911,6 +963,11 @@ object RefQueries {
     val numViol = valViol.map(_("number")).sum
     val boolViol = valViol.map(_("boolean")).sum
     val survViol = valViol.map(_("survival")).sum
+    val monthsViol = valViol.map(_("months")).sum
+    val naViol = valViol.map(_("na_spelling")).sum
+    val wsViol = valViol.map(_("whitespace")).sum
+    val geneViol = Await.result(geneF, Duration.Inf)
+    val (unsequenced, unlisted) = Await.result(seqF, Duration.Inf)
     (structural ++ Seq(
       ("sample_patient_in_patients", v1, v1 == 0L),
       ("maf_barcode_in_samples", v2, v2 == 0L),
@@ -920,7 +977,13 @@ object RefQueries {
       ("clinical_orphan_patients", orphans, orphans == 0L),
       ("clinical_number_attrs_numeric", numViol, numViol == 0L),
       ("clinical_boolean_attrs_boolean", boolViol, boolViol == 0L),
-      ("clinical_survival_status_format", survViol, survViol == 0L)))
+      ("clinical_survival_status_format", survViol, survViol == 0L),
+      ("clinical_survival_months_nonneg", monthsViol, monthsViol == 0L),
+      ("clinical_na_spellings", naViol, naViol == 0L),
+      ("clinical_value_whitespace", wsViol, wsViol == 0L),
+      ("maf_hugo_entrez_consistent", geneViol, geneViol == 0L),
+      ("cases_sequenced_ids_have_mutations", unsequenced, unsequenced == 0L),
+      ("maf_barcodes_in_cases_sequenced", unlisted, unlisted == 0L)))
       .toDF("rule", "value", "passed")
       .unionByName(fieldReport)
   }
@@ -1090,6 +1153,20 @@ object RefQueries {
         | count(DISTINCT o_orderkey) AS n_orders,
         | count(*) AS n_rows, count(o_orderpriority) AS n_priority_nonnull
         | FROM orders""".stripMargin,
+    "a2_approx_distinct" -> {
+      import graft.functions.PortableHll._
+      val p = 8
+      s"""WITH tagged AS (
+        |  SELECT 'orders' AS k, ${duckH("CAST(l_orderkey AS VARCHAR)")} AS h FROM lineitem
+        |  UNION ALL
+        |  SELECT 'parts' AS k, ${duckH("CAST(l_partkey AS VARCHAR)")} AS h FROM lineitem),
+        |w AS (SELECT k, h >> ${60 - p} AS b, ${duckWindow("h", p)} AS w FROM tagged),
+        |r AS (SELECT k, b, ${duckRho("w", p)} AS rho FROM w),
+        |regs AS (SELECT k, b, max(rho) AS reg FROM r GROUP BY 1, 2),
+        |z AS (SELECT k, ${duckZ48(p)} AS z48 FROM regs GROUP BY 1)
+        |SELECT k, ${duckEstimate("z48", p)} AS approx_distinct, z48
+        |FROM z ORDER BY k""".stripMargin
+    },
     "a4_dup_detect" ->
       """SELECT o_custkey, count(*) AS n FROM orders
         | GROUP BY 1 HAVING count(*) > 1""".stripMargin,

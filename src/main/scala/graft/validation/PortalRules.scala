@@ -335,6 +335,54 @@ object PortalRules {
     b.result()
   }
 
+  /** Tier 8 — gene-identifier consistency across the MAF: the count of
+    * non-blank Hugo symbols that map to MORE than one distinct
+    * non-null Entrez id (validateData's gene-table mismatch warning: an
+    * ambiguous symbol→id mapping silently splits one gene's mutations
+    * across two gene pages). Cross-ROW consistency, so it cannot ride
+    * the single-pass field rules: one aggregate on the gene-scale
+    * (symbol, id) pair set — the distinct pair projection map-side
+    * collapses the fact-sized scan to gene-scale before the shuffle.
+    */
+  def hugoEntrezInconsistencies(maf: DataFrame): Long = {
+    if (!maf.columns.contains("Hugo_Symbol") ||
+        !maf.columns.contains("Entrez_Gene_Id")) return 0L
+    maf.filter(col("Hugo_Symbol").isNotNull && col("Hugo_Symbol") =!= "" &&
+        col("Entrez_Gene_Id").isNotNull)
+      .select(col("Hugo_Symbol").as("hugo"), col("Entrez_Gene_Id").as("eid"))
+      .distinct()
+      .groupBy(col("hugo")).agg(count(lit(1)).as("n_ids"))
+      .filter(col("n_ids") > 1)
+      .count()
+  }
+
+  /** Tier 8 — the `cases_sequenced` ↔ MAF contract, both directions
+    * (validateData warns on each): a sample the list claims was
+    * sequenced but that has NO mutation row, and a mutated sample
+    * (that IS a known clinical sample) missing from the list. One
+    * barcode-scale aggregate of the MAF feeds both counts; the list and
+    * the clinical sample-id set join at sample scale.
+    * Returns (ids_without_mutations, mutated_not_listed).
+    */
+  def casesSequencedViolations(spark: SparkSession, maf: DataFrame,
+                               sequencedIds: Seq[String],
+                               samples: DataFrame,
+                               sampleKey: String): (Long, Long) = {
+    import spark.implicits._
+    if (sequencedIds.isEmpty || !maf.columns.contains("Tumor_Sample_Barcode"))
+      return (0L, 0L)
+    val barcodes = maf.select(col("Tumor_Sample_Barcode").cast("string").as("bk"))
+      .na.drop().distinct()
+    val listed = sequencedIds.toDF("bk").distinct()
+    val unsequenced = listed.join(barcodes, Seq("bk"), "left_anti").count()
+    val unlisted = barcodes
+      .join(samples.select(col(sampleKey).cast("string").as("bk")).na.drop().distinct(),
+        Seq("bk"), "left_semi")
+      .join(listed, Seq("bk"), "left_anti")
+      .count()
+    (unsequenced, unlisted)
+  }
+
   /** Containment check `child[childKey] ⊆ parent[parentKey]` as a
     * violation count: distinct-or-row-level anti-join, ONE shuffle. Keys
     * are cast to string first (the package's TSVs are untyped at rest, so
@@ -589,6 +637,18 @@ object PortalRules {
         kv.get(k).exists(v => !KnownReferenceGenomes(v))).toLong
     }.sum
 
+    // tier 8: a mutation profile REQUIRES a `<study>_sequenced` case
+    // list (validateData errors without it — the portal cannot compute
+    // mutation frequencies with no sequenced-cases denominator)
+    val hasMutationProfile = metas.exists { case (_, kv) =>
+      kv.get("genetic_alteration_type").contains("MUTATION_EXTENDED")
+    }
+    val missingSequencedList =
+      if (hasMutationProfile &&
+          !caseLists.exists(_._2.get("stable_id").exists(_.endsWith("_sequenced"))))
+        1L
+      else 0L
+
     Seq(
       ("portal_meta_files_resolve", metaResolve, metaResolve == 0L),
       ("portal_study_id_consistent", idConsistent, idConsistent == 0L),
@@ -612,7 +672,8 @@ object PortalRules {
       ("clinical_dup_display_names", dupDisplayViolations, dupDisplayViolations == 0L),
       ("clinical_attr_no_level_overlap", levelOverlap, levelOverlap == 0L),
       ("portal_meta_boolean_values", badBoolMeta, badBoolMeta == 0L),
-      ("portal_meta_reference_genome", badRefGenome, badRefGenome == 0L))
+      ("portal_meta_reference_genome", badRefGenome, badRefGenome == 0L),
+      ("portal_cases_sequenced_present", missingSequencedList, missingSequencedList == 0L))
   }
 
   /** A clinical output may be a single file OR a parted cbio dataset
@@ -661,14 +722,32 @@ object PortalRules {
   /** Clinical attribute ids the survival-status format rule applies to. */
   val SurvivalStatusAttrPattern: String = "^(OS|DFS|PFS|DSS)_STATUS$"
 
+  /** Clinical attribute ids the survival-months rules apply to. */
+  val SurvivalMonthsAttrPattern: String = "^(OS|DFS|PFS|DSS)_MONTHS$"
+
+  /** Alternate missing-value spellings validateData warns about — the
+    * portal only recognizes `NA`, so `N/A`/`[Not Available]`/… silently
+    * become real category values on import (tier 8).
+    */
+  val NaSpellings: Set[String] = Set(
+    "N/A", "n/a", "NaN", "nan", "[Not Available]", "[Not Applicable]",
+    "na", "n.a.", "NULL", "null", "?")
+
   /** Datatype/value-conformance checks for one clinical output, as ONE
     * distributed aggregate pass — the clinical table can be fact-sized:
     *
-    *  - `number`   — columns the header block declares NUMBER must hold
+    *  - `number`     — columns the header block declares NUMBER must hold
     *    numeric-parseable values;
-    *  - `boolean`  — BOOLEAN-declared columns must hold TRUE/FALSE/NA;
-    *  - `survival` — `*_STATUS` survival attributes must follow the
-    *    `<0|1>:<LABEL>` event coding.
+    *  - `boolean`    — BOOLEAN-declared columns must hold TRUE/FALSE/NA;
+    *  - `survival`   — `*_STATUS` survival attributes must follow the
+    *    `<0|1>:<LABEL>` event coding;
+    *  - `months`     — `*_MONTHS` survival attributes must not be
+    *    negative (a negative survival time breaks the portal's KM
+    *    curves; tier 8);
+    *  - `na_spelling` — values spelled as any [[NaSpellings]] variant
+    *    should be the portal's `NA` marker (tier 8);
+    *  - `whitespace` — leading/trailing whitespace in any value silently
+    *    creates distinct category values on import (tier 8).
     *
     * Header parse is driver-side (4 lines). None when the file is absent
     * or its header block is malformed (the header rule already fires
@@ -696,8 +775,11 @@ object PortalRules {
           "number" -> typed.collect { case (c, "NUMBER") => c },
           "boolean" -> typed.collect { case (c, "BOOLEAN") => c },
           "survival" -> cols.filter(_.matches(SurvivalStatusAttrPattern)))
-        if (colsPer.values.forall(_.isEmpty))
-          Some(Map("number" -> 0L, "boolean" -> 0L, "survival" -> 0L))
+        val monthsCols = cols.filter(_.matches(SurvivalMonthsAttrPattern))
+        val keys = Seq("number", "boolean", "survival",
+          "months", "na_spelling", "whitespace")
+        if (colsPer.values.forall(_.isEmpty) && monthsCols.isEmpty && cols.isEmpty)
+          Some(keys.map(_ -> 0L).toMap)
         else {
           // inferSchema=false: values must be validated against their RAW
           // text. Inference would re-render them — a clean BOOLEAN column
@@ -707,14 +789,32 @@ object PortalRules {
           val dfr = graft.sources.Tsv.read(spark, p.toString,
             comment = Some('#'), inferSchema = false)
           val present = dfr.columns.toSet
-          val aggs = Seq("number", "boolean", "survival").map { k =>
-            val conds = colsPer(k).filter(present).map(badValue(_, patterns(k)))
+          // tier-8 value hygiene over EVERY column: alternate NA
+          // spellings, and leading/trailing whitespace (both silently
+          // become distinct attribute values on import)
+          def naCond(c: String): Column =
+            when(col(c).cast("string").isin(NaSpellings.toSeq: _*), 1L).otherwise(0L)
+          def wsCond(c: String): Column =
+            when(col(c).isNotNull &&
+              col(c).cast("string") =!= trim(col(c).cast("string")), 1L).otherwise(0L)
+          // tier-8 survival months: numeric-parseable AND negative
+          def negMonths(c: String): Column =
+            when(col(c).cast("string").rlike(NumberValuePattern) &&
+              col(c).cast("string").startsWith("-"), 1L).otherwise(0L)
+          val condsPer: Map[String, Seq[Column]] = Map(
+            "number" -> colsPer("number").filter(present).map(badValue(_, patterns("number"))),
+            "boolean" -> colsPer("boolean").filter(present).map(badValue(_, patterns("boolean"))),
+            "survival" -> colsPer("survival").filter(present).map(badValue(_, patterns("survival"))),
+            "months" -> monthsCols.filter(present).map(negMonths),
+            "na_spelling" -> cols.filter(present).map(naCond),
+            "whitespace" -> cols.filter(present).map(wsCond))
+          val aggs = keys.map { k =>
+            val conds = condsPer(k)
             if (conds.isEmpty) lit(0L)
             else coalesce(sum(conds.reduce(_ + _)), lit(0L))
           }
           val r = dfr.agg(aggs.head, aggs.tail: _*).head()
-          Some(Map("number" -> r.getLong(0), "boolean" -> r.getLong(1),
-            "survival" -> r.getLong(2)))
+          Some(keys.zipWithIndex.map { case (k, i) => k -> r.getLong(i) }.toMap)
         }
       }
     }
@@ -779,6 +879,25 @@ object PortalRules {
         val v = subsetViolations(m, "Tumor_Sample_Barcode", s, "SAMPLE_ID")
         dataRows += (("maf_barcode_in_samples", v, v == 0L))
       }
+      // tier 8: gene-identifier consistency across the MAF
+      val geneInconsistent = hugoEntrezInconsistencies(m)
+      dataRows += (("maf_hugo_entrez_consistent", geneInconsistent,
+        geneInconsistent == 0L))
+      // tier 8: the cases_sequenced list must agree with the MAF in both
+      // directions (listed-but-unmutated, mutated-but-unlisted)
+      for (s <- sample if s.columns.contains("SAMPLE_ID") &&
+             m.columns.contains("Tumor_Sample_Barcode")) {
+        val seqIds = listFiles(root.resolve("case_lists"), "cases_")
+          .map(p => parseKeyValueFile(p))
+          .filter(_.get("stable_id").exists(_.endsWith("_sequenced")))
+          .flatMap(_.get("case_list_ids").toSeq.flatMap(_.split("\t").toSeq))
+        val (unsequenced, unlisted) =
+          casesSequencedViolations(spark, m, seqIds, s, "SAMPLE_ID")
+        dataRows += (("cases_sequenced_ids_have_mutations", unsequenced,
+          unsequenced == 0L))
+        dataRows += (("maf_barcodes_in_cases_sequenced", unlisted,
+          unlisted == 0L))
+      }
     }
     // Datatype/value conformance over every clinical output that has a
     // well-formed header (one aggregate pass per file covers NUMBER,
@@ -790,9 +909,15 @@ object PortalRules {
       val num = valueViolations.map(_("number")).sum
       val bool = valueViolations.map(_("boolean")).sum
       val surv = valueViolations.map(_("survival")).sum
+      val months = valueViolations.map(_("months")).sum
+      val naSp = valueViolations.map(_("na_spelling")).sum
+      val ws = valueViolations.map(_("whitespace")).sum
       dataRows += (("clinical_number_attrs_numeric", num, num == 0L))
       dataRows += (("clinical_boolean_attrs_boolean", bool, bool == 0L))
       dataRows += (("clinical_survival_status_format", surv, surv == 0L))
+      dataRows += (("clinical_survival_months_nonneg", months, months == 0L))
+      dataRows += (("clinical_na_spellings", naSp, naSp == 0L))
+      dataRows += (("clinical_value_whitespace", ws, ws == 0L))
     }
     // case-list ids ⊆ clinical sample ids (union of every list's ids)
     for (s <- sample if s.columns.contains("SAMPLE_ID")) {
@@ -888,6 +1013,7 @@ object PortalRules {
       |  UNION ALL SELECT 'clinical_attr_no_level_overlap', 0
       |  UNION ALL SELECT 'portal_meta_boolean_values', 0
       |  UNION ALL SELECT 'portal_meta_reference_genome', 0
+      |  UNION ALL SELECT 'portal_cases_sequenced_present', 0
       |  UNION ALL SELECT 'clinical_no_dup_patient_id',
       |    (SELECT count(*) - count(DISTINCT patient_id) FROM patients)
       |  UNION ALL SELECT 'clinical_orphan_patients',
@@ -896,12 +1022,39 @@ object PortalRules {
       |  UNION ALL SELECT 'clinical_number_attrs_numeric',
       |    (SELECT count(*) FROM customer
       |      WHERE c_custkey <= 500 AND c_custkey % 89 = 0)
+      |    + (SELECT count(*) FROM (SELECT DISTINCT c_custkey % 1000 AS pk
+      |      FROM customer WHERE c_custkey <= 500) t
+      |      WHERE pk % 79 = 0 OR (pk % 79 <> 0 AND pk % 73 = 0))
       |  UNION ALL SELECT 'clinical_boolean_attrs_boolean',
       |    (SELECT count(*) FROM customer
       |      WHERE c_custkey <= 500 AND c_custkey % 71 = 0)
       |  UNION ALL SELECT 'clinical_survival_status_format',
       |    (SELECT count(*) FROM (SELECT DISTINCT c_custkey % 1000 AS pk
       |      FROM customer WHERE c_custkey <= 500) t WHERE pk % 83 = 0)
+      |  UNION ALL SELECT 'clinical_survival_months_nonneg',
+      |    (SELECT count(*) FROM (SELECT DISTINCT c_custkey % 1000 AS pk
+      |      FROM customer WHERE c_custkey <= 500) t
+      |      WHERE pk % 79 <> 0 AND pk % 73 <> 0 AND pk % 67 = 0)
+      |  UNION ALL SELECT 'clinical_na_spellings',
+      |    (SELECT count(*) FROM (SELECT DISTINCT c_custkey % 1000 AS pk
+      |      FROM customer WHERE c_custkey <= 500) t WHERE pk % 79 = 0)
+      |  UNION ALL SELECT 'clinical_value_whitespace',
+      |    (SELECT count(*) FROM (SELECT DISTINCT c_custkey % 1000 AS pk
+      |      FROM customer WHERE c_custkey <= 500) t
+      |      WHERE pk % 79 <> 0 AND pk % 73 = 0)
+      |  UNION ALL SELECT 'maf_hugo_entrez_consistent',
+      |    (SELECT count(*) FROM (SELECT hugo FROM
+      |      (SELECT DISTINCT hugo, entrez FROM maf
+      |       WHERE hugo IS NOT NULL AND hugo <> '' AND entrez IS NOT NULL) dd
+      |      GROUP BY hugo HAVING count(*) > 1) g)
+      |  UNION ALL SELECT 'cases_sequenced_ids_have_mutations',
+      |    3 + (SELECT count(*) FROM customer
+      |      WHERE c_custkey <= 500 AND c_custkey % 6 <> 0
+      |      AND 'S' || CAST(c_custkey AS VARCHAR) NOT IN (SELECT barcode FROM maf))
+      |  UNION ALL SELECT 'maf_barcodes_in_cases_sequenced',
+      |    (SELECT count(DISTINCT barcode) FROM maf WHERE barcode IN
+      |      (SELECT 'S' || CAST(c_custkey AS VARCHAR) FROM customer
+      |       WHERE c_custkey <= 500 AND c_custkey % 6 = 0))
       |  UNION ALL SELECT 'sample_patient_in_patients',
       |    (SELECT count(*) FROM samples
       |      WHERE patient_id NOT IN (SELECT patient_id FROM patients))

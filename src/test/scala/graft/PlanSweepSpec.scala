@@ -27,7 +27,8 @@ class PlanSweepSpec extends AnyFunSuite {
     "sim_pq_topk", // probe × broadcast PQ codebook constants
     "ta_unigram_lp", "ta_tfidf", // 1-row corpus totals broadcast to every row
     "ta_kl_drift", // k-source totals × broadcast (V+1)-cell table: the dense smoothing grid, bounded by KlTopV
-    "dd_jaccard_ngram" // DOCUMENTED bounded brute-force (doc_id < 50 ⇒ ≤ 1225 pairs): the exact-verification primitive whose scale path is the LSH candidate join
+    "dd_jaccard_ngram", // DOCUMENTED bounded brute-force (doc_id < 50 ⇒ ≤ 1225 pairs): the exact-verification primitive whose scale path is the LSH candidate join
+    "a15_hll_union" // two 1-row sketch-rollup frames (union estimate × per-source rollup) combined into the single output row
   )
 
   test("no cartesian/nested-loop join in any registered query plan (sf0.001)") {

@@ -21,7 +21,13 @@ import org.apache.spark.sql.functions._
   *     signature bit-for-bit (the invariant that makes the N-adaptive
   *     ladder safe to extend).
   *
-  * Run: sbt "Test/runMain graft.queries.ScaleChecks <sfDir> [knn|simhash|prefix|all]"
+  * Plus `graph` (per-round cost accounting for the iterative graph
+  * family) and `ppjoin` (stage accounting for dd_prefix_join's
+  * prefix/candidate/position-filter pipeline, run against the
+  * PRODUCTION stage functions).
+  *
+  * Run: sbt "Test/runMain graft.queries.ScaleChecks <sfDir>
+  *           [knn|simhash|prefix|graph|ppjoin|all]"
   */
 object ScaleChecks {
   def main(args: Array[String]): Unit = {
@@ -204,24 +210,14 @@ object ScaleChecks {
     * as data, not as an opaque slow query.
     */
   def ppjoinAccounting(spark: SparkSession, dir: String): Unit = {
-    import DedupQueries.{PjNum, PjDen}
-    val grams = FrameCache.cached(spark, s"ta_grams_stream:$dir")(
-      TextQueries.gramStream(graft.Tables.documents(spark, dir))
-        .repartition(col("gram")))
+    // the PRODUCTION stage functions, not a copy — a constant or filter
+    // change in prefixJoinOf is automatically what gets audited here
+    val grams = TextQueries.sharedGramStream(spark, dir)
     val ng = time("gram stream build+count")(grams.count())
     val nd = grams.select(col("doc_id")).distinct().count()
     println(s"[scale] ppjoin: grams=$ng docs=$nd avg_grams_per_doc=${ng / math.max(nd, 1)}")
 
-    import org.apache.spark.sql.expressions.Window
-    val freq = grams.groupBy(col("gram")).agg(count(lit(1)).as("df"))
-    val wd = Window.partitionBy(col("doc_id"))
-    val wr = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("gram"))
-    val ranked = grams.join(freq, Seq("gram"))
-      .withColumn("sz", count(lit(1)).over(wd))
-      .withColumn("rnk", row_number().over(wr))
-    val prefix = ranked.filter(
-      col("rnk") <= col("sz") - expr(s"($PjNum * sz + $PjDen - 1) div $PjDen") + 1)
-      .localCheckpoint()
+    val prefix = DedupQueries.rankedPrefix(grams).localCheckpoint()
     val np = time("prefix build (df + rank + filter)")(prefix.count())
     val pstats = prefix.groupBy(col("gram")).agg(count(lit(1)).as("pdf"))
       .agg(max(col("pdf")).as("max_pdf"),
@@ -229,23 +225,9 @@ object ScaleChecks {
     println(s"[scale] ppjoin: prefix_rows=$np max_prefix_df=${pstats.getLong(0)} " +
       s"sum_pdf_choose2=${pstats.getDouble(1).toLong}")
 
-    val matches = prefix.select(col("doc_id").as("doc_a"), col("gram"),
-        col("sz").as("sa"), col("rnk").as("ra"))
-      .join(prefix.select(col("doc_id").as("doc_b"), col("gram"),
-        col("sz").as("sb"), col("rnk").as("rb")), Seq("gram"))
-      .filter(col("doc_a") < col("doc_b") &&
-        lit(PjNum) * col("sa") <= lit(PjDen) * col("sb") &&
-        lit(PjNum) * col("sb") <= lit(PjDen) * col("sa"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(max(col("sa")).as("sa"), max(col("sb")).as("sb"),
-        count(lit(1)).as("cnt"), max(col("ra")).as("mi"), max(col("rb")).as("mj"))
-      .localCheckpoint()
+    val matches = DedupQueries.plainCandidates(prefix).localCheckpoint()
     val nPlain = time("candidate pairs (plain prefix filter)")(matches.count())
-    val cand = matches.filter(
-      (lit(PjNum + PjDen) * (col("cnt") +
-        least(col("sa") - col("mi"), col("sb") - col("mj")))) >=
-        lit(PjNum) * (col("sa") + col("sb")))
-      .localCheckpoint()
+    val cand = DedupQueries.positionFiltered(matches).localCheckpoint()
     val nc = time("candidates after POSITION filter")(cand.count())
     val vin = cand.agg(sum(col("sa") + col("sb"))).head().getLong(0)
     println(s"[scale] ppjoin: plain_candidates=$nPlain post_position=$nc " +

@@ -643,20 +643,36 @@ class CorpusOpsSpec extends AnyFunSuite {
 
   // ---- a15_hll_union --------------------------------------------------
 
-  test("a15_hll_union: merged sketch estimate bounds, exact per-source sum, determinism") {
-    val exact = graft.Tables.documents(spark, sf001)
-      .select(countDistinct(col("doc_id"))).head().getLong(0)
+  test("a15_hll_union: merged sketch estimate bounds, overlap direction, determinism") {
+    // exact distinct grams, corpus-wide and summed per source, from the
+    // same shared gram stream the query sketches
+    val grams = TextQueries.sharedGramStream(spark, sf001)
+      .join(graft.Tables.documents(spark, sf001).select(col("doc_id"), col("source")),
+        Seq("doc_id"))
+    val exactUnion = grams.select(countDistinct(col("gram"))).head().getLong(0)
+    val exactSum = grams.groupBy(col("source"))
+      .agg(countDistinct(col("gram")).as("c"))
+      .agg(sum(col("c"))).head().getLong(0)
     val nSources = graft.Tables.documents(spark, sf001)
       .select(countDistinct(col("source"))).head().getLong(0)
     def run() = OlapQueries.a15HllUnion(spark, sf001).head()
     val r = run()
     assert(r.getLong(0) === nSources)
-    // lgK=12 HLL rsd ≈ 1.04/√4096 ≈ 1.6%; allow 3σ
-    assert(math.abs(r.getLong(1) - exact).toDouble / exact <= 0.05,
-      s"union estimate ${r.getLong(1)} vs exact $exact")
-    assert(r.getLong(2) === exact) // doc_ids are globally unique
+    // p=7 ⇒ rsd ≈ 1.04/√128 ≈ 9.2%; allow 3σ. Per-source cardinalities
+    // (~1100+ at sf0.001) all sit in the raw estimator's n ≥ 2.5·m=320
+    // domain, as does the union.
+    assert(math.abs(r.getLong(1) - exactUnion).toDouble / exactUnion <= 0.28,
+      s"union estimate ${r.getLong(1)} vs exact $exactUnion")
+    assert(math.abs(r.getLong(2) - exactSum).toDouble / exactSum <= 0.28,
+      s"sum of per-source estimates ${r.getLong(2)} vs exact $exactSum")
+    // cross-source overlap must point the right way: union ≤ sum — true
+    // exactly, and with the shared-vocabulary corpus the gap is wide
+    // enough (sum ≈ 1.8× union exactly) that 3σ noise cannot flip it
+    assert(r.getLong(1) < r.getLong(2),
+      s"union ${r.getLong(1)} must be below the per-source sum ${r.getLong(2)}")
     // register-wise-max union is merge-order independent
-    assert(run().getLong(1) === r.getLong(1))
+    val r2 = run()
+    assert(r2.getLong(1) === r.getLong(1) && r2.getLong(2) === r.getLong(2))
   }
 
   // ---- dd_source_dup_rate ---------------------------------------------

@@ -29,20 +29,44 @@ class RefQueriesSpec extends AnyFunSuite {
     assert(total == graft.Tables.lineitem(spark, sf001).count())
   }
 
-  test("a2_approx_distinct: HLL estimate within 3 sigma of exact") {
-    val row = RefQueries.a2ApproxDistinct(spark, sf001).head()
+  test("a2_approx_distinct: portable-HLL estimates within 3 sigma of exact in the raw domain") {
     import org.apache.spark.sql.functions._
+    val rows = RefQueries.a2ApproxDistinct(spark, sf001).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
     val exact = graft.Tables.lineitem(spark, sf001)
       .agg(countDistinct(col("l_orderkey")), countDistinct(col("l_partkey"))).head()
-    // tolerance = 3×rsd (query uses rsd=0.02): a 1×rsd bound is one
-    // standard deviation of the estimator — ~32% flake odds on any
-    // regenerated dataset; 3σ holds across refreshes
-    def close(approx: Long, truth: Long): Boolean =
-      math.abs(approx - truth).toDouble / truth < 0.06
-    assert(close(row.getLong(0), exact.getLong(0)),
-      s"orders: ${row.getLong(0)} vs ${exact.getLong(0)}")
-    assert(close(row.getLong(1), exact.getLong(1)),
-      s"parts: ${row.getLong(1)} vs ${exact.getLong(1)}")
+    // tolerance = 3×rsd (p=8 ⇒ rsd ≈ 1.04/√256 ≈ 6.5%): a 1σ bound
+    // has ~32% flake odds on any regenerated dataset; 3σ holds across
+    // refreshes. Applies in the raw estimator's domain (n ≥ 2.5·m=640)
+    // — orderkey (~1500 at sf0.001) is in it; partkey (~200) is BELOW
+    // it, where the estimator is deterministic but biased high (no
+    // linear-counting branch: ln has no cross-engine rounding
+    // guarantee), so it gets the documented biased-zone bound instead:
+    // never below truth, never above the n→0 asymptote α·m ≈ 185 plus
+    // the true cardinality.
+    val (orders, parts) = (exact.getLong(0), exact.getLong(1))
+    assert(math.abs(rows("orders") - orders).toDouble / orders < 0.20,
+      s"orders: ${rows("orders")} vs $orders")
+    assert(rows("parts") >= (parts * 0.8).toLong &&
+      rows("parts") <= parts + 250,
+      s"parts (biased zone): ${rows("parts")} vs $parts")
+    // controlled cardinalities spanning the raw domain: the estimator
+    // itself, driven through the exact query pipeline shape
+    import graft.functions.{Hashing, PortableHll}
+    for (n <- Seq(2000L, 50000L)) {
+      val est = spark.range(n)
+        .select(Hashing.md5Long(concat(lit("a2spec:"), col("id").cast("string"))).as("h"))
+        .select(PortableHll.bucket(col("h"), 8).as("b"), PortableHll.rho(col("h"), 8).as("rho"))
+        .groupBy(col("b")).agg(max(col("rho")).as("reg"))
+        .agg(PortableHll.z48(col("reg"), 8).as("z"))
+        .select(PortableHll.estimate(col("z"), 8)).head().getLong(0)
+      assert(math.abs(est - n).toDouble / n < 0.20, s"n=$n est=$est")
+    }
+    // determinism: identical rerun, bit-identical output (no
+    // partition-order dependence in the register max-fold)
+    val again = RefQueries.a2ApproxDistinct(spark, sf001).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again === rows)
   }
 
   test("p5 drops the all-null column from the schema") {

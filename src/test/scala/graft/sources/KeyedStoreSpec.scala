@@ -99,4 +99,33 @@ class KeyedStoreSpec extends AnyFunSuite {
     // non-conforming names sort last rather than as shard 0
     assert(KeyedStore.shardIndex("data.txt") == Long.MaxValue)
   }
+
+  test("Reader range-routes correctly across the 99999 -> 100000 shard-name rollover") {
+    // End-to-end over a synthetic store whose shard NAMES span the
+    // 5-digit/6-digit boundary: under lexicographic order part-100000
+    // would sort before part-99999, putting its keys out of global
+    // order and making the first-key bisection route every probe in
+    // the rolled-over range to the wrong shard (silent misses, not an
+    // error). Keys are constructed so lexicographic file order differs
+    // from numeric: shard 99998 holds 'a*', 99999 holds 'b*', 100000
+    // holds 'c*', 100001 holds 'd*'.
+    val dir = java.nio.file.Files.createTempDirectory("keyedstore-rollover")
+    def shard(name: String, rows: Seq[(String, String)]): Unit = {
+      val body = rows.map { case (k, v) => s"$k\t$v" }.mkString("", "\n", "\n")
+      java.nio.file.Files.write(dir.resolve(name),
+        body.getBytes(java.nio.charset.StandardCharsets.UTF_8)); ()
+    }
+    shard("part-99998-u1.txt", Seq("a1" -> "v-a1", "a2" -> "v-a2"))
+    shard("part-99999-u2.txt", Seq("b1" -> "v-b1", "b2" -> "v-b2"))
+    shard("part-100000-u3.txt", Seq("c1" -> "v-c1", "c2" -> "v-c2"))
+    shard("part-100001-u4.txt", Seq("d1" -> "v-d1", "d2" -> "v-d2"))
+    val r = KeyedStore.open(dir.toString)
+    for ((k, v) <- Seq("a1" -> "v-a1", "a2" -> "v-a2", "b1" -> "v-b1",
+        "b2" -> "v-b2", "c1" -> "v-c1", "c2" -> "v-c2",
+        "d1" -> "v-d1", "d2" -> "v-d2"))
+      assert(r.lookup(k) == Some(v), s"key $k")
+    // misses on both sides of every shard boundary stay misses
+    for (k <- Seq("a0", "a3", "b0", "b3", "c0", "c3", "d0", "d3", ""))
+      assert(r.lookup(k).isEmpty, s"key $k must miss")
+  }
 }

@@ -56,6 +56,15 @@ class PortalRulesSpec extends AnyFunSuite {
       "name" -> "Study One", "description" -> "healthy fixture study"))
     Tsv.writeCaseLists(sample, "CANCER_TYPE", "SAMPLE_ID", "study1",
       s"$dir/case_lists")
+    // a mutation profile REQUIRES a sequenced-cases list (tier 8); a
+    // healthy one lists exactly the mutated samples
+    write(Paths.get(dir, "case_lists", "cases_sequenced.txt"),
+      "cancer_study_identifier: study1\n" +
+        "stable_id: study1_sequenced\n" +
+        "case_list_name: Sequenced samples\n" +
+        "case_list_description: Samples with mutation data\n" +
+        "case_list_category: all_cases_with_mutation_data\n" +
+        "case_list_ids: s1\ts3\n")
     dir
   }
 
@@ -179,6 +188,7 @@ class PortalRulesSpec extends AnyFunSuite {
       "portal_meta_datatype_level", "clinical_required_id_columns",
       "clinical_patient_no_sample_cols", "clinical_dup_display_names",
       "clinical_attr_no_level_overlap", "portal_meta_boolean_values",
+      "portal_cases_sequenced_present",
       "portal_meta_reference_genome"),
       rep.keySet)
     rep.values.foreach { case (v, ok) => assert(ok && v == 0L) }
@@ -699,5 +709,64 @@ class PortalRulesSpec extends AnyFunSuite {
     Tsv.writeTsvFile(maf, s"$dir/data_mutations.txt")
     val rep = reportMap(dir)
     assert(rep("maf_no_dup_variants") == ((2L, false)))
+  }
+
+  test("mutation profile without a sequenced list trips portal_cases_sequenced_present") {
+    val dir = healthyPackage()
+    Files.delete(Paths.get(dir, "case_lists", "cases_sequenced.txt"))
+    val rep = reportMap(dir)
+    assert(rep("portal_cases_sequenced_present") == ((1L, false)))
+    // without the list the sequenced↔MAF contract is vacuous, not failed
+    assert(rep("cases_sequenced_ids_have_mutations") == ((0L, true)))
+    assert(rep("maf_barcodes_in_cases_sequenced") == ((0L, true)))
+  }
+
+  test("cases_sequenced disagreeing with the MAF trips both direction rules") {
+    val dir = healthyPackage()
+    // list claims s1 and a ghost were sequenced; s3 IS mutated (and a
+    // known sample) but is left off the list
+    write(Paths.get(dir, "case_lists", "cases_sequenced.txt"),
+      "cancer_study_identifier: study1\n" +
+        "stable_id: study1_sequenced\n" +
+        "case_list_name: Sequenced samples\n" +
+        "case_list_description: Samples with mutation data\n" +
+        "case_list_category: all_cases_with_mutation_data\n" +
+        "case_list_ids: s1\tsGHOST\n")
+    val rep = reportMap(dir)
+    assert(rep("cases_sequenced_ids_have_mutations") == ((1L, false)), "ghost id")
+    assert(rep("maf_barcodes_in_cases_sequenced") == ((1L, false)), "unlisted s3")
+  }
+
+  test("one Hugo symbol mapping to two Entrez ids trips maf_hugo_entrez_consistent") {
+    val dir = healthyPackage()
+    val maf = Seq(
+      ("s1", "TP53", Some(7157L)),
+      ("s1", "TP53", Some(7157L)),   // repeat of the same mapping: fine
+      ("s3", "TP53", Some(9999L)),   // CONFLICTING id for TP53
+      ("s3", "EGFR", Some(1956L)),
+      ("s1", "", Some(1L)),          // blank symbol: exempt
+      ("s1", "KRAS", None))          // null id: exempt
+      .toDF("Tumor_Sample_Barcode", "Hugo_Symbol", "Entrez_Gene_Id")
+    Tsv.writeTsvFile(maf, s"$dir/data_mutations.txt")
+    assert(reportMap(dir)("maf_hugo_entrez_consistent") == ((1L, false)))
+  }
+
+  test("tier-8 clinical value hygiene: NA spellings, whitespace, negative survival months") {
+    val dir = healthyPackage()
+    // OS_MONTHS declared STRING so the NUMBER rule stays out of the way
+    // and each seed trips exactly one tier-8 rule
+    val patient = Seq(
+      ("p1", "N/A"),    // alternate NA spelling
+      ("p2", " 2.5"),   // leading whitespace
+      ("p3", "-3"))     // numerically valid but negative months
+      .toDF("PATIENT_ID", "OS_MONTHS")
+    Tsv.writeTsvFile(patient, s"$dir/data_clinical_patient.txt",
+      Seq("#Patient ID\tOs Months", "#Patient identifier\tSurvival months",
+        "#STRING\tSTRING", "#1\t1"))
+    val rep = reportMap(dir)
+    assert(rep("clinical_na_spellings") == ((1L, false)))
+    assert(rep("clinical_value_whitespace") == ((1L, false)))
+    assert(rep("clinical_survival_months_nonneg") == ((1L, false)))
+    assert(rep("clinical_number_attrs_numeric")._2, "STRING column must not hit the NUMBER rule")
   }
 }
