@@ -371,16 +371,25 @@ object PortalRules {
     import spark.implicits._
     if (sequencedIds.isEmpty || !maf.columns.contains("Tumor_Sample_Barcode"))
       return (0L, 0L)
+    // ONE action for both directions: the fact-sized MAF collapses
+    // map-side to its distinct barcodes, the (small) list full-outer
+    // joins them so listed-but-unmutated survive as maf-null rows, and
+    // the clinical sample set tags the mutated side — two .count()
+    // actions would scan the MAF twice (actions never share exchanges).
     val barcodes = maf.select(col("Tumor_Sample_Barcode").cast("string").as("bk"))
-      .na.drop().distinct()
-    val listed = sequencedIds.toDF("bk").distinct()
-    val unsequenced = listed.join(barcodes, Seq("bk"), "left_anti").count()
-    val unlisted = barcodes
-      .join(samples.select(col(sampleKey).cast("string").as("bk")).na.drop().distinct(),
-        Seq("bk"), "left_semi")
-      .join(listed, Seq("bk"), "left_anti")
-      .count()
-    (unsequenced, unlisted)
+      .na.drop().distinct().withColumn("m", lit(1))
+    val listed = sequencedIds.toDF("bk").distinct().withColumn("l", lit(1))
+    val sampleIds = samples.select(col(sampleKey).cast("string").as("bk"))
+      .na.drop().distinct().withColumn("s", lit(1))
+    val r = barcodes
+      .join(listed, Seq("bk"), "full_outer")
+      .join(sampleIds, Seq("bk"), "left_outer")
+      .agg(
+        sum(when(col("l") === 1 && col("m").isNull, 1L).otherwise(0L)),
+        sum(when(col("m") === 1 && col("s") === 1 && col("l").isNull, 1L)
+          .otherwise(0L)))
+      .head()
+    (r.getLong(0), r.getLong(1))
   }
 
   /** Containment check `child[childKey] ⊆ parent[parentKey]` as a
@@ -974,7 +983,9 @@ object PortalRules {
       |           WHEN 5 THEN 'DEL' ELSE 'SNV' END AS vtype,
       |         CASE l_returnflag WHEN 'N' THEN 'Untested' WHEN 'R' THEN 'Valid'
       |           ELSE 'Wrong_Status' END AS vstatus,
-      |         l_partkey % 50021 - 3 AS entrez,
+      |         CASE WHEN l_partkey % 1999 = 0 THEN -7
+      |           WHEN l_partkey % 974 = 0 THEN 0
+      |           ELSE l_partkey % 500 + 1 END AS entrez,
       |         CASE WHEN l_partkey % 487 = 0 THEN ''
       |           ELSE 'G' || CAST(l_partkey % 500 AS VARCHAR) END AS hugo,
       |         CASE WHEN l_linenumber % 7 = 0 THEN '-'
