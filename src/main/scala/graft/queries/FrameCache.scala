@@ -59,8 +59,39 @@ private[graft] object FrameCache {
         bytesCache.keySet.removeIf(_.startsWith(prefix))
         countCache.keySet.removeIf(_.startsWith(prefix))
         stringsCache.keySet.removeIf(_.startsWith(prefix))
+        buildLocks.keySet.removeIf(_.startsWith(prefix))
         it.remove()
       }
+    }
+  }
+
+  /** Per-key build locks for [[memo]]. One Object per live cache key —
+    * pruned with the caches in [[evictStopped]]/[[clear]]. */
+  private val buildLocks = new ConcurrentHashMap[String, Object]()
+
+  /** Memoize `build` under `key` in `map` WITHOUT running it inside
+    * `ConcurrentHashMap.computeIfAbsent`: a build that itself consults
+    * the cache (nested index frames — g_triangles reads the mutual-graph
+    * frame, whose build reads the LSH signature chain) re-enters the
+    * map, and computeIfAbsent throws `IllegalStateException("Recursive
+    * update")` whenever the outer and inner keys land in the same hash
+    * bin. That collision depends on the map's bin layout and the
+    * session prefix (which embeds the per-run application id), so the
+    * failure is NONDETERMINISTIC across runs — it fired for the first
+    * time in round 13 on a pair of graph queries green since round 9.
+    * Per-key locks keep the once-only guarantee; distinct keys never
+    * serialize against each other, and a nested build takes its own
+    * key's lock (a same-key cycle would have been infinite recursion
+    * under computeIfAbsent too).
+    */
+  private def memo[V <: AnyRef](map: ConcurrentHashMap[String, V],
+      key: String)(build: => V): V = {
+    val v0 = map.get(key)
+    if (v0 != null) v0
+    else buildLocks.computeIfAbsent(key, _ => new Object).synchronized {
+      val v1 = map.get(key)
+      if (v1 != null) v1
+      else { val v = build; map.put(key, v); v }
     }
   }
 
@@ -70,7 +101,7 @@ private[graft] object FrameCache {
     */
   def cached(s: SparkSession, key: String)(build: => DataFrame): DataFrame = {
     evictStopped()
-    frames.computeIfAbsent(s"${sessionKey(s)}:$key", _ => build.persist())
+    memo(frames, s"${sessionKey(s)}:$key")(build.persist())
   }
 
   /** Like [[cached]], but the stored frame is an EAGER
@@ -89,7 +120,7 @@ private[graft] object FrameCache {
     */
   def cachedCut(s: SparkSession, key: String)(build: => DataFrame): DataFrame = {
     evictStopped()
-    frames.computeIfAbsent(s"${sessionKey(s)}:$key", _ => build.localCheckpoint())
+    memo(frames, s"${sessionKey(s)}:$key")(build.localCheckpoint())
   }
 
   /** Driver-side artifacts derived from a cached frame (Bloom sketch
@@ -107,7 +138,7 @@ private[graft] object FrameCache {
     * first use. */
   def cachedBytes(s: SparkSession, key: String)(build: => Array[Byte]): Array[Byte] = {
     evictStopped()
-    bytesCache.computeIfAbsent(s"${sessionKey(s)}:$key", _ => build)
+    memo(bytesCache, s"${sessionKey(s)}:$key")(build)
   }
 
   private val stringsCache = new ConcurrentHashMap[String, Array[String]]()
@@ -120,7 +151,7 @@ private[graft] object FrameCache {
     * array. */
   def cachedStrings(s: SparkSession, key: String)(build: => Array[String]): Array[String] = {
     evictStopped()
-    stringsCache.computeIfAbsent(s"${sessionKey(s)}:$key", _ => build)
+    memo(stringsCache, s"${sessionKey(s)}:$key")(build)
   }
 
   /** An index-sizing count for `key` under session `s` (e.g. the corpus
@@ -128,7 +159,8 @@ private[graft] object FrameCache {
     * computed once instead of one count job per invocation. */
   def cachedCount(s: SparkSession, key: String)(build: => Long): Long = {
     evictStopped()
-    countCache.computeIfAbsent(s"${sessionKey(s)}:$key", _ => build)
+    memo(countCache, s"${sessionKey(s)}:$key")(java.lang.Long.valueOf(build))
+      .longValue()
   }
 
   /** Memoized persisted-ancestor ids per frame entry ([[ownedRddIds]]).
@@ -185,6 +217,7 @@ private[graft] object FrameCache {
     bytesCache.clear()
     countCache.clear()
     stringsCache.clear()
+    buildLocks.clear()
     sessionPrefixes.clear()
   }
 }

@@ -940,7 +940,7 @@ object RefQueries {
   private[graft] def v18Maf(s: SparkSession, dir: String): DataFrame = {
     import java.nio.file.Paths
     val src = Paths.get(dir).resolve("lineitem.parquet")
-    val ident = s"$src:${graft.sources.ContentIdent.of(src)}:v18maf2"
+    val ident = s"$src:${graft.sources.ContentIdent.of(src)}:v18maf3"
     val root = graft.sources.DurableIndex.once("graft-v18-maf", ident) { tmp =>
       v18MafExprs(s, dir).write.mode("overwrite")
         .parquet(tmp.resolve("maf").toString)
@@ -961,8 +961,14 @@ object RefQueries {
     Tables.lineitem(s, dir).select(
       concat(lit("S"), pmod(col("l_orderkey"), lit(2347L)).cast(StringType))
         .as("Tumor_Sample_Barcode"),
-      when(chrm === 23L, "X").when(chrm === 24L, "Y").when(chrm === 25L, "MT")
-        .otherwise(chrm.cast(StringType)).as("Chromosome"),
+      // tier-9 seeding: every 59th partkey reports its (valid) name
+      // `chr`-prefixed — normalizes clean for the validity rule, counts
+      // under maf_chromosome_no_prefix
+      concat(
+        when(pmod(col("l_partkey"), lit(59L)) === 0L, lit("chr"))
+          .otherwise(lit("")),
+        when(chrm === 23L, "X").when(chrm === 24L, "Y").when(chrm === 25L, "MT")
+          .otherwise(chrm.cast(StringType))).as("Chromosome"),
       col("l_orderkey").as("Start_Position"),
       (col("l_orderkey") + col("l_linenumber") - lit(3L)).as("End_Position"),
       // tier-7 presence seeding: a NULL reference allele every
@@ -987,6 +993,10 @@ object RefQueries {
       // linenumber disagrees with the typed span, status invalid on 'A'
       // rows, entrez seeded below, hugo blank on %487==0
       when(pmod(col("l_partkey"), lit(53L)) === 0L, "Missense_Variant")
+        // tier-9: Silent events every 41st partkey (valid vocabulary,
+        // but counted by maf_not_loaded_classification and exempt from
+        // the protein-change presence rule)
+        .when(pmod(col("l_partkey"), lit(41L)) === 0L, "Silent")
         .otherwise("Missense_Mutation").as("Variant_Classification"),
       when(vt === 0L, "SNP").when(vt === 1L, "DNP").when(vt === 2L, "TNP")
         .when(vt === 3L, "ONP").when(vt === 4L, "INS").when(vt === 5L, "DEL")
@@ -1031,7 +1041,33 @@ object RefQueries {
       tRef.as("t_ref_count"),
       tAlt.as("t_alt_count"),
       (tRef + tAlt - when(pmod(col("l_orderkey"), lit(29L)) === 0L, lit(5L))
-        .otherwise(lit(0L))).as("t_depth"))
+        .otherwise(lit(0L))).as("t_depth"),
+      // tier-9 seeded columns: dbSNP id malformed every suppkey≡0 (mod
+      // 31), `novel`/blank branches legal; SWISSPROT lowercase (invalid)
+      // every 17th; HGVSp blank every 5th linenumber (fires the
+      // presence-for-nonsilent rule wherever the classification is
+      // protein-affecting) and un-prefixed (format violation) every 29th
+      // suppkey; matched-normal alt count negative every 37th suppkey
+      when(pmod(col("l_suppkey"), lit(31L)) === 0L, "rsX13")
+        .when(pmod(col("l_suppkey"), lit(31L)) === 1L, "novel")
+        .when(pmod(col("l_suppkey"), lit(31L)) === 2L, "")
+        .otherwise(concat(lit("rs"),
+          pmod(col("l_orderkey"), lit(100000L)).cast(StringType)))
+        .as("dbSNP_RS"),
+      when(pmod(col("l_suppkey"), lit(17L)) === 0L, "p53_human")
+        .when(pmod(col("l_suppkey"), lit(17L)) === 1L, "")
+        .otherwise(concat(lit("G"),
+          pmod(col("l_partkey"), lit(500L)).cast(StringType), lit("_HUMAN")))
+        .as("SWISSPROT"),
+      when(pmod(col("l_linenumber"), lit(5L)) === 0L, "")
+        .when(pmod(col("l_suppkey"), lit(29L)) === 0L, "M1I")
+        .otherwise(concat(lit("p.M"),
+          (pmod(col("l_orderkey"), lit(1000L)) + lit(1L)).cast(StringType),
+          lit("I")))
+        .as("HGVSp_Short"),
+      pmod(col("l_partkey"), lit(800L)).as("n_ref_count"),
+      when(pmod(col("l_suppkey"), lit(37L)) === 0L, lit(-2L))
+        .otherwise(pmod(col("l_orderkey"), lit(300L))).as("n_alt_count"))
   }
 
   val queries: Map[String, Q] = Map(

@@ -66,6 +66,26 @@ object PortalRules {
     "De_novo_Start_InFrame", "De_novo_Start_OutOfFrame", "Splice_Region",
     "Unknown")
 
+  /** Classifications the importer SKIPS on load (validateData's
+    * "mutation events that will not be loaded" warning tier): silent and
+    * non-coding events are filtered by the default
+    * variant_classification_filter, so a study dominated by them imports
+    * near-empty — worth surfacing as a count, not a boolean.
+    */
+  val NotLoadedClassifications: Set[String] = Set(
+    "Silent", "Intron", "3'UTR", "5'UTR", "3'Flank", "5'Flank", "IGR",
+    "RNA")
+
+  /** Classifications that change the protein product and therefore
+    * should carry a protein-change annotation (validateData's missing
+    * Amino_Acid_Change/HGVSp_Short warning fires only for these — a
+    * Silent or intronic event legitimately has none).
+    */
+  val ProteinAffectingClassifications: Set[String] = Set(
+    "Missense_Mutation", "Nonsense_Mutation", "Frame_Shift_Del",
+    "Frame_Shift_Ins", "In_Frame_Del", "In_Frame_Ins", "Nonstop_Mutation",
+    "Translation_Start_Site")
+
   /** Variant_Type controlled vocabulary. */
   val ValidVariantTypes: Set[String] = Set("SNP", "DNP", "TNP", "ONP",
     "INS", "DEL")
@@ -313,6 +333,55 @@ object PortalRules {
         violation(coalesce(
           col("t_depth") < col("t_ref_count") + col("t_alt_count"),
           lit(false))))
+    // ---- tier 9: strict-MAF warning long tail ----
+    if (cols("dbSNP_RS"))
+      // dbSNP identifiers are `rs<digits>` or the literal `novel`;
+      // blank/NULL means "not looked up" and is not a format violation
+      b += Rules.Rule("maf_dbsnp_rs_format",
+        violation(coalesce(col("dbSNP_RS") =!= "" &&
+          !col("dbSNP_RS").rlike("^(rs[0-9]+|novel)$"), lit(false))))
+    if (cols("SWISSPROT"))
+      // UniProt name (`<ALNUM>_HUMAN`) or accession (`Q9XXX0`-shaped);
+      // validateData warns per swissprot_identifier meta key semantics
+      b += Rules.Rule("maf_swissprot_format",
+        violation(coalesce(col("SWISSPROT") =!= "" &&
+          !col("SWISSPROT").rlike(
+            "^([A-Z0-9]+_HUMAN|[OPQ][0-9][A-Z0-9]{3}[0-9])$"), lit(false))))
+    if (cols("HGVSp_Short"))
+      // a non-blank protein change must be HGVS-p (`p.`-prefixed)
+      b += Rules.Rule("maf_hgvsp_format",
+        violation(coalesce(col("HGVSp_Short") =!= "" &&
+          !col("HGVSp_Short").startsWith("p."), lit(false))))
+    if (cols("HGVSp_Short") && cols("Variant_Classification"))
+      // a protein-affecting event with no protein change recorded —
+      // validateData's missing-amino-acid-change warning
+      b += Rules.Rule("maf_hgvsp_present_nonsilent",
+        violation(blank(col("HGVSp_Short")) &&
+          coalesce(col("Variant_Classification").isin(
+            ProteinAffectingClassifications.toSeq: _*), lit(false))))
+    if (cols("Variant_Classification"))
+      // events the importer's default classification filter drops
+      b += Rules.Rule("maf_not_loaded_classification",
+        violation(coalesce(col("Variant_Classification").isin(
+          NotLoadedClassifications.toSeq: _*), lit(false))))
+    if (cols("Chromosome"))
+      // `chr`-prefixed names import (normalized) but draw the style
+      // warning; [[normChromosome]] keeps them OUT of the validity rule
+      b += Rules.Rule("maf_chromosome_no_prefix",
+        violation(coalesce(col("Chromosome").rlike("(?i)^chr"),
+          lit(false))))
+    if (cols("Mutation_Status"))
+      // germline/LOH calls are skipped by default import config —
+      // validateData's germline-will-not-be-loaded warning
+      b += Rules.Rule("maf_germline_reported",
+        violation(coalesce(col("Mutation_Status").isin("Germline", "LOH"),
+          lit(false))))
+    if (cols("n_ref_count") && cols("n_alt_count"))
+      // matched-normal read support non-negative (numeric sanity tier,
+      // the normal-sample twin of maf_allele_counts_valid)
+      b += Rules.Rule("maf_normal_counts_valid",
+        violation(coalesce(col("n_ref_count") < 0L, lit(false)) ||
+          coalesce(col("n_alt_count") < 0L, lit(false))))
     if (cols("Tumor_Sample_Barcode") && cols("Chromosome") &&
         cols("Start_Position") && cols("End_Position") &&
         cols("Tumor_Seq_Allele2"))
@@ -960,6 +1029,7 @@ object PortalRules {
       |  FROM customer WHERE (c_custkey % 1000) % 97 <> 0),
       |maf AS (
       |  SELECT 'S' || CAST(l_orderkey % 2347 AS VARCHAR) AS barcode,
+      |         (CASE WHEN l_partkey % 59 = 0 THEN 'chr' ELSE '' END) ||
       |         CASE l_partkey % 27 WHEN 23 THEN 'X' WHEN 24 THEN 'Y' WHEN 25 THEN 'MT'
       |           ELSE CAST(l_partkey % 27 AS VARCHAR) END AS chrom,
       |         l_orderkey AS start_pos,
@@ -977,6 +1047,7 @@ object PortalRules {
       |           ELSE 'Unknowable' END AS status,
       |         'GRCh38' AS build,
       |         CASE WHEN l_partkey % 53 = 0 THEN 'Missense_Variant'
+      |           WHEN l_partkey % 41 = 0 THEN 'Silent'
       |           ELSE 'Missense_Mutation' END AS vclass,
       |         CASE l_suppkey % 7 WHEN 0 THEN 'SNP' WHEN 1 THEN 'DNP'
       |           WHEN 2 THEN 'TNP' WHEN 3 THEN 'ONP' WHEN 4 THEN 'INS'
@@ -998,7 +1069,22 @@ object PortalRules {
       |           ELSE l_orderkey % 500 END AS t_alt,
       |         (l_partkey % 1000)
       |           + (CASE WHEN l_suppkey % 19 = 0 THEN -1 ELSE l_orderkey % 500 END)
-      |           - (CASE WHEN l_orderkey % 29 = 0 THEN 5 ELSE 0 END) AS t_depth
+      |           - (CASE WHEN l_orderkey % 29 = 0 THEN 5 ELSE 0 END) AS t_depth,
+      |         CASE WHEN l_suppkey % 31 = 0 THEN 'rsX13'
+      |           WHEN l_suppkey % 31 = 1 THEN 'novel'
+      |           WHEN l_suppkey % 31 = 2 THEN ''
+      |           ELSE 'rs' || CAST(l_orderkey % 100000 AS VARCHAR) END AS dbsnp,
+      |         CASE WHEN l_suppkey % 17 = 0 THEN 'p53_human'
+      |           WHEN l_suppkey % 17 = 1 THEN ''
+      |           ELSE 'G' || CAST(l_partkey % 500 AS VARCHAR) || '_HUMAN'
+      |           END AS swissprot,
+      |         CASE WHEN l_linenumber % 5 = 0 THEN ''
+      |           WHEN l_suppkey % 29 = 0 THEN 'M1I'
+      |           ELSE 'p.M' || CAST(l_orderkey % 1000 + 1 AS VARCHAR) || 'I'
+      |           END AS hgvsp,
+      |         l_partkey % 800 AS n_ref,
+      |         CASE WHEN l_suppkey % 37 = 0 THEN -2
+      |           ELSE l_orderkey % 300 END AS n_alt
       |  FROM lineitem),
       |r AS (
       |  SELECT 'portal_meta_files_resolve' AS rule, 0 AS value
@@ -1078,7 +1164,10 @@ object PortalRules {
       |  UNION ALL SELECT 'no_dup_sample_id',
       |    (SELECT count(*) - count(DISTINCT sample_id) FROM samples)
       |  UNION ALL SELECT 'maf_chromosome_valid',
-      |    (SELECT sum(CASE WHEN chrom NOT IN ('1','2','3','4','5','6','7','8','9','10',
+      |    (SELECT sum(CASE WHEN
+      |      (CASE WHEN upper(regexp_replace(chrom, '(?i)^chr', '')) = 'M'
+      |        THEN 'MT' ELSE upper(regexp_replace(chrom, '(?i)^chr', '')) END)
+      |      NOT IN ('1','2','3','4','5','6','7','8','9','10',
       |      '11','12','13','14','15','16','17','18','19','20','21','22','X','Y','MT')
       |      THEN 1 ELSE 0 END) FROM maf)
       |  UNION ALL SELECT 'maf_extent_valid',
@@ -1161,6 +1250,37 @@ object PortalRules {
       |      THEN 1 ELSE 0 END) FROM maf)
       |  UNION ALL SELECT 'maf_read_support_consistent',
       |    (SELECT sum(CASE WHEN t_depth < t_ref + t_alt THEN 1 ELSE 0 END) FROM maf)
+      |  UNION ALL SELECT 'maf_dbsnp_rs_format',
+      |    (SELECT sum(CASE WHEN dbsnp IS NOT NULL AND dbsnp <> ''
+      |      AND NOT regexp_matches(dbsnp, '^(rs[0-9]+|novel)$')
+      |      THEN 1 ELSE 0 END) FROM maf)
+      |  UNION ALL SELECT 'maf_swissprot_format',
+      |    (SELECT sum(CASE WHEN swissprot IS NOT NULL AND swissprot <> ''
+      |      AND NOT regexp_matches(swissprot,
+      |        '^([A-Z0-9]+_HUMAN|[OPQ][0-9][A-Z0-9]{3}[0-9])$')
+      |      THEN 1 ELSE 0 END) FROM maf)
+      |  UNION ALL SELECT 'maf_hgvsp_format',
+      |    (SELECT sum(CASE WHEN hgvsp IS NOT NULL AND hgvsp <> ''
+      |      AND hgvsp NOT LIKE 'p.%' THEN 1 ELSE 0 END) FROM maf)
+      |  UNION ALL SELECT 'maf_hgvsp_present_nonsilent',
+      |    (SELECT sum(CASE WHEN (hgvsp IS NULL OR hgvsp = '')
+      |      AND vclass IN ('Missense_Mutation','Nonsense_Mutation',
+      |        'Frame_Shift_Del','Frame_Shift_Ins','In_Frame_Del',
+      |        'In_Frame_Ins','Nonstop_Mutation','Translation_Start_Site')
+      |      THEN 1 ELSE 0 END) FROM maf)
+      |  UNION ALL SELECT 'maf_not_loaded_classification',
+      |    (SELECT sum(CASE WHEN vclass IN ('Silent','Intron','3''UTR',
+      |      '5''UTR','3''Flank','5''Flank','IGR','RNA')
+      |      THEN 1 ELSE 0 END) FROM maf)
+      |  UNION ALL SELECT 'maf_chromosome_no_prefix',
+      |    (SELECT sum(CASE WHEN regexp_matches(chrom, '(?i)^chr')
+      |      THEN 1 ELSE 0 END) FROM maf)
+      |  UNION ALL SELECT 'maf_germline_reported',
+      |    (SELECT sum(CASE WHEN status IN ('Germline','LOH')
+      |      THEN 1 ELSE 0 END) FROM maf)
+      |  UNION ALL SELECT 'maf_normal_counts_valid',
+      |    (SELECT sum(CASE WHEN n_ref < 0 OR n_alt < 0
+      |      THEN 1 ELSE 0 END) FROM maf)
       |  UNION ALL SELECT 'maf_no_dup_variants',
       |    (SELECT count(*) FROM maf) - (SELECT count(*) FROM
       |      (SELECT DISTINCT barcode, chrom, start_pos, end_pos, tum_allele

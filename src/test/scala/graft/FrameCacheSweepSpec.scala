@@ -53,4 +53,29 @@ class FrameCacheSweepSpec extends AnyFunSuite {
       s"FrameCache frames were rebuilt after the sweep (new owned RDD ids $rebuilt) — " +
         "ownedRddIds missed their backing storage on the first pass")
   }
+
+  test("nested cached builds never trip ConcurrentHashMap's recursive-update guard") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // Under the old computeIfAbsent-based memoization, an outer build
+    // that consulted the cache under ANOTHER key (g_triangles' mutual
+    // graph reading the LSH chain) threw IllegalStateException
+    // ("Recursive update") whenever the two keys landed in the same
+    // hash bin — nondeterministic across runs because the session
+    // prefix embeds the application id. 64 nested pairs make at least
+    // one bin collision overwhelmingly likely on the old code path;
+    // with per-key build locks they must all succeed.
+    (0 until 64).foreach { i =>
+      val df = FrameCache.cached(spark, s"nest-outer-$i") {
+        FrameCache.cached(spark, s"nest-inner-$i")(Seq(i).toDF("v"))
+          .select((col("v") + 1).as("v"))
+      }
+      assert(df.collect().map(_.getInt(0)).toSeq == Seq(i + 1))
+    }
+    // scalar memo nested inside a frame build (the cachedCount path)
+    val n = FrameCache.cachedCount(spark, "nest-count") {
+      FrameCache.cached(spark, "nest-count-frame")(Seq(1, 2, 3).toDF("v")).count()
+    }
+    assert(n == 3L)
+  }
 }

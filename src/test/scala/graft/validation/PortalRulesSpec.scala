@@ -34,8 +34,11 @@ class PortalRulesSpec extends AnyFunSuite {
     Tsv.writeTsvFile(patient, s"$dir/data_clinical_patient.txt",
       Seq("#Patient ID", "#Patient identifier", "#STRING", "#1"))
     val maf = Seq(
-      ("s1", "chr17", 100L, 101L, "C", "T", "Somatic", "GRCh38"),
-      ("s3", "X", 50L, 50L, "-", "A", "Germline", "GRCh38"))
+      // no chr prefix and no germline call: those are WARNING-tier
+      // counts (maf_chromosome_no_prefix / maf_germline_reported) a
+      // healthy package must not carry
+      ("s1", "17", 100L, 101L, "C", "T", "Somatic", "GRCh38"),
+      ("s3", "X", 50L, 50L, "-", "A", "Somatic", "GRCh38"))
       .toDF("Tumor_Sample_Barcode", "Chromosome", "Start_Position",
         "End_Position", "Reference_Allele", "Tumor_Seq_Allele2",
         "Mutation_Status", "NCBI_Build")
@@ -768,5 +771,38 @@ class PortalRulesSpec extends AnyFunSuite {
     assert(rep("clinical_value_whitespace") == ((1L, false)))
     assert(rep("clinical_survival_months_nonneg") == ((1L, false)))
     assert(rep("clinical_number_attrs_numeric")._2, "STRING column must not hit the NUMBER rule")
+  }
+
+  test("tier-9 strict-MAF warning columns are each counted per rule") {
+    val dir = healthyPackage()
+    val maf = Seq(
+      // bad dbSNP id, lowercase SWISSPROT, un-prefixed protein change
+      ("s1", "17", "Missense_Mutation", "Somatic", "rsX13", "p53_human",
+        "M1I", 10L, 12L),
+      // Silent event (not-loaded count; blank HGVSp is LEGAL here),
+      // negative normal alt count
+      ("s2", "17", "Silent", "Somatic", "rs42", "TP53_HUMAN", "", 10L, -2L),
+      // chr-prefixed (style warning, normalizes VALID), germline call,
+      // blank HGVSp on a protein-affecting event
+      ("s3", "chr17", "Missense_Mutation", "Germline", "novel", "", "",
+        10L, 12L),
+      // fully healthy row
+      ("s1", "17", "Missense_Mutation", "Somatic", "rs7", "Q9XYZ1",
+        "p.M1I", 10L, 12L))
+      .toDF("Tumor_Sample_Barcode", "Chromosome", "Variant_Classification",
+        "Mutation_Status", "dbSNP_RS", "SWISSPROT", "HGVSp_Short",
+        "n_ref_count", "n_alt_count")
+    Tsv.writeTsvFile(maf, s"$dir/data_mutations.txt")
+    val rep = reportMap(dir)
+    assert(rep("maf_dbsnp_rs_format") == ((1L, false)))
+    assert(rep("maf_swissprot_format") == ((1L, false)))
+    assert(rep("maf_hgvsp_format") == ((1L, false)))
+    assert(rep("maf_hgvsp_present_nonsilent") == ((1L, false)),
+      "only the protein-affecting blank counts; the Silent blank is legal")
+    assert(rep("maf_not_loaded_classification") == ((1L, false)))
+    assert(rep("maf_chromosome_no_prefix") == ((1L, false)))
+    assert(rep("maf_chromosome_valid")._2, "chr17 normalizes valid")
+    assert(rep("maf_germline_reported") == ((1L, false)))
+    assert(rep("maf_normal_counts_valid") == ((1L, false)))
   }
 }
