@@ -592,6 +592,80 @@ object TextQueries {
           .as("avg_lp"))
   }
 
+  /** [[taBm25]] query terms: the document-frequency-ranked terms in
+    * positions [lo, hi] (df DESC, token ASC) — 8 terms from the TAIL of
+    * the synthetic corpus's 31-token vocabulary, which is where its idf
+    * spread lives (seven common terms plus the one genuinely rare
+    * token), derived deterministically from the corpus instead of
+    * hard-coding vocabulary the synthetic text may not contain. BM25
+    * constants are the textbook defaults; the (k1+1) and (1-b) factors
+    * are written as LITERALS so the engine and the DuckDB oracle
+    * evaluate the identical double constants.
+    */
+  val Bm25RankLo = 24
+  val Bm25RankHi = 31
+  val Bm25TopK = 100
+
+  /** ta_bm25 — Okapi BM25 ranked retrieval (Robertson & Walker's
+    * probabilistic relevance scoring, the default ranking function of
+    * Lucene/Elasticsearch): score every document against a fixed 8-term
+    * query and return the top-[[Bm25TopK]] hits. The retrieval twin of
+    * [[taTfidf]]'s keyword extraction — tf-idf characterizes a document,
+    * BM25 ranks documents for a query, saturating term frequency (k1)
+    * and normalizing by document length (b).
+    *
+    * Scale shape (the inverted-retrieval plan, not score-everything):
+    *  - the document-frequency table is the search index's vocabulary
+    *    artifact — built ONCE per corpus (FrameCache; one exchange of
+    *    distinct (tok, doc) pairs keyed by token) and shared;
+    *  - query-term selection is a distributed top-k (TakeOrdered over
+    *    the vocab, never a global single-partition window), then a
+    *    window over ≤[[Bm25RankHi]] collected rows;
+    *  - the token stream joins the 8-row query BROADCAST — a map-side
+    *    filter, so only matching postings reach the tf aggregate (at
+    *    100 TB: the postings of 8 terms, not the corpus);
+    *  - doc lengths are a zero-shuffle compiled-kernel scan
+    *    ([[graft.functions.TextExprs.wsTokenCount]]); corpus stats
+    *    (N, total length) broadcast as a 1-row frame;
+    *  - the final ranking is a TakeOrderedAndProject on the ROUNDED
+    *    score with doc_id tie-break, so top-k membership is
+    *    deterministic across engines.
+    * Floats follow the house ta_unigram_lp policy: identical literal
+    * constants and operation order on both engine sides, `ln` (1-ulp
+    * class) absorbed by bround(·, 6).
+    */
+  def taBm25: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val toks = cachedToks(s, dir).select(col("doc_id"), col("tok"))
+    val dfTab = FrameCache.cached(s, s"ta_bm25_df:$dir")(
+      toks.groupBy(col("tok")).agg(countDistinct(col("doc_id")).as("df")))
+    val q = dfTab.orderBy(col("df").desc, col("tok").asc).limit(Bm25RankHi)
+      .withColumn("rn",
+        row_number().over(Window.orderBy(col("df").desc, col("tok").asc)))
+      .filter(col("rn") >= Bm25RankLo)
+      .select(col("tok"), col("df"))
+    val lens = Tables.documents(s, dir).select(col("doc_id"),
+      TextExprs.wsTokenCount(col("text")).cast("long").as("len"))
+    val stats = lens.agg(count(lit(1)).cast("double").as("n"),
+      sum(col("len")).cast("double").as("sl"))
+    toks.join(broadcast(q), Seq("tok"))
+      .groupBy(col("doc_id"), col("tok"), col("df"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+      .join(lens, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        (log(lit(1.0) + (col("n") - col("df") + lit(0.5)) /
+            (col("df") + lit(0.5))) *
+          (col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) *
+            (lit(0.25) + lit(0.75) * col("len") / (col("sl") / col("n")))))
+          .as("c"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"), bround(sum(col("c")), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(Bm25TopK)
+  }
+
   /** ta_repetition — Gopher-style repetition signals (Rae et al. 2021,
     * "Scaling Language Models", §A1.1 repetition filters): fraction of
     * tokens taken by the most frequent token, and duplicate-bigram
@@ -1593,6 +1667,7 @@ object TextQueries {
     "td_stratified_sample" -> tdStratifiedSample,
     "td_pack" -> tdPack,
     "ta_unigram_lp" -> taUnigramLp,
+    "ta_bm25" -> taBm25,
     "ta_quality_model" -> taQualityModel,
     "ta_heavy_hitters" -> taHeavyHitters,
     "ta_heavy_hitters_exact" -> taHeavyHittersExact,
@@ -2086,6 +2161,32 @@ object TextQueries {
         |  round(avg(ln(f.cnt::DOUBLE / tot.total)), 6) AS avg_lp
         |FROM toks t JOIN freq f ON t.tok = f.tok CROSS JOIN tot
         |GROUP BY 1""".stripMargin,
+    "ta_bm25" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(trim(text)), '\S+')) AS tok
+        |  FROM documents),
+        |lens AS (
+        |  SELECT doc_id, len(regexp_extract_all(text, '\S+'))::BIGINT AS len
+        |  FROM documents),
+        |stats AS (SELECT count(*)::DOUBLE AS n, sum(len)::DOUBLE AS sl FROM lens),
+        |dft AS (SELECT tok, count(DISTINCT doc_id)::BIGINT AS df
+        |  FROM toks GROUP BY 1),
+        |q AS (SELECT tok, df FROM (
+        |    SELECT tok, df, row_number() OVER (ORDER BY df DESC, tok ASC) AS rn
+        |    FROM dft)
+        |  WHERE rn BETWEEN 24 AND 31),
+        |tf AS (SELECT t.doc_id, q.tok, q.df, count(*)::DOUBLE AS tf
+        |  FROM toks t JOIN q USING (tok) GROUP BY 1, 2, 3),
+        |sc AS (SELECT tf.doc_id, count(*)::BIGINT AS n_terms,
+        |    round(sum(
+        |      ln(1.0 + (stats.n - tf.df + 0.5) / (tf.df + 0.5)) *
+        |      (tf.tf * 2.2) /
+        |      (tf.tf + 1.2 *
+        |        (0.25 + 0.75 * lens.len / (stats.sl / stats.n)))), 6) AS score
+        |  FROM tf JOIN lens ON tf.doc_id = lens.doc_id CROSS JOIN stats
+        |  GROUP BY 1)
+        |SELECT doc_id, n_terms, score FROM sc
+        |ORDER BY score DESC, doc_id ASC LIMIT 100""".stripMargin,
     "td_stratified_sample" ->
       """SELECT lang, count(*) AS n_kept,
         | CAST(sum(doc_id) AS BIGINT) AS sum_ids,

@@ -26,6 +26,7 @@ class PlanSweepSpec extends AnyFunSuite {
     "sim_ivf_probe2", // probe × broadcast nprobe-bucket table (bounded by nlist)
     "sim_pq_topk", // probe × broadcast PQ codebook constants
     "ta_unigram_lp", "ta_tfidf", // 1-row corpus totals broadcast to every row
+    "ta_bm25", // 1-row (N, total-length) stats broadcast to the matched postings
     "ta_kl_drift", // k-source totals × broadcast (V+1)-cell table: the dense smoothing grid, bounded by KlTopV
     "dd_jaccard_ngram", // DOCUMENTED bounded brute-force (doc_id < 50 ⇒ ≤ 1225 pairs): the exact-verification primitive whose scale path is the LSH candidate join
     "a15_hll_union" // two 1-row sketch-rollup frames (union estimate × per-source rollup) combined into the single output row

@@ -360,6 +360,52 @@ class CorpusOpsSpec extends AnyFunSuite {
 
   // ---- ev_rate_limit --------------------------------------------------
 
+  test("ta_bm25 matches a driver-side recomputation on the sf0.001 corpus") {
+    val got = TextQueries.queries("ta_bm25")(spark, sf001).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // driver-side BM25 with the same tokenizer, constants, and
+    // df-ranked query-term window
+    val docs = graft.Tables.documents(spark, sf001)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq)
+    val n = docs.length.toDouble
+    val lens = docs.map { case (id, t) => id -> t.length.toLong }.toMap
+    val sl = lens.values.sum.toDouble
+    val df = docs.flatMap { case (_, t) => t.distinct }
+      .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val qterms = df.toSeq.sortBy { case (t, d) => (-d, t) }
+      .slice(TextQueries.Bm25RankLo - 1, TextQueries.Bm25RankHi).toMap
+    assert(qterms.nonEmpty, "query-term window must not be empty on the corpus")
+    val expect = docs.flatMap { case (id, toks) =>
+      val tf = toks.filter(qterms.contains)
+        .groupBy(identity).map { case (k, v) => k -> v.length.toDouble }
+      if (tf.isEmpty) None
+      else {
+        val s = tf.map { case (t, f) =>
+          val d = qterms(t).toDouble
+          math.log(1.0 + (n - d + 0.5) / (d + 0.5)) * (f * 2.2) /
+            (f + 1.2 * (0.25 + 0.75 * lens(id) / (sl / n)))
+        }.sum
+        // bround semantics: 6-decimal HALF_EVEN, like the query
+        Some((id, tf.size.toLong,
+          BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_EVEN)
+            .toDouble))
+      }
+    }.sortBy { case (id, _, sc) => (-sc, id) }
+      .take(TextQueries.Bm25TopK).toSeq
+    // compare keyed by doc_id: top-k membership uses the same
+    // (rounded score DESC, doc_id ASC) order on both sides
+    assert(got.keySet == expect.map(_._1).toSet)
+    expect.foreach { case (id, nt, es) =>
+      val (gt, gs) = got(id)
+      assert(gt == nt, s"doc $id n_terms $gt vs $nt")
+      // summation order differs driver vs partial-agg; rounding plus an
+      // ulp guard
+      assert(math.abs(gs - es) <= 1.1e-6, s"doc $id score $gs vs $es")
+    }
+  }
+
   test("ev_rate_limit admits exactly the token-bucket sequence on a constructed timeline") {
     val t0 = 1700000000000000L // epoch micros
     def ev(id: Long, offsetSec: Long) =
