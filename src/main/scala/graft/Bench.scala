@@ -62,7 +62,17 @@ object Bench {
     // SPARK_GRAFT_REPS=N → report the min over N runs (local iteration
     // only; the driver leaves it unset → single timed run per query).
     val reps = sys.env.get("SPARK_GRAFT_REPS").map(_.toInt).getOrElse(1)
-    val results = selected.map { case (name, fn) =>
+    // Deterministic SORTED suite order. The registry is an immutable
+    // HashMap whose iteration order reshuffles globally whenever a key
+    // is added — so every round that registered a query silently ran a
+    // DIFFERENT suite permutation, rotating the position-dependent
+    // artifacts (JIT-first windows, shared-index build riding, storage
+    // pressure) onto new victims and making round-over-round per-query
+    // diffs partly positional noise. Alphabetical order is stable under
+    // insertion (only neighbors shift) and clusters each family with
+    // its shared FrameCache artifacts, so an index build rides the
+    // family's first query instead of a random stranger.
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       if (doWarmup) {
         try { fn(spark, sfDir).queryExecution.toRdd.count(); () }
         catch { case scala.util.control.NonFatal(e) =>
@@ -87,7 +97,7 @@ object Bench {
       sweepPrivateStorage()
       name -> times.min
     }
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // Explicit root locale: the f-interpolator is locale-sensitive, and
     // a comma-decimal default locale would corrupt the machine-parsed
     // JSON line ("1,234").
