@@ -866,10 +866,23 @@ object RefQueries {
     // both ways — every 6th sample id is left off the list (mutated but
     // unlisted wherever the MAF carries its barcode), and three ghost
     // ids claim sequencing that produced no mutations
-    val sequencedIds = samplesSmall.select(col("SAMPLE_ID")).collect()
-      .map(_.getString(0))
-      .filter(id => id.stripPrefix("S").toLong % 6L != 0L)
-      .sorted.toSeq ++ Seq("SEQGHOST1", "SEQGHOST2", "SEQGHOST3")
+    val allSampleIds = samplesSmall.select(col("SAMPLE_ID")).collect()
+      .map(_.getString(0)).sorted.toSeq
+    val sequencedIds = allSampleIds
+      .filter(id => id.stripPrefix("S").toLong % 6L != 0L) ++
+      Seq("SEQGHOST1", "SEQGHOST2", "SEQGHOST3")
+    // tier 10: the global `_all` case list (the reference's V1
+    // required-file set demands cases_all.txt) — a healthy package
+    // carries it, so portal_cases_all_present stays a constant-0 row
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$tmp/case_lists/cases_all.txt"),
+      (s"cancer_study_identifier: $studyId\n" +
+        s"stable_id: ${studyId}_all\n" +
+        "case_list_name: All samples\n" +
+        "case_list_description: All samples in study\n" +
+        "case_list_category: all_cases_in_study\n" +
+        s"case_list_ids: ${allSampleIds.mkString("\t")}\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     java.nio.file.Files.write(
       java.nio.file.Paths.get(s"$tmp/case_lists/cases_sequenced.txt"),
       (s"cancer_study_identifier: $studyId\n" +

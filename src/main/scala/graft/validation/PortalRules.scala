@@ -727,6 +727,21 @@ object PortalRules {
         1L
       else 0L
 
+    // tier 10: the importer needs a GLOBAL `_all` case list — either a
+    // written `<study>_all` list or meta_study's
+    // `add_global_case_list: true` auto-generation flag (validateData's
+    // missing-global-case-list error; the reference's V1 required-file
+    // set includes cases_all.txt, clinical.py:64-70). Vacuous on a
+    // package with no case lists at all.
+    val metaStudyKv = metas
+      .find(_._1.getFileName.toString == "meta_study.txt").map(_._2)
+    val missingAllList =
+      if (caseLists.nonEmpty &&
+          !caseLists.exists(_._2.get("stable_id").exists(_.endsWith("_all"))) &&
+          !metaStudyKv.exists(_.get("add_global_case_list").contains("true")))
+        1L
+      else 0L
+
     Seq(
       ("portal_meta_files_resolve", metaResolve, metaResolve == 0L),
       ("portal_study_id_consistent", idConsistent, idConsistent == 0L),
@@ -751,7 +766,8 @@ object PortalRules {
       ("clinical_attr_no_level_overlap", levelOverlap, levelOverlap == 0L),
       ("portal_meta_boolean_values", badBoolMeta, badBoolMeta == 0L),
       ("portal_meta_reference_genome", badRefGenome, badRefGenome == 0L),
-      ("portal_cases_sequenced_present", missingSequencedList, missingSequencedList == 0L))
+      ("portal_cases_sequenced_present", missingSequencedList, missingSequencedList == 0L),
+      ("portal_cases_all_present", missingAllList, missingAllList == 0L))
   }
 
   /** A clinical output may be a single file OR a parted cbio dataset
@@ -1111,6 +1127,7 @@ object PortalRules {
       |  UNION ALL SELECT 'portal_meta_boolean_values', 0
       |  UNION ALL SELECT 'portal_meta_reference_genome', 0
       |  UNION ALL SELECT 'portal_cases_sequenced_present', 0
+      |  UNION ALL SELECT 'portal_cases_all_present', 0
       |  UNION ALL SELECT 'clinical_no_dup_patient_id',
       |    (SELECT count(*) - count(DISTINCT patient_id) FROM patients)
       |  UNION ALL SELECT 'clinical_orphan_patients',

@@ -68,6 +68,14 @@ class PortalRulesSpec extends AnyFunSuite {
         "case_list_description: Samples with mutation data\n" +
         "case_list_category: all_cases_with_mutation_data\n" +
         "case_list_ids: s1\ts3\n")
+    // the importer needs a global `_all` list (tier 10)
+    write(Paths.get(dir, "case_lists", "cases_all.txt"),
+      "cancer_study_identifier: study1\n" +
+        "stable_id: study1_all\n" +
+        "case_list_name: All samples\n" +
+        "case_list_description: All samples in study\n" +
+        "case_list_category: all_cases_in_study\n" +
+        "case_list_ids: s1\ts2\ts3\n")
     dir
   }
 
@@ -191,7 +199,7 @@ class PortalRulesSpec extends AnyFunSuite {
       "portal_meta_datatype_level", "clinical_required_id_columns",
       "clinical_patient_no_sample_cols", "clinical_dup_display_names",
       "clinical_attr_no_level_overlap", "portal_meta_boolean_values",
-      "portal_cases_sequenced_present",
+      "portal_cases_sequenced_present", "portal_cases_all_present",
       "portal_meta_reference_genome"),
       rep.keySet)
     rep.values.foreach { case (v, ok) => assert(ok && v == 0L) }
@@ -771,6 +779,20 @@ class PortalRulesSpec extends AnyFunSuite {
     assert(rep("clinical_value_whitespace") == ((1L, false)))
     assert(rep("clinical_survival_months_nonneg") == ((1L, false)))
     assert(rep("clinical_number_attrs_numeric")._2, "STRING column must not hit the NUMBER rule")
+  }
+
+  test("missing cases_all trips portal_cases_all_present unless " +
+    "add_global_case_list covers it") {
+    val dir = healthyPackage()
+    assert(reportMap(dir)("portal_cases_all_present") == ((0L, true)))
+    Files.delete(Paths.get(dir, "case_lists", "cases_all.txt"))
+    assert(reportMap(dir)("portal_cases_all_present") == ((1L, false)))
+    // the auto-generation flag substitutes for the written list
+    Tsv.writeMetaFile(s"$dir/meta_study.txt", Seq(
+      "cancer_study_identifier" -> "study1", "type_of_cancer" -> "mixed",
+      "name" -> "Study One", "description" -> "healthy fixture study",
+      "add_global_case_list" -> "true"))
+    assert(reportMap(dir)("portal_cases_all_present") == ((0L, true)))
   }
 
   test("tier-9 strict-MAF warning columns are each counted per rule") {
