@@ -24,6 +24,22 @@ object V18Profile {
     val (fused, split) = (rules.filterNot(_.name == "maf_no_dup_variants"),
       rules.filter(_.name == "maf_no_dup_variants"))
     time("fieldRules fused pass")(Rules.evaluate(spark, maf, fused).collect())
+    // regex-cost isolation: same rules, same column reads (scan width
+    // held constant), but the three tier-9 rlike predicates replaced by
+    // a cheap non-regex check on the same column
+    val regexRules = Set("maf_dbsnp_rs_format", "maf_swissprot_format",
+      "maf_chromosome_no_prefix")
+    val colOf = Map("maf_dbsnp_rs_format" -> "dbSNP_RS",
+      "maf_swissprot_format" -> "SWISSPROT",
+      "maf_chromosome_no_prefix" -> "Chromosome")
+    val sansRegex = fused.map { r =>
+      if (regexRules(r.name))
+        Rules.Rule(r.name, sum(when(length(col(colOf(r.name))) > 1000, 1L)
+          .otherwise(0L)))
+      else r
+    }
+    time("fused pass, rlike->length")(
+      Rules.evaluate(spark, maf, sansRegex).collect())
     time("dup-variant distinct job")(Rules.evaluate(spark, maf, split).collect())
     time("hugoEntrez")(PortalRules.hugoEntrezInconsistencies(maf))
     val seqIds = (1L to 500L).filter(_ % 6 != 0).map(k => s"S$k") ++ Seq("G1","G2","G3")
