@@ -116,6 +116,12 @@ object Bench {
     // artifact: round-over-round totals diffed from bench_full_last.json
     // are meaningless if a 4-query targeted run replaced the 196-query
     // suite result there.
+    // bench_targeted_last.json is SCRATCH — each targeted run overwrites
+    // it. Evidence that backs a committed claim must be written (or
+    // copied) to a campaign-named file, tools/bench_targeted_<topic>_rN
+    // .json, via SPARK_GRAFT_BENCH_OUT — the r13 v18/bm25 and q20/h5
+    // campaigns survived only in git history because they shared this
+    // rolling path.
     val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       if (sys.env.contains("SPARK_GRAFT_ONLY")) "tools/bench_targeted_last.json"
       else "tools/bench_full_last.json")

@@ -91,7 +91,25 @@ private[graft] object FrameCache {
     else buildLocks.computeIfAbsent(key, _ => new Object).synchronized {
       val v1 = map.get(key)
       if (v1 != null) v1
-      else { val v = build; map.put(key, v); v }
+      else {
+        val v = build
+        // putIfAbsent, not put: evictStopped()/clear() prune buildLocks
+        // independently of the value maps, so a lock removed while this
+        // build is in flight lets a concurrent caller mint a fresh lock
+        // for the same key and race us here. The loser's value must not
+        // overwrite the winner's (a persist()ed loser frame would leak
+        // its storage unreferenced) — keep the winner, release the loser.
+        val prev = map.putIfAbsent(key, v)
+        if (prev == null) v
+        else {
+          v match {
+            case df: DataFrame if !df.sparkSession.sparkContext.isStopped =>
+              df.unpersist(); ()
+            case _ => ()
+          }
+          prev
+        }
+      }
     }
   }
 

@@ -913,6 +913,7 @@ object RefQueries {
     val monthsViol = valViol.map(_("months")).sum
     val naViol = valViol.map(_("na_spelling")).sum
     val wsViol = valViol.map(_("whitespace")).sum
+    val decViol = valViol.map(_("deceased_months")).sum
     val geneViol = Await.result(geneF, Duration.Inf)
     val (unsequenced, unlisted) = Await.result(seqF, Duration.Inf)
     (structural ++ Seq(
@@ -928,6 +929,7 @@ object RefQueries {
       ("clinical_survival_months_nonneg", monthsViol, monthsViol == 0L),
       ("clinical_na_spellings", naViol, naViol == 0L),
       ("clinical_value_whitespace", wsViol, wsViol == 0L),
+      ("clinical_deceased_months_present", decViol, decViol == 0L),
       ("maf_hugo_entrez_consistent", geneViol, geneViol == 0L),
       ("cases_sequenced_ids_have_mutations", unsequenced, unsequenced == 0L),
       ("maf_barcodes_in_cases_sequenced", unlisted, unlisted == 0L)))
@@ -953,7 +955,7 @@ object RefQueries {
   private[graft] def v18Maf(s: SparkSession, dir: String): DataFrame = {
     import java.nio.file.Paths
     val src = Paths.get(dir).resolve("lineitem.parquet")
-    val ident = s"$src:${graft.sources.ContentIdent.of(src)}:v18maf3"
+    val ident = s"$src:${graft.sources.ContentIdent.of(src)}:v18maf4"
     val root = graft.sources.DurableIndex.once("graft-v18-maf", ident) { tmp =>
       v18MafExprs(s, dir).write.mode("overwrite")
         .parquet(tmp.resolve("maf").toString)
@@ -1000,7 +1002,11 @@ object RefQueries {
       when(col("l_returnflag") === "R", "Somatic")
         .when(col("l_returnflag") === "A", "Germline")
         .otherwise("Unknowable").as("Mutation_Status"),
-      lit("GRCh38").as("NCBI_Build"),
+      // tier-11 seeding: every 7919th partkey reports a build the
+      // importer cannot map (fires maf_ncbi_build_known row-wise, and
+      // makes maf_ncbi_build_consistent read 1 — two distinct builds)
+      when(pmod(col("l_partkey"), lit(7919L)) === 0L, "hg17")
+        .otherwise("GRCh38").as("NCBI_Build"),
       // tier-3 seeded columns: classification invalid on partkey%53==0,
       // type invalid on suppkey%7==6, extent-vs-type violated wherever
       // linenumber disagrees with the typed span, status invalid on 'A'

@@ -744,6 +744,80 @@ object TextQueries {
         col("rn"))
   }
 
+  /** ta_index_delta — incremental inverted-index / df-table maintenance:
+    * the per-batch job a production corpus index runs BETWEEN full
+    * rebuilds (the [[DedupQueries.ddIncremental]] model applied to the
+    * ta_* family). The standing index covers the even doc_ids; the
+    * arriving batch is the odd ones. Output is the index WRITE SET: one
+    * row per term the batch TOUCHES — (tok, old_df, delta_df, new_df,
+    * old_tf, delta_tf, new_tf, is_new_term) — never the full
+    * vocabulary, so output is bounded by the batch's distinct-term
+    * count, independent of index size.
+    *
+    * Plan: ONE pass over the corpus token stream, parity split INSIDE
+    * the aggregate (two conditional sums per measure), one vocab-keyed
+    * exchange, then the touched-terms filter — no join and no second
+    * scan. Against a real STANDING on-disk df table the same job is the
+    * batch-side aggregate left-joined to the table on the batch's terms
+    * only (postings of the batch's terms move, not the index), which is
+    * how the streaming face runs it per micro-batch via foreachBatch
+    * (StreamingIndexSpec: per-batch state = the standing table, updated
+    * by keys touched; shuffle volume = batch token volume). Here both
+    * sides derive from the same corpus so engine and oracle agree
+    * bit-for-bit.
+    */
+  def taIndexDelta: Q = (s, dir) => indexDeltaOf(
+    tokTfStream(Tables.documents(s, dir))
+      .withColumn("indexed", col("doc_id") % 2 === 0))
+
+  /** The (doc_id, tok, tf) term stream of a (doc_id, text) frame — the
+    * tf-idf/BM25/index tokenization, one compiled pass per document.
+    */
+  private[graft] def tokTfStream(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      explode(graft.functions.TextExprs.tokTf(lower(trim(col("text"))))).as("p"))
+      .select(col("doc_id"), col("p.tok").as("tok"), col("p.tf").as("tf"))
+
+  /** The write set of one arriving batch against a STANDING df table
+    * (tok, df, tf_total) — the shape the per-micro-batch maintenance
+    * job actually runs at scale: the batch aggregates to its own
+    * distinct terms first, then LEFT-joins the table, so only the
+    * touched keys' postings move and per-batch cost is independent of
+    * index size. Equivalence with the parity-split one-shot
+    * ([[indexDeltaOf]]) and with a full rebuild after applying every
+    * write set is spec-locked (CorpusOpsSpec).
+    */
+  private[graft] def indexDeltaAgainstTable(table: DataFrame,
+                                            batchTf: DataFrame): DataFrame =
+    batchTf.groupBy(col("tok"))
+      .agg(count(lit(1)).as("delta_df"), sum(col("tf")).cast("long").as("delta_tf"))
+      .join(table.select(col("tok"), col("df").as("old_df"),
+        col("tf_total").as("old_tf")), Seq("tok"), "left")
+      .select(col("tok"),
+        coalesce(col("old_df"), lit(0L)).as("old_df"), col("delta_df"),
+        (coalesce(col("old_df"), lit(0L)) + col("delta_df")).as("new_df"),
+        coalesce(col("old_tf"), lit(0L)).as("old_tf"), col("delta_tf"),
+        (coalesce(col("old_tf"), lit(0L)) + col("delta_tf")).as("new_tf"),
+        col("old_df").isNull.as("is_new_term"))
+
+  /** The delta-aggregate core over a (tok, tf, indexed) term stream —
+    * split out so the streaming face and the spec can drive arbitrary
+    * index/batch splits; see [[taIndexDelta]].
+    */
+  private[graft] def indexDeltaOf(tf: DataFrame): DataFrame =
+    tf.groupBy(col("tok"))
+      .agg(
+        sum(when(col("indexed"), 1L).otherwise(0L)).as("old_df"),
+        sum(when(!col("indexed"), 1L).otherwise(0L)).as("delta_df"),
+        sum(when(col("indexed"), col("tf")).otherwise(0L)).cast("long").as("old_tf"),
+        sum(when(!col("indexed"), col("tf")).otherwise(0L)).cast("long").as("delta_tf"))
+      .filter(col("delta_df") > 0)
+      .select(col("tok"), col("old_df"), col("delta_df"),
+        (col("old_df") + col("delta_df")).as("new_df"),
+        col("old_tf"), col("delta_tf"),
+        (col("old_tf") + col("delta_tf")).as("new_tf"),
+        (col("old_df") === 0L).as("is_new_term"))
+
   /** Distinct-document frequency at or above which a chunk counts as
     * boilerplate ("this exact paragraph appears on ≥ 3 pages").
     */
@@ -1662,6 +1736,7 @@ object TextQueries {
     "ta_cooccur" -> taCooccur,
     "ta_repetition" -> taRepetition,
     "ta_tfidf" -> taTfidf,
+    "ta_index_delta" -> taIndexDelta,
     "td_redact" -> tdRedact,
     "td_split" -> tdSplit,
     "td_stratified_sample" -> tdStratifiedSample,
@@ -2129,6 +2204,24 @@ object TextQueries {
         |      ORDER BY tf DESC, df ASC, tok ASC) AS rn
         |  FROM tf JOIN df USING (tok) CROSS JOIN n)
         |WHERE rn <= 3""".stripMargin,
+    "ta_index_delta" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(lower(trim(text)), '\s+'),
+        |    t -> length(t) > 0)) AS tok
+        |  FROM documents),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT tok,
+        |    CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS old_df,
+        |    CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS delta_df,
+        |    CAST(sum(CASE WHEN doc_id % 2 = 0 THEN tf ELSE 0 END) AS BIGINT) AS old_tf,
+        |    CAST(sum(CASE WHEN doc_id % 2 = 1 THEN tf ELSE 0 END) AS BIGINT) AS delta_tf
+        |  FROM tf GROUP BY tok)
+        |SELECT tok, old_df, delta_df, old_df + delta_df AS new_df,
+        |  old_tf, delta_tf, old_tf + delta_tf AS new_tf,
+        |  old_df = 0 AS is_new_term
+        |FROM agg WHERE delta_df > 0""".stripMargin,
     "td_redact" ->
       """SELECT doc_id,
         | len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS n_emails,

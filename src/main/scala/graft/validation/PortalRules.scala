@@ -153,6 +153,23 @@ object PortalRules {
   val KnownReferenceGenomes: Set[String] = Set(
     "hg19", "hg38", "GRCh37", "GRCh38", "mm10", "GRCm38")
 
+  /** NCBI_Build values validateData accepts in a MAF (the genome-build
+    * aliases the importer can map to a supported reference genome; an
+    * unknown build draws its wrong-build error per row).
+    */
+  val KnownNcbiBuilds: Set[String] = Set(
+    "36", "37", "38", "GRCh36", "GRCh37", "GRCh38",
+    "hg18", "hg19", "hg38", "mm10", "GRCm38")
+
+  /** Study identifiers the importer accepts: letters, digits and
+    * underscores, starting with a letter — a spaced or punctuated id
+    * breaks the portal's study-id addressing (validateData's study-id
+    * format error). Mixed case is allowed: the reference pipeline
+    * derives ids from dataset names like `Anders_JITC_2022`
+    * (clinical.py) and runs them through the validator unrenamed.
+    */
+  val StudyIdPattern: String = "^[A-Za-z][A-Za-z0-9_]*$"
+
   /** Meta keys whose values must be the literal `true`/`false`
     * (validateData parses them as booleans and errors on anything else).
     */
@@ -401,6 +418,33 @@ object PortalRules {
           col("Tumor_Sample_Barcode"), col("Chromosome"),
           col("Start_Position"), col("End_Position"),
           col("Tumor_Seq_Allele2")))))
+    // ---- tier 11: remaining strict-MAF nuances ----
+    if (cols("NCBI_Build"))
+      // the build must be one the importer can map to a supported
+      // genome, row-by-row (the consistency rule above only checks the
+      // MAF agrees with ITSELF — a uniformly wrong build passes it)
+      b += Rules.Rule("maf_ncbi_build_known",
+        violation(notInVocab(col("NCBI_Build").cast("string"),
+          KnownNcbiBuilds.toSeq)))
+    if (cols("Variant_Type") && cols("Start_Position") && cols("End_Position"))
+      // an insertion's coordinates flank the inserted bases, so its
+      // genomic extent is exactly 2 (End = Start + 1) — the INS twin of
+      // the SNP/DNP/TNP extent rule and the DEL span rule
+      b += Rules.Rule("maf_ins_span_valid",
+        violation(col("Variant_Type") === "INS" &&
+          col("End_Position") =!= col("Start_Position") + lit(1L)))
+    if (cols("Variant_Type") && cols("Tumor_Seq_Allele1") &&
+        cols("Reference_Allele") && cols("Tumor_Seq_Allele2"))
+      // for a substitution, the first tumor allele reports the OTHER
+      // chromosome copy and must equal the reference (het) or the
+      // variant allele (hom) — validateData's Tumor_Seq_Allele1
+      // consistency warning. NULLs pass (presence is its own tier);
+      // note a NULL Reference_Allele nulls the whole conjunction, so
+      // such rows pass here exactly as in the oracle's 3VL.
+      b += Rules.Rule("maf_allele1_consistent",
+        violation(col("Variant_Type").isin("SNP", "DNP", "TNP", "ONP") &&
+          col("Tumor_Seq_Allele1") =!= col("Reference_Allele") &&
+          col("Tumor_Seq_Allele1") =!= col("Tumor_Seq_Allele2")))
     b.result()
   }
 
@@ -742,6 +786,20 @@ object PortalRules {
         1L
       else 0L
 
+    // tier 11: study id addressing format — lowercase alphanumerics and
+    // underscores only (vacuous when no file declares an id; the
+    // missing-key case counts under the required-key rules)
+    val badStudyIdFormat =
+      studyIds.count(id => !id.matches(StudyIdPattern)).toLong
+
+    // tier 11: survival attributes are PATIENT-level by definition — a
+    // `*_STATUS`/`*_MONTHS` column in the sample file never feeds the
+    // portal's survival analysis (validateData's wrong-level warning
+    // for known patient attributes)
+    val survivalAttrPattern = "^(OS|DFS|PFS|DSS)_(STATUS|MONTHS)$"
+    val survivalAtSampleLevel = sampleCols
+      .map(_.count(_.matches(survivalAttrPattern)).toLong).getOrElse(0L)
+
     Seq(
       ("portal_meta_files_resolve", metaResolve, metaResolve == 0L),
       ("portal_study_id_consistent", idConsistent, idConsistent == 0L),
@@ -767,7 +825,10 @@ object PortalRules {
       ("portal_meta_boolean_values", badBoolMeta, badBoolMeta == 0L),
       ("portal_meta_reference_genome", badRefGenome, badRefGenome == 0L),
       ("portal_cases_sequenced_present", missingSequencedList, missingSequencedList == 0L),
-      ("portal_cases_all_present", missingAllList, missingAllList == 0L))
+      ("portal_cases_all_present", missingAllList, missingAllList == 0L),
+      ("portal_study_id_format", badStudyIdFormat, badStudyIdFormat == 0L),
+      ("clinical_survival_attrs_patient_level", survivalAtSampleLevel,
+        survivalAtSampleLevel == 0L))
   }
 
   /** A clinical output may be a single file OR a parted cbio dataset
@@ -870,8 +931,15 @@ object PortalRules {
           "boolean" -> typed.collect { case (c, "BOOLEAN") => c },
           "survival" -> cols.filter(_.matches(SurvivalStatusAttrPattern)))
         val monthsCols = cols.filter(_.matches(SurvivalMonthsAttrPattern))
+        // tier 11: (X_STATUS, X_MONTHS) pairs present in the SAME file —
+        // a deceased event with no survival time is unplottable in the
+        // portal's KM curves (validateData's missing-survival-months
+        // warning fires only for deceased patients)
+        val survivalPairs = cols.filter(_.matches(SurvivalStatusAttrPattern))
+          .map(st => st -> st.replace("_STATUS", "_MONTHS"))
+          .filter { case (_, mo) => cols.contains(mo) }
         val keys = Seq("number", "boolean", "survival",
-          "months", "na_spelling", "whitespace")
+          "months", "na_spelling", "whitespace", "deceased_months")
         if (colsPer.values.forall(_.isEmpty) && monthsCols.isEmpty && cols.isEmpty)
           Some(keys.map(_ -> 0L).toMap)
         else {
@@ -895,13 +963,25 @@ object PortalRules {
           def negMonths(c: String): Column =
             when(col(c).cast("string").rlike(NumberValuePattern) &&
               col(c).cast("string").startsWith("-"), 1L).otherwise(0L)
+          // tier 11: deceased (`1:`-coded status) with the paired months
+          // value missing — blank, the NA marker, or any alternate NA
+          // spelling all mean "no survival time recorded"
+          def deceasedMissing(st: String, mo: String): Column = {
+            val m = col(mo).cast("string")
+            when(col(st).cast("string").startsWith("1:") &&
+              (col(mo).isNull || m === "" || m === "NA" ||
+                m.isin(NaSpellings.toSeq: _*)), 1L).otherwise(0L)
+          }
           val condsPer: Map[String, Seq[Column]] = Map(
             "number" -> colsPer("number").filter(present).map(badValue(_, patterns("number"))),
             "boolean" -> colsPer("boolean").filter(present).map(badValue(_, patterns("boolean"))),
             "survival" -> colsPer("survival").filter(present).map(badValue(_, patterns("survival"))),
             "months" -> monthsCols.filter(present).map(negMonths),
             "na_spelling" -> cols.filter(present).map(naCond),
-            "whitespace" -> cols.filter(present).map(wsCond))
+            "whitespace" -> cols.filter(present).map(wsCond),
+            "deceased_months" -> survivalPairs.toSeq
+              .filter { case (st, mo) => present(st) && present(mo) }
+              .map { case (st, mo) => deceasedMissing(st, mo) })
           val aggs = keys.map { k =>
             val conds = condsPer(k)
             if (conds.isEmpty) lit(0L)
@@ -1006,12 +1086,14 @@ object PortalRules {
       val months = valueViolations.map(_("months")).sum
       val naSp = valueViolations.map(_("na_spelling")).sum
       val ws = valueViolations.map(_("whitespace")).sum
+      val dec = valueViolations.map(_("deceased_months")).sum
       dataRows += (("clinical_number_attrs_numeric", num, num == 0L))
       dataRows += (("clinical_boolean_attrs_boolean", bool, bool == 0L))
       dataRows += (("clinical_survival_status_format", surv, surv == 0L))
       dataRows += (("clinical_survival_months_nonneg", months, months == 0L))
       dataRows += (("clinical_na_spellings", naSp, naSp == 0L))
       dataRows += (("clinical_value_whitespace", ws, ws == 0L))
+      dataRows += (("clinical_deceased_months_present", dec, dec == 0L))
     }
     // case-list ids ⊆ clinical sample ids (union of every list's ids)
     for (s <- sample if s.columns.contains("SAMPLE_ID")) {
@@ -1061,7 +1143,8 @@ object PortalRules {
       |           ELSE 'G' END AS tum_allele1,
       |         CASE l_returnflag WHEN 'R' THEN 'Somatic' WHEN 'A' THEN 'Germline'
       |           ELSE 'Unknowable' END AS status,
-      |         'GRCh38' AS build,
+      |         CASE WHEN l_partkey % 7919 = 0 THEN 'hg17'
+      |           ELSE 'GRCh38' END AS build,
       |         CASE WHEN l_partkey % 53 = 0 THEN 'Missense_Variant'
       |           WHEN l_partkey % 41 = 0 THEN 'Silent'
       |           ELSE 'Missense_Mutation' END AS vclass,
@@ -1128,6 +1211,12 @@ object PortalRules {
       |  UNION ALL SELECT 'portal_meta_reference_genome', 0
       |  UNION ALL SELECT 'portal_cases_sequenced_present', 0
       |  UNION ALL SELECT 'portal_cases_all_present', 0
+      |  UNION ALL SELECT 'portal_study_id_format', 0
+      |  UNION ALL SELECT 'clinical_survival_attrs_patient_level', 0
+      |  UNION ALL SELECT 'clinical_deceased_months_present',
+      |    (SELECT count(*) FROM (SELECT DISTINCT c_custkey % 1000 AS pk
+      |      FROM customer WHERE c_custkey <= 500) t
+      |      WHERE pk % 2 = 1 AND pk % 83 <> 0 AND pk % 79 = 0)
       |  UNION ALL SELECT 'clinical_no_dup_patient_id',
       |    (SELECT count(*) - count(DISTINCT patient_id) FROM patients)
       |  UNION ALL SELECT 'clinical_orphan_patients',
@@ -1301,6 +1390,17 @@ object PortalRules {
       |  UNION ALL SELECT 'maf_no_dup_variants',
       |    (SELECT count(*) FROM maf) - (SELECT count(*) FROM
       |      (SELECT DISTINCT barcode, chrom, start_pos, end_pos, tum_allele
-      |       FROM maf) t))
+      |       FROM maf) t)
+      |  UNION ALL SELECT 'maf_ncbi_build_known',
+      |    (SELECT sum(CASE WHEN build NOT IN ('36','37','38','GRCh36',
+      |      'GRCh37','GRCh38','hg18','hg19','hg38','mm10','GRCm38')
+      |      THEN 1 ELSE 0 END) FROM maf)
+      |  UNION ALL SELECT 'maf_ins_span_valid',
+      |    (SELECT sum(CASE WHEN vtype = 'INS' AND end_pos <> start_pos + 1
+      |      THEN 1 ELSE 0 END) FROM maf)
+      |  UNION ALL SELECT 'maf_allele1_consistent',
+      |    (SELECT sum(CASE WHEN vtype IN ('SNP','DNP','TNP','ONP')
+      |      AND tum_allele1 <> ref_allele AND tum_allele1 <> tum_allele
+      |      THEN 1 ELSE 0 END) FROM maf))
       |SELECT rule, CAST(value AS BIGINT) AS value, value = 0 AS passed FROM r""".stripMargin
 }

@@ -395,14 +395,24 @@ class CorpusOpsSpec extends AnyFunSuite {
     }.sortBy { case (id, _, sc) => (-sc, id) }
       .take(TextQueries.Bm25TopK).toSeq
     // compare keyed by doc_id: top-k membership uses the same
-    // (rounded score DESC, doc_id ASC) order on both sides
-    assert(got.keySet == expect.map(_._1).toSet)
+    // (rounded score DESC, doc_id ASC) order on both sides. Docs whose
+    // recomputed score sits within the float tolerance of the kth score
+    // are excluded from the membership check — driver-side summation
+    // order differs from the engine's partial aggregation, so a sub-ulp
+    // difference at the boundary could legitimately flip which of two
+    // near-tied docs makes the cut without the engine being wrong.
+    val kthScore = expect.last._3
+    val boundary = expect.collect {
+      case (id, _, es) if math.abs(es - kthScore) <= 1.1e-6 => id
+    }.toSet
+    assert(got.keySet -- boundary == expect.map(_._1).toSet -- boundary)
     expect.foreach { case (id, nt, es) =>
-      val (gt, gs) = got(id)
-      assert(gt == nt, s"doc $id n_terms $gt vs $nt")
-      // summation order differs driver vs partial-agg; rounding plus an
-      // ulp guard
-      assert(math.abs(gs - es) <= 1.1e-6, s"doc $id score $gs vs $es")
+      got.get(id).foreach { case (gt, gs) =>
+        assert(gt == nt, s"doc $id n_terms $gt vs $nt")
+        // summation order differs driver vs partial-agg; rounding plus
+        // an ulp guard
+        assert(math.abs(gs - es) <= 1.1e-6, s"doc $id score $gs vs $es")
+      }
     }
   }
 
@@ -1221,5 +1231,84 @@ class CorpusOpsSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3),
         r.getLong(4), r.getLong(5))).toSet
     assert(got == want)
+  }
+
+  // ---- ta_index_delta -------------------------------------------------
+
+  private def deltaMap(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+        r.getLong(6), r.getBoolean(7))).toMap
+
+  test("ta_index_delta: write set on a constructed index/batch split") {
+    // index: docs 0,2 — batch: docs 1,3. 'b' is index-only (untouched,
+    // must NOT appear); 'd' is batch-new; 'a'/'c' are updates.
+    val docs = Seq(
+      (0L, "a a b c"), (2L, "a b"),
+      (1L, "a d"), (3L, "c c d a"))
+      .toDF("doc_id", "text")
+    val got = deltaMap(TextQueries.indexDeltaOf(
+      TextQueries.tokTfStream(docs).withColumn("indexed", col("doc_id") % 2 === 0)))
+    assert(got.keySet == Set("a", "c", "d"), "only batch-touched terms emit")
+    assert(got("a") == ((2L, 2L, 4L, 3L, 2L, 5L, false)))
+    assert(got("c") == ((1L, 1L, 2L, 1L, 2L, 3L, false)))
+    assert(got("d") == ((0L, 2L, 2L, 0L, 2L, 2L, true)), "new term flagged")
+  }
+
+  test("ta_index_delta: standing-table form equals the parity one-shot") {
+    val docs = graft.Tables.documents(spark, sf001)
+    val tf = TextQueries.tokTfStream(docs)
+    val table = tf.filter($"doc_id" % 2 === 0).groupBy($"tok")
+      .agg(count(lit(1)).as("df"), sum($"tf").cast("long").as("tf_total"))
+    val viaTable = deltaMap(TextQueries.indexDeltaAgainstTable(
+      table, tf.filter($"doc_id" % 2 === 1)))
+    val oneShot = deltaMap(TextQueries.taIndexDelta(spark, sf001))
+    assert(viaTable == oneShot)
+    assert(oneShot.nonEmpty)
+    // (is_new_term coverage lives in the constructed-split test — at
+    // sf0.001 the shared vocabulary makes every batch term pre-indexed)
+    assert(oneShot.values.exists(!_._7), "batch must touch existing terms")
+  }
+
+  test("ta_index_delta stream face: applying per-micro-batch write sets equals a rebuild") {
+    // The maintenance invariant that makes incremental indexing safe at
+    // all: standing table + Σ(write sets applied in stream order) must
+    // be BIT-IDENTICAL to rebuilding the index over the full corpus.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val docs = graft.Tables.documents(spark, sf001)
+    val tf = TextQueries.tokTfStream(docs)
+    // standing table (even docs), maintained driver-side in the spec —
+    // production would upsert a keyed store/delta table with the same rows
+    val table = scala.collection.mutable.Map[String, (Long, Long)]()
+    tf.filter($"doc_id" % 2 === 0).groupBy($"tok")
+      .agg(count(lit(1)).as("df"), sum($"tf").cast("long").as("tf_total"))
+      .collect().foreach(r => table(r.getString(0)) = (r.getLong(1), r.getLong(2)))
+
+    val arrivals = docs.filter($"doc_id" % 2 === 1)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val standing = table.toSeq.map { case (t, (d, s)) => (t, d, s) }
+          .toDF("tok", "df", "tf_total")
+        TextQueries.indexDeltaAgainstTable(standing,
+          TextQueries.tokTfStream(batch)).collect().foreach { r =>
+          table(r.getString(0)) = (r.getLong(3), r.getLong(6)) // new_df, new_tf
+        }
+        ()
+      }
+      .start()
+    try {
+      val (first, rest) = arrivals.splitAt(arrivals.length / 2)
+      mem.addData(first.toIndexedSeq); q.processAllAvailable()
+      mem.addData(rest.toIndexedSeq); q.processAllAvailable()
+    } finally q.stop()
+
+    val rebuilt = tf.groupBy($"tok")
+      .agg(count(lit(1)).as("df"), sum($"tf").cast("long").as("tf_total"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(table.toMap == rebuilt,
+      "incremental maintenance must equal the full rebuild")
   }
 }

@@ -200,7 +200,8 @@ class PortalRulesSpec extends AnyFunSuite {
       "clinical_patient_no_sample_cols", "clinical_dup_display_names",
       "clinical_attr_no_level_overlap", "portal_meta_boolean_values",
       "portal_cases_sequenced_present", "portal_cases_all_present",
-      "portal_meta_reference_genome"),
+      "portal_meta_reference_genome", "portal_study_id_format",
+      "clinical_survival_attrs_patient_level"),
       rep.keySet)
     rep.values.foreach { case (v, ok) => assert(ok && v == 0L) }
   }
@@ -826,5 +827,78 @@ class PortalRulesSpec extends AnyFunSuite {
     assert(rep("maf_chromosome_valid")._2, "chr17 normalizes valid")
     assert(rep("maf_germline_reported") == ((1L, false)))
     assert(rep("maf_normal_counts_valid") == ((1L, false)))
+  }
+
+  test("tier-11 strict-MAF rules: unknown build, INS span, allele1 consistency") {
+    val dir = healthyPackage()
+    val maf = Seq(
+      // unknown build; INS spanning 3 bases (must span exactly 2);
+      // allele1 matches neither ref nor alt on a substitution
+      ("s1", "17", 100L, 102L, "INS", "-", "AT", "G", "hg17"),
+      // healthy het SNP: allele1 == ref
+      ("s2", "17", 50L, 50L, "SNP", "C", "T", "C", "GRCh38"),
+      // healthy hom SNP: allele1 == alt; INS row below spans correctly
+      ("s3", "17", 60L, 60L, "SNP", "A", "G", "G", "GRCh38"),
+      ("s3", "17", 70L, 71L, "INS", "-", "CG", "-", "GRCh38"),
+      // SNP whose allele1 matches neither ref nor alt -> the violation
+      ("s2", "17", 80L, 80L, "SNP", "A", "T", "C", "GRCh38"))
+      .toDF("Tumor_Sample_Barcode", "Chromosome", "Start_Position",
+        "End_Position", "Variant_Type", "Reference_Allele",
+        "Tumor_Seq_Allele2", "Tumor_Seq_Allele1", "NCBI_Build")
+    Tsv.writeTsvFile(maf, s"$dir/data_mutations.txt")
+    val rep = reportMap(dir)
+    assert(rep("maf_ncbi_build_known") == ((1L, false)))
+    assert(rep("maf_ncbi_build_consistent") == ((1L, false)),
+      "two distinct builds also trip the self-consistency rule")
+    assert(rep("maf_ins_span_valid") == ((1L, false)),
+      "only the 3-base INS counts; the 2-base INS is the legal flank shape")
+    assert(rep("maf_allele1_consistent") == ((1L, false)),
+      "het (==ref) and hom (==alt) rows pass; the INS row is out of scope")
+  }
+
+  test("tier-11 allele1 rule: NULL allele1 or NULL reference passes (3VL)") {
+    val dir = healthyPackage()
+    val maf = Seq(
+      ("s1", "17", 50L, 50L, "SNP", null, "T", "G", "GRCh38"),
+      ("s2", "17", 60L, 60L, "SNP", "A", "G", null, "GRCh38"))
+      .toDF("Tumor_Sample_Barcode", "Chromosome", "Start_Position",
+        "End_Position", "Variant_Type", "Reference_Allele",
+        "Tumor_Seq_Allele2", "Tumor_Seq_Allele1", "NCBI_Build")
+    Tsv.writeTsvFile(maf, s"$dir/data_mutations.txt")
+    assert(reportMap(dir)("maf_allele1_consistent") == ((0L, true)))
+  }
+
+  test("tier-11: deceased patient with missing survival months is counted") {
+    val dir = healthyPackage()
+    val patient = Seq(
+      ("p1", "1:DECEASED", "NA"),     // deceased, months missing -> counts
+      ("p2", "1:DECEASED", "N/A"),    // alternate NA spelling -> counts
+      ("p3", "1:DECEASED", "12.5"),   // deceased with months -> passes
+      ("p4", "0:LIVING", ""))         // living without months -> passes
+      .toDF("PATIENT_ID", "OS_STATUS", "OS_MONTHS")
+    Tsv.writeTsvFile(patient, s"$dir/data_clinical_patient.txt", Seq(
+      "#Patient ID\tOs Status\tOs Months",
+      "#Patient identifier\tSurvival status\tSurvival months",
+      "#STRING\tSTRING\tNUMBER", "#1\t1\t1"))
+    val rep = reportMap(dir)
+    assert(rep("clinical_deceased_months_present") == ((2L, false)))
+  }
+
+  test("tier-11 structural: bad study-id format and sample-level survival attrs") {
+    val dir = healthyPackage()
+    Tsv.writeMetaFile(s"$dir/meta_study.txt", Seq(
+      "cancer_study_identifier" -> "Study One!", "type_of_cancer" -> "mixed",
+      "name" -> "Study One", "description" -> "bad id fixture"))
+    val sample = Seq(("s1", "p1", "1:DECEASED"), ("s2", "p1", "0:LIVING"),
+      ("s3", "p2", "0:LIVING"))
+      .toDF("SAMPLE_ID", "PATIENT_ID", "OS_STATUS")
+    Tsv.writeTsvFile(sample, s"$dir/data_clinical_sample.txt", Seq(
+      "#Sample ID\tPatient ID\tOs Status",
+      "#Sample identifier\tPatient identifier\tSurvival status",
+      "#STRING\tSTRING\tSTRING", "#1\t1\t1"))
+    val rep = reportMap(dir)
+    assert(rep("portal_study_id_format")._1 >= 1L)
+    assert(!rep("portal_study_id_format")._2)
+    assert(rep("clinical_survival_attrs_patient_level") == ((1L, false)))
   }
 }
