@@ -1109,9 +1109,13 @@ object OlapQueries {
   /** h10_returned_items — TPC-H Q10 shape: revenue lost to returns per
     * customer, top 20. The selective l_returnflag filter pushes to the
     * lineitem scan (reads ~1/4 of rows), orders⋈lineitem shuffles on
-    * orderkey, customer joins on custkey, and the tiny nation dim
-    * broadcasts. Final top-20 is TakeOrderedAndProject — per-task bounded
-    * heap, no global sort at any scale.
+    * orderkey — and the per-customer aggregate runs BEFORE the customer
+    * join: c_custkey is customer's key, so grouping by it alone is the
+    * same partition of fact rows as grouping by (custkey, name, nation)
+    * after the join, and only ≤|customers| aggregated rows (not the
+    * ~10M joined fact rows) reach the dimension joins. The tiny nation
+    * dim broadcasts; final top-20 is TakeOrderedAndProject — per-task
+    * bounded heap, no global sort at any scale.
     */
   def h10ReturnedItems: Q = (s, dir) => {
     val li = Tables.lineitem(s, dir)
@@ -1122,11 +1126,13 @@ object OlapQueries {
       .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
     val nat = Tables.nation(s, dir).select(col("n_nationkey"), col("n_name"))
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("rev_raw"))
       .join(cust, col("o_custkey") === col("c_custkey"))
       .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
-      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
-      .agg(bround(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
-        .as("revenue"))
+      .select(col("c_custkey"), col("c_name"), col("n_name"),
+        bround(col("rev_raw"), 2).as("revenue"))
       .orderBy(col("revenue").desc, col("c_custkey").asc)
       .limit(20)
   }
