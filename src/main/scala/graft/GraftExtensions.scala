@@ -26,6 +26,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // (see graft.plans.BinnedRangeJoin) — runs after the main optimizer
     // batches, before physical planning picks a join strategy
     ext.injectOptimizerRule(_ => graft.plans.BinnedRangeJoin)
+    // equi-join keys wrapped in an injective integral->string cast hash
+    // the raw integrals instead (the reference's astype(str) join habit)
+    ext.injectOptimizerRule(_ => graft.plans.UnwrapCastKeyJoin)
     ext.injectFunction((
       new FunctionIdentifier("replace_first"),
       new ExpressionInfo(classOf[ReplaceFirst].getName, "replace_first"),

@@ -24,6 +24,16 @@ object RefQueries {
     * one shuffle on the (tiny-cardinality) group key.
     */
   def q1Agg: Q = (s, dir) => {
+    // Measured negative result (r14, sf10): rewriting the countDistinct
+    // as a two-phase group-by-(keys, orderkey) — the Expand-avoiding
+    // form that pays off in v18's rule engine — read 6.09 s vs 4.99 s
+    // for this direct form. The 15M-orderkey first-phase hash aggregate
+    // collapses almost nothing map-side (scaled lineitem is not
+    // orderkey-clustered within partitions), so it shuffles MORE bytes
+    // than Catalyst's Expand plan, whose distinct branch partial-
+    // aggregates to the same distinct triples without the extra
+    // measure columns. Keep the declarative form; Catalyst's choice is
+    // the better plan here.
     Tables.lineitem(s, dir)
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
@@ -329,11 +339,17 @@ object RefQueries {
     * `.astype(str)`; reference `clinical.py:231-262`, F7).
     */
   def j2CastKeyJoin: Q = (s, dir) => {
+    // The astype(str)-normalized key join, cast written IN the join
+    // condition: graft.plans.UnwrapCastKeyJoin proves the integral→
+    // string cast injective for equality and hashes the raw longs —
+    // 60M UTF8String renders never happen (the r13 classification had
+    // this at ~19× the single-node oracle WITH the renders; the
+    // semantics are bit-identical, locked by UnwrapCastKeyJoinSpec).
     val li = Tables.lineitem(s, dir)
-      .withColumn("suppkey_str", col("l_suppkey").cast(StringType))
-    val sup = Tables.supplier(s, dir)
-      .select(col("s_suppkey").cast(StringType).as("suppkey_str"), col("s_name"))
-    li.join(broadcast(sup), Seq("suppkey_str"), "left")
+    val sup = Tables.supplier(s, dir).select(col("s_suppkey"), col("s_name"))
+    li.join(broadcast(sup),
+        li("l_suppkey").cast(StringType) === sup("s_suppkey").cast(StringType),
+        "left")
       .groupBy(col("s_name")).agg(count(lit(1)).as("n"))
   }
 
