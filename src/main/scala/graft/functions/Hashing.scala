@@ -14,9 +14,19 @@ import org.apache.spark.sql.types.LongType
   */
 object Hashing {
 
-  /** First 15 hex chars of md5(c), base-16-parsed to long (0 .. 2^60). */
-  def md5Long(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+  /** First 15 hex chars of md5(c), base-16-parsed to long (0 .. 2^60).
+    *
+    * Evaluated as the ONE compiled kernel call
+    * ([[SketchExprs.md5Long60Raw]], optimization r14): bit-identical to
+    * the builtin `conv(substring(md5(c), 1, 15), 16, 10)` chain — same
+    * digest, same top-60-bit parse, spec-locked in SketchExprsSpec —
+    * without allocating the 32-char hex rendering, the substring copy,
+    * and the base-16 parse on every row. This hash sits in the hot
+    * projection of every fingerprint/gram/sketch pipeline (dd_* exact
+    * fps, a2/a15 HLL streams, ta_* fingerprints), so the per-row savings
+    * multiply across the library.
+    */
+  def md5Long(c: Column): Column = SketchExprs.md5Long60Raw(c)
 
   /** Seeded variant: hash of "seed:value" — a family of independent hash
     * functions for MinHash signatures.

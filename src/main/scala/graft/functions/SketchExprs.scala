@@ -151,6 +151,37 @@ case class Md5Long60(child: Expression, seed: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `md5long60_raw(string)` → long: the UNSEEDED portable hash as one
+  * compiled kernel call — bit-identical to [[graft.functions.Hashing]]'s
+  * `conv(substring(md5(c), 1, 15), 16, 10)` chain (same digest, same
+  * top-60-bit parse) without the 32-char hex string, the substring copy,
+  * and the base-16 parse per row (optimization r14; the seeded twin
+  * [[Md5Long60]] predates it). Spec-locked against the builtin chain in
+  * SketchExprsSpec.
+  */
+case class Md5Long60Raw(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "md5long60_raw"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"md5long60_raw expects string, got $t")
+  }
+
+  override protected def nullSafeEval(token: Any): Any =
+    SketchOps.md5Long60(Array.emptyByteArray, token.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("prefix", Array.emptyByteArray, "byte[]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.SketchOps.md5Long60($ref, $c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** `minhash_sigs(array<string>, k)` → array<long> of length k. */
 case class MinHashSigs(child: Expression, k: Int) extends UnaryExpression {
 
@@ -184,6 +215,9 @@ object SketchExprs {
   /** Column API. */
   def simhash60(tokens: Column, seed: Int): Column =
     Bridge.column(SimHash60(Bridge.expression(tokens), seed))
+
+  def md5Long60Raw(token: Column): Column =
+    Bridge.column(Md5Long60Raw(Bridge.expression(token)))
 
   def minhashSigs(shingles: Column, k: Int): Column =
     Bridge.column(MinHashSigs(Bridge.expression(shingles), k))

@@ -703,6 +703,33 @@ object DedupQueries {
   /** The deletion-neighborhood core over any single-column `name` frame
     * — see [[ddTypoPairs]]; the spec drives it on hand-built edit cases
     * and against a brute-force driver-side scan.
+    *
+    * Optimization r14 (same output bit-for-bit, exceptAll-locked in the
+    * spec against the previous HOF/broadcast form):
+    *  - variant generation is a codegen'd posexplode-style projection
+    *    (explode over integer positions + substring concat) instead of
+    *    an interpreted `transform` lambda building a per-row array;
+    *    per-name duplicate variants (deleting any char of an equal-char
+    *    RUN yields the same string — delete(s,i)==delete(s,j), i<j, iff
+    *    s[i..j] is one repeated char) are dropped by keeping only each
+    *    run's last position, which is exactly `array_distinct`'s effect;
+    *  - the join key is `xxhash64(variant)` — 8 bytes through the
+    *    exchange instead of a ~len-byte string (guide §2.3 narrower
+    *    keys); a hash collision only ever ADDS a candidate pair, and the
+    *    threshold-1 Levenshtein verify kills it, so the output set is
+    *    unchanged (candidates are a superset either way — same argument
+    *    as every LSH family in this module);
+    *  - the self-join carries a `shuffle_hash` hint: Spark otherwise
+    *    auto-BROADCASTS the ~Σlen-row variant frame (estimated under
+    *    10 MB), which builds a driver-side HashedRelation of the entire
+    *    variant index, recomputes the variant subtree on the probe side
+    *    (no exchange to reuse), and measured 7.2 s vs 2.0 s for the
+    *    shuffled form at sf0.1 — and at 100 TB a corpus-sized variant
+    *    index must never broadcast at all (it scales with the name
+    *    table); hash-partitioned, both sides reuse ONE exchange;
+    *  - the verify runs BEFORE the pair-distinct, so the distinct's
+    *    exchange carries only true distance-1 pairs, not every
+    *    colliding candidate (aggregate-after-filter, guide §2.3).
     */
   private[queries] def typoPairs(names: DataFrame): DataFrame = {
     // Dedupe BEFORE indexing: distance-1 pairs are a property of the
@@ -713,17 +740,21 @@ object DedupQueries {
     // (measured: 4.7 s → 368 s at 10× data with 10 copies per name).
     // One extra name-keyed exchange, after which all downstream volume
     // is driven by distinct names only.
-    val vars = names.distinct().select(col("name"), explode(array_distinct(expr(
-      """concat(array(name),
-        |  transform(sequence(1, length(name)),
-        |    i -> concat(substring(name, 1, i - 1),
-        |                substring(name, i + 1, length(name)))))""".stripMargin)))
-      .as("v"))
+    val vars = names.distinct()
+      .select(col("name"), explode(sequence(lit(0), length(col("name")))).as("i"))
+      .filter(col("i") === 0 ||
+        expr("substring(name, i, 1) != substring(name, i + 1, 1)") ||
+        col("i") === length(col("name")))
+      .select(col("name"),
+        xxhash64(when(col("i") === 0, col("name")).otherwise(
+          concat(substring(col("name"), lit(1), col("i") - 1),
+            expr("substring(name, i + 1, length(name))")))).as("v"))
+      .hint("shuffle_hash")
     vars.as("a").join(vars.as("b"),
         col("a.v") === col("b.v") && col("a.name") < col("b.name"))
       .select(col("a.name").as("name_a"), col("b.name").as("name_b"))
-      .distinct()
       .filter(levenshtein(col("name_a"), col("name_b"), 1) === 1)
+      .distinct()
   }
 
   /** Fixed-block embedding-cosine near-dup — SPEC FIXTURE ONLY (not in

@@ -333,9 +333,14 @@ object GraphQueries {
         substring(col("node"), 2, 18).cast("long") < KhopSeedMax)
       .select(col("node").as("start"), col("node").as("cur"))
     val init = seeds.select(col("start"), col("cur"), lit(0).as("step"))
+    // Per-step localCheckpoint (the g_khop/g_sssp idiom, r14): without
+    // it the output union's branch for step k re-derives steps 1..k-1 —
+    // the edge cache is streamed 1+2+3+4 = 10 times instead of 4, and
+    // the re-derivation grows quadratically with walk length at any
+    // scale. Each step is tiny (|seeds| rows), so the cut is cheap.
     val (walks, _) = (1 to WalkSteps).foldLeft((init, seeds)) {
       case ((acc, frontier), k) =>
-        val next = walkStep(edges, frontier, k)
+        val next = walkStep(edges, frontier, k).localCheckpoint()
         (acc.union(next.select(col("start"), col("cur"), lit(k).as("step"))), next)
     }
     walks.select(col("start").as("start_node"), col("step"), col("cur").as("node"))

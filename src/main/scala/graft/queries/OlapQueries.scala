@@ -451,15 +451,31 @@ object OlapQueries {
     """)
   }
 
-  private def registerSqlViews(s: SparkSession, dir: String): Unit = {
-    Tables.lineitem(s, dir).createOrReplaceTempView("li_sql")
-    Tables.orders(s, dir).createOrReplaceTempView("ord_sql")
-    Tables.customer(s, dir).createOrReplaceTempView("cust_sql")
-    Tables.supplier(s, dir).createOrReplaceTempView("supp_sql")
-    Tables.part(s, dir).createOrReplaceTempView("part_sql")
-    Tables.nation(s, dir).createOrReplaceTempView("nat_sql")
-    Tables.region(s, dir).createOrReplaceTempView("reg_sql")
-  }
+  /** Last directory whose tables were registered as the `*_sql` views,
+    * per session. Re-registering seven views costs seven catalog
+    * round-trips per query construction (~0.3-0.5 s each invocation,
+    * paid by every raw-SQL entry in a 200-query suite) and is a no-op
+    * unless the data directory changed — so register once per
+    * (session, dir) and only re-register on a dir switch (tests drive
+    * multiple SFs through one session; the bench never does).
+    */
+  private val sqlViewsDir =
+    new java.util.WeakHashMap[SparkSession, String]()
+
+  private def registerSqlViews(s: SparkSession, dir: String): Unit =
+    sqlViewsDir.synchronized {
+      if (sqlViewsDir.get(s) != dir) {
+        Tables.lineitem(s, dir).createOrReplaceTempView("li_sql")
+        Tables.orders(s, dir).createOrReplaceTempView("ord_sql")
+        Tables.customer(s, dir).createOrReplaceTempView("cust_sql")
+        Tables.supplier(s, dir).createOrReplaceTempView("supp_sql")
+        Tables.part(s, dir).createOrReplaceTempView("part_sql")
+        Tables.nation(s, dir).createOrReplaceTempView("nat_sql")
+        Tables.region(s, dir).createOrReplaceTempView("reg_sql")
+        sqlViewsDir.put(s, dir)
+        ()
+      }
+    }
 
   // --- TPC-H Q7/Q8/Q9/Q14/Q16, adapted to this corpus' columns (no
   // partsupp/shipmode/commitdate). ONE template per query drives BOTH

@@ -811,8 +811,14 @@ object RefQueries {
 
     // a small deterministic study package through the real sinks; the
     // structural rules then audit actual on-disk meta/header/case-list
-    // files, not an in-memory mock
-    val tmp = java.nio.file.Files.createTempDirectory("graft-v18").toString
+    // files, not an in-memory mock. The package is a pure function of
+    // the customer table, so it is materialized ONCE per corpus version
+    // as a DurableIndex artifact (optimization r14) — the same idiom as
+    // the fixture MAF above: the validator's job is to VALIDATE a
+    // written package, not to re-write the identical fixture on every
+    // invocation (the driver-side TSV/meta/case-list writes + the id
+    // collect cost ~1.5 s per run and serialized with the report's
+    // critical path).
     val studyId = "graft_v18"
     val samplesSmall = mkSamples(customer.filter(col("c_custkey") <= 500L))
       // a NUMBER-typed attribute with a seeded parse violation every 89th
@@ -829,85 +835,94 @@ object RefQueries {
           lit("maybe"))
           .when(pmod(expr("CAST(substring(SAMPLE_ID, 2) AS BIGINT)"), lit(2L)) === 0L,
             lit("TRUE")).otherwise(lit("FALSE")))
-    Tsv.writeTsvFile(samplesSmall, s"$tmp/data_clinical_sample.txt", Seq(
-      "#Sample ID\tPatient ID\tCancer Type\tAge Months\tIs Primary",
-      "#Sample identifier\tPatient identifier\tCancer type\tAge in months\tPrimary sample",
-      "#STRING\tSTRING\tSTRING\tNUMBER\tBOOLEAN",
-      "#1\t1\t1\t1\t1"))
-    // OS_STATUS breaks the <0|1>:<LABEL> event coding every 83rd patient
-    // key — exercises clinical_survival_status_format data-dependently.
-    // OS_MONTHS (declared NUMBER) carries the tier-8 seeds, one per
-    // rule, in priority order: an alternate NA spelling every 79th key
-    // (clinical_na_spellings; also a NUMBER-parse violation), leading
-    // whitespace every 73rd (clinical_value_whitespace; also a
-    // NUMBER-parse violation), a negative survival time every 67th
-    // (clinical_survival_months_nonneg — numerically valid, so ONLY the
-    // months rule fires).
-    val patientSmall = samplesSmall.select(col("PATIENT_ID")).distinct()
-      .withColumn("OS_STATUS", {
-        val pkP = expr("CAST(substring(PATIENT_ID, 2) AS BIGINT)")
-        when(pmod(pkP, lit(83L)) === 0L, lit("LIVING"))
-          .when(pmod(pkP, lit(2L)) === 0L, lit("0:LIVING"))
-          .otherwise(lit("1:DECEASED"))
-      })
-      .withColumn("OS_MONTHS", {
-        val pkP = expr("CAST(substring(PATIENT_ID, 2) AS BIGINT)")
-        when(pmod(pkP, lit(79L)) === 0L, lit("N/A"))
-          .when(pmod(pkP, lit(73L)) === 0L, lit(" 12.5"))
-          .when(pmod(pkP, lit(67L)) === 0L, lit("-3"))
-          .otherwise(concat(pmod(pkP, lit(240L)).cast(StringType), lit(".5")))
-      })
-    Tsv.writeTsvFile(patientSmall, s"$tmp/data_clinical_patient.txt",
-      Seq("#Patient ID\tOs Status\tOs Months",
-        "#Patient identifier\tSurvival status\tSurvival months",
-        "#STRING\tSTRING\tNUMBER", "#1\t1\t1"))
-    Tsv.writeMetaFile(s"$tmp/meta_clinical_sample.txt", Seq(
-      "cancer_study_identifier" -> studyId,
-      "genetic_alteration_type" -> "CLINICAL",
-      "datatype" -> "SAMPLE_ATTRIBUTES",
-      "data_filename" -> "data_clinical_sample.txt"))
-    Tsv.writeMetaFile(s"$tmp/meta_clinical_patient.txt", Seq(
-      "cancer_study_identifier" -> studyId,
-      "genetic_alteration_type" -> "CLINICAL",
-      "datatype" -> "PATIENT_ATTRIBUTES",
-      "data_filename" -> "data_clinical_patient.txt"))
-    Tsv.writeMetaFile(s"$tmp/meta_study.txt", Seq(
-      "cancer_study_identifier" -> studyId,
-      "type_of_cancer" -> "mixed",
-      "name" -> s"$studyId fixture",
-      "description" -> "portal-rules fixture study"))
-    Tsv.writeCaseLists(samplesSmall, "CANCER_TYPE", "SAMPLE_ID", studyId,
-      s"$tmp/case_lists")
     // tier-8 fixture: a cases_sequenced list that DISAGREES with the MAF
     // both ways — every 6th sample id is left off the list (mutated but
     // unlisted wherever the MAF carries its barcode), and three ghost
-    // ids claim sequencing that produced no mutations
-    val allSampleIds = samplesSmall.select(col("SAMPLE_ID")).collect()
-      .map(_.getString(0)).sorted.toSeq
+    // ids claim sequencing that produced no mutations. The id collect is
+    // session-cached (control-table idiom): one ≤501-row collect per
+    // (session, corpus), not one per invocation.
+    val allSampleIds = FrameCache.cachedStrings(s, s"v18_sample_ids:$dir")(
+      samplesSmall.select(col("SAMPLE_ID")).collect()
+        .map(_.getString(0)).sorted).toSeq
     val sequencedIds = allSampleIds
       .filter(id => id.stripPrefix("S").toLong % 6L != 0L) ++
       Seq("SEQGHOST1", "SEQGHOST2", "SEQGHOST3")
-    // tier 10: the global `_all` case list (the reference's V1
-    // required-file set demands cases_all.txt) — a healthy package
-    // carries it, so portal_cases_all_present stays a constant-0 row
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(s"$tmp/case_lists/cases_all.txt"),
-      (s"cancer_study_identifier: $studyId\n" +
-        s"stable_id: ${studyId}_all\n" +
-        "case_list_name: All samples\n" +
-        "case_list_description: All samples in study\n" +
-        "case_list_category: all_cases_in_study\n" +
-        s"case_list_ids: ${allSampleIds.mkString("\t")}\n")
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(s"$tmp/case_lists/cases_sequenced.txt"),
-      (s"cancer_study_identifier: $studyId\n" +
-        s"stable_id: ${studyId}_sequenced\n" +
-        "case_list_name: Sequenced samples\n" +
-        "case_list_description: Samples with mutation data\n" +
-        "case_list_category: all_cases_with_mutation_data\n" +
-        s"case_list_ids: ${sequencedIds.mkString("\t")}\n")
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val pkgSrc = java.nio.file.Paths.get(dir).resolve("customer.parquet")
+    val pkgIdent = s"$pkgSrc:${graft.sources.ContentIdent.of(pkgSrc)}:v18pkg1"
+    val pkgRoot = graft.sources.DurableIndex.once("graft-v18-pkg", pkgIdent) { pkg =>
+      val tmp = pkg.toString
+      Tsv.writeTsvFile(samplesSmall, s"$tmp/data_clinical_sample.txt", Seq(
+        "#Sample ID\tPatient ID\tCancer Type\tAge Months\tIs Primary",
+        "#Sample identifier\tPatient identifier\tCancer type\tAge in months\tPrimary sample",
+        "#STRING\tSTRING\tSTRING\tNUMBER\tBOOLEAN",
+        "#1\t1\t1\t1\t1"))
+      // OS_STATUS breaks the <0|1>:<LABEL> event coding every 83rd patient
+      // key — exercises clinical_survival_status_format data-dependently.
+      // OS_MONTHS (declared NUMBER) carries the tier-8 seeds, one per
+      // rule, in priority order: an alternate NA spelling every 79th key
+      // (clinical_na_spellings; also a NUMBER-parse violation), leading
+      // whitespace every 73rd (clinical_value_whitespace; also a
+      // NUMBER-parse violation), a negative survival time every 67th
+      // (clinical_survival_months_nonneg — numerically valid, so ONLY the
+      // months rule fires).
+      val patientSmall = samplesSmall.select(col("PATIENT_ID")).distinct()
+        .withColumn("OS_STATUS", {
+          val pkP = expr("CAST(substring(PATIENT_ID, 2) AS BIGINT)")
+          when(pmod(pkP, lit(83L)) === 0L, lit("LIVING"))
+            .when(pmod(pkP, lit(2L)) === 0L, lit("0:LIVING"))
+            .otherwise(lit("1:DECEASED"))
+        })
+        .withColumn("OS_MONTHS", {
+          val pkP = expr("CAST(substring(PATIENT_ID, 2) AS BIGINT)")
+          when(pmod(pkP, lit(79L)) === 0L, lit("N/A"))
+            .when(pmod(pkP, lit(73L)) === 0L, lit(" 12.5"))
+            .when(pmod(pkP, lit(67L)) === 0L, lit("-3"))
+            .otherwise(concat(pmod(pkP, lit(240L)).cast(StringType), lit(".5")))
+        })
+      Tsv.writeTsvFile(patientSmall, s"$tmp/data_clinical_patient.txt",
+        Seq("#Patient ID\tOs Status\tOs Months",
+          "#Patient identifier\tSurvival status\tSurvival months",
+          "#STRING\tSTRING\tNUMBER", "#1\t1\t1"))
+      Tsv.writeMetaFile(s"$tmp/meta_clinical_sample.txt", Seq(
+        "cancer_study_identifier" -> studyId,
+        "genetic_alteration_type" -> "CLINICAL",
+        "datatype" -> "SAMPLE_ATTRIBUTES",
+        "data_filename" -> "data_clinical_sample.txt"))
+      Tsv.writeMetaFile(s"$tmp/meta_clinical_patient.txt", Seq(
+        "cancer_study_identifier" -> studyId,
+        "genetic_alteration_type" -> "CLINICAL",
+        "datatype" -> "PATIENT_ATTRIBUTES",
+        "data_filename" -> "data_clinical_patient.txt"))
+      Tsv.writeMetaFile(s"$tmp/meta_study.txt", Seq(
+        "cancer_study_identifier" -> studyId,
+        "type_of_cancer" -> "mixed",
+        "name" -> s"$studyId fixture",
+        "description" -> "portal-rules fixture study"))
+      Tsv.writeCaseLists(samplesSmall, "CANCER_TYPE", "SAMPLE_ID", studyId,
+        s"$tmp/case_lists")
+      // tier 10: the global `_all` case list (the reference's V1
+      // required-file set demands cases_all.txt) — a healthy package
+      // carries it, so portal_cases_all_present stays a constant-0 row
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$tmp/case_lists/cases_all.txt"),
+        (s"cancer_study_identifier: $studyId\n" +
+          s"stable_id: ${studyId}_all\n" +
+          "case_list_name: All samples\n" +
+          "case_list_description: All samples in study\n" +
+          "case_list_category: all_cases_in_study\n" +
+          s"case_list_ids: ${allSampleIds.mkString("\t")}\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$tmp/case_lists/cases_sequenced.txt"),
+        (s"cancer_study_identifier: $studyId\n" +
+          s"stable_id: ${studyId}_sequenced\n" +
+          "case_list_name: Sequenced samples\n" +
+          "case_list_description: Samples with mutation data\n" +
+          "case_list_category: all_cases_with_mutation_data\n" +
+          s"case_list_ids: ${sequencedIds.mkString("\t")}\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+    val tmp = pkgRoot.toString
     val structural = PortalRules.structuralReport(tmp)
 
     // the remaining rule groups need the written package: value rules
@@ -971,9 +986,17 @@ object RefQueries {
   private[graft] def v18Maf(s: SparkSession, dir: String): DataFrame = {
     import java.nio.file.Paths
     val src = Paths.get(dir).resolve("lineitem.parquet")
-    val ident = s"$src:${graft.sources.ContentIdent.of(src)}:v18maf4"
+    // v18maf5: the build routes through Layout.spread — the driver's
+    // single-row-group lineitem parquet otherwise pins the seeding
+    // projection to ONE task AND lands the table as one file whose
+    // readback pins every consumer (the fused 37-rule pass, the
+    // dup-variant distinct, the gene/barcode aggregates) to one task
+    // per ~128 MB row group: measured 6-way at sf10 and 1-way at sf0.1
+    // on 32 cores. Spread, the table lands as ~parallelism files and
+    // every component pass scans at full width.
+    val ident = s"$src:${graft.sources.ContentIdent.of(src)}:v18maf5"
     val root = graft.sources.DurableIndex.once("graft-v18-maf", ident) { tmp =>
-      v18MafExprs(s, dir).write.mode("overwrite")
+      graft.sources.Layout.spread(v18MafExprs(s, dir)).write.mode("overwrite")
         .parquet(tmp.resolve("maf").toString)
     }
     s.read.parquet(root.resolve("maf").toString)

@@ -163,9 +163,17 @@ object TextQueries {
     FrameCache.cached(s, s"ta_grams_stream:$dir") {
       import java.nio.file.Paths
       val src = Paths.get(dir).resolve("documents.parquet")
-      val ident = s"$src:${graft.sources.ContentIdent.of(src)}:grams3"
+      // grams4: the documents table is spread before tokenization — a
+      // single-row-group corpus file otherwise runs the whole
+      // tokenize+explode pipeline as ONE task (it is whole-stage-
+      // pipelined into the scan) and lands the index as one file whose
+      // readback has the same problem (optimization r14; see
+      // Layout.spread). The spread exchange moves the raw corpus once,
+      // only when the input is under-split; a production many-split
+      // corpus passes through with no exchange.
+      val ident = s"$src:${graft.sources.ContentIdent.of(src)}:grams4"
       val root = graft.sources.DurableIndex.once("graft-gram-index", ident) { tmp =>
-        gramStream(Tables.documents(s, dir))
+        gramStream(graft.sources.Layout.spread(Tables.documents(s, dir)))
           .write.mode("overwrite").parquet(tmp.resolve("grams").toString)
       }
       s.read.parquet(root.resolve("grams").toString).repartition(col("gram"))

@@ -23,6 +23,35 @@ object Layout {
   def writePartitioned(df: DataFrame, path: String, partCols: String*): Unit =
     df.write.mode("overwrite").partitionBy(partCols: _*).parquet(path)
 
+  /** Round-robin spread of a frame to the session's default parallelism
+    * when its current plan would execute on fewer than half that many
+    * tasks — the SINGLE-ROW-GROUP-INPUT guard (optimization r14).
+    *
+    * Why it exists: a parquet file is splittable only at row-group
+    * boundaries, and a generator that writes one big row group per file
+    * pins every scan of that file — and every operator whole-stage-
+    * pipelined into the scan (seeding projections, tokenize+explode,
+    * fused rule aggregates) — to ONE task regardless of cluster size
+    * (measured: the v18 durable-MAF build, and the fused 37-rule pass
+    * reading it back, ran 1 task on 32 cores at sf0.1). Durable-index
+    * BUILDS route through this before writing, so (a) the expensive
+    * derivation runs wide and (b) the index lands as ~parallelism files
+    * whose readback splits properly.
+    *
+    * Scale behavior: the guard is the partition-count check, not a
+    * constant — a production table with hundreds of splits passes
+    * through untouched (no exchange in the plan); only a degenerate
+    * under-split input pays one exchange, which is exactly the
+    * "repartition immediately after the read" remedy the input-skew
+    * playbook prescribes (guide §2.5). Round-robin keeps content
+    * deterministic per input (sort-before-repartition is on by
+    * default); downstream results are partitioning-independent.
+    */
+  def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 <= target) df.repartition(target) else df
+  }
+
   /** Save as a bucketed (and optionally sort-within-bucket) parquet table
     * in `db`. Both sides of a join bucketed on the join key with the same
     * bucket count plan a SortMergeJoin with NO ShuffleExchange.

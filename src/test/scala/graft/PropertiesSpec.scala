@@ -151,6 +151,26 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("md5long60_raw property: equals the BUILTIN conv∘substring∘md5 chain on generated strings") {
+    // r14 lock: Hashing.md5Long delegates to the compiled kernel; this
+    // pins it to the original builtin chain (the form every DuckDB
+    // oracle mirrors), so a kernel regression cannot silently shift
+    // every fingerprint/sketch query at once.
+    import org.apache.spark.sql.functions.{conv, md5, substring}
+    val strGen = Gen.listOf(Gen.frequency(
+      8 -> Gen.asciiPrintableChar.map(_.toString),
+      1 -> Gen.oneOf("é", "…", "😀", ":"),
+      1 -> Gen.const(""))).map(_.mkString)
+    val rows = samples(strGen, 300)
+    val df = rows.toDF("t")
+    val both = df.select(
+      Hashing.md5Long(col("t")).as("k"),
+      conv(substring(md5(col("t")), 1, 15), 16, 10).cast("long").as("c")).collect()
+    both.zip(rows).foreach { case (r, t) =>
+      assert(r.getLong(0) == r.getLong(1), s"md5long60_raw mismatch on: '$t'")
+    }
+  }
+
   test("winnow property: non-empty, ascending-distinct, in [0, M)") {
     samples(Gen.listOf(word).map(_.mkString(" ")), 30).foreach { text =>
       val fps = TextOps.winnowFingerprints(

@@ -61,6 +61,37 @@ class DedupQueriesSpec extends AnyFunSuite {
     assert(!got.contains(("act", "cat")), "transposition is distance 2")
   }
 
+  test("typo pairs: run-dedup'd codegen variants + hashed keys == brute force on adversarial names") {
+    // r14 rewrite lock: variant generation keeps one deletion per
+    // equal-char RUN (delete(s,i)==delete(s,j), i<j, iff s[i..j] is one
+    // repeated char — the array_distinct-equivalence the codegen form
+    // relies on), and the join key is xxhash64(variant). Runs, unicode
+    // (non-ASCII chars, so byte- vs char-indexing bugs would fire),
+    // empties, and length-1 names all verified against an independent
+    // full Levenshtein DP.
+    val advNames = Seq("", "a", "aa", "aaa", "ab", "ba", "aab", "abb",
+      "aabb", "xxxyyy", "xxyxx", "résumé", "résume", "resume", "naïve",
+      "naive", "αβγ", "αβ", "ぁあぃ", "ぁあ",
+      "Customer#000000000", "Customer#000000001", "Custmer#000000001",
+      "Customer##00000001")
+    val got = DedupQueries.typoPairs(advNames.toDF("name")).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val want = (for {
+      a <- advNames; b <- advNames if a < b && lev(a, b) == 1
+    } yield (a, b)).toSet
+    assert(got == want)
+    assert(want.contains(("a", "aa")) && want.contains(("aa", "aaa")),
+      "run-dedup must not lose insert/delete pairs inside equal-char runs")
+    assert(want.contains(("résume", "résumé")), "unicode edit pair present")
+  }
+
   test("dd_typo_pairs == brute-force distance-1 scan over sf0.001 customer names") {
     import graft.SparkTestBase.sf001
     val names = graft.Tables.customer(spark, sf001)
