@@ -172,6 +172,12 @@ object GraphQueries {
         .select(col("l_suppkey").as("sk"), col("o_custkey").as("ck"))
         .distinct())
     val deg = e.groupBy(col("sk")).agg(count(lit(1)).as("d"))
+    // Measured negative result (r14): hinting these three joins
+    // shuffle_hash (to drop the SortMergeJoin sorts, the pagerankRound
+    // idiom) read 2.30 s vs 0.99 s unhinted at sf0.1 — the SMJ sorts
+    // over the small post-aggregate frames are cheaper than the SHJ
+    // hash-table builds here, and the sorted runs feed the downstream
+    // window's ordering. Catalyst's unhinted choice stands.
     val common = e.filter(col("sk") < JaccPilot)
       .select(col("sk").as("s1"), col("ck"))
       .join(e.select(col("sk").as("s2"), col("ck")), Seq("ck"))
@@ -217,10 +223,17 @@ object GraphQueries {
       .filter(col("node").startsWith("S") &&
         substring(col("node"), 2, 18).cast("long") < KhopSeedMax)
       .select(col("node"))
-    val init = seeds.withColumn("dist", lit(0)).localCheckpoint()
+    // LAZY localCheckpoints (r14): the lineage cut per round is what
+    // keeps the plan O(1) — but EAGER cuts also serialize one job per
+    // round during query construction. Lazy keeps the identical
+    // LogicalRDD plan shape while the rounds materialize inside the
+    // ONE final action (each round's blocks persist on first
+    // computation, so nothing recomputes); measured 3.2 -> 1.8 s at
+    // sf0.1 with bit-equal output (GraphProfile A/B).
+    val init = seeds.withColumn("dist", lit(0)).localCheckpoint(false)
     val (visited, _) = (1 to KhopRounds).foldLeft((init, init.select(col("node")))) {
       case ((vis, frontier), i) =>
-        val next = khopExpand(edges, vis, frontier, i).localCheckpoint()
+        val next = khopExpand(edges, vis, frontier, i).localCheckpoint(false)
         (vis.union(next), next.select(col("node")))
     }
     visited
@@ -269,9 +282,10 @@ object GraphQueries {
       .filter(col("src").startsWith("S") &&
         substring(col("src"), 2, 18).cast("long") < KhopSeedMax)
       .select(col("src").as("node")).distinct()
-      .withColumn("dist", lit(0L)).localCheckpoint()
+      .withColumn("dist", lit(0L)).localCheckpoint(false)
+    // lazy per-round cuts — see gKhop (r14)
     (1 to SsspRounds).foldLeft(init) { (d, _) =>
-      ssspRound(edges, d).localCheckpoint()
+      ssspRound(edges, d).localCheckpoint(false)
     }
   }
 
@@ -340,7 +354,7 @@ object GraphQueries {
     // scale. Each step is tiny (|seeds| rows), so the cut is cheap.
     val (walks, _) = (1 to WalkSteps).foldLeft((init, seeds)) {
       case ((acc, frontier), k) =>
-        val next = walkStep(edges, frontier, k).localCheckpoint()
+        val next = walkStep(edges, frontier, k).localCheckpoint(false)
         (acc.union(next.select(col("start"), col("cur"), lit(k).as("step"))), next)
     }
     walks.select(col("start").as("start_node"), col("step"), col("cur").as("node"))
