@@ -17,6 +17,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * No data is cached — every action still scans parquet; only the
   * footer-read/plan-construction is shared. Entries are evicted with
   * their stopped session (the FrameCache discipline).
+  *
+  * ASSUMPTION (r15, per advisor note): the corpus at a path is
+  * immutable for the lifetime of a session. The memo pins the parquet
+  * file-listing/footer snapshot per (session, path); regenerating a
+  * corpus in place under a LIVE session would serve a stale file list.
+  * The harness satisfies this by construction (fresh session per run,
+  * dirs keyed per SF); a long-lived interactive session that rewrites a
+  * corpus must use a new path or a new session.
   */
 object Tables {
   val names: Seq[String] = Seq(
@@ -78,4 +86,21 @@ object Tables {
     }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+
+  /** Total on-disk bytes of a table's parquet file (or directory) — the
+    * input-size signal width/partitioning heuristics derive from
+    * (guide §2.2/§6: size partitions by data volume, never by the local
+    * core count). 0 if absent.
+    */
+  def fileBytes(dir: String, name: String): Long = {
+    val p = java.nio.file.Paths.get(dir).resolve(s"$name.parquet")
+    if (!java.nio.file.Files.exists(p)) 0L
+    else if (java.nio.file.Files.isRegularFile(p)) java.nio.file.Files.size(p)
+    else {
+      val s = java.nio.file.Files.list(p)
+      try s.filter(java.nio.file.Files.isRegularFile(_))
+        .mapToLong(java.nio.file.Files.size(_)).sum()
+      finally s.close()
+    }
+  }
 }

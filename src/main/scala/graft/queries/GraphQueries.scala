@@ -40,26 +40,95 @@ object GraphQueries {
   val PrDampNum = 85L
   val PrDampDen = 100L
 
+  /** Byte-derived stage width for the graph family (optimization r15):
+    * one task per ~1 MB of fact input, clamped to
+    * [1, 4 × defaultParallelism]. The edge caches were previously
+    * `repartition(col("src"))` → `spark.sql.shuffle.partitions`
+    * (= the core count in the bench), so every per-round stage ran
+    * `cpus` near-empty tasks on KB-sized frames — measured ANTI-scaling
+    * (g_sssp 6.35 s at 32 cores vs 0.94 s at 8 in the r14 driver bench;
+    * task/stage overhead, not compute). Width now follows DATA volume:
+    * sf0.1 (11 MB fact) → 11 tasks, sf10 (~1.1 GB) → cores-capped —
+    * and at cluster scale the cap scales with the cluster while the
+    * byte term keeps partitions at the guide's sane-grain range.
+    */
+  private[queries] def graphWidth(s: SparkSession, dir: String): Int = {
+    val bytes = graft.Tables.fileBytes(dir, "lineitem")
+    val cap = 4 * s.sparkContext.defaultParallelism
+    // floor 2, not 1: repartition(1, col) collapses to SinglePartition,
+    // which EnsureRequirements refuses to co-locate a join against — the
+    // cache would be RE-shuffled every round (PlanChecksSpec locks this)
+    math.max(2, math.min(cap.toLong, bytes / (1L << 20) + 1L)).toInt
+  }
+
+  /** Run `body` with the graph family's build-time SQL conf scoped on:
+    * shuffle partitions width-matched to the edge cache (so round
+    * exchanges are the same small width as the co-located cache) and
+    * adaptive execution OFF, so the per-round plans compile STATIC.
+    * With AQE on, every `localCheckpoint` materializes its stages as
+    * separate blocking jobs (measured 60–300 ms each on a 32-core
+    * local master — GraphProfile5) and the r14 LAZY checkpoints
+    * additionally RECOMPUTED all prior rounds inside the final fused
+    * job (per-round stage runSum grew 402→1120 ms — GraphProfile8).
+    * Static width-matched plans with EAGER checkpoints run each round
+    * exactly once as one tiny job: sssp 1.85 → 0.82 s at 32 cores
+    * (GraphProfile9), bit-equal output. AQE contributes nothing to
+    * these rounds at any scale: join strategy is hinted, the cache
+    * side's partitioning is fixed, and round frames are node-sized.
+    */
+  private[queries] def withGraphBuildConf[A](s: SparkSession, width: Int)(body: => A): A = {
+    val pairs = Seq(
+      "spark.sql.shuffle.partitions" -> width.toString,
+      "spark.sql.adaptive.enabled" -> "false")
+    val prev = pairs.map { case (k, _) => k -> s.conf.getOption(k) }
+    pairs.foreach { case (k, v) => s.conf.set(k, v) }
+    try body finally prev.foreach {
+      case (k, Some(p)) => s.conf.set(k, p)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
+  /** The per-pair trade aggregate every graph edge view derives from:
+    * one row per (suppkey, custkey) that ever traded, with the distinct
+    * order count (weighted-edge costs) and total quantity (strong-edge
+    * threshold). Built ONCE per (session, sf) — previously
+    * [[tradeEdges]], [[weightedEdges]], [[gJaccardSim]]'s edge set and
+    * [[gConcomp]]'s strong edges EACH paid their own lineitem⋈orders
+    * pass over the fact table (optimization r15: 4 fact scans → 1).
+    */
+  private[queries] def tradePairs(s: SparkSession, dir: String): DataFrame =
+    FrameCache.cached(s, s"g_trade_pairs:$dir") {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_quantity"))
+      val ord = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_suppkey").as("sk"), col("o_custkey").as("ck"))
+        .agg(countDistinct(col("l_orderkey")).as("n_orders"),
+          // small integers stored as double — exact under any reduction
+          // order (the g_concomp contract)
+          sum(col("l_quantity")).as("qty"))
+        .repartition(graphWidth(s, dir), col("sk"))
+    }
+
   /** The symmetrized trade graph: one edge per DISTINCT supplier–customer
     * pair that ever traded (lineitem ⋈ orders), in both directions, so
     * every node has out-degree ≥ 1 and PageRank has no dangling-mass
     * term. Node ids are prefixed ('S'/'C') into one namespace. Built
     * once per (session, sf) and reused by every round and every graph
-    * query ([[FrameCache]]).
+    * query ([[FrameCache]]); derives from [[tradePairs]], so the fact
+    * scan is shared with the other edge views.
     */
   private[queries] def tradeEdges(s: SparkSession, dir: String): DataFrame =
     FrameCache.cached(s, s"g_trade_edges:$dir") {
-      val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
-      val ord = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
-      val e0 = li.join(ord, col("l_orderkey") === col("o_orderkey"))
-        .select(concat(lit("S"), col("l_suppkey")).as("src"),
-          concat(lit("C"), col("o_custkey")).as("dst"))
-        .distinct()
-      // persisted hash-partitioned on src: every round's rank⋈edges
-      // join then satisfies ENSURE_REQUIREMENTS from the cache — only
-      // the (tiny) rank frame moves per round, never the edge table
+      val e0 = tradePairs(s, dir)
+        .select(concat(lit("S"), col("sk")).as("src"),
+          concat(lit("C"), col("ck")).as("dst"))
+      // persisted hash-partitioned on src at the byte-derived width:
+      // every round's rank⋈edges join then satisfies ENSURE_REQUIREMENTS
+      // from the cache — only the (tiny) rank frame moves per round,
+      // never the edge table
       e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
-        .repartition(col("src"))
+        .repartition(graphWidth(s, dir), col("src"))
     }
 
   /** g_pagerank — damped PageRank (d = 0.85, [[PrIters]] rounds) over
@@ -75,7 +144,16 @@ object GraphQueries {
     val edges = tradeEdges(s, dir)
     val deg = tradeDeg(s, dir)
     val n = FrameCache.cachedCount(s, s"g_trade_n:$dir")(deg.count())
-    pagerank(edges, deg, n)
+    // Compile the 4-round plan STATIC at the byte-derived width (r15;
+    // see withGraphBuildConf): the rounds are a linear plan over the
+    // co-located cache, so AQE's only effect is ~10 blocking
+    // stage-materialization jobs at action time. Touching executedPlan
+    // inside the scope pins the static width-matched plan.
+    withGraphBuildConf(s, graphWidth(s, dir)) {
+      val df = pagerank(edges, deg, n)
+      df.queryExecution.executedPlan
+      df
+    }
   }
 
   /** The trade graph's (node, outdeg) table — one aggregation over the
@@ -165,12 +243,10 @@ object GraphQueries {
     */
   def gJaccardSim: Q = (s, dir) => {
     import org.apache.spark.sql.expressions.Window
+    // the (sk, ck) pair set IS the shared per-pair aggregate's key set
+    // (r15) — no separate fact scan
     val e = FrameCache.cached(s, s"g_sup_edges_int:$dir")(
-      Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
-        .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
-          col("l_orderkey") === col("o_orderkey"))
-        .select(col("l_suppkey").as("sk"), col("o_custkey").as("ck"))
-        .distinct())
+      tradePairs(s, dir).select(col("sk"), col("ck")))
     val deg = e.groupBy(col("sk")).agg(count(lit(1)).as("d"))
     // Measured negative result (r14): hinting these three joins
     // shuffle_hash (to drop the SortMergeJoin sorts, the pagerankRound
@@ -223,20 +299,19 @@ object GraphQueries {
       .filter(col("node").startsWith("S") &&
         substring(col("node"), 2, 18).cast("long") < KhopSeedMax)
       .select(col("node"))
-    // LAZY localCheckpoints (r14): the lineage cut per round is what
-    // keeps the plan O(1) — but EAGER cuts also serialize one job per
-    // round during query construction. Lazy keeps the identical
-    // LogicalRDD plan shape while the rounds materialize inside the
-    // ONE final action (each round's blocks persist on first
-    // computation, so nothing recomputes); measured 3.2 -> 1.8 s at
-    // sf0.1 with bit-equal output (GraphProfile A/B).
-    val init = seeds.withColumn("dist", lit(0)).localCheckpoint(false)
-    val (visited, _) = (1 to KhopRounds).foldLeft((init, init.select(col("node")))) {
-      case ((vis, frontier), i) =>
-        val next = khopExpand(edges, vis, frontier, i).localCheckpoint(false)
-        (vis.union(next), next.select(col("node")))
+    // EAGER width-matched static rounds (r15; see withGraphBuildConf).
+    // The r14 lazy checkpoints were measured RECOMPUTING prior rounds
+    // inside the final fused job; eager cuts materialize each round
+    // exactly once as one tiny static job at the byte-derived width.
+    withGraphBuildConf(s, graphWidth(s, dir)) {
+      val init = seeds.withColumn("dist", lit(0)).localCheckpoint()
+      val (visited, _) = (1 to KhopRounds).foldLeft((init, init.select(col("node")))) {
+        case ((vis, frontier), i) =>
+          val next = khopExpand(edges, vis, frontier, i).localCheckpoint()
+          (vis.union(next), next.select(col("node")))
+      }
+      visited
     }
-    visited
   }
 
   /** One BFS expansion round of [[gKhop]] — split out so PlanChecksSpec
@@ -278,14 +353,16 @@ object GraphQueries {
     */
   def gSssp: Q = (s, dir) => {
     val edges = weightedEdges(s, dir)
-    val init = edges
-      .filter(col("src").startsWith("S") &&
-        substring(col("src"), 2, 18).cast("long") < KhopSeedMax)
-      .select(col("src").as("node")).distinct()
-      .withColumn("dist", lit(0L)).localCheckpoint(false)
-    // lazy per-round cuts — see gKhop (r14)
-    (1 to SsspRounds).foldLeft(init) { (d, _) =>
-      ssspRound(edges, d).localCheckpoint(false)
+    // eager width-matched static rounds — see gKhop (r15)
+    withGraphBuildConf(s, graphWidth(s, dir)) {
+      val init = edges
+        .filter(col("src").startsWith("S") &&
+          substring(col("src"), 2, 18).cast("long") < KhopSeedMax)
+        .select(col("src").as("node")).distinct()
+        .withColumn("dist", lit(0L)).localCheckpoint()
+      (1 to SsspRounds).foldLeft(init) { (d, _) =>
+        ssspRound(edges, d).localCheckpoint()
+      }
     }
   }
 
@@ -309,16 +386,14 @@ object GraphQueries {
     */
   private[queries] def weightedEdges(s: SparkSession, dir: String): DataFrame =
     FrameCache.cached(s, s"g_weighted_edges:$dir") {
-      val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
-      val ord = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
-      val e0 = li.join(ord, col("l_orderkey") === col("o_orderkey"))
-        .groupBy(concat(lit("S"), col("l_suppkey")).as("src"),
-          concat(lit("C"), col("o_custkey")).as("dst"))
-        .agg(countDistinct(col("l_orderkey")).as("n"))
-        .select(col("src"), col("dst"),
-          greatest(lit(1L), lit(10L) - col("n")).as("w"))
+      // derives from the shared per-pair aggregate (r15) — the distinct
+      // order count per (sk, ck) is exactly tradePairs.n_orders
+      val e0 = tradePairs(s, dir)
+        .select(concat(lit("S"), col("sk")).as("src"),
+          concat(lit("C"), col("ck")).as("dst"),
+          greatest(lit(1L), lit(10L) - col("n_orders")).as("w"))
       e0.union(e0.select(col("dst").as("src"), col("src").as("dst"), col("w")))
-        .repartition(col("src"))
+        .repartition(graphWidth(s, dir), col("src"))
     }
 
   /** Walk length for [[gRandomWalk]] (seeds share [[KhopSeedMax]]). */
@@ -347,15 +422,17 @@ object GraphQueries {
         substring(col("node"), 2, 18).cast("long") < KhopSeedMax)
       .select(col("node").as("start"), col("node").as("cur"))
     val init = seeds.select(col("start"), col("cur"), lit(0).as("step"))
-    // Per-step localCheckpoint (the g_khop/g_sssp idiom, r14): without
-    // it the output union's branch for step k re-derives steps 1..k-1 —
-    // the edge cache is streamed 1+2+3+4 = 10 times instead of 4, and
-    // the re-derivation grows quadratically with walk length at any
-    // scale. Each step is tiny (|seeds| rows), so the cut is cheap.
-    val (walks, _) = (1 to WalkSteps).foldLeft((init, seeds)) {
-      case ((acc, frontier), k) =>
-        val next = walkStep(edges, frontier, k).localCheckpoint(false)
-        (acc.union(next.select(col("start"), col("cur"), lit(k).as("step"))), next)
+    // Per-step EAGER localCheckpoint under the width-matched static
+    // build conf (r15; see gKhop): without the cut the output union's
+    // branch for step k re-derives steps 1..k-1 — the edge cache is
+    // streamed 1+2+3+4 = 10 times instead of 4, quadratic in walk
+    // length at any scale. Each step is tiny (|seeds| rows).
+    val (walks, _) = withGraphBuildConf(s, graphWidth(s, dir)) {
+      (1 to WalkSteps).foldLeft((init, seeds)) {
+        case ((acc, frontier), k) =>
+          val next = walkStep(edges, frontier, k).localCheckpoint()
+          (acc.union(next.select(col("start"), col("cur"), lit(k).as("step"))), next)
+      }
     }
     walks.select(col("start").as("start_node"), col("step"), col("cur").as("node"))
   }
@@ -527,14 +604,12 @@ object GraphQueries {
     * CTE.
     */
   def gConcomp: Q = (s, dir) => {
-    val li = Tables.lineitem(s, dir)
-      .select(col("l_orderkey"), col("l_suppkey"), col("l_quantity"))
-    val ord = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
-    val strong = li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .groupBy((col("l_suppkey") * 2).as("a"), (col("o_custkey") * 2 + 1).as("b"))
-      .agg(sum(col("l_quantity")).as("q"))
-      .filter(col("q") >= CcQtyMin)
-      .select(col("a"), col("b"))
+    // the per-pair quantity total is tradePairs.qty (r15) — the strong
+    // filter is a cheap scan of the shared cached aggregate, not its
+    // own lineitem⋈orders pass
+    val strong = tradePairs(s, dir)
+      .filter(col("qty") >= CcQtyMin)
+      .select((col("sk") * 2).as("a"), (col("ck") * 2 + 1).as("b"))
     DedupQueries.connectedComponents(strong, "a", "b")
       .select(col("id").as("node"), col("component"))
   }
