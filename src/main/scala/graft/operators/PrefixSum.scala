@@ -1,7 +1,10 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, JoinedRow}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.types._
 
 /** Distributed prefix sum — the scale-correct form of
@@ -27,6 +30,17 @@ import org.apache.spark.sql.types._
   * subtrees. The earlier windowed form had exactly that hazard — column
   * pruning could specialize one branch and defeat reuse, silently
   * mismatching offsets to rows.
+  *
+  * Optimization r15: both passes run on `queryExecution.toRdd`
+  * (InternalRow) instead of `Dataset.rdd`. The external-Row path
+  * deserialized every field of every row to JVM objects in the totals
+  * pass (which reads ONE column), rebuilt a `Row.fromSeq(r.toSeq :+
+  * run)` per row in the sum pass, and then re-ENCODED every row through
+  * `createDataFrame` — three full-width conversions per row that the
+  * internal path skips entirely (guide §1.4's rdd-conversion tax, §4's
+  * expression-choice rule applied to an operator). The sum pass emits a
+  * `JoinedRow(row.copy, [run])` — the copy is required because shuffle/
+  * sort iterators reuse their UnsafeRow buffers.
   */
 object PrefixSum {
 
@@ -44,7 +58,8 @@ object PrefixSum {
     val parts = if (numPartitions > 0) numPartitions
       else spark.conf.get("spark.sql.shuffle.partitions").toInt
     val wIdx = df.schema.fieldIndex(weightCol)
-    val integral = df.schema(weightCol).dataType match {
+    val wType = df.schema(weightCol).dataType
+    val integral = wType match {
       case ByteType | ShortType | IntegerType | LongType => true
       case FloatType | DoubleType                        => false
       case t => throw new IllegalArgumentException(
@@ -53,13 +68,18 @@ object PrefixSum {
     val ranged = df.repartitionByRange(parts, col(orderCol))
       .sortWithinPartitions(col(orderCol))
     // One RDD object shared by both jobs => one shuffle, fixed bounds.
-    val rdd = ranged.rdd
+    val rdd = ranged.queryExecution.toRdd
 
     if (integral) {
-      def w(r: Row): Long =
-        if (r.isNullAt(wIdx)) 0L else r.get(wIdx).asInstanceOf[Number].longValue()
+      // typed long extractor chosen ONCE (never a per-row type match)
+      val getW: InternalRow => Long = wType match {
+        case ByteType    => r => if (r.isNullAt(wIdx)) 0L else r.getByte(wIdx).toLong
+        case ShortType   => r => if (r.isNullAt(wIdx)) 0L else r.getShort(wIdx).toLong
+        case IntegerType => r => if (r.isNullAt(wIdx)) 0L else r.getInt(wIdx).toLong
+        case _           => r => if (r.isNullAt(wIdx)) 0L else r.getLong(wIdx)
+      }
       val totals = rdd.mapPartitionsWithIndex { (pid, it) =>
-        var s = 0L; it.foreach(r => s += w(r)); Iterator((pid, s))
+        var s = 0L; it.foreach(r => s += getW(r)); Iterator((pid, s))
       }.collect().toMap
       val offsets = new Array[Long](rdd.getNumPartitions)
       var acc = 0L
@@ -69,15 +89,21 @@ object PrefixSum {
       val bc = spark.sparkContext.broadcast(offsets)
       val outRdd = rdd.mapPartitionsWithIndex { (pid, it) =>
         var run = bc.value(pid)
-        it.map { r => run += w(r); Row.fromSeq(r.toSeq :+ run) }
+        it.map { r =>
+          run += getW(r)
+          new JoinedRow(r.copy(), new GenericInternalRow(Array[Any](run)))
+            : InternalRow
+        }
       }
-      spark.createDataFrame(outRdd,
+      Bridge.internalCreateDataFrame(spark, outRdd,
         StructType(df.schema.fields :+ StructField(cumCol, LongType, nullable = false)))
     } else {
-      def w(r: Row): Double =
-        if (r.isNullAt(wIdx)) 0.0 else r.get(wIdx).asInstanceOf[Number].doubleValue()
+      val getW: InternalRow => Double = wType match {
+        case FloatType => r => if (r.isNullAt(wIdx)) 0.0 else r.getFloat(wIdx).toDouble
+        case _         => r => if (r.isNullAt(wIdx)) 0.0 else r.getDouble(wIdx)
+      }
       val totals = rdd.mapPartitionsWithIndex { (pid, it) =>
-        var s = 0.0; it.foreach(r => s += w(r)); Iterator((pid, s))
+        var s = 0.0; it.foreach(r => s += getW(r)); Iterator((pid, s))
       }.collect().toMap
       val offsets = new Array[Double](rdd.getNumPartitions)
       var acc = 0.0
@@ -87,9 +113,13 @@ object PrefixSum {
       val bc = spark.sparkContext.broadcast(offsets)
       val outRdd = rdd.mapPartitionsWithIndex { (pid, it) =>
         var run = bc.value(pid)
-        it.map { r => run += w(r); Row.fromSeq(r.toSeq :+ run) }
+        it.map { r =>
+          run += getW(r)
+          new JoinedRow(r.copy(), new GenericInternalRow(Array[Any](run)))
+            : InternalRow
+        }
       }
-      spark.createDataFrame(outRdd,
+      Bridge.internalCreateDataFrame(spark, outRdd,
         StructType(df.schema.fields :+ StructField(cumCol, DoubleType, nullable = false)))
     }
   }

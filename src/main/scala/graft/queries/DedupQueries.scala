@@ -545,8 +545,15 @@ object DedupQueries {
     * over all pairs) — which is also why DuckDB pays n² on it at scale
     * while this plan stays near-linear.
     */
-  def ddPrefixJoin: Q = (s, dir) =>
-    prefixJoinOf(TextQueries.sharedGramStream(s, dir))
+  def ddPrefixJoin: Q = (s, dir) => {
+    val grams = TextQueries.sharedGramStream(s, dir)
+    // Pinned static width-matched plan (r15; see Tuned): the candidate
+    // pipeline is ~10 small stages over the byte-width gram cache —
+    // compiled at the cache's width with AQE's per-stage
+    // materialization barriers off, it runs as ONE job of tiny stages.
+    // Measured 2.0 → 0.73 s at sf0.1/32c (PpjProfile), identical rows.
+    Tuned.pinned(s, TextQueries.gramWidth(s, dir))(prefixJoinOf(grams))
+  }
 
   /** The prefix-filtered exact similarity join over any distinct
     * (doc_id, gram) stream — split out so the spec can drive

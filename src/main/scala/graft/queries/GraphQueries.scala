@@ -76,17 +76,8 @@ object GraphQueries {
     * these rounds at any scale: join strategy is hinted, the cache
     * side's partitioning is fixed, and round frames are node-sized.
     */
-  private[queries] def withGraphBuildConf[A](s: SparkSession, width: Int)(body: => A): A = {
-    val pairs = Seq(
-      "spark.sql.shuffle.partitions" -> width.toString,
-      "spark.sql.adaptive.enabled" -> "false")
-    val prev = pairs.map { case (k, _) => k -> s.conf.getOption(k) }
-    pairs.foreach { case (k, v) => s.conf.set(k, v) }
-    try body finally prev.foreach {
-      case (k, Some(p)) => s.conf.set(k, p)
-      case (k, None) => s.conf.unset(k)
-    }
-  }
+  private[queries] def withGraphBuildConf[A](s: SparkSession, width: Int)(body: => A): A =
+    Tuned.withWidth(s, width)(body)
 
   /** The per-pair trade aggregate every graph edge view derives from:
     * one row per (suppkey, custkey) that ever traded, with the distinct

@@ -99,7 +99,12 @@ object OlapQueries {
     // one percentile ARRAY per column: Spark's exact percentile is an
     // object aggregate maintaining a value->count map per (group, agg) —
     // asking for the three quantity quantiles in one call shares one map
-    // instead of building three identical ones (measured ~2x on the agg)
+    // instead of building three identical ones (measured ~2x on the agg).
+    // Measured negative result (r15): Layout.spread before the partial
+    // read 1.77 s vs 1.23 unspread at sf0.1/32c — the single-row-group
+    // scan's DECODE is the bottleneck, and a spread exchange only moves
+    // it onto the same one task plus an extra shuffle. The 1-task scan
+    // floor is the driver corpus's layout, not the plan (see q1_agg).
     Tables.lineitem(s, dir)
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n"),
@@ -122,6 +127,7 @@ object OlapQueries {
     * the rank-error guarantee against the exact a12 result instead.
     */
   def a14ApproxPercentiles: Q = (s, dir) =>
+    // same negative spread result as a12 (r15): decode-bound 1-task scan
     Tables.lineitem(s, dir)
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n"),
@@ -797,10 +803,19 @@ object OlapQueries {
     val h = TextQueries.sharedGramStream(s, dir)
       .join(broadcast(srcOf), Seq("doc_id"))
       .select(col("source"), graft.functions.Hashing.md5Long(col("gram")).as("h"))
+    // EAGER cut (r15): the register table is tiny (m=128 × n_sources)
+    // but has TWO consumers (per-source rollup + merged rollup). As two
+    // branches of one plan their shared subtree is only computed once
+    // when AQE stage reuse fires — measured NOT firing on the first
+    // timed run (reps=1 bench read 2.7 s vs 0.97 at reps=3: the md5
+    // pass over the gram stream ran once per branch). Materializing the
+    // registers guarantees ONE gram pass per invocation at any scale —
+    // exactly what a warehouse does with pre-aggregated sketches.
     val regs = h
       .select(col("source"), PortableHll.bucket(col("h"), P).as("b"),
         PortableHll.rho(col("h"), P).as("rho"))
       .groupBy(col("source"), col("b")).agg(max(col("rho")).as("reg"))
+      .localCheckpoint()
     val perSource = regs.groupBy(col("source"))
       .agg(PortableHll.z48(col("reg"), P).as("z48"))
       .select(PortableHll.estimate(col("z48"), P).as("est"))

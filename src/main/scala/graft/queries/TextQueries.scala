@@ -161,23 +161,48 @@ object TextQueries {
     */
   private[graft] def sharedGramStream(s: SparkSession, dir: String): DataFrame =
     FrameCache.cached(s, s"ta_grams_stream:$dir") {
-      import java.nio.file.Paths
-      val src = Paths.get(dir).resolve("documents.parquet")
-      // grams4: the documents table is spread before tokenization — a
-      // single-row-group corpus file otherwise runs the whole
-      // tokenize+explode pipeline as ONE task (it is whole-stage-
-      // pipelined into the scan) and lands the index as one file whose
-      // readback has the same problem (optimization r14; see
-      // Layout.spread). The spread exchange moves the raw corpus once,
-      // only when the input is under-split; a production many-split
-      // corpus passes through with no exchange.
-      val ident = s"$src:${graft.sources.ContentIdent.of(src)}:grams4"
-      val root = graft.sources.DurableIndex.once("graft-gram-index", ident) { tmp =>
-        gramStream(graft.sources.Layout.spread(Tables.documents(s, dir)))
-          .write.mode("overwrite").parquet(tmp.resolve("grams").toString)
-      }
-      s.read.parquet(root.resolve("grams").toString).repartition(col("gram"))
+      val root = gramIndexRoot(s, dir)
+      // Byte-derived cache width (r15, the graphWidth idiom): the old
+      // repartition(col) inherited spark.sql.shuffle.partitions — the
+      // CORE COUNT in the bench — so every consumer stage ran `cpus`
+      // near-empty tasks over a 2.3 MB index at sf0.1 (measured
+      // anti-scaling). One task per 256 KB of index (the gram stream is
+      // CPU-denser than raw bytes suggest: window ranks, hash builds),
+      // capped at 4× parallelism → 9 at sf0.1, cores-capped at sf10's
+      // 212 MB index.
+      s.read.parquet(root.resolve("grams").toString)
+        .repartition(gramWidth(s, dir), col("gram"))
     }
+
+  /** The durable gram index's root for this corpus version, building it
+    * on first use (see [[sharedGramStream]]).
+    */
+  private def gramIndexRoot(s: SparkSession, dir: String): java.nio.file.Path = {
+    import java.nio.file.Paths
+    val src = Paths.get(dir).resolve("documents.parquet")
+    // grams4: the documents table is spread before tokenization — a
+    // single-row-group corpus file otherwise runs the whole
+    // tokenize+explode pipeline as ONE task (it is whole-stage-
+    // pipelined into the scan) and lands the index as one file whose
+    // readback has the same problem (optimization r14; see
+    // Layout.spread). The spread exchange moves the raw corpus once,
+    // only when the input is under-split; a production many-split
+    // corpus passes through with no exchange.
+    val ident = s"$src:${graft.sources.ContentIdent.of(src)}:grams4"
+    graft.sources.DurableIndex.once("graft-gram-index", ident) { tmp =>
+      gramStream(graft.sources.Layout.spread(Tables.documents(s, dir)))
+        .write.mode("overwrite").parquet(tmp.resolve("grams").toString)
+    }
+  }
+
+  /** The [[sharedGramStream]] cache width — byte-derived from the
+    * on-disk index, for consumers that pin their plans at it
+    * ([[graft.queries.DedupQueries.ddPrefixJoin]]). ContentIdent is
+    * metadata-only, so recomputing the root here is cheap.
+    */
+  private[graft] def gramWidth(s: SparkSession, dir: String): Int =
+    Tuned.widthForBytes(s,
+      Tuned.dirBytes(gramIndexRoot(s, dir).resolve("grams")), 256L << 10)
 
   /** The novelty rollup over a distinct (doc_id, gram) stream — split
     * out so the spec can drive constructed corpora; see
@@ -272,8 +297,19 @@ object TextQueries {
     * frequent-set space.
     */
   def taCooccur: Q = (s, dir) => {
+    // Pinned static width-matched plan (r15; see Tuned): the A-Priori
+    // pipeline is ~6 small stages over KB–MB frequent-set frames, and
+    // at 32 cores the core-count-wide tiny tasks plus AQE's per-stage
+    // materialization jobs dominated (the r14 driver bench measured
+    // this query FASTER at 8 cores: 0.49 vs 0.99 s). Width follows the
+    // compressed corpus bytes (one task per 64 KB — token streams
+    // expand ~30× from compressed text), capped at 4× parallelism.
+    val width = Tuned.widthForBytes(s,
+      graft.Tables.fileBytes(dir, "documents"), 64L << 10)
+    Tuned.pinned(s, width) {
     val fd = FrameCache.cached(s, s"ta_doc_tok_distinct:$dir")(
-      cachedToks(s, dir).select(col("doc_id"), col("tok")).distinct())
+      cachedToks(s, dir).select(col("doc_id"), col("tok")).distinct()
+        .repartition(width, col("doc_id")))
     val nDocs = FrameCache.cachedCount(s, s"ta_n_docs:$dir")(
       Tables.documents(s, dir).count())
     val freq = fd.groupBy(col("tok")).agg(count(lit(1)).as("c"))
@@ -294,6 +330,7 @@ object TextQueries {
         // always fits because lift is bounded by 10⁶·N/max(c_a,c_b) ≤ 10⁶·N.
         expr(s"CAST(1000000 AS DECIMAL(38,0)) * n_docs * ${nDocs}L" +
           " div (CAST(c_a AS DECIMAL(38,0)) * c_b)").as("lift_micro"))
+    }
   }
 
   /** td_redact — PII scrubbing: email/phone/long-digit-run patterns

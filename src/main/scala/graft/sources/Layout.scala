@@ -49,7 +49,50 @@ object Layout {
     */
   def spread(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions * 2 <= target) df.repartition(target) else df
+    // Gate on the ACTUAL splittable width, not the planned partition
+    // count (r15, advisor note): parquet splits only at row-group
+    // boundaries, so a large single-row-group file yields many planned
+    // byte-splits (>= target/2 — the old gate then SKIPPED the spread)
+    // while only one task ever reads data. Probing the footers also
+    // avoids the old `.rdd` call, which under AQE materializes upstream
+    // query stages (executing a build twice). Non-scan-rooted frames
+    // pass through unchanged — spread() is an input-layout remedy and
+    // must be fed scan-rooted plans (both call sites are).
+    scanSplitWidth(df) match {
+      case Some(width) if width * 2 <= target => df.repartition(target)
+      case _ => df
+    }
+  }
+
+  /** Effective splittable width of a frame rooted at ONE parquet
+    * relation: the total row-group count across its files (each row
+    * group is the smallest schedulable read unit). Footers are only
+    * probed when the file count alone is below the caller's threshold
+    * of interest; with > 64 files the scan is wide regardless of
+    * row-group layout. None when the plan is not a single-parquet-scan
+    * tree (no byte estimate exists without executing it).
+    */
+  private[graft] def scanSplitWidth(df: DataFrame): Option[Int] = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val rels = df.queryExecution.analyzed.collect {
+      case l: LogicalRelation => l.relation
+    }
+    rels match {
+      case Seq(fs: HadoopFsRelation) =>
+        val files = fs.location.inputFiles
+        if (files.length > 64) Some(files.length)
+        else {
+          val conf = df.sparkSession.sessionState.newHadoopConf()
+          val groups = files.map { f =>
+            val in = org.apache.parquet.hadoop.util.HadoopInputFile
+              .fromPath(new org.apache.hadoop.fs.Path(f), conf)
+            val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+            try r.getRowGroups.size finally r.close()
+          }.sum
+          Some(math.max(1, groups))
+        }
+      case _ => None
+    }
   }
 
   /** Save as a bucketed (and optionally sort-within-bucket) parquet table

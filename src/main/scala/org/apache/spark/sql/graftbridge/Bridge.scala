@@ -30,6 +30,18 @@ object Bridge {
   def serializableConf(): org.apache.spark.util.SerializableConfiguration =
     new org.apache.spark.util.SerializableConfiguration(activeHadoopConf())
 
+  /** Wrap an `RDD[InternalRow]` as a DataFrame WITHOUT the external-Row
+    * round trip (`createDataFrame(RDD[Row], schema)` re-encodes every
+    * row). The sanctioned internal path for operators that compute on
+    * `queryExecution.toRdd` directly (graft.operators.PrefixSum).
+    */
+  def internalCreateDataFrame(
+      s: org.apache.spark.sql.SparkSession,
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+      schema: org.apache.spark.sql.types.StructType): org.apache.spark.sql.DataFrame =
+    s.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema)
+
   /** Does this (unresolved) Column contain a DISTINCT aggregate call?
     *
     * Since the Spark 4 Column/ColumnNode split, [[expression]] on an
